@@ -1,0 +1,87 @@
+"""VectorStore facade: the reference's VerVectorDB API surface on Spark
+(CRUD semantics from vervectordb/__init__.py:247-335, search :337-365)."""
+
+import math
+
+import pytest
+
+from vervectordb_spark.store import DimensionError, VectorStore
+
+
+@pytest.fixture()
+def store(spark):
+    st = VectorStore(spark, vector_dim=4)
+    st.batch_insert(
+        [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.9, 0.1, 0.0, 0.0]],
+        [{"text": "alpha doc"}, {"text": "beta doc"}, {"text": "alpha beta"}],
+    )
+    return st
+
+
+def test_insert_and_get(store):
+    vid = store.insert([0.5, 0.5, 0.0, 0.0], {"text": "gamma"})
+    got = store.get_by_id(vid)
+    assert got["vector"] == [0.5, 0.5, 0.0, 0.0]
+    assert got["metadata"] == {"text": "gamma"}
+
+
+def test_dim_check(store):
+    with pytest.raises(DimensionError):
+        store.insert([1.0, 2.0])
+
+
+def test_get_missing_raises(store):
+    with pytest.raises(KeyError):
+        store.get_by_id("nope")
+
+
+def test_brute_force_search_order(store):
+    res = store.brute_force_search([1.0, 0.0, 0.0, 0.0], top_k=2)
+    sims = [r["similarity"] for r in res]
+    assert sims == sorted(sims, reverse=True)
+    assert math.isclose(res[0]["similarity"], 1.0, abs_tol=1e-9)
+    # second hit is the [0.9, 0.1, ...] vector
+    assert res[1]["metadata"]["text"] == "alpha beta"
+
+
+def test_zero_norm_query_guard(store):
+    res = store.brute_force_search([0.0, 0.0, 0.0, 0.0], top_k=3)
+    assert all(r["similarity"] == 0.0 for r in res)
+
+
+def test_update_reflected_in_search(store):
+    vid = store.insert([0.0, 0.0, 1.0, 0.0], {"text": "victim"})
+    store.update(vid, new_vector=[0.0, 0.0, 0.0, 1.0])
+    got = store.get_by_id(vid)
+    assert got["vector"] == [0.0, 0.0, 0.0, 1.0]
+    # searches see the new vector (the reference leaves indexes stale; we must not)
+    res = store.brute_force_search([0.0, 0.0, 0.0, 1.0], top_k=1)
+    assert res[0]["vector_id"] == vid
+
+
+def test_delete_removes_row(store):
+    vid = store.insert([0.0, 0.0, 1.0, 0.0], {})
+    store.delete(vid)
+    with pytest.raises(KeyError):
+        store.get_by_id(vid)
+
+
+def test_filtered_search_keywords(store):
+    res = store.filtered_search([1.0, 0.0, 0.0, 0.0], top_k=5, keywords=["beta"])
+    texts = {r["metadata"]["text"] for r in res}
+    assert texts == {"beta doc", "alpha beta"}
+
+
+def test_batch_search_batched(store):
+    res = store.batch_search([[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]], top_k=2)
+    assert len(res) == 2 and all(len(r) == 2 for r in res)
+    assert math.isclose(res[0][0]["similarity"], 1.0, abs_tol=1e-9)
+    assert math.isclose(res[1][0]["similarity"], 1.0, abs_tol=1e-9)
+
+
+def test_save_load_roundtrip(store, spark, tmp_path):
+    path = str(tmp_path / "db")
+    store.save(path)
+    loaded = VectorStore.load(spark, path)
+    assert loaded.vector_dim == 4
+    assert loaded.df.count() == store.df.count()

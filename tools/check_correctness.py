@@ -1,0 +1,103 @@
+"""Driver-mimic correctness gate: run every queries() entry on Spark AND its
+oracle_sql() twin on DuckDB at a given sf, compare row count, column names,
+and an order-insensitive value hash. Exits nonzero on any mismatch.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+REPO = "/root/repo"
+sys.path.insert(0, REPO)
+
+
+def value_key(df_pandas):
+    """Order-insensitive canonical form: sort columns by name, stringify
+    values (floats via repr of round-tripped double), sort rows."""
+    import math
+
+    cols = sorted(df_pandas.columns)
+    rows = []
+    for _, r in df_pandas[cols].iterrows():
+        cells = []
+        for c in cols:
+            v = r[c]
+            if isinstance(v, float):
+                cells.append("nan" if math.isnan(v) else repr(float(v)))
+            else:
+                cells.append(repr(v))
+        rows.append("|".join(cells))
+    rows.sort()
+    return cols, rows
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from vervectordb_spark.session import get_spark
+
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"rows-only  {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        scols, srows = value_key(sdf)
+        dcols, drows = value_key(ddf)
+        status = []
+        if len(sdf) != len(ddf):
+            status.append(f"rowcount {len(sdf)} vs {len(ddf)}")
+        if scols != dcols:
+            status.append(f"cols {scols} vs {dcols}")
+        if srows != drows:
+            diff = sum(1 for a, b in zip(srows, drows) if a != b) + abs(
+                len(srows) - len(drows)
+            )
+            status.append(f"values differ ({diff} rows)")
+            for a, b in list(zip(srows, drows))[:3]:
+                if a != b:
+                    status.append(f"  spark={a}")
+                    status.append(f"  duck ={b}")
+        if status:
+            failures.append((name, "; ".join(status)))
+            print(f"FAIL  {name}: " + "\n".join(status))
+        else:
+            print(f"OK    {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} checked OK")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,111 @@
+"""Vector similarity kernels as Catalyst column expressions.
+
+The reference computes cosine three ways that must agree
+(vervectordb/__init__.py:31-36 dot/norm formula; :344 and :438,:454 sklearn
+batch calls). Here cosine is ONE definition, expressed as a native Catalyst
+fold so it runs JVM-side inside whole-stage codegen — no Python in the hot
+path, no UDF serialization, and the expression is pushdown/pruning friendly.
+
+Numeric contract (verified bit-exact vs DuckDB): every element is cast to
+double FIRST, then multiplied pairwise and folded left-to-right. DuckDB's
+`list_dot_product(a::DOUBLE[], b::DOUBLE[])` performs the identical
+sequential double accumulation, so similarity values agree to the last bit
+with the DuckDB oracles — rounding to 6 decimals for display is safe.
+
+Zero-norm guard mirrors the reference (vervectordb/__init__.py:34-35):
+cosine(0, y) = 0.0.
+
+Scale path: for very high dim × very large N, `cosine_scores_batch` scores
+Arrow record batches with NumPy/BLAS via mapInPandas (one GEMV per batch,
+the distributed analogue of the reference's single vectorized kernel per
+query, vervectordb/__init__.py:344).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def to_double(arr: Column | str) -> Column:
+    """array<float> → array<double>, element-wise, JVM-side."""
+    arr = F.col(arr) if isinstance(arr, str) else arr
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def query_lit(vec: Sequence[float]) -> Column:
+    """A query vector as a literal array<double> column (plan-time constant,
+    shipped with the plan — the analogue of the reference's query argument)."""
+    return F.array(*[F.lit(float(v)).cast("double") for v in vec])
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential fold-left dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column | str, b: Column | Sequence[float]) -> Column:
+    """Cosine similarity with zero-norm guard (reference formula,
+    vervectordb/__init__.py:31-36). Inputs may be float arrays; both are
+    double-cast before any arithmetic."""
+    a = to_double(a)
+    b = query_lit(b) if isinstance(b, (list, tuple)) else to_double(b)
+    na, nb = norm_expr(a), norm_expr(b)
+    return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(
+        dot_expr(a, b) / (na * nb)
+    )
+
+
+def l2_expr(a: Column | str, b: Column | Sequence[float]) -> Column:
+    """Euclidean distance (the PQ codebook assignment metric,
+    vervectordb/__init__.py:198-199)."""
+    a = to_double(a)
+    b = query_lit(b) if isinstance(b, (list, tuple)) else to_double(b)
+    diff = F.zip_with(a, b, lambda x, y: x - y)
+    return F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_scores_batch(query_vec, emb_col: str = "embedding", out_col: str = "sim"):
+    """Factory for a mapInPandas function that scores every row of each Arrow
+    batch against `query_vec` with one BLAS matrix-vector product.
+
+    This is the throughput path for wide embeddings / huge N: Python cost is
+    amortized per-batch (thousands of rows), compute is C-speed GEMV —
+    the distributed analogue of the reference's single vectorized
+    cosine_similarity call (vervectordb/__init__.py:344).
+
+    Usage:
+        df.mapInPandas(cosine_scores_batch(q, schema_of(df) + sim double), ...)
+    """
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+
+    def score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd  # noqa: F401
+
+        for pdf in batches:
+            mat = np.asarray(pdf[emb_col].tolist(), dtype=np.float64)
+            if len(mat) == 0:
+                pdf[out_col] = []
+                yield pdf
+                continue
+            norms = np.linalg.norm(mat, axis=1)
+            denom = norms * qn
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom == 0.0, 0.0, mat @ q / denom)
+            pdf[out_col] = sims
+            yield pdf
+
+    return score

@@ -1,0 +1,169 @@
+"""Search operators: exact top-k, filtered search, batched multi-query top-k.
+
+Reference surface (SURVEY.md §2.3):
+  Q1 brute_force_search  (vervectordb/__init__.py:337-365)
+  Q6 batch_search        (vervectordb/__init__.py:517-536)
+  Q7 filtered_search     (vervectordb/__init__.py:538-554)
+  Q8 post-filter         (vervectordb/__init__.py:348-363)
+
+Spark-first translation:
+  * score = cosine column expression (JVM codegen, no UDF);
+  * top-k  = orderBy(desc).limit(k) → Catalyst plans TakeOrderedAndProject:
+    each partition keeps a k-heap, the driver merges k-per-partition — the
+    distributed analogue of the reference's argsort (and it never
+    materializes a global sort);
+  * filters run BEFORE ranking (deviation D1, SURVEY.md §2.3): Catalyst
+    pushes them into the parquet scan, so a selective filter *reduces* work
+    instead of requiring the reference's 3×k over-fetch
+    (vervectordb/__init__.py:345);
+  * batch search is genuinely batched (the reference's batch_size is a
+    no-op, vervectordb/__init__.py:524-534): queries become a broadcast
+    side of a join and ranking is one window — N×Q scoring in one stage,
+    no per-query jobs.
+
+Scale notes (100 TB): the corpus never moves — scoring is a map-side
+projection over the scan; only k rows per partition reach the driver. For
+batch search the query set is broadcast (queries ≪ corpus always holds);
+per-query ranking shuffles by query_id which is uniform by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vervectordb_spark.functions.similarity import cosine_expr, to_double
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    top_k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    pre_filter: Column | None = None,
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exact cosine top-k (reference Q1). Ties broken by id for determinism.
+
+    Plan shape: Scan(pushed filter) → Project(sim expr) → TakeOrderedAndProject.
+    """
+    if pre_filter is not None:
+        df = df.filter(pre_filter)
+    scored = df.select(
+        id_col,
+        *extra_cols,
+        cosine_expr(F.col(emb_col), list(query_vec)).alias("sim"),
+    )
+    return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(top_k)
+
+
+def keyword_filter(text_col: Column | str, keywords: Sequence[str]) -> Column:
+    """Reference keyword semantics: case-insensitive substring containment,
+    OR over keywords (vervectordb/__init__.py:540-544)."""
+    text_col = F.col(text_col) if isinstance(text_col, str) else text_col
+    lowered = F.lower(text_col)
+    pred = F.lit(False)
+    for kw in keywords:
+        pred = pred | lowered.contains(kw.lower())
+    return pred
+
+
+def filtered_search(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    top_k: int = 5,
+    keywords: Sequence[str] | None = None,
+    metadata_filter: Column | None = None,
+    text_col: str = "text",
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Reference Q7: keyword OR-match AND arbitrary predicate, then top-k.
+
+    The reference composes a Python closure and post-filters ranked
+    candidates (3×k over-fetch); here both predicates are column
+    expressions pushed below the ranking — strictly better recall (D1) and
+    scan-level pushdown. An arbitrary Python predicate can still be
+    supplied by the caller as a UDF column; that disables pushdown and is
+    documented as the slow path.
+    """
+    pred = None
+    if keywords:
+        pred = keyword_filter(text_col, keywords)
+    if metadata_filter is not None:
+        pred = metadata_filter if pred is None else (pred & metadata_filter)
+    return brute_force_topk(
+        df, query_vec, top_k, emb_col=emb_col, id_col=id_col,
+        pre_filter=pred, extra_cols=extra_cols,
+    )
+
+
+def batch_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    top_k: int = 5,
+    corpus_emb: str = "embedding",
+    query_emb: str = "q_embedding",
+    query_id: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Genuinely batched multi-query top-k (reference Q6, fixed).
+
+    queries (small) is broadcast; scoring is one crossJoin stage over the
+    corpus scan; ranking is one window partitioned by query_id.
+    Returns (query_id, vec_id, rank, sim).
+    """
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        query_id,
+        id_col,
+        cosine_expr(F.col(corpus_emb), F.col(query_emb)).alias("sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+def knn_self_join(
+    df: DataFrame,
+    top_k: int = 3,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact k-nearest-neighbors for EVERY row (similarity self-join) —
+    the all-pairs primitive behind near-dup detection and 'related items'.
+
+    Exact variant is O(N²) scoring — fine for index-probed subsets and for
+    oracle checking; the scale path blocks candidates first (see
+    operators/dedup.py and operators/ann.py) so N² never materializes at
+    100 TB.
+    """
+    left = df.select(
+        F.col(id_col).alias("src_id"), F.col(emb_col).alias("src_emb")
+    )
+    right = df.select(
+        F.col(id_col).alias("dst_id"), F.col(emb_col).alias("dst_emb")
+    )
+    pairs = left.join(F.broadcast(right), F.col("src_id") != F.col("dst_id"))
+    scored = pairs.select(
+        "src_id",
+        "dst_id",
+        cosine_expr(F.col("src_emb"), F.col("dst_emb")).alias("sim"),
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("sim"), F.asc("dst_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_k
+    )
+
+
+def point_lookup(df: DataFrame, vec_id, id_col: str = "vec_id") -> DataFrame:
+    """Reference P1 get_by_id (vervectordb/__init__.py:301-309): equality
+    predicate pushed to the parquet scan (min/max + dictionary row-group
+    skipping; at scale, a partition/bucket column makes this a pruned read).
+    """
+    return df.filter(F.col(id_col) == vec_id)

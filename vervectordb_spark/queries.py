@@ -1,0 +1,358 @@
+"""Query registry — the driver-facing contract.
+
+Every implemented operator from SURVEY.md §2 (plus the pipeline extensions)
+registers here as a pair:
+
+  * a PySpark query  (spark, sf_dir) -> DataFrame
+  * a DuckDB oracle  ANSI-SQL string over the same parquet views
+
+The driver hash-compares both at sf0.01, order-insensitively, after sorting
+columns by name — so column NAMES and TYPES are aligned on both sides, ties
+are broken deterministically (ORDER BY sim DESC, id), and every float column
+is derived from arithmetic that is bit-identical across engines:
+
+  * cosine/dot: double-cast elements + sequential fold == DuckDB
+    list_dot_product(x::DOUBLE[], y::DOUBLE[]) — verified bit-exact;
+  * money aggregates: DECIMAL sums (exact, order-independent), cast to
+    double and rounded only at the end;
+  * ratios: single int/int divisions.
+
+Registration is via the @query decorator; `vervectordb_spark.queries.QUERIES`
+and `.ORACLES` feed `__spark_entry__.py` directly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vervectordb_spark.functions.similarity import cosine_expr, norm_expr, to_double
+from vervectordb_spark.operators import search as S
+from vervectordb_spark.schema import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB side of the bit-exact cosine contract).
+# --------------------------------------------------------------------------
+
+def _dot(a: str, b: str) -> str:
+    return f"list_dot_product({a}, {b})"
+
+
+def _cos(a: str, b: str) -> str:
+    """DuckDB twin of functions.similarity.cosine_expr (zero-norm guard
+    mirrors vervectordb/__init__.py:34-35)."""
+    return (
+        f"(CASE WHEN {_dot(a, a)} = 0 OR {_dot(b, b)} = 0 THEN 0.0 "
+        f"ELSE {_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})) END)"
+    )
+
+
+_E = "e.embedding::DOUBLE[]"
+_QV = "q.qv"
+_Q0 = "SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0"
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    """Fetch a fixture row to use as the query vector — the analogue of the
+    reference caller passing `query_vector` (vervectordb/__init__.py:341)."""
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .collect()
+    )
+    return [float(x) for x in row[0][0]]
+
+
+# --------------------------------------------------------------------------
+# Q1 — exact brute-force top-k (reference vervectordb/__init__.py:337-365)
+# --------------------------------------------------------------------------
+
+@query(
+    "topk_brute_force",
+    oracle=f"""
+WITH q AS ({_Q0}),
+scored AS (
+  SELECT e.vec_id, e.label, {_cos(_E, _QV)} AS sim
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, label, ROUND(sim, 6) AS sim
+FROM (SELECT * FROM scored ORDER BY sim DESC, vec_id LIMIT 10)
+""",
+)
+def topk_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    out = S.brute_force_topk(emb, qv, top_k=10, extra_cols=("label",))
+    return out.select("vec_id", "label", F.round("sim", 6).alias("sim"))
+
+
+# --------------------------------------------------------------------------
+# Q7/Q8 — filtered search, pre-filter semantics (D1)
+# --------------------------------------------------------------------------
+
+@query(
+    "topk_filtered_label",
+    oracle=f"""
+WITH q AS ({_Q0}),
+scored AS (
+  SELECT e.vec_id, e.label, {_cos(_E, _QV)} AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label IN (1, 3)
+)
+SELECT vec_id, label, ROUND(sim, 6) AS sim
+FROM (SELECT * FROM scored ORDER BY sim DESC, vec_id LIMIT 10)
+""",
+)
+def topk_filtered_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-predicate search (reference filter_func surface,
+    vervectordb/__init__.py:337,352) — predicate pushed into the scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    out = S.brute_force_topk(
+        emb, qv, top_k=10, pre_filter=F.col("label").isin(1, 3),
+        extra_cols=("label",),
+    )
+    return out.select("vec_id", "label", F.round("sim", 6).alias("sim"))
+
+
+@query(
+    "topk_keyword_filter",
+    oracle=f"""
+WITH q AS ({_Q0}),
+scored AS (
+  SELECT e.vec_id, d.lang, {_cos(_E, _QV)} AS sim
+  FROM embeddings e
+  JOIN documents d ON d.doc_id = e.vec_id
+  CROSS JOIN q
+  WHERE lower(d.text) LIKE '%spark%' OR lower(d.text) LIKE '%window%'
+)
+SELECT vec_id, lang, ROUND(sim, 6) AS sim
+FROM (SELECT * FROM scored ORDER BY sim DESC, vec_id LIMIT 10)
+""",
+)
+def topk_keyword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword OR-containment over the text corpus joined to vectors
+    (reference vervectordb/__init__.py:540-544: case-insensitive substring,
+    OR over keywords)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    qv = _query_vec(spark, sf_dir)
+    joined = emb.join(docs, emb.vec_id == docs.doc_id).filter(
+        S.keyword_filter("text", ["spark", "window"])
+    )
+    out = S.brute_force_topk(joined, qv, top_k=10, extra_cols=("lang",))
+    return out.select("vec_id", "lang", F.round("sim", 6).alias("sim"))
+
+
+@query(
+    "filtered_search_combined",
+    oracle=f"""
+WITH q AS ({_Q0}),
+scored AS (
+  SELECT e.vec_id, e.label, {_cos(_E, _QV)} AS sim
+  FROM embeddings e
+  JOIN documents d ON d.doc_id = e.vec_id
+  CROSS JOIN q
+  WHERE (lower(d.text) LIKE '%scan%' OR lower(d.text) LIKE '%batch%')
+    AND e.label <> 2
+)
+SELECT vec_id, label, ROUND(sim, 6) AS sim
+FROM (SELECT * FROM scored ORDER BY sim DESC, vec_id LIMIT 10)
+""",
+)
+def filtered_search_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 full surface: keywords AND metadata predicate combined
+    (vervectordb/__init__.py:538-554)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    qv = _query_vec(spark, sf_dir)
+    joined = emb.join(docs, emb.vec_id == docs.doc_id)
+    out = S.filtered_search(
+        joined, qv, top_k=10,
+        keywords=["scan", "batch"],
+        metadata_filter=F.col("label") != 2,
+        extra_cols=("label",),
+    )
+    return out.select("vec_id", "label", F.round("sim", 6).alias("sim"))
+
+
+# --------------------------------------------------------------------------
+# Q6 — batched multi-query search (fixed to actually batch)
+# --------------------------------------------------------------------------
+
+@query(
+    "batch_topk",
+    oracle=f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, {_cos(_E, _QV)} AS sim
+  FROM embeddings e CROSS JOIN qs q
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, rk::INTEGER AS rank, ROUND(sim, 6) AS sim
+FROM ranked WHERE rk <= 5
+""",
+)
+def batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    out = S.batch_topk(emb, queries, top_k=5)
+    return out.select(
+        "query_id", "vec_id", F.col("rank").cast("int").alias("rank"),
+        F.round("sim", 6).alias("sim"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P1 — point lookup
+# --------------------------------------------------------------------------
+
+@query(
+    "point_lookup",
+    oracle=f"""
+SELECT e.vec_id, e.label, len(e.embedding) AS dim,
+       ROUND(sqrt({_dot(_E, _E)}), 6) AS norm
+FROM embeddings e WHERE e.vec_id = 42
+""",
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.point_lookup(emb, 42).select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(norm_expr(to_double(F.col("embedding"))), 6).alias("norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P2/P3/S3 — copy-on-write mutation + append (CRUD on immutable storage)
+# --------------------------------------------------------------------------
+
+_UPD_VEC = [0.1] * 64  # replacement embedding for the update query
+
+
+@query(
+    "crud_update",
+    oracle=f"""
+WITH updated AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings WHERE vec_id <> 7
+  UNION ALL
+  SELECT 7 AS vec_id, list_transform(range(64), i -> 0.1) AS emb, 99 AS label
+)
+SELECT vec_id, label, len(emb) AS dim, ROUND(sqrt(list_dot_product(emb, emb)), 6) AS norm
+FROM updated WHERE vec_id = 7
+""",
+)
+def crud_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 as copy-on-write: anti-filter + union of the replacement row
+    (reference mutates in place, vervectordb/__init__.py:311-322; Spark
+    rewrites — and derived indexes are invalidated, fixing SURVEY §1.3)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("emb"), "label"
+    )
+    new_row = spark.range(1).select(
+        F.lit(7).cast("long").alias("vec_id"),
+        F.array([F.lit(0.1).cast("double")] * 64).alias("emb"),
+        F.lit(99).cast("int").alias("label"),
+    )
+    updated = emb.filter(F.col("vec_id") != 7).unionByName(new_row)
+    return updated.filter(F.col("vec_id") == 7).select(
+        "vec_id", "label", F.size("emb").alias("dim"),
+        F.round(norm_expr(F.col("emb")), 6).alias("norm"),
+    )
+
+
+@query(
+    "crud_delete",
+    oracle="""
+SELECT COUNT(*) AS n_rows, CAST(SUM(label) AS BIGINT) AS label_sum
+FROM embeddings WHERE vec_id >= 5
+""",
+)
+def crud_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: delete = anti-filter rewrite; result state is verifiable as the
+    aggregate over the surviving rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    surviving = emb.filter(~(F.col("vec_id") < 5))
+    return surviving.agg(
+        F.count("*").alias("n_rows"), F.sum("label").alias("label_sum")
+    )
+
+
+@query(
+    "ingest_append",
+    oracle="""
+WITH appended AS (
+  SELECT vec_id, label FROM embeddings
+  UNION ALL SELECT * FROM (VALUES (9001, 1), (9002, 3)) t(vec_id, label)
+)
+SELECT label, COUNT(*) AS cnt FROM appended GROUP BY label
+""",
+)
+def ingest_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3: append-only ingest (reference batch_insert,
+    vervectordb/__init__.py:269-299) verified via post-append aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    new_rows = spark.createDataFrame(
+        [(9001, 1), (9002, 3)],
+        T.StructType([
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("label", T.IntegerType(), False),
+        ]),
+    )
+    return emb.unionByName(new_rows).groupBy("label").agg(F.count("*").alias("cnt"))
+
+
+# --------------------------------------------------------------------------
+# Similarity self-join: exact kNN for every row (pipeline primitive)
+# --------------------------------------------------------------------------
+
+@query(
+    "knn_self_join",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         {_cos('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')} AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, dst_id) AS rk
+  FROM pairs
+)
+SELECT src_id, dst_id, rk::INTEGER AS rank, ROUND(sim, 6) AS sim
+FROM ranked WHERE rk <= 3
+""",
+)
+def knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.knn_self_join(emb, top_k=3)
+    return out.select(
+        "src_id", "dst_id", F.col("rank").cast("int").alias("rank"),
+        F.round("sim", 6).alias("sim"),
+    )

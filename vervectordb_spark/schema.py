@@ -1,0 +1,56 @@
+"""Canonical schemas + test-table loaders.
+
+The reference stores one logical table: an (N, dim) float32 matrix plus a
+per-row metadata dict (reference: vervectordb/__init__.py:228-231). Our
+canonical Spark schema hoists the hot metadata fields into typed columns and
+keeps the open bag as a map (SURVEY.md §1.2):
+
+    vectors(vec_id, embedding ARRAY<FLOAT>, metadata MAP<STRING,STRING>,
+            text, category, cluster_id, pq_code ARRAY<TINYINT>)
+
+Test fixtures (TESTDATA.md) are TPC-H-ish parquet tables plus `embeddings`
+(the vector store analogue) and `documents` (the text-corpus analogue).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Canonical vector-store schema (SURVEY.md §1.2). `embedding` elements are
+# non-null float32; dim is enforced at ingest (reference dim check:
+# vervectordb/__init__.py:243-245).
+VECTORS_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.StringType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType(), False), False),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("category", T.StringType(), True),
+        T.StructField("cluster_id", T.IntegerType(), True),
+        T.StructField("pq_code", T.ArrayType(T.ByteType(), False), True),
+    ]
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Parquet scan → vectorized columnar reader;
+    filters/projections placed on the result are pushed into the scan."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)

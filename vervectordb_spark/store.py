@@ -1,0 +1,306 @@
+"""VectorStore — the engine facade, mirroring the reference's `VerVectorDB`
+class surface (vervectordb/__init__.py:221-594) on Spark DataFrames.
+
+A user of the reference can switch 1:1:
+
+    reference                      → vervectordb_spark.VectorStore
+    ---------------------------------------------------------------
+    VerVectorDB(dim, path)         → VectorStore(spark, dim, path)
+    insert / batch_insert          → insert / batch_insert        (S2, S3)
+    get_by_id                      → get_by_id                    (P1)
+    update / delete                → update / delete              (P2, P3)
+    brute_force_search             → brute_force_search           (Q1)
+    hnsw_search                    → ann_search (LSH/IVF-backed)  (Q2 intent;
+                                      the reference's HNSW is broken — B1)
+    build_ivf_index / ivf_search   → build_ivf_index / ivf_search (Q4, Q5)
+    batch_search                   → batch_search                 (Q6)
+    filtered_search                → filtered_search              (Q7)
+    train_pq / compress/decompress → train_pq / compress / decompress (C1-C5)
+    save / load                    → save / load (parquet + model artifacts,
+                                      not a pickle blob — S4, S5)
+
+Mutability: the reference mutates the matrix in place; DataFrames are
+immutable, so update/delete are copy-on-write rewrites. Unlike the
+reference (which leaves HNSW stale after update/delete —
+vervectordb/__init__.py:311-335), derived indexes here are invalidated on
+every mutation and rebuilt on demand, so they can never dangle.
+
+Scale: vectors never visit the driver. Only query vectors, centroids
+(k×dim) and PQ codebooks (8×256×(dim/8)) are driver/broadcast state.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vervectordb_spark.operators import search as _search
+
+_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.StringType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType(), False), False),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+
+class DimensionError(ValueError):
+    """Analogue of the reference's dim-check ValueError
+    (vervectordb/__init__.py:243-245)."""
+
+
+class VectorStore:
+    def __init__(self, spark: SparkSession, vector_dim: int, db_path: str | None = None):
+        self.spark = spark
+        self.vector_dim = int(vector_dim)
+        self.db_path = db_path
+        self.df: DataFrame = spark.createDataFrame([], _ROW_SCHEMA)
+        self._index_valid = False  # derived indexes (IVF/ANN/PQ) dangle-proofing
+        self._ivf = None
+        self._ann = None
+        self._pq = None
+
+    # ------------------------------------------------------------------ DML
+    def _check_rows(self, vectors: Sequence[Sequence[float]]) -> None:
+        for v in vectors:
+            if len(v) != self.vector_dim:
+                raise DimensionError(
+                    f"vector dim {len(v)} != store dim {self.vector_dim}"
+                )
+
+    def insert(self, vector: Sequence[float], metadata: dict | None = None) -> str:
+        """S2: single-row append. Returns the assigned uuid id."""
+        return self.batch_insert([vector], [metadata] if metadata else None)[0]
+
+    def batch_insert(
+        self,
+        vectors: Sequence[Sequence[float]],
+        metadatas: Sequence[dict | None] | None = None,
+    ) -> list[str]:
+        """S3: bulk append. Dim-checked before any write; ids assigned here
+        (uuid4, like vervectordb/__init__.py:251). Append-only union — the
+        100 TB shape is `write.mode('append')` on a partitioned table."""
+        self._check_rows(vectors)
+        ids = [str(uuid.uuid4()) for _ in vectors]
+        metas = metadatas or [None] * len(vectors)
+        rows = [
+            (i, [float(x) for x in v], {str(k): str(val) for k, val in (m or {}).items()})
+            for i, v, m in zip(ids, vectors, metas)
+        ]
+        new = self.spark.createDataFrame(rows, _ROW_SCHEMA)
+        self.df = self.df.unionByName(new)
+        self._invalidate()
+        return ids
+
+    def ingest(self, df: DataFrame, emb_col: str = "embedding") -> None:
+        """Bulk ingest an existing DataFrame (the real 100 TB entry point).
+        Dim constraint enforced as a plan-level filter + fail-fast count."""
+        bad = df.filter(F.size(F.col(emb_col)) != self.vector_dim).limit(1).count()
+        if bad:
+            raise DimensionError(f"ingest contains rows with dim != {self.vector_dim}")
+        cols = [F.col(c) for c in ("vec_id", "embedding", "metadata") if c in df.columns]
+        base = df.select(*cols)
+        if "vec_id" not in df.columns:
+            base = base.withColumn("vec_id", F.expr("uuid()"))
+        if "metadata" not in df.columns:
+            base = base.withColumn(
+                "metadata", F.lit(None).cast("map<string,string>")
+            )
+        self.df = self.df.unionByName(
+            base.select(
+                F.col("vec_id").cast("string"),
+                F.col("embedding").cast("array<float>").alias("embedding"),
+                "metadata",
+            )
+        )
+        self._invalidate()
+
+    # --------------------------------------------------------- point lookup
+    def get_by_id(self, vec_id: str) -> dict:
+        """P1: id → {vector_id, vector, metadata}; KeyError if absent
+        (reference vervectordb/__init__.py:301-309)."""
+        rows = _search.point_lookup(self.df, vec_id).collect()
+        if not rows:
+            raise KeyError(vec_id)
+        r = rows[0]
+        return {
+            "vector_id": r["vec_id"],
+            "vector": list(r["embedding"]),
+            "metadata": dict(r["metadata"] or {}),
+        }
+
+    # ------------------------------------------------------------- mutation
+    def update(
+        self,
+        vec_id: str,
+        new_vector: Sequence[float] | None = None,
+        new_metadata: dict | None = None,
+    ) -> None:
+        """P2: copy-on-write row replacement. Unlike the reference, derived
+        indexes are invalidated (fixes the stale-HNSW quirk, SURVEY §1.3)."""
+        if new_vector is not None:
+            self._check_rows([new_vector])
+        old = self.get_by_id(vec_id)  # KeyError if absent, like the reference
+        vec = [float(x) for x in (new_vector if new_vector is not None else old["vector"])]
+        meta = {str(k): str(v) for k, v in (new_metadata if new_metadata is not None else old["metadata"]).items()}
+        replacement = self.spark.createDataFrame([(vec_id, vec, meta)], _ROW_SCHEMA)
+        self.df = self.df.filter(F.col("vec_id") != vec_id).unionByName(replacement)
+        self._invalidate()
+
+    def delete(self, vec_id: str) -> None:
+        """P3: anti-filter rewrite (Delta DELETE when available)."""
+        self.df = self.df.filter(F.col("vec_id") != vec_id)
+        self._invalidate()
+
+    # --------------------------------------------------------------- search
+    def brute_force_search(
+        self,
+        query_vector: Sequence[float],
+        top_k: int = 5,
+        pre_filter: Column | None = None,
+    ) -> list[dict]:
+        """Q1: exact cosine top-k. Filter runs BEFORE ranking (D1)."""
+        self._check_rows([query_vector])
+        out = _search.brute_force_topk(
+            self.df, query_vector, top_k, pre_filter=pre_filter,
+            extra_cols=("metadata",),
+        )
+        return [
+            {"vector_id": r["vec_id"], "similarity": r["sim"], "metadata": dict(r["metadata"] or {})}
+            for r in out.collect()
+        ]
+
+    def filtered_search(
+        self,
+        query_vector: Sequence[float],
+        top_k: int = 5,
+        keywords: Sequence[str] | None = None,
+        metadata_filter: Column | None = None,
+    ) -> list[dict]:
+        """Q7: keyword OR-containment over metadata['text'] AND a predicate,
+        both pushed below ranking."""
+        pred = None
+        if keywords:
+            pred = _search.keyword_filter(F.element_at(F.col("metadata"), "text"), keywords)
+        if metadata_filter is not None:
+            pred = metadata_filter if pred is None else (pred & metadata_filter)
+        return self.brute_force_search(query_vector, top_k, pre_filter=pred)
+
+    def batch_search(
+        self, query_vectors: Sequence[Sequence[float]], top_k: int = 5
+    ) -> list[list[dict]]:
+        """Q6, actually batched: one broadcast-join + window job for ALL
+        queries (the reference loops queries serially despite its
+        batch_size arg, vervectordb/__init__.py:524-534)."""
+        self._check_rows(query_vectors)
+        qdf = self.spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(query_vectors)],
+            T.StructType([
+                T.StructField("query_id", T.IntegerType(), False),
+                T.StructField("q_embedding", T.ArrayType(T.FloatType(), False), False),
+            ]),
+        )
+        out = _search.batch_topk(self.df, qdf, top_k).orderBy("query_id", "rank").collect()
+        results: list[list[dict]] = [[] for _ in query_vectors]
+        for r in out:
+            results[r["query_id"]].append(
+                {"vector_id": r["vec_id"], "similarity": r["sim"]}
+            )
+        return results
+
+    # ----------------------------------------------------- derived indexes
+    def _invalidate(self) -> None:
+        self._index_valid = False
+
+    def build_ivf_index(self, n_clusters: int = 16, seed: int = 42):
+        from vervectordb_spark.operators.ivf import IVFIndex
+
+        self._ivf = IVFIndex.build(self.df, n_clusters=n_clusters, seed=seed)
+        self._index_valid = True
+        return self._ivf
+
+    def ivf_search(self, query_vector, top_k: int = 5, nprobe: int | None = None,
+                   pre_filter: Column | None = None) -> list[dict]:
+        """Q5: probe nprobe clusters (reference default max(k//2, 8),
+        vervectordb/__init__.py:441), rescore exactly inside them."""
+        if self._ivf is None or not self._index_valid:
+            self.build_ivf_index()
+        out = self._ivf.search(query_vector, top_k=top_k, nprobe=nprobe, pre_filter=pre_filter)
+        return [
+            {"vector_id": r["vec_id"], "similarity": r["sim"], "cluster_id": r["cluster_id"]}
+            for r in out.collect()
+        ]
+
+    def build_ann_index(self, bucket_length: float = 2.0, num_hash_tables: int = 3, seed: int = 42):
+        from vervectordb_spark.operators.ann import LSHAnnIndex
+
+        self._ann = LSHAnnIndex.build(
+            self.df, bucket_length=bucket_length, num_hash_tables=num_hash_tables, seed=seed
+        )
+        self._index_valid = True
+        return self._ann
+
+    def ann_search(self, query_vector, top_k: int = 5) -> list[dict]:
+        """Q2 intent (the reference's HNSW contract — its implementation
+        returns ≤1 row due to bug B1 and is deliberately NOT reproduced)."""
+        if self._ann is None or not self._index_valid:
+            self.build_ann_index()
+        out = self._ann.search(query_vector, top_k=top_k)
+        return [{"vector_id": r["vec_id"], "similarity": r["sim"]} for r in out.collect()]
+
+    # hnsw_search kept as an alias so reference callers can switch 1:1.
+    hnsw_search = ann_search
+
+    def train_pq(self, n_subquantizers: int = 8, n_bits: int = 8,
+                 sample_size: int = 10_000, seed: int = 42):
+        from vervectordb_spark.operators.pq import PQCodec
+
+        if self.vector_dim % n_subquantizers:
+            raise DimensionError(
+                f"dim {self.vector_dim} not divisible by {n_subquantizers}"
+            )  # reference check: vervectordb/__init__.py:163-164
+        self._pq = PQCodec.fit(
+            self.df, dim=self.vector_dim, n_subquantizers=n_subquantizers,
+            n_bits=n_bits, sample_size=sample_size, seed=seed,
+        )
+        return self._pq
+
+    def compress(self) -> DataFrame:
+        """C4: adds pq_code ARRAY<TINYINT>; storage-only codec, like the
+        reference (search never reads codes, vervectordb/__init__.py:344)."""
+        if self._pq is None:
+            self.train_pq()
+        self.df = self._pq.encode(self.df)
+        return self.df
+
+    def decompress(self) -> DataFrame:
+        if self._pq is None:
+            raise RuntimeError("train_pq first")
+        return self._pq.decode(self.df)
+
+    # ---------------------------------------------------------- persistence
+    def save(self, path: str | None = None) -> None:
+        """S4: per-component parquet tables instead of one pickle blob —
+        scan-able, partition-able, schema-evolvable."""
+        path = path or self.db_path
+        if not path:
+            raise ValueError("no db_path")
+        self.df.write.mode("overwrite").parquet(f"{path}/vectors")
+        if self._pq is not None:
+            self._pq.save(f"{path}/pq")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, vector_dim: int | None = None) -> "VectorStore":
+        """S5: reconstruct from parquet (+ model artifacts)."""
+        df = spark.read.parquet(f"{path}/vectors")
+        if vector_dim is None:
+            row = df.select(F.size("embedding").alias("d")).limit(1).collect()
+            vector_dim = row[0]["d"] if row else 0
+        store = cls(spark, vector_dim, db_path=path)
+        store.df = df
+        return store
