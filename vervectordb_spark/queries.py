@@ -221,7 +221,7 @@ def batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
-    out = S.batch_topk(emb, queries, top_k=5)
+    out = S.batch_topk(emb, queries, top_k=5, kernel="fold")
     return out.select(
         "query_id", "vec_id", F.col("rank").cast("int").alias("rank"),
         F.round("sim", 6).alias("sim"),
@@ -335,11 +335,22 @@ def ingest_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "knn_self_join",
+    # Oracle mirrors the engine's normalize-once-then-dot formulation
+    # element-for-element (division then sequential fold), keeping the
+    # cross-engine bit-exact contract with one fold per pair.
     oracle=f"""
-WITH pairs AS (
-  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
-         {_cos('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')} AS sim
-  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+WITH n AS (
+  SELECT vec_id,
+         CASE WHEN {_dot('embedding::DOUBLE[]', 'embedding::DOUBLE[]')} = 0
+              THEN embedding::DOUBLE[]
+              ELSE list_transform(embedding::DOUBLE[],
+                     x -> x / sqrt({_dot('embedding::DOUBLE[]', 'embedding::DOUBLE[]')}))
+         END AS ne
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS dst_id, {_dot('a.ne', 'b.ne')} AS sim
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, dst_id) AS rk
@@ -351,7 +362,7 @@ FROM ranked WHERE rk <= 3
 )
 def knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    out = S.knn_self_join(emb, top_k=3)
+    out = S.knn_self_join(emb, top_k=3, kernel="fold")
     return out.select(
         "src_id", "dst_id", F.col("rank").cast("int").alias("rank"),
         F.round("sim", 6).alias("sim"),
