@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""Benchmark driver — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Anchors (BASELINE.md, measured reference on this machine):
+  * brute-force exact search  77.90 ms/query (n=50k, dim=128, top_k=10,
+    100 queries ⇒ 7.79 s total)  → `brute_force_100q`
+  * IVF build 40.6 s / search 87.5 ms/query → `ivf_build`, `ivf_search_32q`
+  * batch_insert 192k vec/s → ingest is parquet append (not timed here;
+    dominated by the scan at these sizes)
+
+Each query is forced with a noop-format write (full computation, no
+driver-side materialization cost) or a bounded collect for top-k results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _sf_of(sf_dir: str) -> float:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _force(df, limit: int | None = None) -> int:
+    """Execute the plan. Bounded results are collected (the reference's
+    search API materializes its top-k too); unbounded ones go to a noop sink
+    so we time computation, not driver transfer."""
+    if limit is not None:
+        return len(df.limit(limit).collect())
+    df.write.mode("overwrite").format("noop").save()
+    return -1
+
+
+def build_benches(spark, sf_dir: str):
+    """name → thunk. Ordered: cheap scans first so JVM/codegen warmup noise
+    lands on the cheapest query."""
+    from pyspark.sql import functions as F
+
+    from vervectordb_spark.operators import search as S
+    from vervectordb_spark.operators.ivf import IVFIndex
+    from vervectordb_spark.schema import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qv = [float(x) for x in qrow[0][0]]
+
+    benches: dict[str, callable] = {}
+
+    def bench(name):
+        def deco(fn):
+            benches[name] = fn
+            return fn
+        return deco
+
+    @bench("point_lookup")
+    def _point():
+        return _force(S.point_lookup(emb, 42), limit=10)
+
+    @bench("brute_force_topk")
+    def _bf():
+        return _force(S.brute_force_topk(emb, qv, top_k=10), limit=10)
+
+    @bench("brute_force_100q")
+    def _bf100():
+        # BASELINE anchor: 100 queries × exact top-10 (77.9 ms/query ref).
+        queries = emb.filter(F.col("vec_id") < 100).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        return _force(S.batch_topk(emb, queries, top_k=10, kernel="gemm"))
+
+    @bench("filtered_topk")
+    def _filtered():
+        joined = emb.join(docs, emb.vec_id == docs.doc_id)
+        return _force(
+            S.filtered_search(
+                joined, qv, top_k=10, keywords=["spark", "window"],
+                metadata_filter=F.col("label") != 2,
+            ),
+            limit=10,
+        )
+
+    @bench("knn_self_join_top3")
+    def _knn():
+        return _force(S.knn_self_join(emb, top_k=3, kernel="gemm"))
+
+    _ivf_holder: list = []
+
+    @bench("ivf_build")
+    def _ivf_build():
+        idx = IVFIndex.build(emb, n_clusters=16, seed=42)
+        idx.assigned.cache().count()  # materialize assignments, like the ref build
+        _ivf_holder.append(idx)
+        return idx.n_clusters
+
+    @bench("ivf_search_32q")
+    def _ivf_search():
+        idx = _ivf_holder[0]
+        rows = emb.filter(F.col("vec_id") < 32).select("vec_id", "embedding").collect()
+        n = 0
+        for r in rows:
+            vec = [float(x) for x in r["embedding"]]
+            n += _force(idx.search(vec, top_k=10, nprobe=8), limit=10)
+        return n
+
+    @bench("pricing_summary")
+    def _tpch_q1():
+        # Relational posture probe: full-scan group-by over the largest
+        # fixture table (600k rows at sf0.1) — exercises scan + partial agg.
+        out = (
+            lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum("l_extendedprice").alias("sum_base_price"),
+                F.avg("l_discount").alias("avg_disc"),
+                F.count("*").alias("count_order"),
+            )
+        )
+        return _force(out, limit=100)
+
+    # Optional benches — registered only when the operator modules exist.
+    try:
+        from vervectordb_spark.operators import dedup as D
+
+        @bench("dedup_minhash")
+        def _dedup():
+            return _force(D.minhash_near_dup_pairs(docs, num_hashes=16, bands=4))
+
+        @bench("dedup_exact")
+        def _dedup_exact():
+            return _force(D.exact_dup_groups(docs))
+    except ImportError:
+        pass
+
+    try:
+        from vervectordb_spark.operators import text as TX
+
+        @bench("text_profile")
+        def _text():
+            return _force(TX.profile(docs))
+    except ImportError:
+        pass
+
+    try:
+        from vervectordb_spark.operators.pq import PQCodec
+
+        @bench("pq_train_encode")
+        def _pq():
+            codec = PQCodec.fit(emb, dim=len(qv), n_subquantizers=8,
+                                codebook_size=16, seed=42)
+            return _force(codec.encode(emb).select("vec_id", "pq_code"))
+    except ImportError:
+        pass
+
+    return benches
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from vervectordb_spark.session import get_spark
+
+    spark = get_spark("vervectordb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10_000).selectExpr("sum(id * 2)").collect()  # JVM warmup
+
+    benches = build_benches(spark, sf_dir)
+    timings: dict[str, float] = {}
+    for name, thunk in benches.items():
+        t0 = time.perf_counter()
+        thunk()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+    }))
+
+
+if __name__ == "__main__":
+    main()

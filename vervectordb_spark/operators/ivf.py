@@ -1,0 +1,195 @@
+"""IVF index: k-means partitioning + cluster-probed search.
+
+Reference Q4/Q5 (vervectordb/__init__.py:411-487): sklearn KMeans(k=16,
+seed=42) over the store, inverted lists cluster→row positions; search
+scores the query against centroids, probes nprobe = max(n_clusters//2, 8)
+clusters (:441), and rescores candidates exactly.
+
+Spark-first: the inverted list IS the partition layout.
+
+  * build  = MLlib KMeans (distributed fit, seeded) → `cluster_id` column
+             → `write.partitionBy("cluster_id")` for persisted stores;
+  * search = centroid scoring happens on the DRIVER against k×dim floats
+             (broadcast-scale state, exactly like the reference's 16-row
+             scoring, :438) — NO Spark job; the probed-cluster filter
+             `cluster_id IN (...)` is pruned AT PLAN TIME: unprobed
+             partitions are never read. Rescoring inside probed clusters
+             is the exact brute-force kernel + TakeOrderedAndProject.
+
+At 100 TB: raise k so each cluster ≈ a few GB (k ≈ thousands); centroid
+set stays driver-sized (4k × 1024 dims × 8B = 32 MB). Skewed clusters are
+split by AQE; nprobe trades recall for scan volume linearly.
+
+Unlike the reference, results carry the candidate's TRUE cluster_id
+(quirk B2: the reference labels every hit with the best probed cluster,
+vervectordb/__init__.py:463,481 — not reproduced).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vervectordb_spark.operators.search import brute_force_topk
+
+
+def _cosine_to_centroids(query_vec: Sequence[float], centroids: np.ndarray) -> np.ndarray:
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    cn = np.linalg.norm(centroids, axis=1)
+    denom = cn * qn
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(denom == 0.0, 0.0, centroids @ q / denom)
+
+
+def assign_by_centroids(df: DataFrame, centroids_df: DataFrame,
+                        id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """Add `cluster_id` = argmax cosine(row, centroid) over a broadcast
+    centroid table (cluster_id int, centroid array<double>).
+
+    Shape: Scan → BroadcastNestedLoopJoin(k rows) → fold sim → window rank
+    per row → rk=1. The corpus never shuffles on data volume — the window
+    partitions by row id over k candidate rows each. At 100 TB with large k,
+    swap the fold for the GEMM batch kernel (operators/topk.gemm_topk) —
+    this fold variant is the bit-exact oracle-checkable path.
+    """
+    from pyspark.sql import Window
+    from vervectordb_spark.functions.similarity import cosine_expr
+
+    scored = df.crossJoin(F.broadcast(centroids_df)).withColumn(
+        "_csim", cosine_expr(F.col(emb_col), F.col("centroid"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cluster_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "_csim", "centroid")
+    )
+
+
+class IVFIndex:
+    """cluster-assigned DataFrame + centroid matrix (driver state)."""
+
+    def __init__(self, assigned: DataFrame, centroids: np.ndarray,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+        self.assigned = assigned
+        self.centroids = centroids
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    @property
+    def n_clusters(self) -> int:
+        return len(self.centroids)
+
+    @classmethod
+    def build(cls, df: DataFrame, n_clusters: int = 16, seed: int = 42,
+              id_col: str = "vec_id", emb_col: str = "embedding",
+              max_iter: int = 20) -> "IVFIndex":
+        """Distributed k-means fit (the reference fits sklearn on a
+        float64 copy of the whole matrix, :416-418 — single-machine-bound;
+        MLlib iterates map-side partial sums instead)."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = df.withColumn(
+            "_features", array_to_vector(F.col(emb_col).cast("array<double>"))
+        )
+        km = KMeans(k=n_clusters, seed=seed, maxIter=max_iter,
+                    featuresCol="_features", predictionCol="cluster_id")
+        model = km.fit(feats)
+        assigned = model.transform(feats).drop("_features").withColumn(
+            "cluster_id", F.col("cluster_id").cast("int")
+        )
+        centroids = np.array([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
+        return cls(assigned, centroids, id_col=id_col, emb_col=emb_col)
+
+    def default_nprobe(self) -> int:
+        """Reference default: max(n_clusters // 2, 8) — vervectordb/__init__.py:441."""
+        return max(self.n_clusters // 2, 8)
+
+    def probe_clusters(self, query_vec: Sequence[float], nprobe: int | None = None) -> list[int]:
+        """Driver-side: rank centroids by cosine to the query, take nprobe.
+        k×dim floats — never a Spark job (reference :438-442)."""
+        nprobe = min(nprobe or self.default_nprobe(), self.n_clusters)
+        sims = _cosine_to_centroids(query_vec, self.centroids)
+        order = np.lexsort((np.arange(len(sims)), -sims))
+        return [int(c) for c in order[:nprobe]]
+
+    def search(self, query_vec: Sequence[float], top_k: int = 5,
+               nprobe: int | None = None, pre_filter: Column | None = None,
+               probed: Sequence[int] | None = None) -> DataFrame:
+        """`cluster_id IN probed` → partition pruning → exact rescore →
+        TakeOrderedAndProject. Returns (vec_id, cluster_id, sim).
+        `probed` overrides probe-set selection (oracle-gated callers pass
+        the bit-exact set from probe_clusters_exact)."""
+        if probed is None:
+            probed = self.probe_clusters(query_vec, nprobe)
+        pred = F.col("cluster_id").isin(probed)
+        if pre_filter is not None:
+            pred = pred & pre_filter
+        return brute_force_topk(
+            self.assigned, query_vec, top_k,
+            emb_col=self.emb_col, id_col=self.id_col,
+            pre_filter=pred, extra_cols=("cluster_id",),
+        )
+
+    # ------------------------------------------------------------ storage
+    @classmethod
+    def from_centroids(cls, df: DataFrame, centroids_df: DataFrame,
+                       id_col: str = "vec_id", emb_col: str = "embedding") -> "IVFIndex":
+        """Build the inverted layout from a FIXED centroid table
+        (cluster_id, centroid array<double>) instead of a k-means fit.
+
+        Assignment = argmax cosine(row, centroid) computed with the fold
+        kernel on both engines, so the whole IVF query path — assignment,
+        probing, pruning, rescoring — is DuckDB-oracle-checkable (the MLlib
+        KMeans build path is graded by the recall harness instead; its
+        centroids are not reproducible in SQL).
+        """
+        assigned = assign_by_centroids(df, centroids_df, id_col=id_col, emb_col=emb_col)
+        rows = centroids_df.orderBy("cluster_id").collect()
+        centroids = np.array([list(r["centroid"]) for r in rows], dtype=np.float64)
+        return cls(assigned, centroids, id_col=id_col, emb_col=emb_col)
+
+    def probe_clusters_exact(self, query_vec: Sequence[float], nprobe: int | None = None) -> list[int]:
+        """Probe-set selection via the Catalyst fold kernel (bit-exact with
+        the DuckDB oracle's ORDER BY sim DESC, cluster_id LIMIT nprobe).
+        k rows — the job is trivial; used by oracle-gated queries, while
+        `probe_clusters` (NumPy, no job) is the serving path."""
+        from vervectordb_spark.functions.similarity import cosine_expr
+
+        nprobe = min(nprobe or self.default_nprobe(), self.n_clusters)
+        spark = self.assigned.sparkSession
+        cent = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
+            "cluster_id int, centroid array<double>",
+        )
+        ranked = cent.select(
+            "cluster_id", cosine_expr(F.col("centroid"), list(query_vec)).alias("sim")
+        ).orderBy(F.desc("sim"), F.asc("cluster_id")).limit(nprobe)
+        return [r["cluster_id"] for r in ranked.collect()]
+
+    def save(self, path: str) -> None:
+        """Persist the inverted layout: data partitioned BY cluster —
+        reading a probe set touches only those directories."""
+        self.assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
+            f"{path}/vectors_by_cluster"
+        )
+        spark = self.assigned.sparkSession
+        cent = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
+            "cluster_id int, centroid array<double>",
+        )
+        cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+    @classmethod
+    def load(cls, spark, path: str, id_col: str = "vec_id",
+             emb_col: str = "embedding") -> "IVFIndex":
+        assigned = spark.read.parquet(f"{path}/vectors_by_cluster")
+        rows = spark.read.parquet(f"{path}/centroids").orderBy("cluster_id").collect()
+        centroids = np.array([r["centroid"] for r in rows])
+        return cls(assigned, centroids, id_col=id_col, emb_col=emb_col)

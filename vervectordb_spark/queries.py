@@ -367,3 +367,59 @@ def knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_id", "dst_id", F.col("rank").cast("int").alias("rank"),
         F.round("sim", 6).alias("sim"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q4/Q5 — IVF: assignment → probe → partition-pruned rescore
+# (vervectordb/__init__.py:411-487). Oracle-checkable via FIXED centroids
+# (= first 16 fixture embeddings): assignment/probing/rescoring all use the
+# fold cosine on both engines. The MLlib KMeans build path (IVFIndex.build)
+# is graded by the recall harness in tests/test_ivf.py instead.
+# --------------------------------------------------------------------------
+
+@query(
+    "ivf_search_pruned",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id::INTEGER AS cluster_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 16
+),
+q AS ({_Q0}),
+assign AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, c.cluster_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_cos('e.embedding::DOUBLE[]', 'c.cv')} DESC, c.cluster_id
+         ) AS rk
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (SELECT vec_id, emb, cluster_id FROM assign WHERE rk = 1),
+probed AS (
+  SELECT c.cluster_id FROM cent c CROSS JOIN q
+  ORDER BY {_cos('c.cv', _QV)} DESC, c.cluster_id LIMIT 8
+),
+scored AS (
+  SELECT a.vec_id, a.cluster_id, {_cos('a.emb', _QV)} AS sim
+  FROM assigned a CROSS JOIN q
+  WHERE a.cluster_id IN (SELECT cluster_id FROM probed)
+)
+SELECT vec_id, cluster_id, ROUND(sim, 6) AS sim
+FROM (SELECT * FROM scored ORDER BY sim DESC, vec_id LIMIT 10)
+""",
+)
+def ivf_search_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 with the reference's defaults (nprobe = max(16//2, 8) = 8,
+    vervectordb/__init__.py:441). Results carry the TRUE cluster_id —
+    quirk B2 not reproduced."""
+    from vervectordb_spark.operators.ivf import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cluster_id"),
+        to_double(F.col("embedding")).alias("centroid"),
+    )
+    idx = IVFIndex.from_centroids(emb, cent)
+    qv = _query_vec(spark, sf_dir)
+    probed = idx.probe_clusters_exact(qv, nprobe=8)
+    out = idx.search(qv, top_k=10, probed=probed)
+    return out.select("vec_id", "cluster_id", F.round("sim", 6).alias("sim"))
