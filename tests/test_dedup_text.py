@@ -1,0 +1,128 @@
+"""Dedup + text-analysis operator tests (north-star extensions,
+SURVEY.md §2.8). The oracle gate covers cross-engine value parity; these
+check operator semantics on controlled inputs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vervectordb_spark.operators import dedup as D
+from vervectordb_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "the quick brown fox jumps over a lazy dog"),            # near dup of 1
+        (4, "completely different content about spark partitions"),
+        (5, ""),                                                     # empty
+        (6, "单 一 中 文 文 档 测 试"),                                  # CJK
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dup_groups(docs):
+    groups = D.exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2
+    assert groups[0]["doc_ids"] == [1, 2]
+
+
+def test_drop_exact_dups_keeps_lowest_id(docs):
+    kept = {r["doc_id"] for r in D.drop_exact_dups(docs).collect()}
+    assert kept == {1, 3, 4, 5, 6}
+
+
+def test_minhash_identical_docs_share_full_signature(docs):
+    sigs = {
+        r["doc_id"]: r["signature"]
+        for r in D.minhash_signatures(docs, num_hashes=8).collect()
+    }
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_minhash_near_dup_pairs_finds_planted_pair(docs):
+    pairs = D.minhash_near_dup_pairs(
+        docs, num_hashes=8, bands=4, shingle_n=3, threshold=0.5
+    ).collect()
+    found = {(r["src_id"], r["dst_id"]) for r in pairs}
+    assert (1, 2) in found            # exact dup: jaccard 1.0
+    got = {p: r["jaccard"] for p, r in zip(found, pairs)}
+    assert all(r["jaccard"] >= 0.5 for r in pairs)
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = {
+        (r["src_id"], r["dst_id"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.0 < pairs[(1, 3)] < 1.0
+    assert pairs[(1, 4)] == 0.0
+
+
+def test_simhash_identical_and_near(docs):
+    fps = {r["doc_id"]: r["simhash"] for r in D.simhash_fingerprints(docs).collect()}
+    assert fps[1] == fps[2]
+    assert 0 <= fps[1] < 2**D.SIMHASH_BITS
+    near = D.simhash_near_dup_pairs(docs, max_hamming=3, bands=4).collect()
+    assert (1, 2) in {(r["src_id"], r["dst_id"]) for r in near}
+    for r in near:
+        assert r["hamming"] <= 3
+
+
+def test_simhash_empty_text_is_zero(docs):
+    fps = {r["doc_id"]: r["simhash"] for r in D.simhash_fingerprints(docs).collect()}
+    assert fps[5] == 0
+
+
+def test_embedding_near_dup_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0]),     # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = D.embedding_near_dup_pairs(df, threshold=0.99, kernel="fold").collect()
+    assert {(r["src_id"], r["dst_id"]) for r in pairs} == {(1, 2)}
+
+
+def test_text_profile_values(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick fox! It runs."), (2, ""), (3, "中文 中文 中文 文档")],
+        "doc_id long, text string",
+    )
+    prof = {r["doc_id"]: r for r in TX.profile(df).collect()}
+    p1 = prof[1]
+    assert p1["n_chars"] == 23
+    assert p1["n_tokens"] == 5
+    # "The","quick","fox","!","It","runs","." -> 7 BPE-ish tokens
+    assert p1["n_bpe_tokens"] == 7
+    assert p1["punct_ratio"] > 0
+    assert p1["lang_id"] == "en"          # "the"+"it" = 2/5 stopwords
+    p2 = prof[2]
+    assert p2["n_tokens"] == 0 and p2["quality_score"] <= 0.4
+    assert p2["fingerprint"] == 0
+    p3 = prof[3]
+    assert p3["lang_id"] == "zh"
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fingerprint"] for r in TX.profile(df).collect()}
+    assert fps[1] != fps[2]
+
+
+def test_quality_score_rewards_normal_text(spark):
+    good = "the data pipeline reads parquet files and writes clean shuffled " \
+           "batches of tokens for training language models at scale " * 2
+    bad = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"
+    df = spark.createDataFrame([(1, good), (2, bad)], "doc_id long, text string")
+    scores = {r["doc_id"]: r["quality_score"] for r in TX.profile(df).collect()}
+    assert scores[1] > scores[2]
+    assert scores[1] >= 0.8

@@ -1,0 +1,390 @@
+"""Deduplication operators for the training-data pipeline surface.
+
+Not present in the reference (SURVEY.md §2.6 — grep-verified: no dedup code
+in vervectordb/__init__.py); required by the north-star extensions
+(SURVEY.md §2.8). Five strategies, cheapest to most semantic:
+
+  exact          md5(text) group-by                     — one shuffle on a
+                                                          64-bit key
+  minhash + LSH  shingle → k minhashes → b bands →       — near-dup without
+                 bucket join → Jaccard verify              O(N²)
+  simhash        per-token hash bit-votes → 32-bit       — one fingerprint
+                 fingerprint → hamming pairs               per doc
+  n-gram Jaccard exact set overlap on shingles           — the verifier /
+                                                          small-N oracle
+  embedding      cosine self-join ≥ threshold            — semantic dups
+
+Everything is built on the portable md5 hash family (functions/hashing.py)
+so each operator has a bit-exact DuckDB oracle twin.
+
+Scale notes (100 TB):
+  * exact: shuffle keys are 60-bit ints, not document bodies — project
+    (id, md5) first, join bodies back only for the survivors.
+  * minhash: the only shuffle is groupBy(band, band_key); bucket sizes are
+    bounded by near-dup cluster sizes, and the pair join happens per-bucket
+    (bucket×bucket, not N×N). Skewed buckets (boilerplate docs) are the
+    known hazard — cap bucket size / salt, and AQE skew-join handles the
+    rest.
+  * simhash: fingerprints are 32-bit ints; candidate pairing joins on
+    rotated fingerprint bands, never all-pairs.
+  * embedding: delegate to gemm_topk / IVF pruning — never a raw N² join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vervectordb_spark.functions.hashing import md5_long, seeded_md5_long
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def tokens_expr(text_col: Column | str) -> Column:
+    """Lower-cased whitespace tokens (empty strings dropped)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def shingles_expr(text_col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string>: ["a b c", "b c d", ...].
+
+    A doc with fewer than n tokens yields its whole token string as the
+    single shingle (so short docs still participate)."""
+    toks = tokens_expr(text_col)
+    joined = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(joined)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, n_dups, doc_ids).
+
+    Shuffle carries only (id, 60-bit hash); document bodies never move.
+    Returns one row per duplicated content hash (n_dups >= 2), doc_ids
+    sorted for determinism.
+    """
+    hashed = df.select(
+        F.col(id_col), md5_long(F.col(text_col)).alias("content_hash")
+    )
+    return (
+        hashed.groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def drop_exact_dups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id representative of each content group (the
+    pipeline-facing `dropDuplicates` with deterministic survivor choice)."""
+    w_cols = [md5_long(F.col(text_col)).alias("_h"), F.col(id_col).alias("_i")]
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("_h").orderBy("_i")
+    return (
+        df.withColumns({"_h": w_cols[0], "_i": F.col(id_col)})
+        .withColumn("_rk", F.row_number().over(win))
+        .filter(F.col("_rk") == 1)
+        .drop("_h", "_i", "_rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def _seeded_hash_fn(seed: int):
+    # NB: a `lambda s, i=i:` default-arg capture would NOT work here —
+    # PySpark binds a lambda variable for every parameter, defaults included,
+    # turning the captured int into a Column. Close over it instead.
+    return lambda s: seeded_md5_long(s, seed)
+
+
+def minhash_signature_expr(shingles: Column, num_hashes: int) -> Column:
+    """k-wide MinHash signature: element i = min over shingles of the i-th
+    seeded md5 hash. One array expression, JVM-side, no UDF."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, _seeded_hash_fn(i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, shingles, signature) — the MinHash sketch table."""
+    return df.select(
+        F.col(id_col),
+        shingles_expr(text_col, shingle_n).alias("shingles"),
+        minhash_signature_expr(
+            shingles_expr(text_col, shingle_n), num_hashes
+        ).alias("signature"),
+    )
+
+
+def jaccard_expr(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two string arrays (distinct semantics)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union == 0.0, F.lit(0.0)).otherwise(inter / union)
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via LSH banding, Jaccard-verified.
+
+    num_hashes/bands rows per band; a pair is a candidate iff ANY band of
+    the signature matches exactly. Candidates are verified with exact
+    Jaccard over the shingle sets (so the output has no false positives —
+    LSH only bounds recall). Returns (src_id, dst_id, jaccard) with
+    src_id < dst_id.
+
+    Plan shape: sketch (map-side) → explode bands (map-side) →
+    groupBy-free self-join on (band, band_key) → distinct pair →
+    verify. The join key is (band_id, band_hash-concat): only docs sharing
+    a band collide, so join fan-out is bucket-sized, never N².
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows_per_band = num_hashes // bands
+
+    sk = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+
+    band_entries = sk.select(
+        F.col(id_col),
+        F.col("shingles"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col("signature")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "shingles", "bk.band", "bk.band_key")
+
+    left = band_entries.select(
+        F.col("band"),
+        F.col("band_key"),
+        F.col(id_col).alias("src_id"),
+        F.col("shingles").alias("src_sh"),
+    )
+    right = band_entries.select(
+        F.col("band"),
+        F.col("band_key"),
+        F.col(id_col).alias("dst_id"),
+        F.col("shingles").alias("dst_sh"),
+    )
+    cand = (
+        left.join(right, on=["band", "band_key"])
+        .filter(F.col("src_id") < F.col("dst_id"))
+        .select("src_id", "dst_id", "src_sh", "dst_sh")
+        .dropDuplicates(["src_id", "dst_id"])
+    )
+    return (
+        cand.select(
+            "src_id",
+            "dst_id",
+            jaccard_expr(F.col("src_sh"), F.col("dst_sh")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact all-pairs verifier; small-N / per-bucket use)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard >= threshold. O(N²) by construction —
+    the ground-truth/verifier path; at scale this runs per-LSH-bucket, never
+    globally (see minhash_near_dup_pairs)."""
+    sh = df.select(
+        F.col(id_col), shingles_expr(text_col, shingle_n).alias("sh")
+    )
+    left = sh.select(F.col(id_col).alias("src_id"), F.col("sh").alias("src_sh"))
+    right = sh.select(F.col(id_col).alias("dst_id"), F.col("sh").alias("dst_sh"))
+    pairs = left.join(F.broadcast(right), F.col("src_id") < F.col("dst_id"))
+    return pairs.select(
+        "src_id",
+        "dst_id",
+        jaccard_expr(F.col("src_sh"), F.col("dst_sh")).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_expr(text_col: Column | str, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash fingerprint: per token, hash to `bits` bits; each bit votes
+    +1/−1; fingerprint bit = 1 iff the vote sum is positive.
+
+    Pure column expressions (token hash once, then `bits` masked vote
+    sums) — no UDF, portable to the DuckDB oracle bit-for-bit."""
+    toks = tokens_expr(text_col)
+    hashes = F.transform(toks, md5_long)
+
+    def _vote(b: int):
+        # closure, not default-arg capture — see _seeded_hash_fn note
+        def fn(acc, h):
+            bit = F.shiftright(h, b).bitwiseAND(F.lit(1))
+            return acc + F.when(bit == 1, 1).otherwise(-1)
+
+        return fn
+
+    bit_cols = []
+    for b in range(bits):
+        votes = F.aggregate(hashes, F.lit(0).cast("long"), _vote(b))
+        bit_cols.append(
+            F.when(votes > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out
+
+
+def hamming_expr(a: Column, b: Column) -> Column:
+    """Hamming distance between two integer fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), simhash_expr(text_col).alias("simhash")
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Candidate generation: split the fingerprint into `bands` bit-bands; by
+    pigeonhole, any pair within max_hamming <= bands-1 differing bits shares
+    at least one exact band. Join per band key → verify hamming. Never
+    all-pairs. Returns (src_id, dst_id, hamming), src_id < dst_id.
+    """
+    bits_per_band = SIMHASH_BITS // bands
+    mask = (1 << bits_per_band) - 1
+    fp = simhash_fingerprints(df, text_col, id_col)
+
+    banded = fp.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.band_key")
+
+    left = banded.select(
+        "band", "band_key",
+        F.col(id_col).alias("src_id"), F.col("simhash").alias("src_fp"),
+    )
+    right = banded.select(
+        "band", "band_key",
+        F.col(id_col).alias("dst_id"), F.col("simhash").alias("dst_fp"),
+    )
+    cand = (
+        left.join(right, on=["band", "band_key"])
+        .filter(F.col("src_id") < F.col("dst_id"))
+        .select("src_id", "dst_id", "src_fp", "dst_fp")
+        .dropDuplicates(["src_id", "dst_id"])
+    )
+    return cand.select(
+        "src_id",
+        "dst_id",
+        hamming_expr(F.col("src_fp"), F.col("dst_fp")).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    kernel: str = "gemm",
+    top_k: int = 10,
+) -> DataFrame:
+    """Semantic near-dups: pairs with cosine >= threshold, found through the
+    kNN self-join (so the candidate set is top-k per row, not all-pairs).
+    Returns (src_id, dst_id, sim) with src_id < dst_id."""
+    from vervectordb_spark.operators.search import knn_self_join
+
+    knn = knn_self_join(df, top_k=top_k, emb_col=emb_col, id_col=id_col,
+                        kernel=kernel)
+    return (
+        knn.filter((F.col("sim") >= threshold) & (F.col("src_id") < F.col("dst_id")))
+        .select("src_id", "dst_id", "sim")
+        .dropDuplicates(["src_id", "dst_id"])
+    )

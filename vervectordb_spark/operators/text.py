@@ -1,0 +1,184 @@
+"""Text analysis operators for the training-data pipeline surface.
+
+Not in the reference (SURVEY.md §2.6) but implied by its dependency set —
+it ships jieba + a Chinese corpus it never tokenizes
+(/root/reference/pyproject.toml:12, data/datawhale.txt); these operators
+realize that intended text pipeline, Spark-first (SURVEY.md §2.8).
+
+All pure column expressions (whole-stage codegen, no UDF) and portable to
+the DuckDB oracle:
+
+  profile          length / token / punctuation / stopword stats + a
+                   composable quality score
+  language-ID      n-gram/charset heuristic: CJK ratio → zh, else
+                   stopword-hit ratio → en, else unknown
+  token counting   whitespace tokens AND a BPE-ish regex segmentation
+                   (letters | digits | single punctuation)
+  fingerprint      order-sensitive polynomial rolling hash over tokens
+
+Scale: every operator is a map-side projection — zero shuffles; aggregates
+over them are one partial-agg shuffle. At 100 TB these run in the same scan
+as ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vervectordb_spark.functions.hashing import md5_long
+from vervectordb_spark.operators.dedup import tokens_expr
+
+# A tiny fixed English stopword list — deterministic, mirrored in oracle SQL.
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+    "for", "on", "with", "as", "by", "at", "from", "that", "this", "it",
+)
+
+#: BPE-ish segmentation: letter runs | digit runs | one non-space symbol.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+# ---------------------------------------------------------------------------
+# counting expressions
+# ---------------------------------------------------------------------------
+
+
+def n_tokens_expr(text_col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_expr(text_col))
+
+
+def n_bpe_tokens_expr(text_col: Column | str) -> Column:
+    """BPE-ish token count: regex segmentation into letter runs, digit runs,
+    and individual symbols — a deterministic proxy for subword token cost."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def _regexp_count(c: Column, pattern: str) -> Column:
+    """Occurrences of `pattern` — portable as length-delta arithmetic
+    (DuckDB twin uses the same regexp_replace trick)."""
+    return F.length(c) - F.length(F.regexp_replace(c, pattern, ""))
+
+
+#: "punctuation" = any non-alphanumeric, non-space char — one portable class.
+PUNCT_REGEX = r"[^A-Za-z0-9\s]"
+
+
+def punct_ratio_expr(text_col: Column | str) -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n = F.length(c).cast("double")
+    p = _regexp_count(c, PUNCT_REGEX).cast("double")
+    return F.when(n == 0.0, F.lit(0.0)).otherwise(p / n)
+
+
+def stopword_ratio_expr(text_col: Column | str) -> Column:
+    """Stopword tokens / total tokens (0 for empty)."""
+    toks = tokens_expr(text_col)
+    n = F.size(toks).cast("double")
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+    return F.when(n == 0.0, F.lit(0.0)).otherwise(hits / n)
+
+
+def avg_token_len_expr(text_col: Column | str) -> Column:
+    toks = tokens_expr(text_col)
+    n = F.size(toks).cast("double")
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ).cast("double")
+    return F.when(n == 0.0, F.lit(0.0)).otherwise(total / n)
+
+
+# ---------------------------------------------------------------------------
+# language ID
+# ---------------------------------------------------------------------------
+
+
+def cjk_ratio_expr(text_col: Column | str) -> Column:
+    """Fraction of CJK-ideograph characters."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n = F.length(c).cast("double")
+    cjk = _regexp_count(c, r"[\x{4e00}-\x{9fff}]").cast("double")
+    return F.when(n == 0.0, F.lit(0.0)).otherwise(cjk / n)
+
+
+def lang_id_expr(text_col: Column | str) -> Column:
+    """Charset/stopword heuristic language ID:
+    cjk_ratio > 0.2 → 'zh'; stopword_ratio > 0.08 → 'en'; else 'unknown'.
+    (An n-gram model would slot in the same shape — this is the
+    deterministic, oracle-checkable baseline.)"""
+    return (
+        F.when(cjk_ratio_expr(text_col) > 0.2, F.lit("zh"))
+        .when(stopword_ratio_expr(text_col) > 0.08, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality score
+# ---------------------------------------------------------------------------
+
+
+def quality_score_expr(text_col: Column | str) -> Column:
+    """Composite [0,1] quality score (Gopher/C4-style cheap filters):
+      0.3 · (20 <= n_tokens <= 1000)
+    + 0.3 · (3 <= avg_token_len <= 12)
+    + 0.2 · (punct_ratio < 0.3)
+    + 0.2 · (stopword_ratio > 0.01)
+    Deterministic rule weights — the pipeline filter is `score >= cut`."""
+    nt = n_tokens_expr(text_col)
+    atl = avg_token_len_expr(text_col)
+    pr = punct_ratio_expr(text_col)
+    sr = stopword_ratio_expr(text_col)
+    return (
+        F.when((nt >= 20) & (nt <= 1000), 0.3).otherwise(0.0)
+        + F.when((atl >= 3.0) & (atl <= 12.0), 0.3).otherwise(0.0)
+        + F.when(pr < 0.3, 0.2).otherwise(0.0)
+        + F.when(sr > 0.01, 0.2).otherwise(0.0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# fingerprint (order-sensitive rolling hash)
+# ---------------------------------------------------------------------------
+
+FP_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+FP_BASE = 1_000_003
+
+
+def fingerprint_expr(text_col: Column | str) -> Column:
+    """Polynomial rolling hash over whitespace tokens:
+    fp = fold(tokens, 0, (acc, t) -> (acc·B + md5_60(t) mod M) mod M).
+
+    Order-SENSITIVE (unlike the shingle-set sketches): permuted documents
+    get different fingerprints. All intermediates stay < 2^61, so the fold
+    is exact in 64-bit integers on both engines."""
+    toks = tokens_expr(text_col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * FP_BASE + md5_long(t) % FP_MOD) % FP_MOD,
+    )
+
+
+# ---------------------------------------------------------------------------
+# the profile operator
+# ---------------------------------------------------------------------------
+
+
+def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document text profile — one map-side projection."""
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        n_tokens_expr(text_col).alias("n_tokens"),
+        n_bpe_tokens_expr(text_col).alias("n_bpe_tokens"),
+        F.round(avg_token_len_expr(text_col), 6).alias("avg_token_len"),
+        F.round(punct_ratio_expr(text_col), 6).alias("punct_ratio"),
+        F.round(stopword_ratio_expr(text_col), 6).alias("stopword_ratio"),
+        lang_id_expr(text_col).alias("lang_id"),
+        F.round(quality_score_expr(text_col), 6).alias("quality_score"),
+        fingerprint_expr(text_col).alias("fingerprint"),
+    )

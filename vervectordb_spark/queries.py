@@ -423,3 +423,11 @@ def ivf_search_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = idx.probe_clusters_exact(qv, nprobe=8)
     out = idx.search(qv, top_k=10, probed=probed)
     return out.select("vec_id", "cluster_id", F.round("sim", 6).alias("sim"))
+
+
+# --------------------------------------------------------------------------
+# Extension registrations (import side effect): dedup + text analysis.
+# Kept in their own modules; importing them populates QUERIES/ORACLES.
+# --------------------------------------------------------------------------
+
+from vervectordb_spark import queries_dedup  # noqa: E402,F401  (registration)

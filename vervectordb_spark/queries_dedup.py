@@ -1,0 +1,291 @@
+"""Dedup + text-analysis query registrations (north-star extensions,
+SURVEY.md §2.8) with bit-exact DuckDB oracle twins.
+
+Portability contract (same as queries.py):
+  * all hashing via the md5-60-bit family (functions/hashing.py);
+  * Jaccard = distinct-set intersect/union sizes, double division;
+  * fingerprints/simhash are exact 64-bit integer arithmetic;
+  * ratios are single int/int double divisions, rounded only at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vervectordb_spark.operators import dedup as D
+from vervectordb_spark.operators import text as TX
+from vervectordb_spark.queries import query
+from vervectordb_spark.schema import load_table
+
+# ---------------------------------------------------------------------------
+# shared DuckDB fragments (twins of operators/dedup.py expressions)
+# ---------------------------------------------------------------------------
+
+#: lower-cased whitespace tokens, empties dropped == dedup.tokens_expr
+_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+
+#: distinct word 3-gram shingles == dedup.shingles_expr(n=3)
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 2, 1) + 1), "
+    "i -> array_to_string(list_slice(toks, i, i + 2), ' ')))"
+)
+
+
+def _md5_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def _seeded_md5_sql(expr: str, seed: int) -> str:
+    return _md5_sql(f"'{seed}:' || {expr}")
+
+
+def _jaccard_sql(a: str, b: str) -> str:
+    return (
+        f"(len(list_intersect({a}, {b}))::DOUBLE"
+        f" / len(list_distinct(list_concat({a}, {b}))))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup — the fixture has no byte dups, so the query plants 20
+# deterministic copies (doc_id+10000) and must find exactly those groups.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 20
+)
+SELECT {_md5_sql('text')} AS content_hash,
+       COUNT(*) AS n_dups,
+       array_to_string(list_sort(list(doc_id)), ',') AS ids
+FROM base GROUP BY 1 HAVING COUNT(*) >= 2
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    groups = D.exact_dup_groups(docs.unionByName(planted))
+    return groups.select(
+        "content_hash",
+        "n_dups",
+        F.concat_ws(",", F.col("doc_ids").cast("array<string>")).alias("ids"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding (8 hashes, 4 bands) — the oracle mirrors the exact
+# candidate generation (band collision), then Jaccard-verifies, so LSH
+# recall behavior itself is graded, not just the final filter.
+# ---------------------------------------------------------------------------
+
+_NUM_HASHES = 8
+_BANDS = 4
+_ROWS_PER_BAND = _NUM_HASHES // _BANDS
+
+_SIG_MINS = ", ".join(
+    f"list_min(list_transform(s, t -> {_seeded_md5_sql('t', i)}))"
+    for i in range(_NUM_HASHES)
+)
+_BAND_KEYS = " UNION ALL ".join(
+    f"SELECT doc_id, s, {b} AS band, "
+    f"sig[{b * _ROWS_PER_BAND + 1}]::VARCHAR || '_' || "
+    f"sig[{b * _ROWS_PER_BAND + 2}]::VARCHAR AS band_key FROM sig"
+    for b in range(_BANDS)
+)
+
+
+@query(
+    "dedup_minhash",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
+sig AS (SELECT doc_id, s, [{_SIG_MINS}] AS sig FROM sh),
+bands AS ({_BAND_KEYS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS src_id, b.doc_id AS dst_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.src_id, c.dst_id, {_jaccard_sql('x.s', 'y.s')} AS jacc
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.src_id
+  JOIN sh y ON y.doc_id = c.dst_id
+)
+SELECT src_id, dst_id, ROUND(jacc, 6) AS jaccard
+FROM verified WHERE jacc >= 0.3
+""",
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup_pairs(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3, threshold=0.3
+    )
+    return pairs.select(
+        "src_id", "dst_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard — top-20 most similar pairs (the verifier path)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
+pairs AS (
+  SELECT a.doc_id AS src_id, b.doc_id AS dst_id, {_jaccard_sql('a.s', 'b.s')} AS jacc
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT src_id, dst_id, ROUND(jacc, 6) AS jaccard
+FROM (SELECT * FROM pairs ORDER BY jacc DESC, src_id, dst_id LIMIT 20)
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.0)
+    top = pairs.orderBy(
+        F.desc("jaccard"), F.asc("src_id"), F.asc("dst_id")
+    ).limit(20)
+    return top.select("src_id", "dst_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints — all 500 docs, exact 32-bit integers (the strongest
+# possible check of the whole token→hash→vote→bit pipeline)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_TERMS = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(hs, "
+    f"x -> CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+    f"THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+    for b in range(D.SIMHASH_BITS)
+)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, list_transform(toks, t -> {_md5_sql('t')}) AS hs FROM t)
+SELECT doc_id, ({_SIMHASH_TERMS}) AS simhash FROM h
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_fingerprints(docs).select("doc_id", "simhash")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup: the 20 globally most-similar distinct pairs.
+# Spark finds them through the kNN self-join (top-20 per row is provably a
+# superset of the global top-20 pairs); the oracle scores all pairs.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH n AS (
+  SELECT vec_id,
+         CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0
+              THEN embedding::DOUBLE[]
+              ELSE list_transform(embedding::DOUBLE[],
+                     x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+         END AS ne
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS dst_id, list_dot_product(a.ne, b.ne) AS sim
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT src_id, dst_id, ROUND(sim, 6) AS sim
+FROM (SELECT * FROM pairs ORDER BY sim DESC, src_id, dst_id LIMIT 20)
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vervectordb_spark.operators.search import knn_self_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = knn_self_join(emb, top_k=20, kernel="fold")
+    pairs = (
+        knn.filter(F.col("src_id") < F.col("dst_id"))
+        .select("src_id", "dst_id", "sim")
+        .dropDuplicates(["src_id", "dst_id"])
+    )
+    top = pairs.orderBy(F.desc("sim"), F.asc("src_id"), F.asc("dst_id")).limit(20)
+    return top.select("src_id", "dst_id", F.round("sim", 6).alias("sim"))
+
+
+# ---------------------------------------------------------------------------
+# text profile — full 500-row profile, every metric exact
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS) + "]"
+_FP_HASH = _md5_sql("t") + f" % {TX.FP_MOD}"
+
+
+@query(
+    "text_profile",
+    oracle=f"""
+WITH base AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+ext AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    len(toks) AS n_tokens,
+    len(regexp_extract_all(text, '{TX.TOKEN_REGEX}', 0)) AS n_bpe_tokens,
+    list_sum(list_transform(toks, t -> length(t))) AS tok_chars,
+    length(text) - length(regexp_replace(text, '{TX.PUNCT_REGEX}', '', 'g')) AS n_punct,
+    len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) AS n_stop,
+    length(text) - length(regexp_replace(text, '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS n_cjk,
+    list_reduce(
+      list_prepend(0::BIGINT, list_transform(toks, t -> {_FP_HASH})),
+      (acc, x) -> (acc * {TX.FP_BASE} + x) % {TX.FP_MOD}
+    ) AS fingerprint
+  FROM base
+),
+m AS (
+  SELECT doc_id, n_chars, n_tokens, n_bpe_tokens, fingerprint,
+    CASE WHEN n_tokens = 0 THEN 0.0 ELSE tok_chars::DOUBLE / n_tokens END AS avg_token_len,
+    CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct::DOUBLE / n_chars END AS punct_ratio,
+    CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_stop::DOUBLE / n_tokens END AS stopword_ratio,
+    CASE WHEN n_chars = 0 THEN 0.0 ELSE n_cjk::DOUBLE / n_chars END AS cjk_ratio
+  FROM ext
+)
+SELECT doc_id, n_chars::BIGINT AS n_chars, n_tokens::BIGINT AS n_tokens,
+  n_bpe_tokens::BIGINT AS n_bpe_tokens,
+  ROUND(avg_token_len, 6) AS avg_token_len,
+  ROUND(punct_ratio, 6) AS punct_ratio,
+  ROUND(stopword_ratio, 6) AS stopword_ratio,
+  CASE WHEN cjk_ratio > 0.2 THEN 'zh'
+       WHEN stopword_ratio > 0.08 THEN 'en'
+       ELSE 'unknown' END AS lang_id,
+  ROUND(
+    (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 0.3 ELSE 0.0 END
+     + CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 12.0 THEN 0.3 ELSE 0.0 END)
+     + CASE WHEN punct_ratio < 0.3 THEN 0.2 ELSE 0.0 END
+     + CASE WHEN stopword_ratio > 0.01 THEN 0.2 ELSE 0.0 END, 6) AS quality_score,
+  fingerprint
+FROM m
+""",
+)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    prof = TX.profile(docs)
+    return prof.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        "avg_token_len", "punct_ratio", "stopword_ratio",
+        "lang_id", "quality_score", "fingerprint",
+    )
