@@ -1,0 +1,282 @@
+"""Relational + event-stream query registrations.
+
+The reference has NO joins, group-bys, windows, or streaming (SURVEY.md
+§2.6 — grep-verified); these queries are the north-star pipeline posture
+(SURVEY.md §2.8): the relational operators a 100 TB training-data pipeline
+runs around the vector operators, each with a bit-exact DuckDB oracle.
+
+Parity rules for this module:
+  * money/quantity aggregates: cast each value to DECIMAL first, sum the
+    decimals (exact, order-independent), convert to double at the END;
+    never sum raw doubles (order-dependent rounding);
+  * ratios/averages: one decimal-sum ÷ one count, as double, then round;
+  * event timestamps: epoch-nanos int64 end-to-end (see schema.load_events)
+    — bucketing/gap math is integer `div`/`%`, never double division.
+
+Scale notes: dims (region/nation/supplier/customer at TPC-H ratios) are
+broadcast; fact-fact joins shuffle on their keys with AQE handling skew;
+window functions partition by high-cardinality keys (user_id, nation), so
+no single-partition sorts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vervectordb_spark.queries import query
+from vervectordb_spark.schema import load_events, load_table
+
+_NS_PER_HOUR = 3_600_000_000_000
+_US_PER_HOUR = 3_600_000_000
+_SESSION_GAP_NS = 30 * 60 * 1_000_000_000  # 30 min
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _dec_sum(col: str, scale: int = 2) -> F.Column:
+    """Exact order-independent sum: per-value decimal cast, decimal sum."""
+    return F.sum(F.col(col).cast(f"decimal(18,{scale})"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary: full-scan partial agg over the fact table
+# ---------------------------------------------------------------------------
+
+@query(
+    "pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan → pushed date filter → hash partial agg → final agg. The
+    canonical 'does partial aggregation happen map-side' probe: shuffle
+    volume is |groups| × partitions, not |rows|."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity").cast("double").alias("sum_qty"),
+            _dec_sum("l_extendedprice").cast("double").alias("sum_base_price"),
+            F.round(
+                _dec_sum("l_discount").cast("double") / F.count("*"), 6
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-join star query: revenue per nation (broadcast dims)
+# ---------------------------------------------------------------------------
+
+@query(
+    "revenue_by_nation",
+    oracle="""
+SELECT n.n_name AS nation,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross_revenue,
+  COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n    ON c.c_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name
+""",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape. Join order: fact × fact (lineitem⋈orders) shuffles on
+    orderkey; customer/supplier/nation/region are broadcast — four of the
+    five joins move zero fact data. The local-supplier predicate
+    (c_nationkey = s_nationkey) rides on the broadcast hash join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        _dec_sum("l_extendedprice").cast("double").alias("gross_revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# window functions: top-3 customers by order revenue within each nation
+# ---------------------------------------------------------------------------
+
+@query(
+    "top_customers_per_nation",
+    oracle="""
+WITH rev AS (
+  SELECT c.c_custkey, n.n_name AS nation,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  GROUP BY c.c_custkey, n.n_name
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY nation ORDER BY revenue DESC, c_custkey
+  ) AS rk
+  FROM rev
+)
+SELECT nation, c_custkey, revenue, rk::INTEGER AS rank
+FROM ranked WHERE rk <= 3
+""",
+)
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", F.col("n_name").alias("nation"))
+        .agg(_dec_sum("o_totalprice").cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("nation").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("nation", "c_custkey", "revenue", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: tumbling-window aggregation (batch twin of the streaming agg)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_hourly",
+    oracle=f"""
+SELECT epoch_us(ts) // {_US_PER_HOUR} AS hour_bucket,
+  event_type,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling windows per event type. The streaming variant
+    (streaming/ingest.py) is the same logical plan behind readStream +
+    watermark; this batch twin is the oracle-checkable path. Bucket math is
+    integer division on epoch-nanos."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.expr(f"ts div {_NS_PER_HOUR}").alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(_dec_sum("value").cast("double"), 6).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: sessionization via gap detection (lag + cumulative window sum)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+WITH gaps AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_SESSION_GAP_US}
+         OR lag(epoch_us(ts)) OVER w IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+  SELECT user_id,
+    SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts_us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_id
+  FROM gaps
+)
+SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions,
+  COUNT(*) AS n_events,
+  ROUND(COUNT(*)::DOUBLE / COUNT(DISTINCT session_id), 6) AS events_per_session
+FROM sess GROUP BY user_id
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic sessionization: 30-min inactivity gap starts a new session.
+    lag + cumulative sum over (user_id, ts) — partitioned by user, so the
+    sort is per-user, never global. Timestamps are compared in microseconds
+    (matching DuckDB's timestamp precision) via integer division."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = ev.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w) > _SESSION_GAP_US)
+            | F.lag("ts_us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = gaps.withColumn("session_id", F.sum("new_session").over(wc))
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+        F.round(
+            F.count("*").cast("double") / F.countDistinct("session_id"), 6
+        ).alias("events_per_session"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: JSON property extraction + aggregation
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_json_extract",
+    oracle="""
+SELECT event_type,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+  COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: JSON path extraction in the scan
+    projection (get_json_object is codegen'd JVM-side — no UDF)."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("k_sum"),
+        F.count("*").alias("n"),
+    )

@@ -54,3 +54,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events fixture. Its `ts` is parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects by default (PARQUET_TYPE_ILLEGAL);
+    `nanosAsLong` (runtime SQL conf) reads it as epoch-nanos int64, which is
+    also the parity-safe representation — all window/bucket/gap arithmetic
+    stays exact 64-bit integer math on both engines (epoch-ns ≈ 1.7e18
+    exceeds double's 2^53 exact range, so NEVER divide it as double; use
+    `div`)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
