@@ -1,0 +1,280 @@
+"""Product Quantization codec (reference C1–C5,
+vervectordb/__init__.py:152-218, 489-515).
+
+Reference behavior reproduced:
+  * dim must divide evenly into n_subquantizers (:163-164);
+  * per-subspace k-means codebooks (256 centroids default, seeded);
+  * encode = per-subspace **L2** argmin (:198-199) — note the deliberate
+    metric mismatch with cosine search; PQ is a storage codec, codes never
+    participate in search (SURVEY.md §2.4);
+  * decode = codebook gather; compression ratio = dim·4B → m·1B.
+
+Spark-first design:
+  * fit: ONE distributed k-means per subspace over `F.slice` projections
+    (MLlib KMeans, seeded). Training reads a bounded sample
+    (reference train_pq samples min(10k, N), :493-494 → df.sample/limit);
+  * codebooks: tiny (m × 256 × dim/m floats) — broadcast, never joined;
+  * encode/decode: Arrow-batched mapInPandas, vectorized argmin/gather per
+    batch (NumPy/BLAS) — the UDF is unavoidable (argmin against a 3-D
+    codebook tensor is not a Catalyst expression) but runs per-batch, not
+    per-row;
+  * persistence: codebooks as one small parquet table; codes are a column
+    (`pq_code array<tinyint>`) on the main table — Parquet RLE/dict packs
+    them tightly.
+
+100 TB posture: fit cost is bounded by the sample; encode is a map-only
+pass (no shuffle); the broadcast is ≤ 256·dim·8B. Re-encoding after
+codebook refresh is an idempotent full-scan rewrite.
+
+Oracle path: with codebooks FROZEN as a table, encode is expressible in
+SQL (argmin over 256 rows per subspace) — see queries_pq.py; the MLlib-fit
+codebooks themselves are graded by reconstruction-error tests (the
+reference's own acceptance metric, examples/datawhale.py:59-61).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class PQCodec:
+    """Product quantizer: `codebooks` is (m, k, sub_dim) float64."""
+
+    def __init__(self, codebooks: np.ndarray, dim: int):
+        m, k, sub_dim = codebooks.shape
+        if m * sub_dim != dim:
+            raise ValueError(f"codebooks {codebooks.shape} inconsistent with dim={dim}")
+        self.codebooks = codebooks
+        self.dim = dim
+        self.n_subquantizers = m
+        self.codebook_size = k
+        self.sub_dim = sub_dim
+
+    # ------------------------------------------------------------------ fit
+    @classmethod
+    def fit(
+        cls,
+        df: DataFrame,
+        dim: int,
+        n_subquantizers: int = 8,
+        codebook_size: int = 256,
+        seed: int = 42,
+        emb_col: str = "embedding",
+        sample_size: int = 10_000,
+        max_iter: int = 20,
+    ) -> "PQCodec":
+        """Per-subspace distributed k-means on a bounded sample.
+
+        Mirrors the reference's divisibility check (:163-164) and sampling
+        cap (:493-494). One MLlib KMeans job per subspace (m small jobs over
+        the same cached sample beats one giant concatenated job: each fit
+        sees only dim/m columns).
+        """
+        if dim % n_subquantizers != 0:
+            raise ValueError(
+                f"vector dim {dim} must be divisible by n_subquantizers "
+                f"{n_subquantizers}"  # reference raise, vervectordb/__init__.py:163-164
+            )
+        sub_dim = dim // n_subquantizers
+        n = df.count()
+        sample = df.select(emb_col)
+        if n > sample_size:
+            sample = sample.sample(fraction=min(1.0, 1.2 * sample_size / n), seed=seed)
+            sample = sample.limit(sample_size)
+        sample = sample.cache()
+        try:
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.functions import array_to_vector
+
+            books = []
+            for s in range(n_subquantizers):
+                sliced = sample.select(
+                    array_to_vector(
+                        F.slice(F.col(emb_col), s * sub_dim + 1, sub_dim).cast(
+                            "array<double>"
+                        )
+                    ).alias("_features")
+                )
+                k = min(codebook_size, sliced.count())
+                km = KMeans(
+                    k=k, seed=seed + s, maxIter=max_iter,
+                    featuresCol="_features", predictionCol="_c",
+                )
+                model = km.fit(sliced)
+                centers = np.array(
+                    [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
+                )
+                if len(centers) < codebook_size:  # pad so codes stay uint8-stable
+                    pad = np.repeat(centers[-1:], codebook_size - len(centers), axis=0)
+                    centers = np.vstack([centers, pad])
+                books.append(centers)
+            return cls(np.stack(books), dim)
+        finally:
+            sample.unpersist()
+
+    # -------------------------------------------------------------- encode
+    def encode(self, df: DataFrame, emb_col: str = "embedding",
+               code_col: str = "pq_code") -> DataFrame:
+        """Append `code_col array<tinyint>`: per-subspace L2 argmin against
+        the broadcast codebooks, one ||x-c||² GEMM per Arrow batch.
+
+        tinyint is signed; code c is stored as c-128 (bijective, recovered
+        at decode) so 256-entry codebooks fit Spark's ByteType exactly."""
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast(self.codebooks)
+        m, sub_dim = self.n_subquantizers, self.sub_dim
+        fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+        out_schema = f"{fields}, {code_col} array<tinyint>"
+
+        def enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+            books = bc.value  # (m, k, sub_dim)
+            # ||x - c||² = ||x||² - 2x·c + ||c||²; argmin drops ||x||²
+            cnorm = (books ** 2).sum(axis=2)  # (m, k)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.asarray(pdf[emb_col].tolist(), dtype=np.float64)
+                codes = np.empty((len(mat), m), dtype=np.int16)
+                for s in range(m):
+                    x = mat[:, s * sub_dim : (s + 1) * sub_dim]  # (n, sub)
+                    scores = -2.0 * (x @ books[s].T) + cnorm[s]  # (n, k)
+                    codes[:, s] = np.argmin(scores, axis=1)
+                pdf[code_col] = list((codes - 128).astype(np.int8))
+                yield pdf
+
+        return df.mapInPandas(enc, out_schema)
+
+    # -------------------------------------------------------------- decode
+    def decode(self, df: DataFrame, code_col: str = "pq_code",
+               out_col: str = "embedding_hat") -> DataFrame:
+        """Append `out_col array<float>`: codebook gather (reconstruction)."""
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast(self.codebooks)
+        m, sub_dim = self.n_subquantizers, self.sub_dim
+        fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+        out_schema = f"{fields}, {out_col} array<float>"
+
+        def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+            books = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                codes = np.asarray(pdf[code_col].tolist(), dtype=np.int16) + 128
+                out = np.empty((len(codes), m * sub_dim), dtype=np.float32)
+                for s in range(m):
+                    out[:, s * sub_dim : (s + 1) * sub_dim] = books[s][codes[:, s]]
+                pdf[out_col] = list(out)
+                yield pdf
+
+        return df.mapInPandas(dec, out_schema)
+
+    # ------------------------------------------------------------- metrics
+    def compression_ratio(self) -> float:
+        """Raw float32 bytes / code bytes (reference prints this,
+        vervectordb/__init__.py:507-510): dim·4 / m."""
+        return (self.dim * 4.0) / self.n_subquantizers
+
+    def reconstruction_error(self, df: DataFrame, emb_col: str = "embedding") -> float:
+        """Mean absolute reconstruction error (reference acceptance metric,
+        examples/datawhale.py:59-61). One distributed pass."""
+        rec = self.decode(self.encode(df.select(emb_col)))
+        err = rec.select(
+            F.aggregate(
+                F.zip_with(
+                    F.col(emb_col).cast("array<double>"),
+                    F.col("embedding_hat").cast("array<double>"),
+                    lambda x, y: F.abs(x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("abs_err")
+        ).agg((F.sum("abs_err") / (F.count("*") * self.dim)).alias("mae"))
+        return err.collect()[0]["mae"]
+
+    # --------------------------------------------------------- persistence
+    def save(self, path: str, spark) -> None:
+        rows = [
+            (s, k, [float(x) for x in self.codebooks[s, k]])
+            for s in range(self.n_subquantizers)
+            for k in range(self.codebook_size)
+        ]
+        spark.createDataFrame(
+            rows, "subspace int, code int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "PQCodec":
+        rows = spark.read.parquet(path).orderBy("subspace", "code").collect()
+        m = max(r["subspace"] for r in rows) + 1
+        k = max(r["code"] for r in rows) + 1
+        sub_dim = len(rows[0]["centroid"])
+        books = np.zeros((m, k, sub_dim))
+        for r in rows:
+            books[r["subspace"], r["code"]] = r["centroid"]
+        return cls(books, m * sub_dim)
+
+    # ------------------------------------------------- oracle-exact encode
+    @staticmethod
+    def encode_with_expr(
+        df: DataFrame,
+        codebooks_df: DataFrame,
+        emb_col: str = "embedding",
+        id_col: str = "vec_id",
+        sub_dim: int | None = None,
+    ) -> DataFrame:
+        """Encode via pure Catalyst expressions against a FROZEN codebook
+        table (subspace int, code int, centroid array<double>) → one row per
+        (id, subspace) with the argmin code.
+
+        Same L2 fold arithmetic as the DuckDB oracle (squared-diff fold, no
+        GEMM expansion), so codes are bit-exact across engines; ties break
+        to the lowest code. The GEMM path (encode) is the throughput
+        kernel; equivalence of the two is pytest-gated.
+        """
+        from pyspark.sql import Window
+
+        if sub_dim is None:
+            first = codebooks_df.select(F.size("centroid").alias("d")).first()
+            sub_dim = first["d"]
+        sub = df.select(
+            F.col(id_col),
+            F.col(emb_col).cast("array<double>").alias("_emb"),
+        ).crossJoin(F.broadcast(codebooks_df))
+        diff = F.zip_with(
+            F.slice(F.col("_emb"), F.col("subspace") * sub_dim + 1, sub_dim),
+            F.col("centroid"),
+            lambda x, y: x - y,
+        )
+        dist = F.aggregate(
+            F.zip_with(diff, diff, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        w = Window.partitionBy(id_col, "subspace").orderBy(
+            F.asc("_dist"), F.asc("code")
+        )
+        return (
+            sub.withColumn("_dist", dist)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(id_col, "subspace", "code")
+        )
+
+    @classmethod
+    def from_codebook_df(cls, codebooks_df: DataFrame) -> "PQCodec":
+        """Build from a frozen (subspace, code, centroid) table — the
+        oracle-checkable path (queries_pq.py) where DuckDB replays the same
+        argmin against the same table."""
+        rows = codebooks_df.orderBy("subspace", "code").collect()
+        m = max(r["subspace"] for r in rows) + 1
+        k = max(r["code"] for r in rows) + 1
+        sub_dim = len(rows[0]["centroid"])
+        books = np.zeros((m, k, sub_dim))
+        for r in rows:
+            books[r["subspace"], r["code"]] = r["centroid"]
+        return cls(books, m * sub_dim)
