@@ -1,0 +1,80 @@
+"""ANN tests — the reference's HNSW contract (Q2/Q3) graded the way its own
+harness grades ANN: recall@k vs the brute-force oracle
+(examples/datawhale.py:142-148). The broken reference measures recall 0.0
+(bug B1); our contract targets are SURVEY.md §5."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from vervectordb_spark.operators import search as S
+from vervectordb_spark.operators.ann import LSHAnnIndex, SignLSHIndex, rademacher_planes
+from vervectordb_spark.schema import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+def _qv(emb, vec_id=0):
+    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").collect()
+    return [float(x) for x in row[0][0]]
+
+
+def test_planes_deterministic():
+    a = rademacher_planes(4, 8)
+    b = rademacher_planes(4, 8)
+    assert a == b
+    assert all(x in (1.0, -1.0) for row in a for x in row)
+
+
+def test_zero_bits_probe_is_exact(emb):
+    """bits=0 ⇒ every row in bucket 0 ⇒ probe is a full scan ⇒ recall 1.0."""
+    idx = SignLSHIndex.build(emb, n_tables=1, bits=0)
+    qv = _qv(emb, 3)
+    assert idx.recall_at_k(emb, qv, k=10) == 1.0
+
+
+def test_signlsh_bucket_range(emb):
+    idx = SignLSHIndex.build(emb, n_tables=2, bits=4)
+    stats = idx.signed.agg(
+        F.min("bucket_0"), F.max("bucket_0"), F.min("bucket_1"), F.max("bucket_1")
+    ).collect()[0]
+    assert 0 <= stats[0] and stats[1] < 16
+    assert 0 <= stats[2] and stats[3] < 16
+
+
+def test_signlsh_query_buckets_match_column_exprs(emb):
+    """Driver-side Python fold must agree with the Catalyst fold on the
+    same vector (a corpus row used as the query)."""
+    idx = SignLSHIndex.build(emb, n_tables=2, bits=6)
+    row = idx.signed.filter(F.col("vec_id") == 7).select(
+        "embedding", "bucket_0", "bucket_1"
+    ).collect()[0]
+    qb = idx.query_buckets([float(x) for x in row["embedding"]])
+    assert qb == [row["bucket_0"], row["bucket_1"]]
+
+
+def test_signlsh_recall(emb):
+    """8 tables × 4 bits: mean recall@10 over 5 queries clears 0.5 (tunable
+    to ~1.0 with more tables — the contract knob, not a fixed constant)."""
+    idx = SignLSHIndex.build(emb, n_tables=8, bits=4)
+    recalls = [idx.recall_at_k(emb, _qv(emb, i), k=10) for i in range(5)]
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_signlsh_candidates_subset_shrinks(emb):
+    idx = SignLSHIndex.build(emb, n_tables=2, bits=8)
+    n_cand = idx.candidates(_qv(emb, 2)).count()
+    assert 0 < n_cand < emb.count()
+
+
+def test_mllib_lsh_recall(emb):
+    """Stock MLlib BRP-LSH path behind ann_search: recall@10 ≥ 0.9 with
+    3×k over-fetch on the fixture."""
+    idx = LSHAnnIndex.build(emb, bucket_length=2.0, num_hash_tables=3, seed=42)
+    qv = _qv(emb, 0)
+    truth = {r["vec_id"] for r in S.brute_force_topk(emb, qv, 10).collect()}
+    got = {r["vec_id"] for r in idx.search(qv, top_k=10).collect()}
+    assert len(truth & got) / 10 >= 0.9

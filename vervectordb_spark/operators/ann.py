@@ -1,0 +1,190 @@
+"""Approximate nearest neighbor search — the reference's HNSW *contract*
+(Q2/Q3, vervectordb/__init__.py:367-409) served Spark-first.
+
+The reference's HNSW is unusable as a spec: search_layer terminates on its
+first pop, so hnsw_search returns at most ONE row (bug B1, SURVEY.md §2.3
+— measured recall@10 = 0.0). What we implement is the intended contract —
+approximate top-k with tunable recall vs exact — with two batch-friendly
+strategies, neither of which needs an online graph:
+
+  SignLSHIndex   random-hyperplane (sign) LSH with portable Rademacher
+                 planes derived from md5 — fully deterministic, so the
+                 whole pipeline (signature → bucket probe → exact rescore)
+                 is DuckDB-oracle-checkable. Multi-table OR-probing:
+                 recall = 1 - (1 - p^b)^t, tuned via (tables, bits).
+  LSHAnnIndex    MLlib BucketedRandomProjectionLSH over unit-normalized
+                 vectors (Euclidean on the unit sphere is monotone in
+                 cosine) — the stock-MLlib alternative; graded by the
+                 recall harness only.
+
+Scale posture (100 TB): signatures are computed ONCE at build (map-only
+pass) and stored as int columns; a query probes t buckets → with the table
+written `partitionBy(bucket_0)` (or clustered), the probe is partition
+pruning, exactly like IVF. Candidates per query ≈ t · N/2^b rows — tune b
+so buckets are a few MB. The rescore is the exact kernel over candidates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vervectordb_spark.functions.similarity import to_double
+from vervectordb_spark.operators.search import brute_force_topk
+
+
+def rademacher_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """±1 hyperplanes derived from md5 — deterministic and portable (any
+    engine that can md5 derives the identical planes; sign-LSH needs only
+    sub-gaussian components, Rademacher qualifies)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"plane:{p}:{i}".encode()).hexdigest()
+            row.append(1.0 if int(h[:15], 16) & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _dot_lit(emb: Column, plane: Sequence[float]) -> Column:
+    """Fold dot product against a literal plane — same sequential double
+    arithmetic as functions.similarity.dot_expr / DuckDB list_dot_product."""
+    lit = F.array(*[F.lit(float(x)).cast("double") for x in plane])
+    return F.aggregate(
+        F.zip_with(emb, lit, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+def bucket_expr(emb: Column, planes: Sequence[Sequence[float]]) -> Column:
+    """Bucket id for one table: bit j = (emb · plane_j) > 0; bucket = Σ 2^j."""
+    out = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        out = out + F.when(_dot_lit(emb, plane) > 0.0, F.lit(1 << j)).otherwise(0).cast("long")
+    return out
+
+
+class SignLSHIndex:
+    """Multi-table sign-LSH: `signed` carries bucket_<t> int columns."""
+
+    def __init__(self, signed: DataFrame, planes: list[list[float]],
+                 n_tables: int, bits: int,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+        self.signed = signed
+        self.planes = planes
+        self.n_tables = n_tables
+        self.bits = bits
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    @classmethod
+    def build(cls, df: DataFrame, n_tables: int = 8, bits: int = 8,
+              id_col: str = "vec_id", emb_col: str = "embedding") -> "SignLSHIndex":
+        """One map-only pass adds bucket_<t> columns. At scale, persist
+        partitioned/clustered by bucket_0 so probes prune partitions."""
+        dim = df.select(F.size(emb_col).alias("d")).first()["d"]
+        planes = rademacher_planes(n_tables * bits, dim)
+        emb = to_double(F.col(emb_col))
+        out = df
+        for t in range(n_tables):
+            table_planes = planes[t * bits : (t + 1) * bits]
+            out = out.withColumn(f"bucket_{t}", bucket_expr(emb, table_planes))
+        return cls(out, planes, n_tables, bits, id_col=id_col, emb_col=emb_col)
+
+    def query_buckets(self, query_vec: Sequence[float]) -> list[int]:
+        """Driver-side signature of the query — the same sequential fold
+        arithmetic as the column expression, so buckets agree bit-for-bit."""
+        buckets = []
+        for t in range(self.n_tables):
+            b = 0
+            for j in range(self.bits):
+                plane = self.planes[t * self.bits + j]
+                acc = 0.0
+                for x, p in zip(query_vec, plane):
+                    acc = acc + float(x) * p
+                if acc > 0.0:
+                    b |= 1 << j
+            buckets.append(b)
+        return buckets
+
+    def candidates(self, query_vec: Sequence[float]) -> DataFrame:
+        """Rows sharing ANY table bucket with the query (OR-probe)."""
+        qb = self.query_buckets(query_vec)
+        pred = F.lit(False)
+        for t, b in enumerate(qb):
+            pred = pred | (F.col(f"bucket_{t}") == b)
+        return self.signed.filter(pred)
+
+    def search(self, query_vec: Sequence[float], top_k: int = 5,
+               pre_filter: Column | None = None,
+               extra_cols: Sequence[str] = ()) -> DataFrame:
+        """Probe → exact cosine rescore → top-k. Returns (id, sim)."""
+        cand = self.candidates(query_vec)
+        if pre_filter is not None:
+            cand = cand.filter(pre_filter)
+        return brute_force_topk(
+            cand, query_vec, top_k, emb_col=self.emb_col, id_col=self.id_col,
+            extra_cols=extra_cols,
+        )
+
+    def recall_at_k(self, df: DataFrame, query_vec: Sequence[float], k: int = 10) -> float:
+        """H1 harness hook (examples/datawhale.py:142-148)."""
+        truth = {r[self.id_col] for r in brute_force_topk(
+            df, query_vec, k, emb_col=self.emb_col, id_col=self.id_col).collect()}
+        got = {r[self.id_col] for r in self.search(query_vec, top_k=k).collect()}
+        return len(truth & got) / max(len(truth), 1)
+
+
+class LSHAnnIndex:
+    """MLlib BucketedRandomProjectionLSH over unit-normalized vectors.
+
+    Euclidean distance on the unit sphere is 2-2·cos, so bucket locality in
+    L2 == cosine locality. Stock estimator/model — save/load via MLlib."""
+
+    def __init__(self, model, featurized: DataFrame,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+        self.model = model
+        self.featurized = featurized
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    @classmethod
+    def build(cls, df: DataFrame, bucket_length: float = 2.0,
+              num_hash_tables: int = 3, seed: int = 42,
+              id_col: str = "vec_id", emb_col: str = "embedding") -> "LSHAnnIndex":
+        from pyspark.ml.feature import BucketedRandomProjectionLSH
+        from pyspark.ml.functions import array_to_vector
+
+        from vervectordb_spark.functions.similarity import normalize_expr
+
+        feats = df.withColumn(
+            "_features",
+            array_to_vector(normalize_expr(F.col(emb_col))),
+        )
+        lsh = BucketedRandomProjectionLSH(
+            inputCol="_features", outputCol="_hashes",
+            bucketLength=bucket_length, numHashTables=num_hash_tables, seed=seed,
+        )
+        model = lsh.fit(feats)
+        return cls(model, model.transform(feats).cache(), id_col=id_col, emb_col=emb_col)
+
+    def search(self, query_vec: Sequence[float], top_k: int = 5) -> DataFrame:
+        """approxNearestNeighbors over-fetches 3×k candidates in hash space,
+        then exact cosine rescore (the reference's own over-fetch ratio,
+        vervectordb/__init__.py:345 — here it buys recall, not filter
+        survival)."""
+        import numpy as np
+        from pyspark.ml.linalg import Vectors
+
+        q = np.asarray(query_vec, dtype=np.float64)
+        n = np.linalg.norm(q)
+        key = Vectors.dense((q / n if n else q).tolist())
+        cand = self.model.approxNearestNeighbors(
+            self.featurized, key, 3 * top_k, distCol="_dist"
+        ).drop("_dist", "_hashes", "_features")
+        return brute_force_topk(
+            cand, query_vec, top_k, emb_col=self.emb_col, id_col=self.id_col
+        )

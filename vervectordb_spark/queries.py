@@ -433,3 +433,4 @@ def ivf_search_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 from vervectordb_spark import queries_dedup  # noqa: E402,F401  (registration)
 from vervectordb_spark import queries_relational  # noqa: E402,F401  (registration)
 from vervectordb_spark import queries_pq  # noqa: E402,F401  (registration)
+from vervectordb_spark import queries_ann  # noqa: E402,F401  (registration)

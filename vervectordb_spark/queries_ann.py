@@ -1,0 +1,83 @@
+"""ANN query registration — sign-LSH probe + exact rescore, with a full
+DuckDB oracle twin.
+
+This is the rare ANN index whose END-TO-END path is oracle-checkable: the
+Rademacher planes derive from md5 (operators/ann.rademacher_planes), so
+DuckDB re-derives the identical planes, signatures, probe set, and rescored
+top-k. (MLlib BucketedRandomProjectionLSH, by contrast, is graded by the
+recall harness in tests/test_ann.py — its random planes are JVM-internal.)
+
+The reference analogue is hnsw_search (Q2, vervectordb/__init__.py:379-409)
+— intent only; its implementation returns ≤1 row (bug B1) and is
+deliberately not reproduced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vervectordb_spark.queries import _Q0, query
+from vervectordb_spark.schema import load_table
+
+_N_TABLES = 4
+_BITS = 8
+_N_PLANES = _N_TABLES * _BITS
+
+#: DuckDB twin of rademacher_planes: ±1 from bit 0 of the md5-60bit hash
+_PLANES_SQL = f"""
+  SELECT p,
+    list_transform(range(0, 64),
+      i -> CASE WHEN (('0x' || substr(md5('plane:' || p || ':' || i), 1, 15))::BIGINT & 1) = 1
+                THEN 1.0 ELSE -1.0 END) AS plane
+  FROM range({_N_PLANES}) t(p)
+"""
+
+
+@query(
+    "ann_signlsh",
+    oracle=f"""
+WITH planes AS ({_PLANES_SQL}),
+doc_bits AS (
+  SELECT e.vec_id, p.p // {_BITS} AS tbl,
+    CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) > 0
+         THEN 1 << (p.p % {_BITS}) ELSE 0 END AS bit
+  FROM embeddings e CROSS JOIN planes p
+),
+doc_buckets AS (
+  SELECT vec_id, tbl, CAST(SUM(bit) AS BIGINT) AS bucket
+  FROM doc_bits GROUP BY 1, 2
+),
+q_buckets AS (
+  SELECT tbl, bucket FROM doc_buckets WHERE vec_id = 0
+),
+cand AS (
+  SELECT DISTINCT d.vec_id
+  FROM doc_buckets d JOIN q_buckets q ON d.tbl = q.tbl AND d.bucket = q.bucket
+),
+qv AS ({_Q0}),
+scored AS (
+  SELECT e.vec_id,
+    (CASE WHEN list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0
+          OR list_dot_product(q.qv, q.qv) = 0 THEN 0.0
+          ELSE list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))) END) AS sim
+  FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id CROSS JOIN qv q
+)
+SELECT vec_id, ROUND(sim, 6) AS sim
+FROM (SELECT * FROM scored ORDER BY sim DESC, vec_id LIMIT 10)
+""",
+)
+def ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN: signature build → 4-table OR-probe → exact rescore →
+    top-10. Candidate volume ≈ t·N/2^b rows; at scale the probe is a
+    partition-pruned read (see operators/ann.py docstring)."""
+    from vervectordb_spark.operators.ann import SignLSHIndex
+    from vervectordb_spark.queries import _query_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = SignLSHIndex.build(emb, n_tables=_N_TABLES, bits=_BITS)
+    qv = _query_vec(spark, sf_dir)
+    out = idx.search(qv, top_k=10)
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))

@@ -266,7 +266,7 @@ class VectorStore:
             )  # reference check: vervectordb/__init__.py:163-164
         self._pq = PQCodec.fit(
             self.df, dim=self.vector_dim, n_subquantizers=n_subquantizers,
-            n_bits=n_bits, sample_size=sample_size, seed=seed,
+            codebook_size=2 ** n_bits, sample_size=sample_size, seed=seed,
         )
         return self._pq
 
