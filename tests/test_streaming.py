@@ -1,0 +1,101 @@
+"""Structured Streaming tests: file-source ingest → watermarked window agg
+→ memory sink; stateful sessionization; streaming vector ingest. All run
+with trigger(availableNow=True) so they process the fixture and stop."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from vervectordb_spark.schema import load_events
+from vervectordb_spark.streaming import ingest as SI
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    """Stage the events fixture as a streaming source dir (2 part files so
+    the source sees multiple files)."""
+    src = str(tmp_path / "events_src")
+    load_events(spark, SF_DIR).repartition(2).write.mode("overwrite").parquet(src)
+    return src
+
+
+def _run_to_memory(df, name, mode="update"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_hourly_window_agg_matches_batch(spark, events_dir):
+    stream = SI.stream_events(spark, events_dir, max_files_per_trigger=1)
+    assert stream.isStreaming
+    agg = SI.hourly_event_counts(stream)
+    _run_to_memory(agg, "hourly_counts")
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM hourly_counts").collect()
+    }
+    batch = (
+        SI.with_event_time(load_events(spark, SF_DIR))
+        .groupBy(F.window("event_time", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("ws"), "event_type", "n")
+        .collect()
+    )
+    assert len(got) == len(batch) > 0
+    for r in batch:
+        assert got[(r["ws"], r["event_type"])] == r["n"]
+
+
+def test_stateful_sessionization(spark, events_dir):
+    stream = SI.stream_events(spark, events_dir)
+    sess = SI.sessionize_stateful(stream)
+    _run_to_memory(sess, "sessions", mode="append")
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    # sessions CLOSED by a later event in the same run (timeout-closed ones
+    # need a subsequent microbatch); the 30-day fixture closes thousands
+    assert len(rows) > 100
+    assert all(r["n_events"] >= 1 for r in rows)
+    # closed sessions must respect the gap invariant per user: no session
+    # may contain a gap > 30 min -> avg events/session sanity only
+    assert all(r["sum_value"] >= 0 for r in rows[:50])
+
+
+def test_streaming_vector_ingest(spark, tmp_path):
+    src = str(tmp_path / "vec_src")
+    out = str(tmp_path / "vec_table")
+    ckpt = str(tmp_path / "ckpt")
+    from vervectordb_spark.schema import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    emb.limit(100).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = SI.stream_ingest_vectors(stream, out, ckpt, dim=64)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 100
+    assert got.schema["embedding"].dataType.simpleString() == "array<float>"
+
+
+def test_streaming_ingest_drops_bad_dims(spark, tmp_path):
+    src = str(tmp_path / "bad_src")
+    out = str(tmp_path / "bad_table")
+    ckpt = str(tmp_path / "bad_ckpt")
+    rows = [(1, [0.1] * 64), (2, [0.2] * 32), (3, [0.3] * 64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = SI.stream_ingest_vectors(stream, out, ckpt, dim=64)
+    q.awaitTermination(120)
+    kept = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3}

@@ -1,0 +1,189 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Not in the reference (text/vector only), required by the north-star
+pipeline surface (SURVEY.md §2.8). Design contract:
+
+  * media payloads are `binary` columns; NEVER parsed by Catalyst — they
+    flow scan → Arrow batch → Python untouched;
+  * typed metadata rides in a struct (mime/width/height/duration_ms) so
+    filters/partitioning stay columnar and pushdown-able (`WHERE
+    meta.mime = 'image/png'` never touches payload bytes);
+  * decode / resize / frame-sample run as mapInPandas over Arrow batches —
+    the ONLY sane shape for CPU-heavy per-item work at 100 TB: payload
+    bytes stream batch-wise through executors, no shuffle, no driver;
+  * the actual codecs (PIL/libsndfile/ffmpeg) are NOT in this container:
+    `decode_image` raises NotImplementedError behind an import-try, and
+    every pipeline stage also accepts `fake=True` — a deterministic
+    byte-level stand-in — so the Spark-side plumbing (schema, batching,
+    UDF signatures, partitioning) is real and fully tested.
+
+Scale notes: media rows are large (KB–MB); keep
+`spark.sql.files.maxPartitionBytes` at default 128 MB so a partition is
+hundreds of items, and repartition by a size-balanced key before CPU-heavy
+stages. Feature extraction output (fixed-dim float arrays) feeds directly
+into the vector-store operators (search/dedup/IVF/PQ).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType([
+    T.StructField("mime", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_ms", T.IntegerType()),
+])
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),       # image | audio | video
+    T.StructField("payload", T.BinaryType(), False),
+    T.StructField("meta", MEDIA_META),
+])
+
+
+def attach_fake_media(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Deterministic media table derived from the documents fixture: the
+    payload is the utf-8 text bytes, kind/meta derived from doc_id. Stands
+    in for a real (id, bytes) media crawl with identical Spark semantics."""
+    kind = (
+        F.when(F.col(id_col) % 3 == 0, "image")
+        .when(F.col(id_col) % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.concat(F.lit("x-fake/"), kind).alias("mime"),
+            (F.col(id_col) % 640 + 32).cast("int").alias("width"),
+            (F.col(id_col) % 480 + 32).cast("int").alias("height"),
+            (F.col(id_col) % 60000).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decode stages — real codecs stubbed, deterministic fakes for the plumbing
+# ---------------------------------------------------------------------------
+
+
+def decode_image(payload: bytes):
+    """Real decode — requires an image codec, not present in this
+    container. The Spark-side integration point is `extract_features`/
+    `resize_images` below, which take this function per-batch."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image codec not available in this environment; use fake=True "
+            "for the deterministic byte-level stand-in"
+        ) from e
+    import io
+
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(payload)))
+
+
+def _fake_decode(payload: bytes, h: int = 8, w: int = 8) -> np.ndarray:
+    """Deterministic stand-in: tile payload bytes into an (h, w) 'pixel'
+    grid. Same dtype/shape contract as a real decode."""
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    if buf.size == 0:
+        buf = np.zeros(1, dtype=np.uint8)
+    reps = int(np.ceil(h * w / buf.size))
+    return np.tile(buf, reps)[: h * w].reshape(h, w)
+
+
+def extract_features(media: DataFrame, dim: int = 64, fake: bool = True,
+                     payload_col: str = "payload") -> DataFrame:
+    """Per-item feature vector via mapInPandas: payload bytes → fixed-dim
+    float array (byte-histogram under `fake`; a real model's embedding in
+    production — identical schema/batch shape either way)."""
+    if not fake:
+        decode_image(b"")  # raises NotImplementedError without a codec
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in media.schema)
+    out_schema = f"{fields}, features array<float>"
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            feats = []
+            for payload in pdf[payload_col]:
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist, _ = np.histogram(buf, bins=dim, range=(0, 256))
+                total = hist.sum()
+                feats.append(
+                    (hist / total if total else hist).astype(np.float32)
+                )
+            pdf = pdf.copy()
+            pdf["features"] = feats
+            yield pdf
+
+    return media.mapInPandas(extract, out_schema)
+
+
+def resize_images(media: DataFrame, h: int = 8, w: int = 8,
+                  fake: bool = True) -> DataFrame:
+    """Resize stage: payload → (h, w) grid → re-serialized bytes. Fake path
+    exercises the full batch/schema contract; the real path plugs a codec
+    into the same loop."""
+    if not fake:
+        decode_image(b"")
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in media.schema)
+    out_schema = f"{fields}, resized binary, resized_h int, resized_w int"
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.copy()
+            pdf["resized"] = [
+                _fake_decode(bytes(p), h, w).tobytes() for p in pdf["payload"]
+            ]
+            pdf["resized_h"] = h
+            pdf["resized_w"] = w
+            yield pdf
+
+    return media.mapInPandas(resize, out_schema)
+
+
+def sample_frames(media: DataFrame, every_n: int = 4, frame_size: int = 16,
+                  fake: bool = True) -> DataFrame:
+    """Video frame sampling: one row per sampled frame (explode pattern).
+    Fake path treats the payload as a concatenation of `frame_size`-byte
+    frames and keeps every n-th — the real ffmpeg loop has the identical
+    row-explosion shape."""
+    if not fake:
+        decode_image(b"")
+    out_schema = "media_id long, frame_no int, frame binary"
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload)
+                n_frames = max(len(buf) // frame_size, 1)
+                for f_no in range(0, n_frames, every_n):
+                    rows.append(
+                        (int(mid), f_no, buf[f_no * frame_size : (f_no + 1) * frame_size])
+                    )
+            if rows:
+                yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame"])
+
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", "payload"
+    ).mapInPandas(sample, out_schema)

@@ -434,3 +434,4 @@ from vervectordb_spark import queries_dedup  # noqa: E402,F401  (registration)
 from vervectordb_spark import queries_relational  # noqa: E402,F401  (registration)
 from vervectordb_spark import queries_pq  # noqa: E402,F401  (registration)
 from vervectordb_spark import queries_ann  # noqa: E402,F401  (registration)
+from vervectordb_spark import queries_multimodal  # noqa: E402,F401  (registration)

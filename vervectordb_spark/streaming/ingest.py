@@ -1,0 +1,169 @@
+"""Structured Streaming surface.
+
+The reference has NO streaming (SURVEY.md §2.6); its model is "explicit
+batch index builds over a mutable store" (vervectordb/__init__.py:367,411).
+The streaming extension keeps that contract: streams APPEND to the base
+table continuously; derived indexes (IVF/LSH/PQ) are rebuilt by periodic
+batch jobs — so the batch operators stay the single source of truth and
+indexes never dangle (fixing SURVEY §1.3 for the streaming case too).
+
+Three pieces:
+
+  stream_events        file-source readStream of the events fixture schema
+                       (epoch-nanos ts, see schema.load_events)
+  hourly_event_counts  watermarked tumbling-window agg — the streaming twin
+                       of the batch `events_hourly` oracle query; same
+                       logical plan, incrementalized by the engine
+  sessionize_stateful  applyInPandasWithState custom stateful operator:
+                       per-user session roll-up with a processing-time
+                       timeout — the "operator Spark lacks" escape hatch
+                       (SURVEY.md §2.6 streaming note)
+  stream_ingest_vectors  append-only vector ingest into the store's table
+
+Scale posture: the window agg shuffles on (window, event_type) with
+watermark-bounded state; sessionization state is per-user (bounded by
+active users, evicted on timeout). File source here, Kafka in production —
+the plan after the source is identical.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: fixture schema with ts as epoch-nanos (parquet TIMESTAMP(NANOS) is read
+#: via nanosAsLong — schema.load_events)
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def stream_events(spark: SparkSession, source_dir: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of events parquet part-files landing in a dir."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def with_event_time(events: DataFrame) -> DataFrame:
+    """epoch-nanos → TimestampType event time (micros precision) for
+    watermarking. Arithmetic on `ts` stays integer; `event_time` exists
+    only for the engine's watermark/window machinery."""
+    return events.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the batch `events_hourly` oracle query: tumbling
+    1-hour windows per event_type. Watermark bounds state: windows older
+    than max(event_time) - watermark are finalized and evicted."""
+    return (
+        with_event_time(events)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type", "n_events", "approx_users", "sum_value",
+        )
+    )
+
+
+#: output schema of sessionize_stateful
+SESSION_SCHEMA = "user_id long, session_start_us long, n_events long, sum_value double"
+_STATE_SCHEMA = "start_us long, last_us long, n long, total double"
+_GAP_US = 30 * 60 * 1_000_000  # 30-min inactivity gap, like events_sessionize
+
+
+def _session_fn(key, pdf_iter, state):
+    """Per-user session accumulator: merge each micro-batch's events into
+    the open session; emit closed sessions when the gap is exceeded or the
+    state times out. Pure pandas per group — Arrow-batched."""
+    import pandas as pd
+
+    (user_id,) = key
+    closed: list[tuple] = []
+    if state.hasTimedOut:
+        if state.exists:
+            start_us, last_us, n, total = state.get
+            closed.append((user_id, start_us, n, total))
+            state.remove()
+        if closed:
+            yield pd.DataFrame(closed, columns=["user_id", "session_start_us", "n_events", "sum_value"])
+        return
+
+    if state.exists:
+        start_us, last_us, n, total = state.get
+    else:
+        start_us = last_us = None
+        n, total = 0, 0.0
+
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("ts")
+        for ts_ns, value in zip(pdf["ts"], pdf["value"]):
+            ts_us = int(ts_ns) // 1000
+            if last_us is not None and ts_us - last_us > _GAP_US:
+                closed.append((user_id, start_us, n, total))
+                start_us, n, total = ts_us, 0, 0.0
+            if start_us is None:
+                start_us = ts_us
+            last_us = ts_us
+            n += 1
+            total += float(value)
+
+    if start_us is not None:
+        state.update((start_us, last_us, n, total))
+        state.setTimeoutDuration(60_000)  # close idle sessions after 60s wall
+    if closed:
+        yield pd.DataFrame(closed, columns=["user_id", "session_start_us", "n_events", "sum_value"])
+
+
+def sessionize_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: session roll-ups via applyInPandasWithState
+    (the pattern for operators Spark's built-ins can't express). State is
+    one tuple per active user; emits a row per CLOSED session."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def stream_ingest_vectors(
+    stream_df: DataFrame, table_path: str, checkpoint: str,
+    emb_col: str = "embedding", dim: int | None = None,
+):
+    """Append-only streaming ingest into the vectors table (S2/S3 as a
+    stream). The dim constraint becomes a streaming filter; violations are
+    dropped (dead-letter them in production). Returns the StreamingQuery."""
+    out = stream_df
+    if dim is not None:
+        out = out.filter(F.size(F.col(emb_col)) == dim)
+    return (
+        out.writeStream.format("parquet")
+        .option("path", table_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
