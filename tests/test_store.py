@@ -85,3 +85,35 @@ def test_save_load_roundtrip(store, spark, tmp_path):
     loaded = VectorStore.load(spark, path)
     assert loaded.vector_dim == 4
     assert loaded.df.count() == store.df.count()
+
+
+def test_ivf_search_via_store(store):
+    res = store.ivf_search([1.0, 0.0, 0.0, 0.0], top_k=2, nprobe=3)
+    assert res and res[0]["similarity"] >= res[-1]["similarity"]
+    assert all("cluster_id" in r for r in res)
+
+
+def test_ann_search_via_store(store):
+    res = store.ann_search([1.0, 0.0, 0.0, 0.0], top_k=2)
+    assert res
+    assert math.isclose(res[0]["similarity"], 1.0, abs_tol=1e-9)
+    # hnsw_search is the 1:1 alias for reference callers (intent, not B1)
+    assert store.hnsw_search([1.0, 0.0, 0.0, 0.0], top_k=2)[0] == res[0]
+
+
+def test_pq_via_store(spark):
+    st = VectorStore(spark, vector_dim=8)
+    st.batch_insert([[float(i == j) for j in range(8)] for i in range(8)] * 4)
+    st.train_pq(n_subquantizers=4, n_bits=2, sample_size=32)
+    df = st.compress()
+    assert "pq_code" in df.columns
+    rec = st.decompress()
+    assert "embedding_hat" in rec.columns
+    assert rec.count() == 32
+
+
+def test_mutation_invalidates_index(store):
+    store.build_ivf_index(n_clusters=2)
+    assert store._index_valid
+    store.insert([0.2, 0.2, 0.2, 0.2], {})
+    assert not store._index_valid  # stale-index bug (SURVEY §1.3) fixed

@@ -98,6 +98,7 @@ class IVFIndex:
         feats = df.withColumn(
             "_features", array_to_vector(F.col(emb_col).cast("array<double>"))
         )
+        n_clusters = max(1, min(n_clusters, feats.count()))  # k <= N or fit dies
         km = KMeans(k=n_clusters, seed=seed, maxIter=max_iter,
                     featuresCol="_features", predictionCol="cluster_id")
         model = km.fit(feats)
