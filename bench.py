@@ -111,13 +111,15 @@ def build_benches(spark, sf_dir: str):
 
     @bench("ivf_search_32q")
     def _ivf_search():
+        # one batched job for all 32 queries (a per-query driver loop pays
+        # ~300ms Spark job overhead each — the loop, not the scan, is the
+        # bottleneck; IVFIndex.batch_search amortizes it away)
         idx = _ivf_holder[0]
-        rows = emb.filter(F.col("vec_id") < 32).select("vec_id", "embedding").collect()
-        n = 0
-        for r in rows:
-            vec = [float(x) for x in r["embedding"]]
-            n += _force(idx.search(vec, top_k=10, nprobe=8), limit=10)
-        return n
+        queries = emb.filter(F.col("vec_id") < 32).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        return _force(idx.batch_search(queries, top_k=10, nprobe=8))
 
     @bench("pricing_summary")
     def _tpch_q1():

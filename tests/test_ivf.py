@@ -88,3 +88,19 @@ def test_fixed_centroid_assignment_is_exhaustive(emb, spark):
         F.min("cluster_id").alias("lo"), F.max("cluster_id").alias("hi")
     ).collect()[0]
     assert 0 <= stats["lo"] and stats["hi"] <= 3
+
+
+def test_batch_search_matches_serial(ivf, emb):
+    """One batched job == the per-query loop, result for result."""
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    batched = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["sim"], 9))
+        for r in ivf.batch_search(queries, top_k=5, nprobe=8).collect()
+    }
+    for r in queries.collect():
+        qv = [float(x) for x in r["q_embedding"]]
+        serial = ivf.search(qv, top_k=5, nprobe=8).collect()
+        for rank, row in enumerate(serial, start=1):
+            assert batched[(r["query_id"], rank)] == (row["vec_id"], round(row["sim"], 9))

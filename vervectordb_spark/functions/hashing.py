@@ -31,6 +31,37 @@ def seeded_md5_long(col: Column, seed: int) -> Column:
     return md5_long(F.concat(F.lit(f"{seed}:"), col))
 
 
+#: affine family modulus (Mersenne prime 2^31-1) — small enough that
+#: a·h stays well inside int64 (a < 2^31, h < 2^31 ⇒ a·h < 2^62).
+AFFINE_MOD = 2_147_483_647
+_AFFINE_MULT = 2_654_435_761  # Knuth multiplicative constant
+
+
+def affine_params(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for the i-th affine hash — identical ints on
+    any engine (pure arithmetic, no RNG)."""
+    a = (_AFFINE_MULT * (i + 1)) % AFFINE_MOD
+    if a == 0:
+        a = 1
+    b = (40_503 * (i + 7)) % AFFINE_MOD
+    return a, b
+
+
+def affine_hash(h: Column, i: int) -> Column:
+    """i-th member of the affine family over a base hash column:
+    (a·(h mod p) + b) mod p. ONE md5 per value feeds the whole family —
+    16× fewer md5 evaluations than seeded_md5_long for a 16-wide MinHash,
+    and the arithmetic is exact int64 on every engine."""
+    a, b = affine_params(i)
+    return (F.lit(a) * (h % F.lit(AFFINE_MOD)) + F.lit(b)) % F.lit(AFFINE_MOD)
+
+
+def affine_hash_sql(expr: str, i: int) -> str:
+    """DuckDB twin of affine_hash; `expr` must be the base-hash SQL."""
+    a, b = affine_params(i)
+    return f"(({a} * (({expr}) % {AFFINE_MOD}) + {b}) % {AFFINE_MOD})"
+
+
 def md5_long_sql(expr: str) -> str:
     """DuckDB twin of md5_long for oracle SQL composition."""
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"

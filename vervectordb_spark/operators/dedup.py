@@ -110,19 +110,25 @@ def drop_exact_dups(
 # ---------------------------------------------------------------------------
 
 
-def _seeded_hash_fn(seed: int):
-    # NB: a `lambda s, i=i:` default-arg capture would NOT work here —
+def _affine_min_fn(i: int):
+    # NB: a `lambda h, i=i:` default-arg capture would NOT work here —
     # PySpark binds a lambda variable for every parameter, defaults included,
     # turning the captured int into a Column. Close over it instead.
-    return lambda s: seeded_md5_long(s, seed)
+    from vervectordb_spark.functions.hashing import affine_hash
+
+    return lambda h: affine_hash(h, i)
 
 
 def minhash_signature_expr(shingles: Column, num_hashes: int) -> Column:
     """k-wide MinHash signature: element i = min over shingles of the i-th
-    seeded md5 hash. One array expression, JVM-side, no UDF."""
+    affine transform of ONE md5 base hash per shingle. One array
+    expression, JVM-side, no UDF; md5 cost is paid once regardless of
+    signature width (the seeded-md5 family re-hashed every shingle k
+    times — 16× more md5 for a 16-wide signature)."""
+    base = F.transform(shingles, md5_long)
     return F.array(
         *[
-            F.array_min(F.transform(shingles, _seeded_hash_fn(i)))
+            F.array_min(F.transform(base, _affine_min_fn(i)))
             for i in range(num_hashes)
         ]
     )
@@ -135,14 +141,20 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, shingles, signature) — the MinHash sketch table."""
-    return df.select(
-        F.col(id_col),
-        shingles_expr(text_col, shingle_n).alias("shingles"),
-        minhash_signature_expr(
-            shingles_expr(text_col, shingle_n), num_hashes
-        ).alias("signature"),
+    """(id, shingles, signature) — the MinHash sketch table. Staged as
+    shingle → base-hash → signature projections so the md5 pass runs once
+    (CollapseProject keeps non-cheap exprs referenced k times staged)."""
+    from vervectordb_spark.functions.hashing import affine_hash
+
+    sh = df.select(F.col(id_col), shingles_expr(text_col, shingle_n).alias("shingles"))
+    hashed = sh.withColumn("_h", F.transform(F.col("shingles"), md5_long))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_h"), _affine_min_fn(i)))
+            for i in range(num_hashes)
+        ]
     )
+    return hashed.withColumn("signature", sig).drop("_h")
 
 
 def jaccard_expr(a: Column, b: Column) -> Column:
@@ -179,9 +191,12 @@ def minhash_near_dup_pairs(
 
     sk = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
 
+    # Band rows carry (id, band, band_key) ONLY — never the shingle arrays.
+    # The self-join + pair-dedup shuffle moves 3 scalars per row; shingle
+    # sets rejoin by id AFTER the candidate set is deduped (measured 30×
+    # on sf0.1: shuffling arrays through the band join was the whole cost).
     band_entries = sk.select(
         F.col(id_col),
-        F.col("shingles"),
         F.explode(
             F.array(
                 *[
@@ -199,28 +214,29 @@ def minhash_near_dup_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "shingles", "bk.band", "bk.band_key")
+    ).select(id_col, "bk.band", "bk.band_key")
 
     left = band_entries.select(
-        F.col("band"),
-        F.col("band_key"),
-        F.col(id_col).alias("src_id"),
-        F.col("shingles").alias("src_sh"),
+        "band", "band_key", F.col(id_col).alias("src_id")
     )
     right = band_entries.select(
-        F.col("band"),
-        F.col("band_key"),
-        F.col(id_col).alias("dst_id"),
-        F.col("shingles").alias("dst_sh"),
+        "band", "band_key", F.col(id_col).alias("dst_id")
     )
     cand = (
         left.join(right, on=["band", "band_key"])
         .filter(F.col("src_id") < F.col("dst_id"))
-        .select("src_id", "dst_id", "src_sh", "dst_sh")
-        .dropDuplicates(["src_id", "dst_id"])
+        .select("src_id", "dst_id")
+        .distinct()
+    )
+    sh = sk.select(F.col(id_col), F.col("shingles"))
+    verified = (
+        cand.join(sh.select(F.col(id_col).alias("src_id"),
+                            F.col("shingles").alias("src_sh")), on="src_id")
+        .join(sh.select(F.col(id_col).alias("dst_id"),
+                        F.col("shingles").alias("dst_sh")), on="dst_id")
     )
     return (
-        cand.select(
+        verified.select(
             "src_id",
             "dst_id",
             jaccard_expr(F.col("src_sh"), F.col("dst_sh")).alias("jaccard"),

@@ -90,8 +90,12 @@ _NUM_HASHES = 8
 _BANDS = 4
 _ROWS_PER_BAND = _NUM_HASHES // _BANDS
 
+#: affine family over one md5 base hash per shingle (== operators/dedup
+#: minhash_signature_expr; see functions/hashing.affine_hash)
+from vervectordb_spark.functions.hashing import affine_hash_sql  # noqa: E402
+
 _SIG_MINS = ", ".join(
-    f"list_min(list_transform(s, t -> {_seeded_md5_sql('t', i)}))"
+    f"list_min(list_transform(hs, x -> {affine_hash_sql('x', i)}))"
     for i in range(_NUM_HASHES)
 )
 _BAND_KEYS = " UNION ALL ".join(
@@ -107,7 +111,8 @@ _BAND_KEYS = " UNION ALL ".join(
     oracle=f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
-sig AS (SELECT doc_id, s, [{_SIG_MINS}] AS sig FROM sh),
+hb AS (SELECT doc_id, s, list_transform(s, t -> {_md5_sql('t')}) AS hs FROM sh),
+sig AS (SELECT doc_id, s, [{_SIG_MINS}] AS sig FROM hb),
 bands AS ({_BAND_KEYS}),
 cand AS (
   SELECT DISTINCT a.doc_id AS src_id, b.doc_id AS dst_id
