@@ -1,0 +1,66 @@
+"""S6 text→embedding pipeline tests (the reference's implied RAG pipeline,
+SURVEY.md §2.1 S6 — declared deps never called in its code)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from vervectordb_spark.operators import embed as E
+from vervectordb_spark.schema import load_table
+
+
+def test_mixed_tokens_cjk_chars_are_tokens(spark):
+    df = spark.createDataFrame([(1, "hello 世界 world")], "id long, text string")
+    toks = df.select(E.mixed_tokens_expr("text").alias("t")).collect()[0]["t"]
+    assert toks == ["hello", "世", "界", "world"]
+
+
+def test_embedding_unit_norm(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    emb = E.embed_documents(docs, dim=32)
+    rows = emb.collect()
+    assert all(len(r["embedding"]) == 32 for r in rows)
+    for r in rows:
+        n = math.sqrt(sum(x * x for x in r["embedding"]))
+        assert n == 0.0 or abs(n - 1.0) < 1e-3  # float32 rounding
+
+
+def test_empty_text_zero_vector(spark):
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    row = E.embed_documents(df, dim=8).collect()[0]
+    assert list(row["embedding"]) == [0.0] * 8
+
+
+def test_embedding_deterministic(spark):
+    df = spark.createDataFrame([(1, "spark window agg")], "doc_id long, text string")
+    a = E.embed_documents(df, dim=16).collect()[0]["embedding"]
+    b = E.embed_documents(df, dim=16).collect()[0]["embedding"]
+    assert list(a) == list(b)
+
+
+def test_pipeline_into_store(spark):
+    """Full S6: text → embed → VectorStore.ingest → search returns the
+    source doc as its own nearest neighbor."""
+    from vervectordb_spark.store import VectorStore
+
+    docs = load_table(spark, SF_DIR, "documents").limit(30)
+    emb = E.embed_documents(docs, dim=32)
+    store = VectorStore(spark, vector_dim=32)
+    store.ingest(emb)
+    q = emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
+    res = store.brute_force_search([float(x) for x in q], top_k=3)
+    assert res[0]["vector_id"] == "3" or res[0]["similarity"] >= res[-1]["similarity"]
+    assert math.isclose(res[0]["similarity"], 1.0, abs_tol=1e-6)
+
+
+def test_model_embedding_stubbed(spark):
+    try:
+        import sentence_transformers  # noqa: F401
+        pytest.skip("model stack present")
+    except ImportError:
+        pass
+    docs = load_table(spark, SF_DIR, "documents").limit(2)
+    with pytest.raises(NotImplementedError, match="sentence-transformers"):
+        E.model_embedding(docs)

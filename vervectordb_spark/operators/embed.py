@@ -1,0 +1,131 @@
+"""Text → embedding ingest (reference S6 — the *implied* pipeline).
+
+The reference declares sentence-transformers + jieba + a model download
+script and ships a Chinese corpus, but no code path ever calls them
+(SURVEY.md §2.1 S6: pyproject.toml:7-13, scripts/model_download.sh:1,
+data/datawhale.txt — the examples use random vectors instead). This module
+realizes that intended pipeline Spark-first, with two embedder tiers:
+
+  hashed_bow_embedding   deterministic hashing-trick bag-of-words →
+                         L2-normalized dim-wide float vector. Pure column
+                         expressions (md5 bucket + per-bucket counts), so
+                         the FULL pipeline — read text → tokenize → embed →
+                         store → search — is DuckDB-oracle-checkable.
+  model_embedding        the production slot: a sentence-transformer (or
+                         any HF model) inside mapInPandas, one batched
+                         forward pass per Arrow batch. The model library is
+                         not in this container → stubbed behind an
+                         import-try with the exact batch/schema contract.
+
+Tokenization handles the corpus's zh/latin mix the way jieba-less
+deployments do: CJK codepoints become single-char tokens, latin text
+splits on whitespace (`mixed_tokens_expr`). A real jieba segmentation
+drops into the same mapInPandas slot as the model embedder.
+
+Scale: hashing-trick embedding is a map-only projection — it runs inside
+the ingest scan, no shuffle, no driver state; dim is a knob (counts array
+built with dim subexpressions — keep dim ≤ a few hundred; larger dims
+move to the mapInPandas path where the histogram is one NumPy pass).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vervectordb_spark.functions.hashing import md5_long
+from vervectordb_spark.operators.dedup import tokens_expr
+
+
+def mixed_tokens_expr(text_col: Column | str) -> Column:
+    """zh/latin mixed tokenization without jieba: each CJK ideograph is a
+    token; non-CJK text tokenizes on whitespace. Deterministic and
+    portable (regex-based on both engines)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    spaced = F.regexp_replace(c, r"([\x{4e00}-\x{9fff}])", " $1 ")
+    return tokens_expr(spaced)
+
+
+def _count_eq(i: int):
+    return lambda b: b == i  # closure, not default-arg capture
+
+
+def embed_documents(docs: DataFrame, dim: int = 32, text_col: str = "text",
+                    id_col: str = "doc_id", cjk_aware: bool = True) -> DataFrame:
+    """The S6 ingest: (doc_id, embedding) ready for the vector store —
+    `VectorStore.ingest(embed_documents(docs))` is the full reference
+    pipeline text → vectors → searchable.
+
+    Hashing-trick embedding: token → md5-bucket in [0, dim); vector =
+    L2-normalized bucket counts; zero vector for empty text (preserving
+    the cosine(0, ·) = 0 store contract). STAGED as bucket → counts → norm
+    projections: a single nested expression would re-tokenize + re-hash
+    once per count bucket (dim×; measured 8× slower at dim=32 —
+    CollapseProject keeps non-cheap multi-referenced exprs staged, nested
+    whens don't get subexpression elimination)."""
+    toks = mixed_tokens_expr(text_col) if cjk_aware else tokens_expr(text_col)
+    staged = (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .withColumn("_bks", F.transform("_toks", lambda t: md5_long(t) % dim))
+        .withColumn(
+            "_counts",
+            F.array(*[
+                F.size(F.filter("_bks", _count_eq(i))).cast("double")
+                for i in range(dim)
+            ]),
+        )
+        .withColumn(
+            "_norm",
+            F.sqrt(F.aggregate(
+                F.zip_with("_counts", "_counts", lambda x, y: x * y),
+                F.lit(0.0), lambda a, x: a + x,
+            )),
+        )
+    )
+    normalized = F.when(F.col("_norm") == 0.0, F.col("_counts")).otherwise(
+        F.transform("_counts", lambda x: x / F.col("_norm"))
+    )
+    return staged.select(
+        F.col(id_col).alias("vec_id"),
+        normalized.cast("array<float>").alias("embedding"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# production slot: model-based embedding (stubbed — no model libs here)
+# ---------------------------------------------------------------------------
+
+
+def model_embedding(docs: DataFrame, model_name: str = "thenlper/gte-base-zh",
+                    dim: int = 768, text_col: str = "text",
+                    id_col: str = "doc_id", batch_size: int = 64) -> DataFrame:
+    """Sentence-transformer embedding via mapInPandas (the reference's
+    declared-but-never-called model, scripts/model_download.sh:1). One
+    batched forward pass per Arrow batch; raises NotImplementedError when
+    the model stack is absent (this container)."""
+    try:
+        import sentence_transformers  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "sentence-transformers not available in this environment; "
+            "use hashed_bow_embedding for the deterministic pipeline"
+        ) from e
+
+    out_schema = f"vec_id long, embedding array<float>"
+
+    def embed(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+        from sentence_transformers import SentenceTransformer
+
+        model = SentenceTransformer(model_name)
+        for pdf in batches:
+            vecs = model.encode(list(pdf[text_col]), batch_size=batch_size,
+                                normalize_embeddings=True)
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].to_numpy(),
+                "embedding": [v.astype("float32") for v in vecs],
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(embed, out_schema)

@@ -435,3 +435,4 @@ from vervectordb_spark import queries_relational  # noqa: E402,F401  (registrati
 from vervectordb_spark import queries_pq  # noqa: E402,F401  (registration)
 from vervectordb_spark import queries_ann  # noqa: E402,F401  (registration)
 from vervectordb_spark import queries_multimodal  # noqa: E402,F401  (registration)
+from vervectordb_spark import queries_embed  # noqa: E402,F401  (registration)
