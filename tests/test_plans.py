@@ -1,0 +1,100 @@
+"""Plan-shape regression tests: the optimizer behaviors the engine's 100 TB
+posture depends on, pinned as assertions (SURVEY.md §4 — what the
+reference hand-codes, Catalyst must provably provide here)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from vervectordb_spark.operators import search as S
+from vervectordb_spark.plans import audit as A
+from vervectordb_spark.schema import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def qv(emb):
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    return [float(x) for x in row[0][0]]
+
+
+def test_topk_is_take_ordered_not_global_sort(emb, qv):
+    plan = A.physical_plan(S.brute_force_topk(emb, qv, 10))
+    A.assert_operator(plan, "TakeOrderedAndProject")
+    # top-k must not shuffle: per-partition heaps merge at the driver
+    A.assert_no_shuffle(plan)
+
+
+def test_metadata_filter_is_pushed_to_scan(emb, qv):
+    plan = A.physical_plan(
+        S.brute_force_topk(emb, qv, 10, pre_filter=F.col("label").isin(1, 3))
+    )
+    A.assert_pushed_filter(plan, "label")
+
+
+def test_column_pruning_reads_only_needed_columns(emb, qv):
+    plan = A.physical_plan(S.brute_force_topk(emb, qv, 10))
+    # label is not projected -> the scan must not read it
+    A.assert_read_schema_only(plan, {"vec_id", "embedding"})
+
+
+def test_point_lookup_pushes_id_equality(emb):
+    plan = A.physical_plan(S.point_lookup(emb, 42))
+    A.assert_pushed_filter(plan, "vec_id")
+
+
+def test_dim_join_broadcasts(spark):
+    nat = load_table(spark, SF_DIR, "nation")
+    cust = load_table(spark, SF_DIR, "customer")
+    plan = A.physical_plan(
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    )
+    A.assert_broadcast_join(plan)
+    A.assert_not_operator(plan, "SortMergeJoin")
+
+
+def test_scoring_projection_is_map_only(emb, qv):
+    """Similarity scoring (the ingest-time/scan-time hot path) must be a
+    pure projection: no exchange, one codegen span over scan+project."""
+    from vervectordb_spark.functions.similarity import cosine_expr
+
+    scored = emb.select("vec_id", cosine_expr(F.col("embedding"), qv).alias("sim"))
+    plan = A.physical_plan(scored)
+    A.assert_no_shuffle(plan)
+    assert A.codegen_stage_count(plan) >= 1
+
+
+def test_ivf_probe_prunes_partitions(spark, emb, tmp_path):
+    """The persisted IVF layout: probing clusters reads ONLY the probed
+    partition directories (partition pruning at plan time — the Spark
+    equivalent of the reference's inverted lists)."""
+    from vervectordb_spark.operators.ivf import IVFIndex
+
+    idx = IVFIndex.build(emb, n_clusters=4, seed=42)
+    path = str(tmp_path / "ivf_store")
+    idx.save(path)
+    loaded = IVFIndex.load(spark, path)
+    probed = loaded.assigned.filter(F.col("cluster_id").isin([0, 1]))
+    plan = A.physical_plan(probed)
+    # partition filters appear in the scan node, not PushedFilters
+    assert "PartitionFilters" in plan and "cluster_id" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_group_by_has_partial_aggregation(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    plan = A.physical_plan(agg)
+    # two HashAggregate nodes (partial + final) around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert A.count_shuffles(plan) == 1
+
+
+def test_pricing_summary_single_shuffle(spark):
+    from vervectordb_spark.queries_relational import pricing_summary
+
+    plan = A.physical_plan(pricing_summary(spark, SF_DIR))
+    assert A.count_shuffles(plan) == 1

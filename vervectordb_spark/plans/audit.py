@@ -1,0 +1,89 @@
+"""Physical-plan audit helpers — the optimizer contract as testable
+assertions.
+
+The reference hand-codes its few optimizations (candidate over-fetch,
+cluster probing, vectorized kernels — SURVEY.md §4.1); on Spark the
+equivalents are Catalyst behaviors that silently disappear when a query is
+written wrong (a cast blocks pushdown, a UDF breaks codegen, a missing
+hint turns broadcast into sort-merge). These helpers pin them in pytest so
+plan regressions fail CI, not the 100 TB run.
+
+Usage:
+    plan = physical_plan(df)
+    assert_pushed_filter(plan, "label")        # filter reached the scan
+    assert_read_schema_only(plan, {"vec_id", "embedding"})  # column pruning
+    assert_broadcast_join(plan)                # no shuffled dim join
+    assert_operator(plan, "TakeOrderedAndProject")
+    assert_no_shuffle(plan)                    # map-only pipeline
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
+    """The physical plan as text (same as df.explain(mode), captured)."""
+    jdf = df._jdf
+    jvm = df.sparkSession._jvm
+    return jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def assert_operator(plan: str, op: str) -> None:
+    assert op in plan, f"expected operator {op!r} in plan:\n{plan[:2000]}"
+
+
+def assert_not_operator(plan: str, op: str) -> None:
+    assert op not in plan, f"unexpected operator {op!r} in plan:\n{plan[:2000]}"
+
+
+def assert_pushed_filter(plan: str, column: str) -> None:
+    """The parquet scan carries a pushed filter on `column` (predicate
+    reached the data source — row-group/page skipping applies)."""
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and column in m.group(1), (
+        f"no pushed filter on {column!r}; PushedFilters="
+        f"{m.group(1) if m else 'MISSING'}"
+    )
+
+
+def assert_read_schema_only(plan: str, columns: set[str], table_hint: str | None = None) -> None:
+    """Column pruning: some scan reads exactly `columns` (a scan that reads
+    all columns for a narrow projection is wrong at any scale)."""
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, f"no ReadSchema in plan:\n{plan[:2000]}"
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        if cols == columns:
+            return
+    raise AssertionError(
+        f"no scan reads exactly {sorted(columns)}; saw "
+        f"{[sorted({c.split(':')[0] for c in s.split(',') if c}) for s in schemas]}"
+    )
+
+
+def assert_broadcast_join(plan: str) -> None:
+    assert_operator(plan, "BroadcastHashJoin")
+
+
+def assert_no_shuffle(plan: str) -> None:
+    """Map-only pipeline: no Exchange anywhere (scan→project→filter→write
+    shapes — ingest, scoring, encode — must never shuffle)."""
+    assert "Exchange" not in plan, f"unexpected Exchange in plan:\n{plan[:3000]}"
+
+
+def count_shuffles(plan: str) -> int:
+    """Number of DISTINCT exchanges in the formatted plan (AQE reuse not
+    double-counted). The scale budget for a query is usually 1-2."""
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def codegen_stage_count(plan: str) -> int:
+    """How many whole-stage-codegen spans the plan compiled (wider is
+    better — Python UDFs and some exprs break spans)."""
+    ids = set(re.findall(r"codegen id : (\d+)", plan))
+    return len(ids)
