@@ -1,0 +1,80 @@
+"""Source/sink tests: bucketed co-located joins (zero-exchange), raw-corpus
+readers landing on canonical schemas."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from vervectordb_spark.plans import audit as A
+from vervectordb_spark.schema import load_table
+from vervectordb_spark.sources import tables as SRC
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """The payoff of write_bucketed_table: joining two tables bucketed on
+    the same key/count plans ZERO exchanges — the 100 TB repeated-join
+    strategy (pay the shuffle once at write)."""
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "label")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    SRC.write_bucketed_table(emb, "b_emb", "vec_id", n_buckets=4)
+    SRC.write_bucketed_table(
+        docs.withColumnRenamed("doc_id", "vec_id"), "b_docs", "vec_id", n_buckets=4
+    )
+    joined = spark.table("b_emb").join(spark.table("b_docs"), on="vec_id")
+    # disable broadcast so the co-located property (not size) avoids shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = A.physical_plan(joined)
+        A.assert_no_shuffle(plan)
+        assert joined.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_emb")
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "by_lang")
+    SRC.write_vectors_table(docs, path, partition_cols=("lang",))
+    back = spark.read.parquet(path).filter(F.col("lang") == "zh")
+    plan = A.physical_plan(back)
+    assert "PartitionFilters" in plan
+    assert back.count() == docs.filter(F.col("lang") == "zh").count()
+
+
+def test_jsonl_reader(spark, tmp_path):
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 0, "text": "hello world", "lang": "en", "source": "s"}\n'
+        '{"doc_id": 1, "text": "spark rules"}\n'
+    )
+    df = SRC.read_documents_jsonl(spark, str(p))
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[0]["n_chars"] == 11
+    assert rows[1]["n_chars"] == 11 and rows[1]["lang"] is None
+    assert [f.name for f in df.schema] == ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def test_csv_reader(spark, tmp_path):
+    p = tmp_path / "corpus.csv"
+    p.write_text('doc_id,text,lang,source,n_chars\n0,"a,b",en,s,\n1,xyz,de,s,3\n')
+    df = SRC.read_documents_csv(spark, str(p))
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[0]["text"] == "a,b" and rows[0]["n_chars"] == 3
+    assert rows[1]["n_chars"] == 3
+
+
+def test_text_lines_reader_deterministic(spark, tmp_path):
+    p = tmp_path / "corpus.txt"
+    p.write_text("line one\nline two\n\nline three\n")
+    a = SRC.read_text_lines(spark, str(p)).collect()
+    b = SRC.read_text_lines(spark, str(p)).collect()
+    assert [r["text"] for r in a] == [r["text"] for r in b]
+    assert len(a) == 3  # empty line dropped
+    assert {r["doc_id"] for r in a} == {0, 1, 2}
+    # downstream ops run unchanged on the reader output
+    from vervectordb_spark.operators.text import profile
+
+    prof = profile(SRC.read_text_lines(spark, str(p)))
+    assert prof.count() == 3
