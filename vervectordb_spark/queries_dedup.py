@@ -294,3 +294,35 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_token_len", "punct_ratio", "stopword_ratio",
         "lang_id", "quality_score", "fingerprint",
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup survivors: drop_exact_dups keeps the lowest-id doc per content group
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_drop_survivors",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 20
+),
+g AS (
+  SELECT {_md5_sql('text')} AS h, MIN(doc_id) AS keeper
+  FROM base GROUP BY 1
+)
+SELECT COUNT(*) AS n_docs, CAST(SUM(keeper) AS BIGINT) AS id_sum FROM g
+""",
+)
+def dedup_drop_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline-facing dedup: after dropping exact dups (lowest id
+    survives), the corpus state is verified as an aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    survivors = D.drop_exact_dups(docs.unionByName(planted))
+    return survivors.agg(
+        F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_sum")
+    )

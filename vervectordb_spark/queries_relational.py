@@ -280,3 +280,38 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.get_json_object("props", "$.k").cast("long")).alias("k_sum"),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# skew: salted two-phase aggregation (semantics == plain GROUP BY)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_type_counts_salted",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def events_type_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical skew case: millions of rows, 5 hot keys. Salted
+    two-phase agg spreads each key over 16 reducers; the oracle is the
+    plain GROUP BY — salting must be invisible in the result."""
+    from vervectordb_spark.functions.skew import salted_agg
+
+    ev = load_events(spark, sf_dir)
+    return salted_agg(
+        ev,
+        keys=["event_type"],
+        partial_aggs=[
+            F.count("*").alias("_c"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_s"),
+        ],
+        final_aggs=[
+            F.sum("_c").alias("n_events"),
+            F.sum("_s").cast("double").alias("sum_value"),
+        ],
+        n_salts=16,
+        salt_col="event_id",
+    )
