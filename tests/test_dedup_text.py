@@ -126,3 +126,13 @@ def test_quality_score_rewards_normal_text(spark):
     scores = {r["doc_id"]: r["quality_score"] for r in TX.profile(df).collect()}
     assert scores[1] > scores[2]
     assert scores[1] >= 0.8
+
+
+def test_tokenize_zh_fallback(spark):
+    df = spark.createDataFrame(
+        [(1, "spark 处理 中文 text")], "doc_id long, text string"
+    )
+    out = TX.tokenize_zh(df).collect()[0]["tokens"]
+    # jieba absent here -> CJK-per-char fallback; schema contract holds
+    assert "spark" in out and "text" in out
+    assert all(len(t) > 0 for t in out)

@@ -117,3 +117,14 @@ def test_mutation_invalidates_index(store):
     assert store._index_valid
     store.insert([0.2, 0.2, 0.2, 0.2], {})
     assert not store._index_valid  # stale-index bug (SURVEY §1.3) fixed
+
+
+def test_checkpoint_collapses_lineage(store, tmp_path):
+    for i in range(5):
+        store.insert([0.1 * i, 0.2, 0.3, 0.4], {"i": str(i)})
+    n_before = store.df.count()
+    store.checkpoint(str(tmp_path / "ckpt"))
+    assert store.df.count() == n_before
+    # post-checkpoint plan is a single scan, not a union chain
+    plan = store.df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan

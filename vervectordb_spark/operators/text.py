@@ -164,6 +164,45 @@ def fingerprint_expr(text_col: Column | str) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# zh segmentation (the reference ships jieba but never calls it —
+# pyproject.toml:12; this is its production slot)
+# ---------------------------------------------------------------------------
+
+
+def tokenize_zh(df, text_col: str = "text", id_col: str = "doc_id",
+                out_col: str = "tokens"):
+    """jieba word segmentation via mapInPandas (Arrow-batched, the model
+    loads once per worker). Falls back to the deterministic CJK-per-char +
+    whitespace tokenizer (embed.mixed_tokens_expr) when jieba is absent —
+    same output schema, so downstream operators are tokenizer-agnostic."""
+    try:
+        import jieba  # noqa: F401
+    except ImportError:
+        from vervectordb_spark.operators.embed import mixed_tokens_expr
+
+        return df.select(
+            F.col(id_col), mixed_tokens_expr(text_col).alias(out_col)
+        )
+
+    out_schema = f"{id_col} long, {out_col} array<string>"
+
+    def seg(batches):
+        import jieba
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                out_col: [
+                    [t for t in jieba.lcut(t_ or "") if t.strip()]
+                    for t_ in pdf[text_col]
+                ],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(seg, out_schema)
+
+
+# ---------------------------------------------------------------------------
 # the profile operator
 # ---------------------------------------------------------------------------
 

@@ -283,6 +283,19 @@ class VectorStore:
             raise RuntimeError("train_pq first")
         return self._pq.decode(self.df)
 
+    def checkpoint(self, path: str | None = None) -> None:
+        """Collapse the copy-on-write lineage. Every insert/update/delete
+        extends the logical plan (union/filter chain); after a mutation
+        burst the plan itself becomes the cost (the reference's analogue
+        is np.vstack doubling peak memory per batch,
+        vervectordb/__init__.py:256,284). Writing and re-reading resets the
+        plan to one scan — at scale this is the compaction job."""
+        path = path or (self.db_path and f"{self.db_path}/_checkpoint")
+        if not path:
+            raise ValueError("no db_path for checkpoint")
+        self.df.write.mode("overwrite").parquet(path)
+        self.df = self.spark.read.parquet(path)
+
     # ---------------------------------------------------------- persistence
     def save(self, path: str | None = None) -> None:
         """S4: per-component parquet tables instead of one pickle blob —
