@@ -315,3 +315,57 @@ def events_type_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=16,
         salt_col="event_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# as-of join: each event matched to the user's latest prior purchase
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_asof_purchase",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
+),
+tagged AS (
+  SELECT user_id, ts_us,
+         CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS tag,
+         event_id, event_type
+  FROM ev
+),
+matched AS (
+  SELECT event_id, event_type, user_id, ts_us,
+    MAX(CASE WHEN tag = 0 THEN ts_us END) OVER (
+      PARTITION BY user_id ORDER BY ts_us, tag
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS matched_ts
+  FROM tagged
+)
+SELECT user_id,
+  COUNT(*) AS n_events,
+  COUNT(matched_ts) AS n_matched,
+  CAST(SUM(ts_us - matched_ts) AS BIGINT) AS total_lag_us
+FROM matched
+WHERE event_type <> 'purchase'
+GROUP BY user_id
+""",
+)
+def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/asof.py): every non-purchase event
+    picks up the user's most recent purchase at-or-before its timestamp;
+    verified via per-user match-count + exact lag sums (int64 µs)."""
+    from vervectordb_spark.operators.asof import asof_join_backward
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us"), "event_type"
+    )
+    left = ev.filter(F.col("event_type") != "purchase")
+    right = ev.filter(F.col("event_type") == "purchase")
+    joined = asof_join_backward(
+        left, right, key="user_id", left_ts="ts_us", right_ts="ts_us"
+    )
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count("matched_ts").alias("n_matched"),
+        F.sum(F.col("ts_us") - F.col("matched_ts")).alias("total_lag_us"),
+    )
