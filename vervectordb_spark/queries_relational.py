@@ -369,3 +369,63 @@ def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("matched_ts").alias("n_matched"),
         F.sum(F.col("ts_us") - F.col("matched_ts")).alias("total_lag_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# range (non-equi) join: events bucketed into value tiers
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_value_tiers",
+    oracle="""
+WITH tiers(tier, lo, hi) AS (
+  VALUES ('low', 0.0, 5.0), ('mid', 5.0, 20.0), ('high', 20.0, 1e9)
+)
+SELECT t.tier, COUNT(*) AS n_events,
+  COUNT(DISTINCT e.event_type) AS n_types
+FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+GROUP BY t.tier
+""",
+)
+def events_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join against a tiny tier dim: the non-equi predicate plans as
+    BroadcastNestedLoopJoin — correct for |tiers| ~ handfuls. (A big-big
+    range join would bucketize the range key first; see operators/asof.py
+    for the ordered variant.)"""
+    ev = load_events(spark, sf_dir)
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 5.0), ("mid", 5.0, 20.0), ("high", 20.0, 1e9)],
+        "tier string, lo double, hi double",
+    )
+    joined = ev.join(
+        F.broadcast(tiers),
+        (ev.value >= tiers.lo) & (ev.value < tiers.hi),
+    )
+    return joined.groupBy("tier").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rollup: hierarchical aggregates with grand total
+# ---------------------------------------------------------------------------
+
+@query(
+    "pricing_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (flag, status): per-group + per-flag subtotals + grand total
+    in one pass (Expand + single shuffle, not three scans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        _dec_sum("l_quantity").cast("double").alias("sum_qty"),
+    )
