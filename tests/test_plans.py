@@ -11,6 +11,15 @@ from vervectordb_spark.plans import audit as A
 from vervectordb_spark.schema import load_table
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_plans(spark):
+    """Other modules cache() the same parquet scans; a cache hit swaps the
+    FileScan (and its PushedFilters) for InMemoryTableScan and breaks scan
+    assertions. Plan tests must see cold plans."""
+    spark.catalog.clearCache()
+    yield
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     return load_table(spark, SF_DIR, "embeddings")
