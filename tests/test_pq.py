@@ -91,3 +91,32 @@ def test_save_load_roundtrip(codec, emb, spark, tmp_path):
     a = codec.encode(emb.limit(20)).select("pq_code").collect()
     b = loaded.encode(emb.limit(20)).select("pq_code").collect()
     assert [r["pq_code"] for r in a] == [r["pq_code"] for r in b]
+
+
+def test_adc_search_recall(codec, emb, spark):
+    """ADC over 8-byte codes must broadly agree with exact search; exact
+    rerank of the ADC candidate pool must do at least as well."""
+    from vervectordb_spark.operators.search import brute_force_topk
+
+    encoded = codec.encode(emb).select("vec_id", "pq_code").cache()
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    truth = {r["vec_id"] for r in brute_force_topk(emb, qv, 10).collect()}
+    adc = {r["vec_id"] for r in codec.adc_search(encoded, qv, top_k=10).collect()}
+    reranked = {
+        r["vec_id"]
+        for r in codec.adc_search(encoded, qv, top_k=10, rerank=emb).collect()
+    }
+    r_adc = len(truth & adc) / 10
+    r_rr = len(truth & reranked) / 10
+    assert r_adc >= 0.4
+    assert r_rr >= r_adc
+    assert r_rr >= 0.6
+
+
+def test_adc_self_is_top1(codec, emb):
+    encoded = codec.encode(emb).select("vec_id", "pq_code")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    top = codec.adc_search(encoded, qv, top_k=5, rerank=emb).collect()
+    assert top[0]["vec_id"] == 7

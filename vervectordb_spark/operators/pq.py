@@ -173,6 +173,82 @@ class PQCodec:
 
         return df.mapInPandas(dec, out_schema)
 
+    # ----------------------------------------------------------- ADC search
+    def adc_search(self, encoded: DataFrame, query_vec, top_k: int = 10,
+                   code_col: str = "pq_code", id_col: str = "vec_id",
+                   rerank: DataFrame | None = None,
+                   rerank_factor: int = 5,
+                   emb_col: str = "embedding") -> DataFrame:
+        """Asymmetric-distance search over PQ codes (scale extension; the
+        reference never searches its codes — SURVEY.md §2.4 notes PQ is
+        storage-only there). Scores cosine(query, reconstruction) without
+        reconstructing: two driver-built lookup tables per query,
+
+            lut_dot[s][k]  = q_s · codebook[s][k]
+            lut_norm[s][k] = ‖codebook[s][k]‖²
+
+        give dot(q, x̂) = Σ_s lut_dot[s][code_s] and ‖x̂‖² = Σ_s
+        lut_norm[s][code_s] — the scan reads m bytes/row instead of dim·4
+        (32× less I/O at the default geometry), compute is a table gather.
+
+        With `rerank` (the raw-vector table), the top rerank_factor·k ADC
+        candidates are re-scored exactly — recall of exact search on the
+        candidate set, I/O of the compressed scan on the corpus.
+        Returns (id, sim[, rank])."""
+        import numpy as np
+
+        from pyspark.sql import Window
+
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = float(np.linalg.norm(q))
+        m, sub_dim = self.n_subquantizers, self.sub_dim
+        lut_dot = np.stack([
+            self.codebooks[s] @ q[s * sub_dim:(s + 1) * sub_dim]
+            for s in range(m)
+        ])  # (m, k)
+        lut_norm = (self.codebooks ** 2).sum(axis=2)  # (m, k)
+        spark = encoded.sparkSession
+        bc = spark.sparkContext.broadcast((lut_dot, lut_norm, qn))
+        fetch = rerank_factor * top_k if rerank is not None else top_k
+        vid_type = encoded.schema[id_col].dataType.simpleString()
+        out_schema = f"{id_col} {vid_type}, sim double"
+
+        def score(batches):
+            import pandas as pd
+
+            b_dot, b_norm, b_qn = bc.value
+            sub_idx = np.arange(b_dot.shape[0])
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                codes = np.asarray(pdf[code_col].tolist(), dtype=np.int16) + 128
+                dots = b_dot[sub_idx[None, :], codes].sum(axis=1)
+                norms = np.sqrt(b_norm[sub_idx[None, :], codes].sum(axis=1))
+                denom = norms * b_qn
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = np.where(denom == 0.0, 0.0, dots / denom)
+                kk = min(fetch, len(sims))
+                idx = np.argpartition(-sims, kk - 1)[:kk]
+                yield pd.DataFrame({
+                    id_col: pdf[id_col].to_numpy()[idx], "sim": sims[idx]
+                })
+
+        cand = encoded.select(id_col, code_col).mapInPandas(score, out_schema)
+        w = Window.orderBy(F.desc("sim"), F.asc(id_col))
+        approx_top = (
+            cand.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= fetch)
+            .drop("_rk")
+        )
+        if rerank is None:
+            return approx_top.orderBy(F.desc("sim"), F.asc(id_col)).limit(top_k)
+        from vervectordb_spark.operators.search import brute_force_topk
+
+        exact_pool = rerank.join(approx_top.select(id_col), on=id_col)
+        return brute_force_topk(
+            exact_pool, query_vec, top_k, emb_col=emb_col, id_col=id_col
+        )
+
     # ------------------------------------------------------------- metrics
     def compression_ratio(self) -> float:
         """Raw float32 bytes / code bytes (reference prints this,
