@@ -148,6 +148,59 @@ def build_benches(spark, sf_dir: str):
         @bench("dedup_exact")
         def _dedup_exact():
             return _force(D.exact_dup_groups(docs))
+
+        @bench("dedup_simhash_pairs")
+        def _dedup_simhash():
+            return _force(D.simhash_near_dup_pairs(docs, max_hamming=3, bands=4))
+    except ImportError:
+        pass
+
+    try:
+        from vervectordb_spark.operators.ann import SignLSHIndex
+
+        _ann_holder: list = []
+
+        @bench("ann_build")
+        def _ann_build():
+            idx = SignLSHIndex.build(emb, n_tables=8, bits=6)
+            idx.signed.cache().count()
+            _ann_holder.append(idx)
+            return idx.n_tables
+
+        @bench("ann_search_8q")
+        def _ann_search():
+            idx = _ann_holder[0]
+            rows = emb.filter(F.col("vec_id") < 8).select("embedding").collect()
+            n = 0
+            for r in rows:
+                n += _force(idx.search([float(x) for x in r[0]], top_k=10), limit=10)
+            return n
+    except ImportError:
+        pass
+
+    try:
+        from vervectordb_spark.operators.embed import embed_documents
+
+        @bench("text_embed")
+        def _embed():
+            return _force(embed_documents(docs, dim=32))
+    except ImportError:
+        pass
+
+    try:
+        from vervectordb_spark import queries_relational as QR
+
+        @bench("revenue_by_nation")
+        def _rev():
+            return _force(QR.revenue_by_nation(spark, sf_dir), limit=100)
+
+        @bench("events_hourly")
+        def _ev_hourly():
+            return _force(QR.events_hourly(spark, sf_dir))
+
+        @bench("events_sessionize")
+        def _ev_sess():
+            return _force(QR.events_sessionize(spark, sf_dir))
     except ImportError:
         pass
 
