@@ -120,3 +120,25 @@ def test_adc_self_is_top1(codec, emb):
           emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
     top = codec.adc_search(encoded, qv, top_k=5, rerank=emb).collect()
     assert top[0]["vec_id"] == 7
+
+
+def test_ivfpq_search(codec, emb):
+    """IVF-PQ: probe -> ADC in probed clusters -> exact rerank. Full probe
+    + rerank must find the query itself; pruning must restrict clusters."""
+    from pyspark.sql import functions as F
+    from vervectordb_spark.operators.ivf import IVFIndex
+
+    ivf = IVFIndex.build(emb, n_clusters=8, seed=42)
+    encoded = codec.encode(ivf.assigned).select("vec_id", "cluster_id", "pq_code").cache()
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 11).collect()[0]["embedding"]]
+    top = ivf.search_pq(codec, encoded, qv, top_k=5, nprobe=8, rerank=emb).collect()
+    assert top[0]["vec_id"] == 11
+    # pruned probe: candidates only from probed clusters
+    probed = set(ivf.probe_clusters(qv, nprobe=2))
+    cand_clusters = {
+        r["cluster_id"]
+        for r in encoded.filter(F.col("cluster_id").isin(list(probed))).select(
+            "cluster_id").distinct().collect()
+    }
+    assert cand_clusters <= probed

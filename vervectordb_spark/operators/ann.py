@@ -87,11 +87,15 @@ class SignLSHIndex:
         partitioned/clustered by bucket_0 so probes prune partitions."""
         dim = df.select(F.size(emb_col).alias("d")).first()["d"]
         planes = rademacher_planes(n_tables * bits, dim)
-        emb = to_double(F.col(emb_col))
-        out = df
+        # stage the double-cast array once: every plane fold references the
+        # projected column instead of re-casting per fold
+        out = df.withColumn("_embd", to_double(F.col(emb_col)))
         for t in range(n_tables):
             table_planes = planes[t * bits : (t + 1) * bits]
-            out = out.withColumn(f"bucket_{t}", bucket_expr(emb, table_planes))
+            out = out.withColumn(
+                f"bucket_{t}", bucket_expr(F.col("_embd"), table_planes)
+            )
+        out = out.drop("_embd")
         return cls(out, planes, n_tables, bits, id_col=id_col, emb_col=emb_col)
 
     def query_buckets(self, query_vec: Sequence[float]) -> list[int]:
