@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis) for the numeric core.
+
+The cosine fold is the contract every search operator and every DuckDB
+oracle rests on; these pin its mathematical properties over adversarial
+inputs (zeros, denormals, huge/tiny magnitudes, mixed signs) — cases the
+fixture data never hits. Vectors are evaluated through the REAL Catalyst
+expressions on a local session, batched per example set to keep job count
+sane."""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from vervectordb_spark.functions import similarity as sim
+
+FINITE = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False,
+    width=32,
+)
+VEC = st.lists(FINITE, min_size=4, max_size=4)
+
+
+def _cos(spark, a, b):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(a, b)], "a array<float>, b array<float>")
+    return df.select(
+        sim.cosine_expr(F.col("a"), F.col("b")).alias("c")
+    ).collect()[0]["c"]
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=VEC, b=VEC)
+def test_cosine_bounded_and_symmetric(spark, a, b):
+    c1 = _cos(spark, a, b)
+    c2 = _cos(spark, b, a)
+    assert -1.0 - 1e-9 <= c1 <= 1.0 + 1e-9
+    assert math.isclose(c1, c2, rel_tol=0, abs_tol=0) or (c1 == c2)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=VEC)
+def test_cosine_self_is_one_or_zero(spark, a):
+    c = _cos(spark, a, a)
+    if all(x == 0.0 for x in a):
+        assert c == 0.0  # zero-norm guard (reference contract)
+    else:
+        assert math.isclose(c, 1.0, abs_tol=1e-9)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=VEC, b=VEC, scale=st.floats(min_value=0.0009765625, max_value=1024.0,
+                                     allow_nan=False, width=32))
+def test_cosine_scale_invariant(spark, a, b, scale):
+    c1 = _cos(spark, a, b)
+    c2 = _cos(spark, [x * scale for x in a], b)
+    assert math.isclose(c1, c2, abs_tol=1e-6)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=VEC)
+def test_normalize_idempotent_unit_norm(spark, a):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(a,)], "a array<float>")
+    row = df.select(
+        sim.norm_expr(sim.normalize_expr(F.col("a"))).alias("n")
+    ).collect()[0]
+    if all(x == 0.0 for x in a):
+        assert row["n"] == 0.0
+    else:
+        assert math.isclose(row["n"], 1.0, abs_tol=1e-9)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(st.text(min_size=0, max_size=30), min_size=1, max_size=6))
+def test_md5_hash_family_distinct_and_stable(spark, vals):
+    """Portable hash family: deterministic, non-negative, 60-bit."""
+    from pyspark.sql import functions as F
+
+    from vervectordb_spark.functions.hashing import HASH_BITS, md5_long
+
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    out1 = [r["h"] for r in df.select(md5_long(F.col("s")).alias("h")).collect()]
+    out2 = [r["h"] for r in df.select(md5_long(F.col("s")).alias("h")).collect()]
+    assert out1 == out2
+    assert all(0 <= h < 2 ** HASH_BITS for h in out1)
+    # distinct inputs -> distinct hashes (collision prob ~ 2^-60)
+    assert len(set(out1)) == len(set(vals))
