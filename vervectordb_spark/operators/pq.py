@@ -47,21 +47,19 @@ def _lloyd_kmeans(X: np.ndarray, k: int, seed: int, max_iter: int = 20) -> np.nd
     clusters keep their previous centroid (deterministic)."""
     rng = np.random.RandomState(seed)
     centers = X[rng.choice(len(X), size=k, replace=False)].copy()
+    x_sq = (X ** 2).sum(1)[:, None]
     for _ in range(max_iter):
-        d = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2) \
-            if X.shape[1] * k * len(X) < 50_000_000 else None
-        if d is None:  # memory-lean path: expansion trick
-            d = (
-                (X ** 2).sum(1)[:, None]
-                - 2.0 * (X @ centers.T)
-                + (centers ** 2).sum(1)[None, :]
-            )
+        # ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖²: one GEMM per iteration — the
+        # (n × k × d) broadcast tensor is 100× slower (memory-bound)
+        d = x_sq - 2.0 * (X @ centers.T) + (centers ** 2).sum(1)[None, :]
         assign = d.argmin(axis=1)
+        counts = np.bincount(assign, minlength=k)
+        sums = np.empty((k, X.shape[1]))
+        for j in range(X.shape[1]):  # d bincounts beat a k-loop of masks
+            sums[:, j] = np.bincount(assign, weights=X[:, j], minlength=k)
+        nonempty = counts > 0
         new = centers.copy()
-        for c in range(k):
-            m = assign == c
-            if m.any():
-                new[c] = X[m].mean(axis=0)
+        new[nonempty] = sums[nonempty] / counts[nonempty, None]
         if np.allclose(new, centers):
             break
         centers = new
