@@ -99,3 +99,33 @@ def test_streaming_ingest_drops_bad_dims(spark, tmp_path):
     q.awaitTermination(120)
     kept = {r["vec_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {1, 3}
+
+
+def test_ingest_with_index_refresh(spark, tmp_path):
+    """Milestone-6 pattern: stream appends + periodic IVF rebuild; the
+    published index serves searches over everything ingested so far."""
+    from vervectordb_spark.operators.ivf import IVFIndex
+    from vervectordb_spark.schema import load_table
+    from vervectordb_spark.streaming.refresh import ingest_with_index_refresh
+
+    src = str(tmp_path / "vec_stream")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "refresh_ckpt")
+    emb = load_table(spark, SF_DIR, "embeddings").limit(120)
+    emb.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = ingest_with_index_refresh(
+        stream, store, ckpt, refresh_every=2, n_clusters=4, dim=64
+    )
+    q.awaitTermination(180)
+    assert q._refresh_state["refreshes"] >= 1
+
+    table = spark.read.parquet(f"{store}/vectors")
+    assert table.count() == 120
+    idx = IVFIndex.load(spark, f"{store}/ivf")
+    qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    hits = idx.search(qv, top_k=5, nprobe=4).collect()
+    assert len(hits) == 5
