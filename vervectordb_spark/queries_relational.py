@@ -429,3 +429,97 @@ def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         _dec_sum("l_quantity").cast("double").alias("sum_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# interval self-join via time-bucket banding (the scalable pattern)
+# ---------------------------------------------------------------------------
+
+_WINDOW_US = 60_000_000  # pair events within 60 s
+
+
+@query(
+    "events_interval_pairs",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
+),
+pairs AS (
+  SELECT a.user_id, a.event_id AS src_event, b.event_id AS dst_event
+  FROM ev a JOIN ev b
+    ON a.user_id = b.user_id
+   AND a.event_type = 'click' AND b.event_type = 'purchase'
+   AND b.ts_us >= a.ts_us AND b.ts_us - a.ts_us <= {_WINDOW_US}
+)
+SELECT user_id, COUNT(*) AS n_pairs,
+       COUNT(DISTINCT src_event) AS n_clicks_converted
+FROM pairs GROUP BY user_id
+""",
+)
+def events_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: click→purchase conversions within 60 s per user.
+    Implemented with time-BUCKET banding: each side joins on (user_id,
+    bucket) where the left probes its own and the next bucket — join
+    fan-out is bucket-local, never the |A|×|B| range cross-join. The exact
+    interval predicate filters after the equi-join, so Catalyst plans a
+    hash join, not a nested loop."""
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us"), "event_type"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("src_event"),
+        F.col("ts_us").alias("src_ts"),
+        F.explode(
+            F.array(
+                F.expr(f"ts_us div {_WINDOW_US}"),
+                F.expr(f"ts_us div {_WINDOW_US}") + 1,
+            )
+        ).alias("bucket"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("dst_event"),
+        F.col("ts_us").alias("dst_ts"),
+        F.expr(f"ts_us div {_WINDOW_US}").alias("bucket"),
+    )
+    pairs = clicks.join(purchases, on=["user_id", "bucket"]).filter(
+        (F.col("dst_ts") >= F.col("src_ts"))
+        & (F.col("dst_ts") - F.col("src_ts") <= _WINDOW_US)
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("src_event").alias("n_clicks_converted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations: INTERSECT / EXCEPT over derived relations
+# ---------------------------------------------------------------------------
+
+@query(
+    "users_set_ops",
+    oracle="""
+WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+purchasers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+both_u AS (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM purchasers),
+only_click AS (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM purchasers)
+SELECT
+  (SELECT COUNT(*) FROM both_u) AS n_both,
+  (SELECT COUNT(*) FROM only_click) AS n_click_only,
+  (SELECT CAST(COALESCE(SUM(user_id), 0) AS BIGINT) FROM only_click) AS click_only_id_sum
+""",
+)
+def users_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT (distinct set semantics — planned as left-semi /
+    left-anti joins over pre-aggregated keys, not row-level diffs)."""
+    ev = load_events(spark, sf_dir)
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both_u = clickers.intersect(purchasers)
+    only_click = clickers.exceptAll(purchasers)
+    return spark.range(1).select(
+        F.lit(both_u.count()).cast("long").alias("n_both"),
+        F.lit(only_click.count()).cast("long").alias("n_click_only"),
+        F.lit(
+            (only_click.agg(F.sum("user_id")).collect()[0][0] or 0)
+        ).cast("long").alias("click_only_id_sum"),
+    )
