@@ -43,3 +43,17 @@ def test_asof_payload_no_fanout(spark):
         left, right, key="k", left_ts="ts", right_ts="ts", payload=("v",)
     ).collect()
     assert len(rows) == 1 and rows[0]["matched_ts"] == 9
+
+
+def test_asof_payload_dedup_deterministic(spark):
+    """ADVICE r1 (low): duplicate (key, ts) with DIFFERING payloads must
+    resolve deterministically — the lowest payload struct wins."""
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 9, "zz", 5.0), (1, 9, "aa", 9.0)], "k long, ts long, v string, px double"
+    )
+    rows = asof_join_backward(
+        left, right, key="k", left_ts="ts", right_ts="ts", payload=("v", "px")
+    ).collect()
+    assert len(rows) == 1
+    assert (rows[0]["v"], rows[0]["px"]) == ("aa", 9.0)  # min struct, not arbitrary

@@ -87,6 +87,31 @@ def test_save_load_roundtrip(store, spark, tmp_path):
     assert loaded.df.count() == store.df.count()
 
 
+def test_save_load_roundtrip_with_pq_and_ivf(spark, tmp_path):
+    """Artifacts round-trip: PQ codebooks and the IVF layout are saved and
+    restored (ADVICE r1: save() passed no spark arg -> TypeError; load()
+    never restored PQ)."""
+    import numpy as np
+
+    st = VectorStore(spark, vector_dim=8)
+    st.batch_insert([[float(i == j) for j in range(8)] for i in range(8)] * 4)
+    st.train_pq(n_subquantizers=4, n_bits=2, sample_size=32)
+    st.build_ivf_index(n_clusters=2)
+    path = str(tmp_path / "db")
+    st.save(path)
+    loaded = VectorStore.load(spark, path)
+    assert loaded._pq is not None
+    assert np.allclose(loaded._pq.codebooks, st._pq.codebooks)
+    assert loaded._ivf is not None
+    assert np.allclose(loaded._ivf.centroids, st._ivf.centroids)
+    # restored codec encodes identically
+    a = st._pq.encode(st.df).select("vec_id", "pq_code").collect()
+    b = loaded._pq.encode(loaded.df).select("vec_id", "pq_code").collect()
+    assert {r["vec_id"]: list(r["pq_code"]) for r in a} == {
+        r["vec_id"]: list(r["pq_code"]) for r in b
+    }
+
+
 def test_ivf_search_via_store(store):
     res = store.ivf_search([1.0, 0.0, 0.0, 0.0], top_k=2, nprobe=3)
     assert res and res[0]["similarity"] >= res[-1]["similarity"]
@@ -114,9 +139,33 @@ def test_pq_via_store(spark):
 
 def test_mutation_invalidates_index(store):
     store.build_ivf_index(n_clusters=2)
-    assert store._index_valid
+    assert store._ivf is not None
     store.insert([0.2, 0.2, 0.2, 0.2], {})
-    assert not store._index_valid  # stale-index bug (SURVEY §1.3) fixed
+    assert store._ivf is None  # stale-index bug (SURVEY §1.3) fixed
+
+
+def test_index_validity_is_per_index(store):
+    """ADVICE r1 (medium): building ANN after a mutation must NOT mark the
+    IVF index valid — a shared flag served a stale pre-mutation IVF."""
+    store.build_ivf_index(n_clusters=2)
+    store.insert([0.2, 0.2, 0.2, 0.2], {"text": "new row"})
+    store.build_ann_index()  # building one index...
+    assert store._ivf is None  # ...must not resurrect the other
+    # and a subsequent ivf_search sees the new row (rebuild happened)
+    res = store.ivf_search([0.2, 0.2, 0.2, 0.2], top_k=1, nprobe=2)
+    assert abs(res[0]["similarity"] - 1.0) < 1e-9
+
+
+def test_compress_idempotent(spark):
+    """ADVICE r1 (low): a second compress() must replace pq_code, not
+    duplicate the column."""
+    st = VectorStore(spark, vector_dim=8)
+    st.batch_insert([[float(i == j) for j in range(8)] for i in range(8)] * 4)
+    st.train_pq(n_subquantizers=4, n_bits=2, sample_size=32)
+    st.compress()
+    st.compress()
+    assert st.df.columns.count("pq_code") == 1
+    assert st.df.count() == 32
 
 
 def test_checkpoint_collapses_lineage(store, tmp_path):

@@ -67,7 +67,17 @@ def asof_join_backward(
     )
     if not payload:
         return out
-    slim = right.select(
-        F.col(key), F.col(right_ts).alias(matched_col), *payload
-    ).dropDuplicates([key, matched_col])
+    # Deterministic dedup: min over the payload struct per (key, ts) —
+    # dropDuplicates keeps an ARBITRARY row, which makes output flap when
+    # (key, ts) repeats with different payloads.
+    slim = (
+        right.select(
+            F.col(key),
+            F.col(right_ts).alias(matched_col),
+            F.struct(*[F.col(c) for c in payload]).alias("_p"),
+        )
+        .groupBy(key, matched_col)
+        .agg(F.min("_p").alias("_p"))
+        .select(key, matched_col, "_p.*")
+    )
     return out.join(slim, on=[key, matched_col], how="left")

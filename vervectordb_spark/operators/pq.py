@@ -141,7 +141,13 @@ class PQCodec:
         the broadcast codebooks, one ||x-c||² GEMM per Arrow batch.
 
         tinyint is signed; code c is stored as c-128 (bijective, recovered
-        at decode) so 256-entry codebooks fit Spark's ByteType exactly."""
+        at decode) so 256-entry codebooks fit Spark's ByteType exactly.
+
+        Idempotent: an existing `code_col` (e.g. a second compress(), or a
+        table whose canonical schema already carries pq_code) is replaced,
+        not duplicated."""
+        if code_col in df.columns:
+            df = df.drop(code_col)
         spark = df.sparkSession
         bc = spark.sparkContext.broadcast(self.codebooks)
         m, sub_dim = self.n_subquantizers, self.sub_dim
@@ -169,7 +175,10 @@ class PQCodec:
     # -------------------------------------------------------------- decode
     def decode(self, df: DataFrame, code_col: str = "pq_code",
                out_col: str = "embedding_hat") -> DataFrame:
-        """Append `out_col array<float>`: codebook gather (reconstruction)."""
+        """Append `out_col array<float>`: codebook gather (reconstruction).
+        Idempotent: replaces an existing `out_col`."""
+        if out_col in df.columns:
+            df = df.drop(out_col)
         spark = df.sparkSession
         bc = spark.sparkContext.broadcast(self.codebooks)
         m, sub_dim = self.n_subquantizers, self.sub_dim

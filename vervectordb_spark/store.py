@@ -60,7 +60,12 @@ class VectorStore:
         self.vector_dim = int(vector_dim)
         self.db_path = db_path
         self.df: DataFrame = spark.createDataFrame([], _ROW_SCHEMA)
-        self._index_valid = False  # derived indexes (IVF/ANN/PQ) dangle-proofing
+        # Derived indexes are cleared (not flagged) on mutation: a shared
+        # validity flag lets building ONE index mark the OTHER valid and
+        # serve stale results. None == "rebuild before use" — per-index,
+        # unambiguous. The PQ codec is NOT an index: its codebooks are a
+        # sample-trained lossy codec, still valid for encoding new rows
+        # (the reference likewise trains once, vervectordb/__init__.py:493).
         self._ivf = None
         self._ann = None
         self._pq = None
@@ -215,20 +220,20 @@ class VectorStore:
 
     # ----------------------------------------------------- derived indexes
     def _invalidate(self) -> None:
-        self._index_valid = False
+        self._ivf = None
+        self._ann = None
 
     def build_ivf_index(self, n_clusters: int = 16, seed: int = 42):
         from vervectordb_spark.operators.ivf import IVFIndex
 
         self._ivf = IVFIndex.build(self.df, n_clusters=n_clusters, seed=seed)
-        self._index_valid = True
         return self._ivf
 
     def ivf_search(self, query_vector, top_k: int = 5, nprobe: int | None = None,
                    pre_filter: Column | None = None) -> list[dict]:
         """Q5: probe nprobe clusters (reference default max(k//2, 8),
         vervectordb/__init__.py:441), rescore exactly inside them."""
-        if self._ivf is None or not self._index_valid:
+        if self._ivf is None:
             self.build_ivf_index()
         out = self._ivf.search(query_vector, top_k=top_k, nprobe=nprobe, pre_filter=pre_filter)
         return [
@@ -242,13 +247,12 @@ class VectorStore:
         self._ann = LSHAnnIndex.build(
             self.df, bucket_length=bucket_length, num_hash_tables=num_hash_tables, seed=seed
         )
-        self._index_valid = True
         return self._ann
 
     def ann_search(self, query_vector, top_k: int = 5) -> list[dict]:
         """Q2 intent (the reference's HNSW contract — its implementation
         returns ≤1 row due to bug B1 and is deliberately NOT reproduced)."""
-        if self._ann is None or not self._index_valid:
+        if self._ann is None:
             self.build_ann_index()
         out = self._ann.search(query_vector, top_k=top_k)
         return [{"vector_id": r["vec_id"], "similarity": r["sim"]} for r in out.collect()]
@@ -305,15 +309,32 @@ class VectorStore:
             raise ValueError("no db_path")
         self.df.write.mode("overwrite").parquet(f"{path}/vectors")
         if self._pq is not None:
-            self._pq.save(f"{path}/pq")
+            self._pq.save(f"{path}/pq", self.spark)
+        if self._ivf is not None:
+            self._ivf.save(f"{path}/ivf")
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, vector_dim: int | None = None) -> "VectorStore":
-        """S5: reconstruct from parquet (+ model artifacts)."""
+        """S5: reconstruct from parquet (+ model artifacts: PQ codebooks and
+        the IVF layout are restored when present)."""
+        from pyspark.errors import AnalysisException
+
         df = spark.read.parquet(f"{path}/vectors")
         if vector_dim is None:
             row = df.select(F.size("embedding").alias("d")).limit(1).collect()
             vector_dim = row[0]["d"] if row else 0
         store = cls(spark, vector_dim, db_path=path)
         store.df = df
+        from vervectordb_spark.operators.pq import PQCodec
+
+        try:
+            store._pq = PQCodec.load(spark, f"{path}/pq")
+        except AnalysisException:
+            pass  # no PQ artifacts saved
+        from vervectordb_spark.operators.ivf import IVFIndex
+
+        try:
+            store._ivf = IVFIndex.load(spark, f"{path}/ivf")
+        except AnalysisException:
+            pass  # no IVF artifacts saved
         return store
