@@ -136,3 +136,100 @@ def test_tokenize_zh_fallback(spark):
     # jieba absent here -> CJK-per-char fallback; schema contract holds
     assert "spark" in out and "text" in out
     assert all(len(t) > 0 for t in out)
+
+
+# ---------------------------------------------------------------------------
+# band-bucket capping (100 TB hazard: boilerplate-heavy buckets)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def boilerplate(spark):
+    """Pathological corpus: 300 byte-identical boilerplate docs + 4 distinct
+    ones — uncapped LSH banding would emit 300·299/2 = 44850 candidate
+    pairs from ONE bucket."""
+    boiler = "all rights reserved cookie policy accept terms and conditions apply"
+    rows = [(i, boiler) for i in range(300)] + [
+        (1000, "a unique document about spark adaptive query execution"),
+        (1001, "another unique document about parquet row group pruning"),
+        (1002, "vectors and embeddings and approximate nearest neighbors"),
+        (1003, "watermarks state stores and streaming sessionization"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_bucket_cap_bounds_pairs(boilerplate):
+    pairs = D.minhash_near_dup_pairs(
+        boilerplate, num_hashes=8, bands=4, threshold=0.5, max_bucket_size=50
+    ).collect()
+    found = {(r["src_id"], r["dst_id"]) for r in pairs}
+    # hub-star: every boilerplate doc links to the min-id hub (0) — linear,
+    # not quadratic, and the full cluster is recoverable via components
+    assert found == {(0, i) for i in range(1, 300)}
+    assert all(r["jaccard"] == 1.0 for r in pairs)
+
+
+def test_minhash_cap_noop_on_small_buckets(docs):
+    capped = D.minhash_near_dup_pairs(
+        docs, num_hashes=8, bands=4, threshold=0.5, max_bucket_size=50
+    ).collect()
+    uncapped = D.minhash_near_dup_pairs(
+        docs, num_hashes=8, bands=4, threshold=0.5, max_bucket_size=10**9
+    ).collect()
+    key = lambda r: (r["src_id"], r["dst_id"], r["jaccard"])
+    assert sorted(map(key, capped)) == sorted(map(key, uncapped))
+
+
+def test_simhash_bucket_cap_bounds_pairs(boilerplate):
+    pairs = D.simhash_near_dup_pairs(
+        boilerplate, max_hamming=3, bands=4, max_bucket_size=50
+    ).collect()
+    found = {(r["src_id"], r["dst_id"]) for r in pairs}
+    assert found == {(0, i) for i in range(1, 300)}
+    assert all(r["hamming"] == 0 for r in pairs)
+
+
+def test_band_bucket_stats_reports_capped(boilerplate):
+    sk = D.minhash_signatures(boilerplate, num_hashes=8)
+    entries = D.minhash_band_entries(sk, num_hashes=8, bands=4)
+    stats = D.band_bucket_stats(entries, max_bucket_size=50).collect()
+    assert len(stats) == 4  # one row per band
+    for r in stats:
+        assert r["max_bucket"] == 300
+        assert r["n_capped_buckets"] == 1
+        assert r["rows_in_capped"] == 300
+
+
+# ---------------------------------------------------------------------------
+# connected components + near-dup survivor selection
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_transitive_chain(spark):
+    # chain 1-2-3-4 plus isolated pair 10-11: two components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src_id long, dst_id long"
+    )
+    comp = {r["node"]: r["component"]
+            for r in D.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_merges_through_shared_node(spark):
+    # two stars sharing node 5 → one component rooted at the global min
+    pairs = spark.createDataFrame(
+        [(5, 6), (5, 7), (2, 5), (2, 9)], "src_id long, dst_id long"
+    )
+    comp = {r["node"]: r["component"]
+            for r in D.connected_components(pairs).collect()}
+    assert set(comp.values()) == {2}
+
+
+def test_drop_near_dups_keeps_one_per_cluster(docs):
+    pairs = D.minhash_near_dup_pairs(
+        docs, num_hashes=8, bands=4, threshold=0.5
+    )
+    kept = {r["doc_id"] for r in D.drop_near_dups(docs, pairs).collect()}
+    # docs 1,2 (exact) and possibly 3 (near) collapse to doc 1; others stay
+    assert 1 in kept and 2 not in kept
+    assert {4, 5, 6} <= kept

@@ -4,6 +4,8 @@ tolerance."""
 
 import math
 
+from pyspark.sql import functions as F
+
 from tests.conftest import SF_DIR
 from vervectordb_spark.operators import search as S
 from vervectordb_spark.schema import load_table
@@ -44,3 +46,32 @@ def test_batch_kernels_agree(spark):
         vid_g, sim_g = gemm[key]
         assert vid_f == vid_g
         assert math.isclose(sim_f, sim_g, abs_tol=1e-9)
+
+
+def test_gemm_blocked_query_side_matches_single_block(spark):
+    """The blocked query-side path (bounded driver memory at scale) must be
+    row-identical to the single-broadcast fast path."""
+    from vervectordb_spark.operators.topk import gemm_topk
+    from vervectordb_spark.schema import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 23).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    single = gemm_topk(emb, queries, top_k=5, block_size=10**6).collect()
+    blocked = gemm_topk(emb, queries, top_k=5, block_size=7).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"])
+    assert sorted(key(r) for r in single) == sorted(key(r) for r in blocked)
+
+
+def test_knn_self_join_blocked_matches(spark):
+    from vervectordb_spark.operators.search import knn_self_join
+    from vervectordb_spark.schema import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(40)
+    single = knn_self_join(emb, top_k=3).collect()
+    blocked = knn_self_join(emb, top_k=3, block_size=9).collect()
+    key = lambda r: (r["src_id"], r["rank"], r["dst_id"])
+    assert sorted(key(r) for r in single) == sorted(key(r) for r in blocked)

@@ -107,3 +107,20 @@ def test_pricing_summary_single_shuffle(spark):
 
     plan = A.physical_plan(pricing_summary(spark, SF_DIR))
     assert A.count_shuffles(plan) == 1
+
+
+def test_adc_search_is_take_ordered_not_global_window(spark, emb):
+    """ADC candidate ranking must be TakeOrderedAndProject (per-partition
+    heaps), NOT a row_number over a no-partition window — that funnels
+    every candidate through one partition at scale."""
+    import numpy as np
+    from vervectordb_spark.operators.pq import PQCodec
+
+    codec = PQCodec.fit(emb, dim=64, n_subquantizers=8, codebook_size=16,
+                        seed=42, sample_size=200)
+    encoded = codec.encode(emb)
+    qv = [0.1] * 64
+    plan = A.physical_plan(codec.adc_search(encoded, qv, top_k=5))
+    A.assert_operator(plan, "TakeOrderedAndProject")
+    A.assert_not_operator(plan, "Window")
+    A.assert_no_shuffle(plan)

@@ -20,13 +20,13 @@ so each operator has a bit-exact DuckDB oracle twin.
 Scale notes (100 TB):
   * exact: shuffle keys are 60-bit ints, not document bodies — project
     (id, md5) first, join bodies back only for the survivors.
-  * minhash: the only shuffle is groupBy(band, band_key); bucket sizes are
-    bounded by near-dup cluster sizes, and the pair join happens per-bucket
-    (bucket×bucket, not N×N). Skewed buckets (boilerplate docs) are the
-    known hazard — cap bucket size / salt, and AQE skew-join handles the
-    rest.
+  * minhash: the only shuffle is on (band, band_key); the pair join happens
+    per-bucket (bucket×bucket, not N×N). Skewed buckets (boilerplate docs)
+    are the known hazard — buckets above `max_bucket_size` degrade to
+    hub-star candidates (O(bucket) rows, cluster recovered via connected
+    components), with `band_bucket_stats` reporting what was capped.
   * simhash: fingerprints are 32-bit ints; candidate pairing joins on
-    rotated fingerprint bands, never all-pairs.
+    rotated fingerprint bands, never all-pairs — same bucket cap.
   * embedding: delegate to gemm_topk / IVF pruning — never a raw N² join.
 """
 
@@ -164,38 +164,106 @@ def jaccard_expr(a: Column, b: Column) -> Column:
     return F.when(union == 0.0, F.lit(0.0)).otherwise(inter / union)
 
 
-def minhash_near_dup_pairs(
-    df: DataFrame,
-    text_col: str = "text",
+# ---------------------------------------------------------------------------
+# band-bucket capping (shared by MinHash and SimHash candidate generation)
+# ---------------------------------------------------------------------------
+
+#: Buckets larger than this degrade from all-pairs to hub-star candidates.
+#: At web scale a boilerplate-heavy bucket (cookie banners, license headers)
+#: can hold 10^5+ docs — all-pairs there is quadratic in the bucket. Tune
+#: down (100–500) for boilerplate-heavy corpora.
+DEFAULT_MAX_BUCKET_SIZE = 1_000
+
+
+def _capped_band_candidates(
+    band_entries: DataFrame,
+    id_col: str,
+    max_bucket_size: int,
+    payload_col: str | None = None,
+) -> DataFrame:
+    """Candidate pairs from (id, band, band_key[, payload]) band entries,
+    with per-bucket size capping.
+
+    Buckets with <= max_bucket_size members produce ALL intra-bucket pairs
+    (the exact LSH contract). Oversized buckets degrade to a hub-star: every
+    member pairs with the bucket's min-id member only — O(bucket) candidate
+    rows instead of O(bucket²), and downstream connected components
+    (near_dup_components) still recovers the full duplicate cluster through
+    the hub. Pair loss is bounded to cross-member links whose hub link fails
+    verification — the documented price of not going quadratic.
+
+    One shuffle on (band, band_key) computes bucket size + hub via window
+    functions; the dense self-join reuses that partitioning. Returns
+    (src_id, dst_id[, src_p, dst_p]) with src_id < dst_id, deduped.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_key")
+    sized = band_entries.withColumn("_bsize", F.count("*").over(w)).withColumn(
+        "_hub", F.min(F.col(id_col)).over(w)
+    )
+    if payload_col is not None:
+        sized = sized.withColumn(
+            "_hub_p", F.min_by(F.col(payload_col), F.col(id_col)).over(w)
+        )
+    small = sized.filter(F.col("_bsize") <= max_bucket_size)
+    lcols = [F.col("band"), F.col("band_key"), F.col(id_col).alias("src_id")]
+    rcols = [F.col("band"), F.col("band_key"), F.col(id_col).alias("dst_id")]
+    if payload_col is not None:
+        lcols.append(F.col(payload_col).alias("src_p"))
+        rcols.append(F.col(payload_col).alias("dst_p"))
+    dense = (
+        small.select(*lcols)
+        .join(small.select(*rcols), on=["band", "band_key"])
+        .filter(F.col("src_id") < F.col("dst_id"))
+        .drop("band", "band_key")
+    )
+    big = sized.filter(
+        (F.col("_bsize") > max_bucket_size) & (F.col(id_col) != F.col("_hub"))
+    )
+    scols = [F.col("_hub").alias("src_id"), F.col(id_col).alias("dst_id")]
+    if payload_col is not None:
+        scols += [F.col("_hub_p").alias("src_p"), F.col(payload_col).alias("dst_p")]
+    star = big.select(*scols)  # hub == min(id) ⇒ src_id < dst_id holds
+    return dense.unionByName(star).dropDuplicates(["src_id", "dst_id"])
+
+
+def band_bucket_stats(
+    band_entries: DataFrame,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Observability for the cap: per-band bucket-size distribution and how
+    many buckets/rows exceeded max_bucket_size (and thus degraded to star
+    candidates). Feed `minhash_band_entries`/`simhash_band_entries` output.
+    Returns (band, n_buckets, max_bucket, n_capped_buckets, rows_in_capped).
+    """
+    sizes = band_entries.groupBy("band", "band_key").agg(
+        F.count("*").alias("bucket_size")
+    )
+    return sizes.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("bucket_size").alias("max_bucket"),
+        F.sum(
+            F.when(F.col("bucket_size") > max_bucket_size, 1).otherwise(0)
+        ).alias("n_capped_buckets"),
+        F.sum(
+            F.when(
+                F.col("bucket_size") > max_bucket_size, F.col("bucket_size")
+            ).otherwise(0)
+        ).alias("rows_in_capped"),
+    )
+
+
+def minhash_band_entries(
+    sk: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
-    shingle_n: int = 3,
-    threshold: float = 0.5,
 ) -> DataFrame:
-    """Near-duplicate pairs via LSH banding, Jaccard-verified.
-
-    num_hashes/bands rows per band; a pair is a candidate iff ANY band of
-    the signature matches exactly. Candidates are verified with exact
-    Jaccard over the shingle sets (so the output has no false positives —
-    LSH only bounds recall). Returns (src_id, dst_id, jaccard) with
-    src_id < dst_id.
-
-    Plan shape: sketch (map-side) → explode bands (map-side) →
-    groupBy-free self-join on (band, band_key) → distinct pair →
-    verify. The join key is (band_id, band_hash-concat): only docs sharing
-    a band collide, so join fan-out is bucket-sized, never N².
-    """
-    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    """(id, band, band_key) rows from a MinHash sketch table — the LSH
+    join key surface, also consumable by `band_bucket_stats`."""
     rows_per_band = num_hashes // bands
-
-    sk = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-
-    # Band rows carry (id, band, band_key) ONLY — never the shingle arrays.
-    # The self-join + pair-dedup shuffle moves 3 scalars per row; shingle
-    # sets rejoin by id AFTER the candidate set is deduped (measured 30×
-    # on sf0.1: shuffling arrays through the band join was the whole cost).
-    band_entries = sk.select(
+    return sk.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -216,18 +284,43 @@ def minhash_near_dup_pairs(
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.band_key")
 
-    left = band_entries.select(
-        "band", "band_key", F.col(id_col).alias("src_id")
-    )
-    right = band_entries.select(
-        "band", "band_key", F.col(id_col).alias("dst_id")
-    )
-    cand = (
-        left.join(right, on=["band", "band_key"])
-        .filter(F.col("src_id") < F.col("dst_id"))
-        .select("src_id", "dst_id")
-        .distinct()
-    )
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Near-duplicate pairs via LSH banding, Jaccard-verified.
+
+    num_hashes/bands rows per band; a pair is a candidate iff ANY band of
+    the signature matches exactly. Candidates are verified with exact
+    Jaccard over the shingle sets (so the output has no false positives —
+    LSH only bounds recall). Returns (src_id, dst_id, jaccard) with
+    src_id < dst_id.
+
+    Plan shape: sketch (map-side) → explode bands (map-side) →
+    size-capped self-join on (band, band_key) → distinct pair →
+    verify. The join key is (band_id, band_hash-concat): only docs sharing
+    a band collide, so join fan-out is bucket-sized, never N² — and buckets
+    above `max_bucket_size` (boilerplate-heavy corpora) degrade to hub-star
+    candidates instead of going quadratic (see _capped_band_candidates;
+    `band_bucket_stats` reports what was capped).
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+
+    sk = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+
+    # Band rows carry (id, band, band_key) ONLY — never the shingle arrays.
+    # The self-join + pair-dedup shuffle moves 3 scalars per row; shingle
+    # sets rejoin by id AFTER the candidate set is deduped (measured 30×
+    # on sf0.1: shuffling arrays through the band join was the whole cost).
+    band_entries = minhash_band_entries(sk, id_col, num_hashes, bands)
+    cand = _capped_band_candidates(band_entries, id_col, max_bucket_size)
     sh = sk.select(F.col(id_col), F.col("shingles"))
     verified = (
         cand.join(sh.select(F.col(id_col).alias("src_id"),
@@ -348,25 +441,13 @@ def simhash_fingerprints(
     )
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_hamming: int = 3,
-    bands: int = 4,
+def simhash_band_entries(
+    fp: DataFrame, id_col: str = "doc_id", bands: int = 4
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming.
-
-    Candidate generation: split the fingerprint into `bands` bit-bands; by
-    pigeonhole, any pair within max_hamming <= bands-1 differing bits shares
-    at least one exact band. Join per band key → verify hamming. Never
-    all-pairs. Returns (src_id, dst_id, hamming), src_id < dst_id.
-    """
+    """(id, simhash, band, band_key) rows from a fingerprint table."""
     bits_per_band = SIMHASH_BITS // bands
     mask = (1 << bits_per_band) - 1
-    fp = simhash_fingerprints(df, text_col, id_col)
-
-    banded = fp.select(
+    return fp.select(
         id_col,
         "simhash",
         F.explode(
@@ -384,24 +465,34 @@ def simhash_near_dup_pairs(
         ).alias("bk"),
     ).select(id_col, "simhash", "bk.band", "bk.band_key")
 
-    left = banded.select(
-        "band", "band_key",
-        F.col(id_col).alias("src_id"), F.col("simhash").alias("src_fp"),
-    )
-    right = banded.select(
-        "band", "band_key",
-        F.col(id_col).alias("dst_id"), F.col("simhash").alias("dst_fp"),
-    )
-    cand = (
-        left.join(right, on=["band", "band_key"])
-        .filter(F.col("src_id") < F.col("dst_id"))
-        .select("src_id", "dst_id", "src_fp", "dst_fp")
-        .dropDuplicates(["src_id", "dst_id"])
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Candidate generation: split the fingerprint into `bands` bit-bands; by
+    pigeonhole, any pair within max_hamming <= bands-1 differing bits shares
+    at least one exact band. Join per band key → verify hamming. Never
+    all-pairs — and band buckets above `max_bucket_size` degrade to
+    hub-star candidates (same cap as MinHash; a bucket full of identical
+    boilerplate would otherwise make the self-join quadratic in it).
+    Returns (src_id, dst_id, hamming), src_id < dst_id.
+    """
+    fp = simhash_fingerprints(df, text_col, id_col)
+    banded = simhash_band_entries(fp, id_col, bands)
+    cand = _capped_band_candidates(
+        banded, id_col, max_bucket_size, payload_col="simhash"
     )
     return cand.select(
         "src_id",
         "dst_id",
-        hamming_expr(F.col("src_fp"), F.col("dst_fp")).alias("hamming"),
+        hamming_expr(F.col("src_p"), F.col("dst_p")).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
 
 
@@ -430,3 +521,79 @@ def embedding_near_dup_pairs(
         .select("src_id", "dst_id", "sim")
         .dropDuplicates(["src_id", "dst_id"])
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: connected components + survivor selection
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over a near-dup pair set via iterative
+    min-label propagation: component id = min doc id reachable through the
+    pair graph. Returns (node, component) for every node in `pairs`.
+
+    Each iteration is one join + groupBy (label = min(own, neighbors'));
+    iterations needed = graph diameter, which for near-dup clusters is tiny
+    (clusters are dense — with hub-star capped buckets the hub keeps the
+    diameter ≤ 2 per bucket). Labels localCheckpoint per iteration so the
+    plan doesn't grow unboundedly; convergence is detected with a bounded
+    `limit(1)` probe, not a full count.
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            pairs.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .distinct()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("_n_min"))
+        )
+        updated = (
+            labels.join(neigh, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("_n_min", "component")
+                ).alias("component"),
+                (F.coalesce("_n_min", "component") < F.col("component")).alias(
+                    "_changed"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if not changed:
+            break
+    return labels
+
+
+def drop_near_dups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+) -> DataFrame:
+    """Keep ONE document per near-dup cluster (the min-id representative) —
+    the pipeline-facing companion to drop_exact_dups for the fuzzy
+    strategies: feed it the verified pair set from minhash/simhash/
+    embedding near-dup detection. Rows not in any pair survive untouched."""
+    comp = connected_components(pairs, src_col, dst_col)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

@@ -223,8 +223,6 @@ class PQCodec:
         Returns (id, sim[, rank])."""
         import numpy as np
 
-        from pyspark.sql import Window
-
         q = np.asarray(query_vec, dtype=np.float64)
         qn = float(np.linalg.norm(q))
         m, sub_dim = self.n_subquantizers, self.sub_dim
@@ -260,12 +258,10 @@ class PQCodec:
                 })
 
         cand = encoded.select(id_col, code_col).mapInPandas(score, out_schema)
-        w = Window.orderBy(F.desc("sim"), F.asc(id_col))
-        approx_top = (
-            cand.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= fetch)
-            .drop("_rk")
-        )
+        # orderBy().limit() → TakeOrderedAndProject: per-partition `fetch`-heaps
+        # merged at the driver. (A row_number over a global no-partition window
+        # funnels every candidate through ONE partition — the scale cliff.)
+        approx_top = cand.orderBy(F.desc("sim"), F.asc(id_col)).limit(fetch)
         if rerank is None:
             return approx_top.orderBy(F.desc("sim"), F.asc(id_col)).limit(top_k)
         from vervectordb_spark.operators.search import brute_force_topk

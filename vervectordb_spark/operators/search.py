@@ -111,6 +111,7 @@ def batch_topk(
     query_id: str = "query_id",
     id_col: str = "vec_id",
     kernel: str = "gemm",
+    block_size: int | None = None,
 ) -> DataFrame:
     """Genuinely batched multi-query top-k (reference Q6, fixed — its
     batch_size arg never batches, vervectordb/__init__.py:524-534).
@@ -122,12 +123,13 @@ def batch_topk(
     with the DuckDB oracle contract; used by the correctness gate.
     """
     if kernel == "gemm":
-        from vervectordb_spark.operators.topk import gemm_topk
+        from vervectordb_spark.operators.topk import DEFAULT_QUERY_BLOCK, gemm_topk
 
         return gemm_topk(
             corpus, queries, top_k,
             corpus_emb=corpus_emb, query_emb=query_emb,
             query_id=query_id, id_col=id_col,
+            block_size=block_size or DEFAULT_QUERY_BLOCK,
         )
     scored = corpus.crossJoin(F.broadcast(queries)).select(
         query_id,
@@ -147,6 +149,7 @@ def knn_self_join(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     kernel: str = "gemm",
+    block_size: int | None = None,
 ) -> DataFrame:
     """Exact k-nearest-neighbors for EVERY row (similarity self-join) —
     the all-pairs primitive behind near-dup detection and 'related items'.
@@ -154,14 +157,16 @@ def knn_self_join(
 
     kernel="gemm" (default): one side broadcast as a matrix, BLAS scoring,
     pairs never materialized (38× faster than the fold at sf0.1 —
-    measured 4.5s vs 171s on 4M pairs). When neither side fits in a
-    broadcast, block both sides or prune with IVF/LSH first
-    (operators/ann.py) — O(N²) must never materialize at 100 TB.
+    measured 4.5s vs 171s on 4M pairs). The query side (here: the whole
+    corpus) streams through the driver in bounded blocks
+    (topk.DEFAULT_QUERY_BLOCK), one corpus scan per block — never one
+    unbounded collect. Prune with IVF/LSH first (operators/ann.py) when
+    block count grows — O(N²) must never materialize at 100 TB.
     kernel="fold": Catalyst pair join + fold cosine, bit-exact with the
     DuckDB oracle; normalize-once so each pair costs ONE fold, not three.
     """
     if kernel == "gemm":
-        from vervectordb_spark.operators.topk import gemm_topk
+        from vervectordb_spark.operators.topk import DEFAULT_QUERY_BLOCK, gemm_topk
 
         out = gemm_topk(
             corpus=df,
@@ -173,6 +178,7 @@ def knn_self_join(
             query_emb="q_emb",
             id_col=id_col,
             exclude_self=True,
+            block_size=block_size or DEFAULT_QUERY_BLOCK,
         )
         return out.select(
             F.col("query_id").alias("src_id"),

@@ -20,9 +20,12 @@ This kernel never materializes pairs:
   4. one window ranks the shrunken candidate set.
 
 Scale math at 100 TB: corpus rows stream through executors (map-side only,
-no pair shuffle); broadcast is Q×dim×8 bytes (1M queries × 1024 dim ≈ 8 GB
-— at that point, block the query side and union the candidate sets; or
-prune with IVF/LSH first, which is the real 100 TB answer).
+no pair shuffle); the query side is broadcast in blocks of
+DEFAULT_QUERY_BLOCK rows (≈64 MB each at dim=128) with per-block candidate
+sets unioned before the final window — driver/executor memory stays
+bounded even when the query side is the whole corpus (kNN self-join). Each
+block costs one corpus scan; prune with IVF/LSH first when block count
+grows, which is the real 100 TB answer.
 
 Numeric note: GEMM sums in a different order than the sequential fold, so
 this kernel is NOT bit-identical to the DuckDB oracle contract — it agrees
@@ -45,6 +48,12 @@ def _normalize_rows(mat: np.ndarray) -> np.ndarray:
     return np.where(norms == 0.0, mat, mat / np.where(norms == 0.0, 1.0, norms))
 
 
+#: Queries per broadcast block: 64k rows × 128 dims × 8 B ≈ 64 MB per
+#: broadcast — bounded DRIVER and executor memory no matter how large the
+#: query side is (a kNN self-join passes the whole corpus as queries).
+DEFAULT_QUERY_BLOCK = 65_536
+
+
 def gemm_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -54,49 +63,86 @@ def gemm_topk(
     query_id: str = "query_id",
     id_col: str = "vec_id",
     exclude_self: bool = False,
+    block_size: int = DEFAULT_QUERY_BLOCK,
 ) -> DataFrame:
     """Cosine top-k of every query against the corpus.
 
     Returns (query_id, id_col, rank, sim) with rank 1..top_k per query,
     ties broken by id. `exclude_self` drops query_id == id_col matches
     (self-join mode).
+
+    The query side is processed in blocks of `block_size`: each block is
+    broadcast and scored against the corpus in its own map-only pass, and
+    the per-block candidate sets union before the final per-query window.
+    Small query sets (≤ block_size — the overwhelmingly common case) take
+    a single-collect fast path; large ones stream through
+    `toLocalIterator`, so driver memory is bounded by ONE block even when
+    the query side is the full corpus. The price of B blocks is B corpus
+    scans — cache the corpus for multi-block self-joins, or prune with
+    IVF/LSH first (the real 100 TB answer).
     """
     spark = corpus.sparkSession
-    qrows = queries.select(query_id, query_emb).collect()
-    if not qrows:
-        schema = f"{query_id} long, {id_col} long, rank int, sim double"
-        return spark.createDataFrame([], schema)
-    qids = np.array([r[0] for r in qrows], dtype=object)
-    qmat = _normalize_rows(np.array([list(r[1]) for r in qrows], dtype=np.float64))
-    bc = spark.sparkContext.broadcast((qids, qmat))
-    # one extra candidate per batch so self-exclusion can't starve a query
-    fetch_k = top_k + 1 if exclude_self else top_k
+    q_slim = queries.select(query_id, query_emb)
 
     qid_type = queries.schema[query_id].dataType.simpleString()
     vid_type = corpus.schema[id_col].dataType.simpleString()
     out_schema = f"{query_id} {qid_type}, {id_col} {vid_type}, sim double"
+    # one extra candidate per batch so self-exclusion can't starve a query
+    fetch_k = top_k + 1 if exclude_self else top_k
 
-    def score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
-        import pandas as pd
+    def score_block(qrows) -> DataFrame:
+        qids = np.array([r[0] for r in qrows], dtype=object)
+        qmat = _normalize_rows(
+            np.array([list(r[1]) for r in qrows], dtype=np.float64)
+        )
+        bc = spark.sparkContext.broadcast((qids, qmat))
 
-        b_qids, b_qmat = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = _normalize_rows(np.array(pdf[corpus_emb].tolist(), dtype=np.float64))
-            sims = b_qmat @ mat.T  # (Q, batch)
-            vids = pdf[id_col].to_numpy()
-            kk = min(fetch_k, sims.shape[1])
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            yield pd.DataFrame(
-                {
-                    query_id: np.repeat(b_qids, kk),
-                    id_col: vids[idx].ravel(),
-                    "sim": np.take_along_axis(sims, idx, 1).ravel(),
-                }
-            )
+        def score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+            import pandas as pd
 
-    cand = corpus.select(id_col, corpus_emb).mapInPandas(score, out_schema)
+            b_qids, b_qmat = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = _normalize_rows(
+                    np.array(pdf[corpus_emb].tolist(), dtype=np.float64)
+                )
+                sims = b_qmat @ mat.T  # (Q_block, batch)
+                vids = pdf[id_col].to_numpy()
+                kk = min(fetch_k, sims.shape[1])
+                idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                yield pd.DataFrame(
+                    {
+                        query_id: np.repeat(b_qids, kk),
+                        id_col: vids[idx].ravel(),
+                        "sim": np.take_along_axis(sims, idx, 1).ravel(),
+                    }
+                )
+
+        return corpus.select(id_col, corpus_emb).mapInPandas(score, out_schema)
+
+    # fast path probe: one collect bounded at block_size + 1 rows
+    probe = q_slim.limit(block_size + 1).collect()
+    if not probe:
+        schema = f"{query_id} long, {id_col} long, rank int, sim double"
+        return spark.createDataFrame([], schema)
+    if len(probe) <= block_size:
+        cand = score_block(probe)
+    else:
+        # stream the query side block-wise; the driver holds one block
+        block_cands: list[DataFrame] = []
+        block: list = []
+        for row in q_slim.toLocalIterator(prefetchPartitions=True):
+            block.append(row)
+            if len(block) == block_size:
+                block_cands.append(score_block(block))
+                block = []
+        if block:
+            block_cands.append(score_block(block))
+        cand = block_cands[0]
+        for extra in block_cands[1:]:
+            cand = cand.unionByName(extra)
+
     if exclude_self:
         cand = cand.filter(F.col(query_id) != F.col(id_col))
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(id_col))
