@@ -57,3 +57,22 @@ def test_asof_payload_dedup_deterministic(spark):
     ).collect()
     assert len(rows) == 1
     assert (rows[0]["v"], rows[0]["px"]) == ("aa", 9.0)  # min struct, not arbitrary
+
+
+def test_asof_map_payload(spark):
+    """Map-typed payload columns (unorderable in Spark) must work: the
+    dedup ranks by canonical JSON instead of a min-struct, which raised
+    AnalysisException for map payloads."""
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 9, {"b": "2"}), (1, 9, {"a": "1"})],
+        "k long, ts long, metadata map<string,string>",
+    )
+    rows = asof_join_backward(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        payload=("metadata",),
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["matched_ts"] == 9
+    # deterministic winner: lowest JSON serialization
+    assert dict(rows[0]["metadata"]) == {"a": "1"}

@@ -177,3 +177,52 @@ def test_checkpoint_collapses_lineage(store, tmp_path):
     # post-checkpoint plan is a single scan, not a union chain
     plan = store.df._jdf.queryExecution().executedPlan().toString()
     assert "Union" not in plan
+
+
+def test_save_after_load_same_path(spark, tmp_path):
+    """load(path) then save(path) must roundtrip: the overwrite targets the
+    path the lineage reads from, which save() breaks via localCheckpoint
+    (and by not rewriting disk-loaded IVF artifacts)."""
+    from vervectordb_spark.store import VectorStore
+
+    path = str(tmp_path / "db")
+    st = VectorStore(spark, 4, db_path=path)
+    st.batch_insert([[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+                     [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]])
+    st.build_ivf_index(n_clusters=2)
+    st.train_pq(n_subquantizers=2, sample_size=4)
+    st.save()
+
+    st2 = VectorStore.load(spark, path)
+    assert st2._ivf is not None and st2._pq is not None
+    st2.save()  # same path: must not raise
+    # and after a mutation (index invalidated), still saves fine
+    st2.insert([0.5, 0.5, 0.0, 0.0])
+    st2.save()
+    st3 = VectorStore.load(spark, path)
+    assert st3.df.count() == 5
+
+
+def test_load_ignores_empty_pq_artifacts(spark, tmp_path):
+    """An interrupted save leaving an empty pq/ dir must not crash load."""
+    import os
+    import warnings
+
+    from vervectordb_spark.operators.pq import PQCodec
+    from vervectordb_spark.store import VectorStore
+
+    path = str(tmp_path / "db2")
+    st = VectorStore(spark, 4, db_path=path)
+    st.batch_insert([[1.0, 0.0, 0.0, 0.0]])
+    st.save()
+    # simulate interrupted PQ save: schema-only parquet (zero rows)
+    spark.createDataFrame(
+        [], "subspace int, code int, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/pq")
+    with pytest.raises(ValueError, match="empty"):
+        PQCodec.load(spark, f"{path}/pq")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        st2 = VectorStore.load(spark, path)
+    assert st2._pq is None
+    assert any("PQ artifacts" in str(x.message) for x in w)

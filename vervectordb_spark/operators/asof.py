@@ -67,17 +67,36 @@ def asof_join_backward(
     )
     if not payload:
         return out
-    # Deterministic dedup: min over the payload struct per (key, ts) —
-    # dropDuplicates keeps an ARBITRARY row, which makes output flap when
-    # (key, ts) repeats with different payloads.
+    # Deterministic dedup: rank-1 row per (key, ts) ordered by the payload
+    # struct — dropDuplicates keeps an ARBITRARY row, which makes output
+    # flap when (key, ts) repeats with different payloads. Unorderable
+    # payload types (maps, anywhere in the nesting) order by their
+    # canonical JSON serialization instead, so ANY payload column type
+    # dedups deterministically.
+    p_struct = F.struct(*[F.col(c) for c in payload])
+
+    def _has_map(dt) -> bool:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
+
+    orderable = not any(_has_map(right.schema[c].dataType) for c in payload)
+    order_col = F.col("_p") if orderable else F.to_json(F.col("_p"))
+    wp = Window.partitionBy(key, matched_col).orderBy(order_col)
     slim = (
         right.select(
             F.col(key),
             F.col(right_ts).alias(matched_col),
-            F.struct(*[F.col(c) for c in payload]).alias("_p"),
+            p_struct.alias("_p"),
         )
-        .groupBy(key, matched_col)
-        .agg(F.min("_p").alias("_p"))
+        .withColumn("_rk", F.row_number().over(wp))
+        .filter(F.col("_rk") == 1)
         .select(key, matched_col, "_p.*")
     )
     return out.join(slim, on=[key, matched_col], how="left")

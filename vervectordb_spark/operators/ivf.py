@@ -323,5 +323,10 @@ class IVFIndex:
              emb_col: str = "embedding") -> "IVFIndex":
         assigned = spark.read.parquet(f"{path}/vectors_by_cluster")
         rows = spark.read.parquet(f"{path}/centroids").orderBy("cluster_id").collect()
+        if not rows:
+            raise ValueError(
+                f"IVF centroids at {path} are empty (interrupted save?) — "
+                "rebuild or delete the directory"
+            )
         centroids = np.array([r["centroid"] for r in rows])
         return cls(assigned, centroids, id_col=id_col, emb_col=emb_col)

@@ -308,6 +308,11 @@ class PQCodec:
     @classmethod
     def load(cls, spark, path: str) -> "PQCodec":
         rows = spark.read.parquet(path).orderBy("subspace", "code").collect()
+        if not rows:
+            raise ValueError(
+                f"PQ artifacts at {path} are empty (interrupted save?) — "
+                "retrain or delete the directory"
+            )
         m = max(r["subspace"] for r in rows) + 1
         k = max(r["code"] for r in rows) + 1
         sub_dim = len(rows[0]["centroid"])

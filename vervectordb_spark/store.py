@@ -69,6 +69,9 @@ class VectorStore:
         self._ivf = None
         self._ann = None
         self._pq = None
+        # provenance for same-path save-after-load (see save())
+        self._loaded_from: str | None = None
+        self._ivf_from_disk = False
 
     # ------------------------------------------------------------------ DML
     def _check_rows(self, vectors: Sequence[Sequence[float]]) -> None:
@@ -222,11 +225,13 @@ class VectorStore:
     def _invalidate(self) -> None:
         self._ivf = None
         self._ann = None
+        self._ivf_from_disk = False
 
     def build_ivf_index(self, n_clusters: int = 16, seed: int = 42):
         from vervectordb_spark.operators.ivf import IVFIndex
 
         self._ivf = IVFIndex.build(self.df, n_clusters=n_clusters, seed=seed)
+        self._ivf_from_disk = False
         return self._ivf
 
     def ivf_search(self, query_vector, top_k: int = 5, nprobe: int | None = None,
@@ -303,14 +308,27 @@ class VectorStore:
     # ---------------------------------------------------------- persistence
     def save(self, path: str | None = None) -> None:
         """S4: per-component parquet tables instead of one pickle blob —
-        scan-able, partition-able, schema-evolvable."""
+        scan-able, partition-able, schema-evolvable.
+
+        Save-after-load to the SAME path is supported: the in-flight
+        DataFrames are materialized (localCheckpoint) first so the
+        overwrite never targets a path its own lineage is reading
+        ('Cannot overwrite a path that is also being read from'), and IVF
+        artifacts that came unchanged off this very path are not
+        rewritten. At 100 TB prefer versioned destination dirs; the
+        same-path rewrite is the small-store convenience."""
         path = path or self.db_path
         if not path:
             raise ValueError("no db_path")
+        same = self._loaded_from == path
+        if same:
+            self.df = self.df.localCheckpoint(eager=True)
+            if self._ivf is not None and not self._ivf_from_disk:
+                self._ivf.assigned = self._ivf.assigned.localCheckpoint(eager=True)
         self.df.write.mode("overwrite").parquet(f"{path}/vectors")
         if self._pq is not None:
             self._pq.save(f"{path}/pq", self.spark)
-        if self._ivf is not None:
+        if self._ivf is not None and not (same and self._ivf_from_disk):
             self._ivf.save(f"{path}/ivf")
 
     @classmethod
@@ -325,16 +343,26 @@ class VectorStore:
             vector_dim = row[0]["d"] if row else 0
         store = cls(spark, vector_dim, db_path=path)
         store.df = df
+        store._loaded_from = path
         from vervectordb_spark.operators.pq import PQCodec
 
         try:
             store._pq = PQCodec.load(spark, f"{path}/pq")
         except AnalysisException:
             pass  # no PQ artifacts saved
+        except ValueError as e:  # empty/corrupt artifacts (interrupted save)
+            import warnings
+
+            warnings.warn(f"ignoring corrupt PQ artifacts: {e}")
         from vervectordb_spark.operators.ivf import IVFIndex
 
         try:
             store._ivf = IVFIndex.load(spark, f"{path}/ivf")
+            store._ivf_from_disk = True
         except AnalysisException:
             pass  # no IVF artifacts saved
+        except ValueError as e:
+            import warnings
+
+            warnings.warn(f"ignoring corrupt IVF artifacts: {e}")
         return store
