@@ -545,12 +545,16 @@ def connected_components(
     plan doesn't grow unboundedly; convergence is detected with a bounded
     `limit(1)` probe, not a full count.
     """
+    # materialize the edge set ONCE — every iteration joins against it, and
+    # without this the full upstream pair pipeline (LSH banding + verify)
+    # re-executes per iteration
     edges = (
         pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .unionByName(
             pairs.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
         "component", F.col("node")

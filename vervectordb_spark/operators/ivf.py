@@ -251,7 +251,8 @@ class IVFIndex:
 
     def search_pq(self, codec, encoded: DataFrame, query_vec: Sequence[float],
                   top_k: int = 5, nprobe: int | None = None,
-                  rerank: DataFrame | None = None) -> DataFrame:
+                  rerank: DataFrame | None = None,
+                  probed: Sequence[int] | None = None) -> DataFrame:
         """IVF-PQ: cluster probe → ADC over codes in probed clusters →
         optional exact rerank — the FAISS-style serving layout, composed
         from this index and a PQCodec.
@@ -261,8 +262,12 @@ class IVFIndex:
         and the ADC scan touches m bytes/row of ~nprobe/k of the corpus:
         at 100 TB with k=4096, nprobe=64 and m=16, a query reads
         ~100TB × (64/4096) × (16/(dim·4)) ≈ 25 GB — executor-parallel,
-        driver state = one (m×256) LUT pair."""
-        probed = self.probe_clusters(query_vec, nprobe)
+        driver state = one (m×256) LUT pair.
+
+        `probed` overrides probe-set selection (oracle-gated callers pass
+        the bit-exact set from probe_clusters_exact)."""
+        if probed is None:
+            probed = self.probe_clusters(query_vec, nprobe)
         cand = encoded.filter(F.col("cluster_id").isin(probed))
         return codec.adc_search(
             cand, query_vec, top_k=top_k, id_col=self.id_col, rerank=rerank,

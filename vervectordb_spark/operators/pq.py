@@ -220,17 +220,37 @@ class PQCodec:
         With `rerank` (the raw-vector table), the top rerank_factor·k ADC
         candidates are re-scored exactly — recall of exact search on the
         candidate set, I/O of the compressed scan on the corpus.
-        Returns (id, sim[, rank])."""
+        Returns (id, sim[, rank]).
+
+        Numerics contract: every float in the ADC score follows the
+        bit-exact sequential-fold convention shared with the DuckDB oracle
+        (queries.py header) — LUT entries are sequential dot folds, the
+        per-row sums accumulate in subspace order, and per-batch candidate
+        pruning tie-breaks by id — so the whole probe → ADC → rerank path
+        is oracle-checkable (queries_pq.ivfpq_search_adc)."""
         import numpy as np
 
         q = np.asarray(query_vec, dtype=np.float64)
-        qn = float(np.linalg.norm(q))
         m, sub_dim = self.n_subquantizers, self.sub_dim
-        lut_dot = np.stack([
-            self.codebooks[s] @ q[s * sub_dim:(s + 1) * sub_dim]
-            for s in range(m)
-        ])  # (m, k)
-        lut_norm = (self.codebooks ** 2).sum(axis=2)  # (m, k)
+        k = self.codebook_size
+        # Sequential folds (NOT BLAS / numpy reductions, whose summation
+        # order differs in the last bit): trivial cost at m·k·sub_dim.
+        acc = 0.0
+        for x in q:
+            acc += x * x
+        qn = float(np.sqrt(acc))
+        lut_dot = np.empty((m, k))
+        lut_norm = np.empty((m, k))
+        for s in range(m):
+            for c in range(k):
+                d = 0.0
+                n = 0.0
+                for i in range(sub_dim):
+                    cv = float(self.codebooks[s, c, i])
+                    d += cv * q[s * sub_dim + i]
+                    n += cv * cv
+                lut_dot[s, c] = d
+                lut_norm[s, c] = n
         spark = encoded.sparkSession
         bc = spark.sparkContext.broadcast((lut_dot, lut_norm, qn))
         fetch = rerank_factor * top_k if rerank is not None else top_k
@@ -241,21 +261,29 @@ class PQCodec:
             import pandas as pd
 
             b_dot, b_norm, b_qn = bc.value
-            sub_idx = np.arange(b_dot.shape[0])
+            n_sub = b_dot.shape[0]
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 codes = np.asarray(pdf[code_col].tolist(), dtype=np.int16) + 128
-                dots = b_dot[sub_idx[None, :], codes].sum(axis=1)
-                norms = np.sqrt(b_norm[sub_idx[None, :], codes].sum(axis=1))
-                denom = norms * b_qn
+                # accumulate in subspace order: a sequential fold per row
+                # (vectorized across rows) — matches the oracle's
+                # left-associative lut[1]+lut[2]+...+lut[m]
+                dots = np.zeros(len(codes))
+                norms_sq = np.zeros(len(codes))
+                for s in range(n_sub):
+                    dots += b_dot[s, codes[:, s]]
+                    norms_sq += b_norm[s, codes[:, s]]
+                denom = np.sqrt(norms_sq) * b_qn
                 with np.errstate(divide="ignore", invalid="ignore"):
                     sims = np.where(denom == 0.0, 0.0, dots / denom)
                 kk = min(fetch, len(sims))
-                idx = np.argpartition(-sims, kk - 1)[:kk]
-                yield pd.DataFrame({
-                    id_col: pdf[id_col].to_numpy()[idx], "sim": sims[idx]
-                })
+                vids = pdf[id_col].to_numpy()
+                # deterministic per-batch prune: (sim desc, id asc) — with
+                # quantized codes, ADC sims TIE often; an unstable partial
+                # sort at the batch boundary would desync from the oracle
+                idx = np.lexsort((vids, -sims))[:kk]
+                yield pd.DataFrame({id_col: vids[idx], "sim": sims[idx]})
 
         cand = encoded.select(id_col, code_col).mapInPandas(score, out_schema)
         # orderBy().limit() → TakeOrderedAndProject: per-partition `fetch`-heaps

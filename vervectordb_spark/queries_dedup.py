@@ -140,6 +140,87 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# near-dup connected components — survivor selection needs "keep one doc per
+# CLUSTER", not per pair: min-label propagation over the verified pair set.
+# Planted exact copies of docs 0..9 enrich the graph (each copy inherits all
+# of its original's collisions → triangles + multi-hop components), and the
+# oracle replays the closure with a recursive CTE.
+# ---------------------------------------------------------------------------
+
+_CC_BAND_KEYS = " UNION ALL ".join(
+    f"SELECT doc_id, s, {b} AS band, "
+    f"sig[{b * _ROWS_PER_BAND + 1}]::VARCHAR || '_' || "
+    f"sig[{b * _ROWS_PER_BAND + 2}]::VARCHAR AS band_key FROM sig"
+    for b in range(_BANDS)
+)
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+WITH RECURSIVE
+base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 10
+),
+t AS (SELECT doc_id, {_TOKS} AS toks FROM base),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
+hb AS (SELECT doc_id, s, list_transform(s, t -> {_md5_sql('t')}) AS hs FROM sh),
+sig AS (SELECT doc_id, s, [{_SIG_MINS}] AS sig FROM hb),
+bands AS ({_CC_BAND_KEYS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS src_id, b.doc_id AS dst_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+vp AS (
+  SELECT c.src_id, c.dst_id
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.src_id
+  JOIN sh y ON y.doc_id = c.dst_id
+  WHERE {_jaccard_sql('x.s', 'y.s')} >= 0.3
+),
+nodes AS (
+  SELECT DISTINCT n FROM (
+    SELECT src_id AS n FROM vp UNION ALL SELECT dst_id FROM vp
+  )
+),
+edges AS (
+  SELECT src_id AS a, dst_id AS b FROM vp
+  UNION
+  SELECT dst_id AS a, src_id AS b FROM vp
+),
+reach(node, r) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT component, COUNT(*) AS n_members,
+       array_to_string(list_sort(list(node)), ',') AS ids
+FROM comp GROUP BY component
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    base = docs.unionByName(planted)
+    pairs = D.minhash_near_dup_pairs(
+        base, num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3, threshold=0.3
+    )
+    comp = D.connected_components(pairs)
+    return comp.groupBy("component").agg(
+        F.count("*").alias("n_members"),
+        F.concat_ws(
+            ",", F.array_sort(F.collect_list("node")).cast("array<string>")
+        ).alias("ids"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram Jaccard — top-20 most similar pairs (the verifier path)
 # ---------------------------------------------------------------------------
 

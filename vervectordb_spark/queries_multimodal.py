@@ -9,9 +9,9 @@ binary-column plumbing gets real oracle coverage:
                            identical for utf-8)
   multimodal_frame_sample  video frame-explosion row counts (integer math
                            twin)
-  multimodal_features      mapInPandas feature extraction — rows-only check
-                           (the Arrow batch pipeline; histogram parity in
-                           pytest instead of SQL)
+  multimodal_features      mapInPandas feature extraction — full value check:
+                           every (media, bin) of the byte-histogram feature
+                           vector replayed by DuckDB over the payload bytes
 """
 
 from __future__ import annotations
@@ -76,19 +76,38 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.groupBy("media_id").agg(F.count("*").alias("n_frames"))
 
 
-@query("multimodal_features")  # rows-only: Arrow plumbing; values pytest-gated
+@query(
+    "multimodal_features",
+    oracle="""
+WITH src AS (SELECT doc_id, octet_length(encode(text)) AS total, text FROM documents),
+byt AS (
+  SELECT doc_id, unnest(list_transform(range(1, total + 1),
+           j -> ('0x' || substr(hex(encode(text)), 2*j-1, 2))::INT // 4)) AS bin
+  FROM src
+),
+cnt AS (SELECT doc_id, bin, COUNT(*) AS c FROM byt GROUP BY 1, 2),
+grid AS (SELECT s.doc_id, s.total, r.range AS bin FROM src s, range(0, 64) r)
+SELECT g.doc_id AS media_id, g.bin::INT AS bin,
+  ROUND(CASE WHEN g.total = 0 THEN 0.0
+        ELSE (COALESCE(c.c, 0)::DOUBLE / g.total)::REAL::DOUBLE END, 6) AS val
+FROM grid g LEFT JOIN cnt c ON g.doc_id = c.doc_id AND g.bin = c.bin
+""",
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas feature extractor, value-checked: the deterministic
+    fake is a 64-bin byte histogram of the payload, and the payload is the
+    utf-8 text — so DuckDB replays every bin exactly (byte b lands in bin
+    b//4 == np.histogram(bins=64, range=(0,256)); count/total division in
+    double, cast through float32 like the extractor's output dtype).
+    One row per (media, bin): the FULL feature vector is compared, not a
+    summary."""
     docs = load_table(spark, sf_dir, "documents")
     media = MM.attach_fake_media(docs)
     feats = MM.extract_features(media, dim=64, fake=True)
     return feats.select(
+        "media_id", F.posexplode("features").alias("bin", "_v")
+    ).select(
         "media_id",
-        F.size("features").alias("dim"),
-        F.round(
-            F.aggregate(
-                F.col("features").cast("array<double>"),
-                F.lit(0.0), lambda a, x: a + x,
-            ),
-            6,
-        ).alias("mass"),  # histogram is normalized: mass == 1.0 per row
+        F.col("bin").cast("int").alias("bin"),
+        F.round(F.col("_v").cast("double"), 6).alias("val"),
     )

@@ -95,3 +95,153 @@ def pq_encode_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "code",
         F.round(F.element_at("centroid", 1), 6).alias("c0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ end-to-end: cluster probe → ADC over codes in probed clusters →
+# exact rerank — the flagship FAISS-style serving path
+# (operators/ivf.IVFIndex.search_pq + operators/pq.PQCodec.adc_search),
+# oracle-replayed with frozen centroids AND frozen codebooks. The ADC score
+# mirrors the kernel's LUT structure exactly: per-subspace sequential dot
+# folds, then a left-associative sum across the m subspaces.
+# ---------------------------------------------------------------------------
+
+_CODE_DIFF = f"list_transform(range(1, {_SUB_DIM}+1), i -> sl[i] - centroid[i])"
+
+#: left-associative m-term sum lut[1]+lut[2]+...+lut[m] — the oracle twin of
+#: the kernel's subspace-ordered accumulation
+def _seq_sum(col: str) -> str:
+    out = f"{col}[1]"
+    for i in range(2, _N_SUB + 1):
+        out = f"({out} + {col}[{i}])"
+    return out
+
+
+_NPROBE = 8
+_RERANK_FETCH = 50  # rerank_factor 5 × top_k 10
+
+_COS = (
+    "(CASE WHEN list_dot_product({a}, {a}) = 0 OR list_dot_product({b}, {b}) = 0 "
+    "THEN 0.0 ELSE list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))) END)"
+)
+
+
+@query(
+    "ivfpq_search_adc",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id::INTEGER AS cluster_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 16
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+assign AS (
+  SELECT e.vec_id, c.cluster_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_COS.format(a='e.embedding::DOUBLE[]', b='c.cv')} DESC,
+                    c.cluster_id
+         ) AS rk
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (SELECT vec_id, cluster_id FROM assign WHERE rk = 1),
+probed AS (
+  SELECT c.cluster_id FROM cent c CROSS JOIN q
+  ORDER BY {_COS.format(a='c.cv', b='q.qv')} DESC, c.cluster_id
+  LIMIT {_NPROBE}
+),
+cb AS ({_CB_SQL}),
+sliced AS (
+  SELECT e.vec_id, cb.subspace, cb.code, cb.centroid,
+         list_slice(e.embedding::DOUBLE[], cb.subspace*{_SUB_DIM}+1,
+                    cb.subspace*{_SUB_DIM}+{_SUB_DIM}) AS sl
+  FROM embeddings e CROSS JOIN cb
+),
+code_scored AS (
+  SELECT vec_id, subspace, code,
+         list_dot_product({_CODE_DIFF}, {_CODE_DIFF}) AS dist
+  FROM sliced
+),
+code_ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id, subspace ORDER BY dist, code
+  ) AS rk
+  FROM code_scored
+),
+codes AS (SELECT vec_id, subspace, code FROM code_ranked WHERE rk = 1),
+lut AS (
+  SELECT cb.subspace, cb.code,
+         list_dot_product(
+           list_slice(q.qv, cb.subspace*{_SUB_DIM}+1,
+                      cb.subspace*{_SUB_DIM}+{_SUB_DIM}), cb.centroid
+         ) AS dot_v,
+         list_dot_product(cb.centroid, cb.centroid) AS norm_v
+  FROM cb CROSS JOIN q
+),
+adc0 AS (
+  SELECT c.vec_id,
+         list(l.dot_v ORDER BY c.subspace) AS dl,
+         list(l.norm_v ORDER BY c.subspace) AS nl
+  FROM codes c
+  JOIN lut l ON c.subspace = l.subspace AND c.code = l.code
+  JOIN assigned a ON a.vec_id = c.vec_id
+  WHERE a.cluster_id IN (SELECT cluster_id FROM probed)
+  GROUP BY c.vec_id
+),
+adc AS (
+  SELECT vec_id, {_seq_sum('dl')} AS dot_sum, {_seq_sum('nl')} AS norm_sum
+  FROM adc0
+),
+qn AS (SELECT sqrt(list_dot_product(qv, qv)) AS v FROM q),
+adc_sims AS (
+  SELECT vec_id,
+         CASE WHEN sqrt(norm_sum) * (SELECT v FROM qn) = 0 THEN 0.0
+              ELSE dot_sum / (sqrt(norm_sum) * (SELECT v FROM qn)) END AS sim
+  FROM adc
+),
+pool AS (
+  SELECT vec_id FROM adc_sims ORDER BY sim DESC, vec_id LIMIT {_RERANK_FETCH}
+),
+rerank AS (
+  SELECT e.vec_id, {_COS.format(a='e.embedding::DOUBLE[]', b='q.qv')} AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id IN (SELECT vec_id FROM pool)
+)
+SELECT vec_id, ROUND(sim, 6) AS sim
+FROM (SELECT * FROM rerank ORDER BY sim DESC, vec_id LIMIT 10)
+""",
+)
+def ivfpq_search_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving path end-to-end (operators/ivf.py search_pq): probe
+    nprobe=8 of 16 frozen centroids → ADC over expr-encoded codes in the
+    probed clusters (LUT gather, m bytes/row) → exact rerank of the top-50
+    ADC pool → top-10. Codes come from the bit-exact expr encoder (its
+    equivalence to the GEMM encoder is pytest-gated)."""
+    from vervectordb_spark.operators.ivf import IVFIndex
+    from vervectordb_spark.operators.pq import PQCodec
+    from vervectordb_spark.queries import _query_vec
+    from vervectordb_spark.functions.similarity import to_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cluster_id"),
+        to_double(F.col("embedding")).alias("centroid"),
+    )
+    idx = IVFIndex.from_centroids(emb, cent)
+    cb = _frozen_codebooks(spark, sf_dir)
+    codec = PQCodec.from_codebook_df(cb)
+    codes = PQCodec.encode_with_expr(emb, cb, sub_dim=_SUB_DIM)
+    pq_arr = codes.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+            lambda s: (s["code"] - 128).cast("tinyint"),
+        ).alias("pq_code")
+    )
+    encoded = idx.assigned.select("vec_id", "cluster_id").join(pq_arr, on="vec_id")
+    qv = _query_vec(spark, sf_dir)
+    probed = idx.probe_clusters_exact(qv, nprobe=_NPROBE)
+    out = idx.search_pq(
+        codec, encoded, qv, top_k=10,
+        rerank=emb.select("vec_id", "embedding"), probed=probed,
+    )
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
