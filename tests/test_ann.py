@@ -56,6 +56,32 @@ def test_signlsh_query_buckets_match_column_exprs(emb):
     assert qb == [row["bucket_0"], row["bucket_1"]]
 
 
+def test_signlsh_gemm_fold_signatures_identical(emb):
+    """The GEMM (mapInPandas BLAS) and fold (Catalyst expression) signature
+    kernels must produce identical bucket columns — they differ only in
+    float summation order, which can flip a sign bit only when a plane dot
+    is within rounding of zero (never on the fixture)."""
+    gemm = SignLSHIndex.build(emb, n_tables=2, bits=6, kernel="gemm")
+    fold = SignLSHIndex.build(emb, n_tables=2, bits=6, kernel="fold")
+    cols = ["vec_id", "bucket_0", "bucket_1"]
+    diff = (
+        gemm.signed.select(cols)
+        .exceptAll(fold.signed.select(cols))
+        .count()
+    )
+    assert diff == 0
+    assert gemm.signed.count() == fold.signed.count()
+
+
+def test_signlsh_gemm_preserves_passthrough_columns(emb):
+    """GEMM kernel must not disturb non-embedding columns (full row
+    pass-through via mapInPandas)."""
+    gemm = SignLSHIndex.build(emb, n_tables=1, bits=4, kernel="gemm")
+    assert set(emb.columns).issubset(set(gemm.signed.columns))
+    orig = emb.select("vec_id").exceptAll(gemm.signed.select("vec_id")).count()
+    assert orig == 0
+
+
 def test_signlsh_recall(emb):
     """8 tables × 4 bits: mean recall@10 over 5 queries clears 0.5 (tunable
     to ~1.0 with more tables — the contract knob, not a fixed constant)."""

@@ -67,6 +67,41 @@ def bucket_expr(emb: Column, planes: Sequence[Sequence[float]]) -> Column:
     return out
 
 
+def _sign_gemm(df: DataFrame, planes: Sequence[Sequence[float]],
+               n_tables: int, bits: int, emb_col: str, dim: int) -> DataFrame:
+    """GEMM signature kernel: all rows pass through untouched; bucket_<t>
+    columns are appended from one (batch × dim)·(dim × n_planes) multiply
+    per Arrow batch. Map-only — no shuffle, no pair relation."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    pmat = np.asarray(planes, dtype=np.float64).reshape(len(planes), dim)
+    bc = spark.sparkContext.broadcast(pmat)
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(f"bucket_{t}", LongType(), False) for t in range(n_tables)]
+    )
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    def sign(batches):
+        P = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                for t in range(n_tables):
+                    pdf[f"bucket_{t}"] = np.empty(0, dtype=np.int64)
+                yield pdf
+                continue
+            mat = np.array(pdf[emb_col].tolist(), dtype=np.float64)
+            sign_bits = (mat @ P.T > 0.0).reshape(len(pdf), n_tables, bits)
+            buckets = sign_bits.astype(np.int64) @ weights  # (rows, n_tables)
+            for t in range(n_tables):
+                pdf[f"bucket_{t}"] = buckets[:, t]
+            yield pdf
+
+    return df.mapInPandas(sign, out_schema)
+
+
 class SignLSHIndex:
     """Multi-table sign-LSH: `signed` carries bucket_<t> int columns."""
 
@@ -82,20 +117,39 @@ class SignLSHIndex:
 
     @classmethod
     def build(cls, df: DataFrame, n_tables: int = 8, bits: int = 8,
-              id_col: str = "vec_id", emb_col: str = "embedding") -> "SignLSHIndex":
+              id_col: str = "vec_id", emb_col: str = "embedding",
+              kernel: str = "gemm") -> "SignLSHIndex":
         """One map-only pass adds bucket_<t> columns. At scale, persist
-        partitioned/clustered by bucket_0 so probes prune partitions."""
+        partitioned/clustered by bucket_0 so probes prune partitions.
+
+        Two signature kernels (pytest-checked equivalent):
+
+          kernel="gemm" (default): one BLAS (batch × dim)·(dim × planes)
+            multiply per Arrow batch via mapInPandas — n_tables·bits dots
+            per row in one matmul instead of that many codegen'd folds.
+          kernel="fold": Catalyst fold expressions — sequential-sum
+            arithmetic identical to DuckDB list_dot_product, so the whole
+            signature → probe → rescore path is oracle-checkable.
+
+        Sign agreement: the kernels differ only in float summation order
+        (~1e-13 relative), so a signature bit could differ only when a
+        plane dot is within rounding of 0 — never observed on real data,
+        and oracle-gated queries pin kernel="fold" regardless.
+        """
         dim = df.select(F.size(emb_col).alias("d")).first()["d"]
         planes = rademacher_planes(n_tables * bits, dim)
-        # stage the double-cast array once: every plane fold references the
-        # projected column instead of re-casting per fold
-        out = df.withColumn("_embd", to_double(F.col(emb_col)))
-        for t in range(n_tables):
-            table_planes = planes[t * bits : (t + 1) * bits]
-            out = out.withColumn(
-                f"bucket_{t}", bucket_expr(F.col("_embd"), table_planes)
-            )
-        out = out.drop("_embd")
+        if kernel == "gemm":
+            out = _sign_gemm(df, planes, n_tables, bits, emb_col, dim)
+        else:
+            # stage the double-cast array once: every plane fold references
+            # the projected column instead of re-casting per fold
+            out = df.withColumn("_embd", to_double(F.col(emb_col)))
+            for t in range(n_tables):
+                table_planes = planes[t * bits : (t + 1) * bits]
+                out = out.withColumn(
+                    f"bucket_{t}", bucket_expr(F.col("_embd"), table_planes)
+                )
+            out = out.drop("_embd")
         return cls(out, planes, n_tables, bits, id_col=id_col, emb_col=emb_col)
 
     def query_buckets(self, query_vec: Sequence[float]) -> list[int]:

@@ -77,7 +77,10 @@ def ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vervectordb_spark.queries import _query_vec
 
     emb = load_table(spark, sf_dir, "embeddings")
-    idx = SignLSHIndex.build(emb, n_tables=_N_TABLES, bits=_BITS)
+    # kernel="fold": sequential-sum signature arithmetic, bit-exact with the
+    # DuckDB list_dot_product twin above (the gemm kernel agrees to ~1e-13
+    # but is not contractually bit-identical)
+    idx = SignLSHIndex.build(emb, n_tables=_N_TABLES, bits=_BITS, kernel="fold")
     qv = _query_vec(spark, sf_dir)
     out = idx.search(qv, top_k=10)
     return out.select("vec_id", F.round("sim", 6).alias("sim"))
