@@ -14,12 +14,19 @@ Anchors (BASELINE.md, measured reference on this machine):
 
 Each query is forced with a noop-format write (full computation, no
 driver-side materialization cost) or a bounded collect for top-k results.
+
+Each query runs $SPARK_GRAFT_BENCH_REPEATS times (default 3) and reports
+the MEDIAN — run-to-run JVM/GC noise at these sizes is ±30%, which
+otherwise hides real regressions between rounds (the round-2 bench deltas
+were pure noise on unchanged code). `repeats` also appears in the JSON so
+rounds are comparable.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -104,6 +111,8 @@ def build_benches(spark, sf_dir: str):
 
     @bench("ivf_build")
     def _ivf_build():
+        if _ivf_holder:  # repeat runs: drop the previous cached assignment
+            _ivf_holder.pop().assigned.unpersist()
         idx = IVFIndex.build(emb, n_clusters=16, seed=42)
         idx.assigned.cache().count()  # materialize assignments, like the ref build
         _ivf_holder.append(idx)
@@ -162,6 +171,8 @@ def build_benches(spark, sf_dir: str):
 
         @bench("ann_build")
         def _ann_build():
+            if _ann_holder:  # repeat runs: drop the previous cached signatures
+                _ann_holder.pop().signed.unpersist()
             idx = SignLSHIndex.build(emb, n_tables=8, bits=6)
             idx.signed.cache().count()
             _ann_holder.append(idx)
@@ -235,12 +246,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(10_000).selectExpr("sum(id * 2)").collect()  # JVM warmup
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     benches = build_benches(spark, sf_dir)
     timings: dict[str, float] = {}
     for name, thunk in benches.items():
-        t0 = time.perf_counter()
-        thunk()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        samples = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            thunk()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({
@@ -249,6 +264,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_of(sf_dir),
+        "repeats": repeats,
     }))
 
 

@@ -101,6 +101,41 @@ def test_streaming_ingest_drops_bad_dims(spark, tmp_path):
     assert kept == {1, 3}
 
 
+def test_incremental_refresh_new_rows_searchable_before_rebuild(spark, tmp_path):
+    """Rows arriving AFTER the last full rebuild are assigned to the
+    published centroids and appended into the partitioned layout — the
+    loaded index serves them without waiting for the next rebuild."""
+    from vervectordb_spark.operators.ivf import IVFIndex
+    from vervectordb_spark.schema import load_table
+    from vervectordb_spark.streaming.refresh import ingest_with_index_refresh
+
+    src = str(tmp_path / "vec_stream_inc")
+    store = str(tmp_path / "store_inc")
+    ckpt = str(tmp_path / "inc_ckpt")
+    emb = load_table(spark, SF_DIR, "embeddings").limit(120)
+    emb.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    # 4 micro-batches, rebuild after the 3rd: the 4th batch reaches the
+    # index only via the incremental assign-to-centroids path
+    q = ingest_with_index_refresh(
+        stream, store, ckpt, refresh_every=3, n_clusters=4, dim=64
+    )
+    q.awaitTermination(180)
+    assert q._refresh_state["refreshes"] == 1
+    assert q._refresh_state["incremental_appends"] == 1
+
+    idx = IVFIndex.load(spark, f"{store}/ivf")
+    ingested = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    indexed = {r["vec_id"] for r in idx.assigned.select("vec_id").collect()}
+    assert indexed == ingested  # batch-4 rows present pre-rebuild
+    qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    hits = idx.search(qv, top_k=5, nprobe=4).collect()
+    assert len(hits) == 5
+
+
 def test_ingest_with_index_refresh(spark, tmp_path):
     """Milestone-6 pattern: stream appends + periodic IVF rebuild; the
     published index serves searches over everything ingested so far."""

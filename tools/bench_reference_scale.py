@@ -9,12 +9,29 @@ Run: python tools/bench_reference_scale.py
 from __future__ import annotations
 
 import json
+import os
+import statistics
 import sys
 import time
 
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
+
+#: median-of-N timing (JVM/GC noise at these sizes is ±30%; the reference's
+#: own numbers in BASELINE.md are single-shot, so the comparison is
+#: conservative in the reference's favor)
+REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+
+
+def _median_time(fn) -> tuple[float, object]:
+    """Run fn REPEATS times; return (median seconds, last result)."""
+    samples, result = [], None
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        result = fn()
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples), result
 
 BASELINE = {  # BASELINE.md, measured reference on this machine
     "brute_force_ms_per_query": 77.90,
@@ -56,21 +73,31 @@ def main() -> None:
     out: dict[str, float] = {}
 
     # exact search, 100 queries in one batched job (GEMM kernel)
-    t0 = time.perf_counter()
-    S.batch_topk(corpus, queries, top_k=TOP_K, kernel="gemm").write.mode(
-        "overwrite").format("noop").save()
-    dt = time.perf_counter() - t0
+    dt, _ = _median_time(lambda: S.batch_topk(
+        corpus, queries, top_k=TOP_K, kernel="gemm"
+    ).write.mode("overwrite").format("noop").save())
     out["brute_force_ms_per_query"] = round(dt * 1000 / N_QUERIES, 3)
 
     # IVF build + batched search + recall
-    t0 = time.perf_counter()
-    ivf = IVFIndex.build(corpus, n_clusters=16, seed=42)
-    ivf.assigned.cache().count()
-    out["ivf_build_s"] = round(time.perf_counter() - t0, 2)
-    t0 = time.perf_counter()
-    ivf.batch_search(queries, top_k=TOP_K, nprobe=8).write.mode(
-        "overwrite").format("noop").save()
-    dt = time.perf_counter() - t0
+    def build_ivf():
+        idx = IVFIndex.build(corpus, n_clusters=16, seed=42)
+        idx.assigned.cache().count()
+        return idx
+
+    ivf_holder: list = []
+
+    def build_ivf_fresh():
+        if ivf_holder:
+            ivf_holder.pop().assigned.unpersist()
+        idx = build_ivf()
+        ivf_holder.append(idx)
+        return idx
+
+    dt, ivf = _median_time(build_ivf_fresh)
+    out["ivf_build_s"] = round(dt, 2)
+    dt, _ = _median_time(lambda: ivf.batch_search(
+        queries, top_k=TOP_K, nprobe=8
+    ).write.mode("overwrite").format("noop").save())
     out["ivf_search_ms_per_query"] = round(dt * 1000 / N_QUERIES, 3)
     out["ivf_recall_at_10"] = round(H.batch_recall(
         corpus, queries,
@@ -78,16 +105,15 @@ def main() -> None:
     ), 4)
 
     # PQ: train on 10k sample (ref train_pq cap), encode 5k (ref demo size)
-    t0 = time.perf_counter()
-    codec = PQCodec.fit(corpus, dim=DIM, n_subquantizers=8, codebook_size=256,
-                        seed=42, sample_size=10_000)
-    out["pq_train_s"] = round(time.perf_counter() - t0, 2)
+    dt, codec = _median_time(lambda: PQCodec.fit(
+        corpus, dim=DIM, n_subquantizers=8, codebook_size=256,
+        seed=42, sample_size=10_000))
+    out["pq_train_s"] = round(dt, 2)
     sub5k = corpus.filter(F.col("vec_id") < 5000).cache()
     sub5k.count()
-    t0 = time.perf_counter()
-    codec.encode(sub5k).select("vec_id", "pq_code").write.mode(
-        "overwrite").format("noop").save()
-    out["pq_encode_s_5k"] = round(time.perf_counter() - t0, 2)
+    dt, _ = _median_time(lambda: codec.encode(sub5k).select(
+        "vec_id", "pq_code").write.mode("overwrite").format("noop").save())
+    out["pq_encode_s_5k"] = round(dt, 2)
     out["pq_ratio"] = codec.compression_ratio()
     out["pq_mae"] = round(codec.reconstruction_error(sub5k), 4)
 
@@ -97,7 +123,8 @@ def main() -> None:
         if k in BASELINE and "recall" not in k and "ratio" not in k and "mae" not in k and v
     }
     print(json.dumps({
-        "config": {"n": N, "dim": DIM, "queries": N_QUERIES, "top_k": TOP_K},
+        "config": {"n": N, "dim": DIM, "queries": N_QUERIES, "top_k": TOP_K,
+                   "repeats": REPEATS},
         "spark": out,
         "reference_baseline": BASELINE,
         "speedup_vs_reference": speedups,
