@@ -93,6 +93,30 @@ def test_ivf_probe_prunes_partitions(spark, emb, tmp_path):
     assert "PartitionFilters" in plan and "cluster_id" in plan.split("PartitionFilters", 1)[1][:200]
 
 
+def test_ivf_load_search_reads_only_probed_partitions(spark, emb, qv, tmp_path):
+    """Files-read proof for the persisted layout (verdict task #10): the
+    load→search path must touch only the probed cluster directories —
+    runtime scan metrics, not just plan text."""
+    import glob
+
+    from vervectordb_spark.operators.ivf import IVFIndex
+
+    idx = IVFIndex.build(emb, n_clusters=4, seed=42)
+    path = str(tmp_path / "ivf_prune_metrics")
+    idx.save(path)
+    loaded = IVFIndex.load(spark, path)
+    out = loaded.search(qv, top_k=5, nprobe=2)
+
+    plan = A.physical_plan(out)
+    assert "PartitionFilters" in plan
+    assert "cluster_id" in plan.split("PartitionFilters", 1)[1][:200]
+
+    metrics = A.executed_scan_metrics(out)
+    assert 1 <= metrics["numPartitions"] <= 2  # nprobe=2 of 4 clusters
+    on_disk = glob.glob(f"{path}/vectors_by_cluster/cluster_id=*/*.parquet")
+    assert metrics["numFiles"] < len(on_disk)
+
+
 def test_group_by_has_partial_aggregation(spark):
     li = load_table(spark, SF_DIR, "lineitem")
     agg = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))

@@ -82,6 +82,39 @@ def count_shuffles(plan: str) -> int:
     return len(re.findall(r"\(\d+\) Exchange", plan))
 
 
+def executed_scan_metrics(df: DataFrame) -> dict[str, int]:
+    """Execute `df` (collect) and return the runtime SQL metrics of its
+    first parquet scan node, e.g. {"numFiles": 4, "numPartitions": 2,
+    "numOutputRows": 50, ...}. `numPartitions` is the number of partition
+    DIRECTORIES actually read after partition pruning — the ground-truth
+    proof that a partitioned layout pruned, stronger than the plan text."""
+    df.collect()
+    root = df._jdf.queryExecution().executedPlan()
+
+    def iter_nodes(node):
+        yield node
+        # AQE wrappers hide their subtree from children(): descend explicitly
+        for unwrap in ("executedPlan", "plan"):
+            try:
+                yield from iter_nodes(getattr(node, unwrap)())
+                return
+            except Exception:
+                pass
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from iter_nodes(ch.apply(i))
+
+    for node in iter_nodes(root):
+        if node.nodeName().startswith("Scan parquet"):
+            out: dict[str, int] = {}
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                out[kv._1()] = kv._2().value()
+            return out
+    raise AssertionError("no parquet scan node in executed plan")
+
+
 def codegen_stage_count(plan: str) -> int:
     """How many whole-stage-codegen spans the plan compiled (wider is
     better — Python UDFs and some exprs break spans)."""
