@@ -98,7 +98,10 @@ class IVFIndex:
         feats = df.withColumn(
             "_features", array_to_vector(F.col(emb_col).cast("array<double>"))
         )
-        n_clusters = max(1, min(n_clusters, feats.count()))  # k <= N or fit dies
+        # k <= N or the fit dies; limit(k).count() proves N >= k by scanning
+        # at most k rows instead of the whole table (a full count() at
+        # 100 TB is a complete scan spent on a sanity clamp)
+        n_clusters = max(1, min(n_clusters, feats.limit(n_clusters).count()))
         km = KMeans(k=n_clusters, seed=seed, maxIter=max_iter,
                     featuresCol="_features", predictionCol="cluster_id")
         model = km.fit(feats)
