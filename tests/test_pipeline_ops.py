@@ -1,0 +1,204 @@
+"""Training-pipeline operator tests: MERGE/CDC, deterministic sampling,
+sequence packing, vocabulary. The oracle gate (queries_pipeline.py) checks
+value parity with DuckDB; these tests pin the operator INVARIANTS —
+determinism under repartitioning, disjointness, conservation."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from vervectordb_spark.operators.merge import apply_changes, merge_upsert
+from vervectordb_spark.operators.packing import pack_by_token_offset, pack_summary
+from vervectordb_spark.operators.sampling import (
+    hash_sample,
+    stratified_hash_sample,
+    train_eval_split,
+)
+from vervectordb_spark.operators.text import top_ngrams
+from vervectordb_spark.schema import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+# ------------------------------------------------------------------- merge
+
+def test_merge_upsert_counts_and_replacement(emb):
+    n = emb.count()
+    updates = emb.filter(F.col("vec_id") < 10).select(
+        "vec_id", "embedding", (F.col("label") + 1000).alias("label")
+    )
+    inserts = emb.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding",
+        F.lit(7).alias("label"),
+    )
+    merged = merge_upsert(emb, updates.unionByName(inserts), "vec_id")
+    assert merged.count() == n + 4
+    # keys stay unique
+    assert merged.select("vec_id").distinct().count() == n + 4
+    # matched rows were REPLACED, not duplicated
+    got = {r["vec_id"]: r["label"] for r in
+           merged.filter(F.col("vec_id") < 10).select("vec_id", "label").collect()}
+    orig = {r["vec_id"]: r["label"] for r in
+            emb.filter(F.col("vec_id") < 10).select("vec_id", "label").collect()}
+    assert got == {k: v + 1000 for k, v in orig.items()}
+
+
+def test_apply_changes_latest_version_wins_and_tombstones(emb):
+    base = emb.filter(F.col("vec_id") < 20)
+
+    def delta(pred, label_expr, version, is_delete):
+        return base.filter(pred).select(
+            "vec_id", "embedding", label_expr.alias("label"),
+            F.lit(version).alias("version"), F.lit(is_delete).alias("is_delete"),
+        )
+
+    changes = (
+        delta(F.col("vec_id") < 6, F.col("label") + 10, 1, False)
+        .unionByName(delta(F.col("vec_id") < 3, F.col("label") + 20, 2, False))
+        .unionByName(delta(F.col("vec_id").isin(4, 5), F.col("label"), 3, True))
+    )
+    out = apply_changes(base, changes, "vec_id")
+    got = {r["vec_id"]: r["label"] for r in out.select("vec_id", "label").collect()}
+    orig = {r["vec_id"]: r["label"] for r in base.select("vec_id", "label").collect()}
+    assert 4 not in got and 5 not in got  # tombstoned
+    for k in (0, 1, 2):
+        assert got[k] == orig[k] + 20  # v2 beat v1
+    assert got[3] == orig[3] + 10
+    for k in range(6, 20):
+        assert got[k] == orig[k]  # untouched rows survive
+    assert len(got) == 18
+
+
+# ---------------------------------------------------------------- sampling
+
+def test_hash_sample_deterministic_under_repartition(docs):
+    a = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    b = {r["doc_id"] for r in
+         hash_sample(docs.repartition(7), "doc_id", 0.3).select("doc_id").collect()}
+    assert a == b
+    n = docs.count()
+    assert 0.2 * n < len(a) < 0.4 * n  # ~binomial(500, .3)
+
+
+def test_stratified_rates_respected(docs):
+    out = stratified_hash_sample(
+        docs, "lang", {"en": 1.0, "zh": 0.0}, id_col="doc_id",
+        default_fraction=0.5,
+    )
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["en"] == totals["en"]  # fraction 1.0 keeps everything
+    assert "zh" not in counts  # fraction 0.0 drops everything
+    for lang in ("de", "es", "fr"):
+        assert 0.25 * totals[lang] < counts[lang] < 0.75 * totals[lang]
+
+
+def test_split_bands_are_disjoint_and_exhaustive(docs):
+    out = train_eval_split(docs, "doc_id", {"train": 0.8, "eval": 0.1, "test": 0.1})
+    n = docs.count()
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == n  # bands sum to 1.0 -> no NULLs
+    assert set(counts) == {"train", "eval", "test"}
+    assert counts["train"] > counts["eval"] and counts["train"] > counts["test"]
+    # one row -> exactly one split, stable across recomputation
+    again = {r["split"]: r["n"] for r in
+             train_eval_split(docs.repartition(5), "doc_id",
+                              {"train": 0.8, "eval": 0.1, "test": 0.1})
+             .groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert again == counts
+
+
+def test_split_overcommit_raises(docs):
+    with pytest.raises(ValueError):
+        train_eval_split(docs, "doc_id", {"a": 0.9, "b": 0.2}).collect()
+
+
+# ----------------------------------------------------------------- packing
+
+def test_pack_matches_pandas_reference(docs):
+    budget = 2000
+    got = pack_by_token_offset(
+        docs, token_col="n_chars", budget=budget,
+        order_col="doc_id", stream_col="lang",
+    ).select("lang", "doc_id", "bin_id").toPandas()
+
+    pdf = docs.select("lang", "doc_id", "n_chars").toPandas().sort_values(
+        ["lang", "doc_id"]).reset_index(drop=True)
+    pdf["start"] = pdf.groupby("lang")["n_chars"].cumsum() - pdf["n_chars"]
+    pdf["expect"] = (pdf["start"] / budget).astype(int)
+    merged = got.merge(pdf[["lang", "doc_id", "expect"]], on=["lang", "doc_id"])
+    assert (merged["bin_id"] == merged["expect"]).all()
+
+
+def test_pack_summary_conserves_tokens(docs):
+    s = pack_summary(docs, token_col="n_chars", budget=3000,
+                     order_col="doc_id", stream_col="lang")
+    total = s.agg(F.sum("sum_tokens").alias("t")).collect()[0]["t"]
+    assert total == docs.agg(F.sum("n_chars").alias("t")).collect()[0]["t"]
+    # bins are contiguous from 0 per stream
+    per = s.groupBy("lang").agg(
+        F.min("bin_id").alias("lo"), F.max("bin_id").alias("hi"),
+        F.count("*").alias("n"),
+    ).collect()
+    for r in per:
+        assert r["lo"] == 0 and r["n"] == r["hi"] + 1
+
+
+def test_pack_rejects_bad_budget(docs):
+    with pytest.raises(ValueError):
+        pack_by_token_offset(docs, "n_chars", 0, "doc_id")
+
+
+# ------------------------------------------------------------------- vocab
+
+def test_top_ngrams_matches_pandas_counter(docs):
+    got = top_ngrams(docs, text_col="text", n=1, top_k=3, by_col="lang").toPandas()
+
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)  # Java \s is ASCII-only: match it
+    pdf = docs.select("lang", "text").toPandas()
+    rows = []
+    for lang, grp in pdf.groupby("lang"):
+        counts: dict[str, int] = {}
+        for text in grp["text"]:
+            for tok in ws.split((text or "").lower()):
+                if tok:
+                    counts[tok] = counts.get(tok, 0) + 1
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for rank, (tok, n) in enumerate(best, 1):
+            rows.append((lang, tok, n, rank))
+    expect = pd.DataFrame(rows, columns=["lang", "ngram", "n_occurrences", "rank"])
+    cmp = got.merge(expect, on=["lang", "rank"], suffixes=("_got", "_exp"))
+    assert len(cmp) == len(expect) == len(got)
+    assert (cmp["ngram_got"] == cmp["ngram_exp"]).all()
+    assert (cmp["n_occurrences_got"].to_numpy()
+            == cmp["n_occurrences_exp"].to_numpy()).all()
+
+
+def test_top_ngrams_global_mode(docs):
+    out = top_ngrams(docs, text_col="text", n=2, top_k=5).collect()
+    assert len(out) == 5
+    assert [r["rank"] for r in out] in ([1, 2, 3, 4, 5],
+                                        sorted(r["rank"] for r in out))
+
+
+# ----------------------------------------------------------------- plans
+
+def test_sampling_is_map_only(docs):
+    from vervectordb_spark.plans import audit as A
+
+    plan = A.physical_plan(hash_sample(docs, "doc_id", 0.5))
+    A.assert_no_shuffle(plan)

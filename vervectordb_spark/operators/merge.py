@@ -1,0 +1,76 @@
+"""Batch MERGE / CDC-apply operators — the bulk analogues of the
+reference's row-wise update/delete (P2/P3, vervectordb/__init__.py:299-335).
+
+The reference mutates one row at a time behind a lock; a 100 TB corpus
+gets mutations as BATCHES (a re-crawl, a re-embedding run, a CDC feed).
+These operators express the two standard shapes declaratively so Catalyst
+plans them:
+
+  merge_upsert     MERGE INTO target USING source ON key
+                   WHEN MATCHED THEN UPDATE SET *           (replace row)
+                   WHEN NOT MATCHED THEN INSERT *
+  apply_changes    apply a CDC batch carrying (key, version, is_delete):
+                   keep the highest-version row per key, drop tombstones —
+                   the "apply changes into" pattern.
+
+Scale posture: both are one shuffle on the merge key (or zero when the
+source/changes side is broadcast-small — the common case for incremental
+batches against a huge target). Like store.update/delete, the result is a
+logical copy-on-write plan: persist it (or store.checkpoint()) to
+materialize. A production 100 TB store would put the TARGET behind a table
+format (Delta/Iceberg) so the rewrite is file-level, not table-level; the
+operator semantics are exactly what those formats' MERGE executes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(target: DataFrame, source: DataFrame,
+                 key_cols: str | Sequence[str]) -> DataFrame:
+    """MERGE with whole-row semantics: source rows REPLACE matching target
+    rows (by key) and are INSERTED otherwise. Schemas must align by name
+    (unionByName). One anti-join shuffle on the key — broadcast when the
+    source is small."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    survivors = target.join(source.select(*keys).distinct(), on=keys, how="left_anti")
+    return survivors.unionByName(source.select(*target.columns))
+
+
+def apply_changes(target: DataFrame, changes: DataFrame,
+                  key_cols: str | Sequence[str],
+                  version_col: str = "version",
+                  delete_col: str | None = "is_delete") -> DataFrame:
+    """Apply a CDC batch: `changes` carries the target's columns plus
+    `version_col` (monotone per key) and optionally `delete_col`
+    (tombstone flag). The target counts as version -infinity. Keeps the
+    single highest-version row per key (ties broken toward the CHANGE
+    side, then by version), then drops tombstones.
+
+    One window shuffle on the key. Returns the target's columns."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    cols = target.columns
+
+    t = target.select(
+        *cols,
+        F.lit(None).cast("long").alias("_v"),
+        F.lit(False).alias("_del"),
+    )
+    c = changes.select(
+        *cols,
+        F.col(version_col).cast("long").alias("_v"),
+        (F.col(delete_col) if delete_col and delete_col in changes.columns
+         else F.lit(False)).alias("_del"),
+    )
+    # nulls_first on desc puts the target row LAST: any change beats it
+    w = Window.partitionBy(*keys).orderBy(F.desc_nulls_last("_v"))
+    merged = (
+        t.unionByName(c)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter((F.col("_rk") == 1) & (~F.col("_del")))
+    )
+    return merged.select(*cols)

@@ -1,0 +1,82 @@
+"""Deterministic hash-based sampling — training-mix construction.
+
+`df.sample()` is seed-stable only for a fixed partitioning; repartition the
+corpus and the sample changes. A training pipeline needs sampling that is a
+PURE FUNCTION OF THE ROW (reproducible across runs, engines, partitionings,
+and incremental additions), so these operators derive a uniform [0,1) draw
+from the portable md5-60-bit family (functions/hashing.py):
+
+    u(row) = md5_60("sample:<seed>:" || id) / 2^60
+
+Membership is then `u < fraction` — per-stratum fractions give weighted
+training mixes, disjoint [lo, hi) bands give train/eval/test splits that
+can never leak rows into each other.
+
+Scale posture: pure map-side column expressions (whole-stage codegen, no
+UDF, no shuffle, no state). Filters push into the scan. Adding documents
+never changes the membership of existing ones — incremental-crawl safe.
+DuckDB twin: ('0x' || substr(md5(s),1,15))::BIGINT / 2^60, bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vervectordb_spark.functions.hashing import HASH_BITS, md5_long
+
+#: 2^60 as an exact double (60-bit hash / 2^60 is an exact binary fraction,
+#: so the division result — and every threshold comparison — is bit-stable)
+_HASH_SPACE = float(1 << HASH_BITS)
+
+
+def hash_uniform_expr(id_col: Column | str, seed: int = 42) -> Column:
+    """Deterministic uniform [0,1) draw per row: md5_60 of the seeded id."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = md5_long(F.concat(F.lit(f"sample:{seed}:"), c.cast("string")))
+    return h.cast("double") / F.lit(_HASH_SPACE)
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float,
+                seed: int = 42) -> DataFrame:
+    """Keep ~fraction of rows, chosen by the row's own hash draw."""
+    return df.filter(hash_uniform_expr(id_col, seed) < float(fraction))
+
+
+def stratified_hash_sample(df: DataFrame, strata_col: str,
+                           fractions: dict[str, float], id_col: str,
+                           seed: int = 42,
+                           default_fraction: float = 0.0) -> DataFrame:
+    """Per-stratum sampling rates — the training-mix operator ("50% of en,
+    20% of zh, drop the rest"). The rate lookup is a literal CASE chain
+    (strata counts are small); membership stays a pure row function."""
+    rate = F.lit(float(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        rate = F.when(F.col(strata_col) == value, float(frac)).otherwise(rate)
+    return df.filter(hash_uniform_expr(id_col, seed) < rate)
+
+
+def split_column_expr(id_col: Column | str, splits: dict[str, float],
+                      seed: int = 42) -> Column:
+    """Assign each row to a named split by disjoint [lo, hi) hash bands,
+    e.g. {"train": 0.98, "eval": 0.01, "test": 0.01} (must sum to ≤1;
+    remainder maps to NULL). Bands are cumulative in sorted-name order, so
+    the assignment is stable and splits can never overlap."""
+    u = hash_uniform_expr(id_col, seed)
+    expr = F.lit(None).cast("string")
+    lo = 0.0
+    for name, width in sorted(splits.items()):
+        hi = lo + float(width)
+        expr = F.when((u >= lo) & (u < hi), F.lit(name)).otherwise(expr)
+        lo = hi
+    if lo > 1.0 + 1e-9:
+        raise ValueError(f"split widths sum to {lo} > 1")
+    return expr
+
+
+def train_eval_split(df: DataFrame, id_col: str,
+                     splits: dict[str, float], seed: int = 42,
+                     split_col: str = "split") -> DataFrame:
+    """Add a `split` column from disjoint hash bands (rows beyond the
+    bands' total mass get NULL — "unassigned")."""
+    return df.withColumn(split_col, split_column_expr(id_col, splits, seed))

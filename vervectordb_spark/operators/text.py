@@ -164,6 +164,42 @@ def fingerprint_expr(text_col: Column | str) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# vocabulary: top n-grams
+# ---------------------------------------------------------------------------
+
+
+def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 1,
+               top_k: int = 20, by_col: str | None = None) -> DataFrame:
+    """Most frequent word n-grams, globally or per `by_col` (e.g. lang):
+    (by?, ngram, n_occurrences, rank) with rank 1..top_k, ties broken by
+    ngram ascending — fully deterministic.
+
+    Plan shape at scale: explode → partial-agg count (map-side combine
+    absorbs the head-token skew) → one shuffle on (by, ngram) → window
+    rank over the VOCABULARY-sized count table, partitioned by `by_col`.
+    n=1 uses the whitespace tokens; n>1 uses distinct word shingles
+    (dedup.shingles_expr)."""
+    from pyspark.sql import Window
+
+    from vervectordb_spark.operators.dedup import shingles_expr
+
+    grams = tokens_expr(text_col) if n == 1 else shingles_expr(text_col, n)
+    keys = [by_col] if by_col else []
+    counts = (
+        df.select(*keys, F.explode(grams).alias("ngram"))
+        .groupBy(*keys, "ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    ).orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+# ---------------------------------------------------------------------------
 # zh segmentation (the reference ships jieba but never calls it —
 # pyproject.toml:12; this is its production slot)
 # ---------------------------------------------------------------------------

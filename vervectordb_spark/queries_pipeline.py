@@ -1,0 +1,215 @@
+"""Training-pipeline query registrations: batch MERGE/CDC, deterministic
+sampling, sequence packing, vocabulary — the corpus-construction surface
+beyond the reference (SURVEY.md §2.8), each with a bit-exact DuckDB twin.
+
+Portability contract (same as queries.py / queries_dedup.py):
+  * hash draws via the md5-60-bit family; u = h / 2^60 is an exact binary
+    fraction, so threshold comparisons agree bit-for-bit;
+  * counts/sums cast to BIGINT explicitly (DuckDB SUM(BIGINT) is HUGEINT);
+  * window ranks are ROW_NUMBER with full deterministic tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vervectordb_spark.operators import text as TX
+from vervectordb_spark.operators.merge import apply_changes, merge_upsert
+from vervectordb_spark.operators.packing import pack_summary
+from vervectordb_spark.operators.sampling import stratified_hash_sample
+from vervectordb_spark.queries import query
+from vervectordb_spark.schema import load_table
+
+#: lower-cased whitespace tokens, empties dropped == dedup.tokens_expr
+_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# MERGE upsert — bulk replace-or-insert (the batch analogue of P2 update,
+# vervectordb/__init__.py:299-317)
+# ---------------------------------------------------------------------------
+
+@query(
+    "merge_upsert",
+    oracle="""
+WITH source AS (
+  SELECT vec_id, label + 100 AS label FROM embeddings WHERE vec_id < 5
+  UNION ALL
+  SELECT vec_id + 1000000, 999 FROM embeddings WHERE vec_id < 3
+),
+merged AS (
+  SELECT t.vec_id, t.label FROM embeddings t
+  WHERE t.vec_id NOT IN (SELECT vec_id FROM source)
+  UNION ALL
+  SELECT vec_id, label FROM source
+)
+SELECT vec_id, label FROM merged WHERE vec_id < 8 OR vec_id >= 1000000
+""",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO embeddings USING (5 updates + 3 inserts) ON vec_id:
+    matched rows replaced, unmatched inserted. Window shows the 5 updated,
+    3 untouched, and 3 inserted keys."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    updates = emb.filter(F.col("vec_id") < 5).select(
+        "vec_id", "embedding", (F.col("label") + 100).alias("label")
+    )
+    inserts = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "embedding",
+        F.lit(999).alias("label"),
+    )
+    merged = merge_upsert(emb, updates.unionByName(inserts), "vec_id")
+    return merged.filter(
+        (F.col("vec_id") < 8) | (F.col("vec_id") >= 1_000_000)
+    ).select("vec_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# CDC apply — versioned change batch with tombstones (batch analogue of
+# P2+P3, vervectordb/__init__.py:299-335)
+# ---------------------------------------------------------------------------
+
+@query(
+    "merge_apply_changes",
+    oracle="""
+WITH changes AS (
+  SELECT vec_id, label + 10 AS label, 1 AS v, FALSE AS del
+  FROM embeddings WHERE vec_id < 6
+  UNION ALL
+  SELECT vec_id, label + 20, 2, FALSE FROM embeddings WHERE vec_id < 3
+  UNION ALL
+  SELECT vec_id, label, 3, TRUE FROM embeddings WHERE vec_id IN (4, 5)
+),
+all_rows AS (
+  SELECT vec_id, label, NULL::BIGINT AS v, FALSE AS del FROM embeddings
+  UNION ALL
+  SELECT vec_id, label, v::BIGINT, del FROM changes
+),
+ranked AS (
+  SELECT vec_id, label, del,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY v DESC NULLS LAST) AS rk
+  FROM all_rows
+)
+SELECT vec_id, label FROM ranked WHERE rk = 1 AND NOT del AND vec_id < 8
+""",
+)
+def q_merge_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC batch: v1 updates keys 0-5, v2 re-updates keys 0-2,
+    v3 tombstones keys 4-5. Latest version wins per key; tombstones drop.
+    Expected keys <8: 0-2 at +20, 3 at +10, 6-7 untouched, 4-5 gone."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def delta(pred, label_expr, version, is_delete):
+        return emb.filter(pred).select(
+            "vec_id", "embedding", label_expr.alias("label"),
+            F.lit(version).alias("version"), F.lit(is_delete).alias("is_delete"),
+        )
+
+    changes = (
+        delta(F.col("vec_id") < 6, F.col("label") + 10, 1, False)
+        .unionByName(delta(F.col("vec_id") < 3, F.col("label") + 20, 2, False))
+        .unionByName(delta(F.col("vec_id").isin(4, 5), F.col("label"), 3, True))
+    )
+    out = apply_changes(emb, changes, "vec_id")
+    return out.filter(F.col("vec_id") < 8).select("vec_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling — the training-mix operator
+# ---------------------------------------------------------------------------
+
+_RATES = {"en": 0.5, "es": 0.2, "zh": 0.3}
+_DEFAULT_RATE = 0.1
+_SAMPLE_SEED = 42
+
+_RATE_SQL = (
+    "CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.2 WHEN 'zh' THEN 0.3 "
+    "ELSE 0.1 END"
+)
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+SELECT doc_id, lang FROM documents
+WHERE (('0x' || substr(md5('sample:{_SAMPLE_SEED}:' || doc_id), 1, 15))::BIGINT)::DOUBLE
+      / 1152921504606846976.0 < {_RATE_SQL}
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang training-mix sampling (50% en / 30% zh / 20% es / 10%
+    rest), membership a pure function of the row id — reproducible across
+    runs, engines, and partitionings (operators/sampling.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_hash_sample(
+        docs, "lang", _RATES, id_col="doc_id",
+        seed=_SAMPLE_SEED, default_fraction=_DEFAULT_RATE,
+    )
+    return out.select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# sequence packing — context-window layout by cumulative token offset
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 4000
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+WITH c AS (
+  SELECT lang, doc_id, n_chars,
+    SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - n_chars AS start
+  FROM documents
+)
+SELECT lang, CAST(FLOOR(start::DOUBLE / {_PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_tokens
+FROM c GROUP BY 1, 2
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents end-to-end into 4000-token bins per lang stream
+    (token cost = n_chars here; any token column works), report per-bin
+    occupancy (operators/packing.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_summary(
+        docs, token_col="n_chars", budget=_PACK_BUDGET,
+        order_col="doc_id", stream_col="lang",
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary — top word n-grams per lang
+# ---------------------------------------------------------------------------
+
+@query(
+    "vocab_top_ngrams",
+    oracle=f"""
+WITH toks AS (
+  SELECT lang, unnest({_TOKS}) AS ngram FROM documents
+),
+counts AS (
+  SELECT lang, ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM toks GROUP BY 1, 2
+),
+ranked AS (
+  SELECT lang, ngram, n_occurrences,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_occurrences DESC, ngram) AS rk
+  FROM counts
+)
+SELECT lang, ngram, n_occurrences, rk::INTEGER AS rank
+FROM ranked WHERE rk <= 5
+""",
+)
+def vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 whitespace unigrams per lang, ties broken by token — explode
+    → partial-agg count → vocabulary-sized window (operators/text.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.top_ngrams(docs, text_col="text", n=1, top_k=5, by_col="lang")
