@@ -67,14 +67,17 @@ def test_csv_reader(spark, tmp_path):
 
 def test_text_lines_reader_deterministic(spark, tmp_path):
     p = tmp_path / "corpus.txt"
-    p.write_text("line one\nline two\n\nline three\n")
+    # duplicate line included: ids must still be unique and stable
+    p.write_text("line one\nline two\n\nline three\nline two\n")
     a = SRC.read_text_lines(spark, str(p)).collect()
     b = SRC.read_text_lines(spark, str(p)).collect()
-    assert [r["text"] for r in a] == [r["text"] for r in b]
-    assert len(a) == 3  # empty line dropped
-    assert {r["doc_id"] for r in a} == {0, 1, 2}
+    assert {(r["doc_id"], r["text"]) for r in a} == {
+        (r["doc_id"], r["text"]) for r in b
+    }
+    assert len(a) == 4  # empty line dropped, duplicate kept
+    assert len({r["doc_id"] for r in a}) == 4  # hash ids unique incl. dup line
     # downstream ops run unchanged on the reader output
     from vervectordb_spark.operators.text import profile
 
     prof = profile(SRC.read_text_lines(spark, str(p)))
-    assert prof.count() == 3
+    assert prof.count() == 4

@@ -172,7 +172,18 @@ class IVFIndex:
 
         spark = self.assigned.sparkSession
         nprobe = min(nprobe or self.default_nprobe(), self.n_clusters)
-        qrows = queries.select(query_id, query_emb).collect()
+        # queries are API arguments (bounded), never the corpus — but guard
+        # the driver against an accidental corpus-sized query side instead
+        # of silently OOMing (the self-join path is gemm_topk's BLOCKED
+        # kernel, operators/topk.py, which never collects unboundedly)
+        max_q = 1_048_576
+        qrows = queries.select(query_id, query_emb).limit(max_q + 1).collect()
+        if len(qrows) > max_q:
+            raise ValueError(
+                f"batch_search query side exceeds {max_q} rows; for "
+                "corpus-scale query sets use operators.topk.gemm_topk "
+                "(blocked broadcast) or knn_self_join"
+            )
         if not qrows:
             return spark.createDataFrame(
                 [], f"{query_id} long, {self.id_col} long, cluster_id int, rank int, sim double")

@@ -168,6 +168,10 @@ def fingerprint_expr(text_col: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 
 
+#: candidate-prune fan-in for top_ngrams' two-phase top-k
+_NGRAM_PRUNE_BUCKETS = 64
+
+
 def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 1,
                top_k: int = 20, by_col: str | None = None) -> DataFrame:
     """Most frequent word n-grams, globally or per `by_col` (e.g. lang):
@@ -175,10 +179,15 @@ def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 1,
     ngram ascending — fully deterministic.
 
     Plan shape at scale: explode → partial-agg count (map-side combine
-    absorbs the head-token skew) → one shuffle on (by, ngram) → window
-    rank over the VOCABULARY-sized count table, partitioned by `by_col`.
-    n=1 uses the whitespace tokens; n>1 uses distinct word shingles
-    (dedup.shingles_expr)."""
+    absorbs the head-token skew) → TWO-PHASE top-k over the
+    VOCABULARY-sized count table: a local rank inside (by, ngram-hash
+    bucket) prunes to ≤ buckets·top_k candidates per group, then the final
+    rank runs over that bounded set. A single window partitioned only by
+    `by_col` would funnel the whole vocabulary of each group through one
+    partition — the global-window cliff. Bucketing is internal: any
+    bucket's local top-k is a superset of its members in the true top-k,
+    so the result is exact for every hash. n=1 uses the whitespace
+    tokens; n>1 uses distinct word shingles (dedup.shingles_expr)."""
     from pyspark.sql import Window
 
     from vervectordb_spark.operators.dedup import shingles_expr
@@ -190,11 +199,20 @@ def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 1,
         .groupBy(*keys, "ngram")
         .agg(F.count("*").alias("n_occurrences"))
     )
-    w = (
+    order = [F.desc("n_occurrences"), F.asc("ngram")]
+    bucket = F.pmod(F.xxhash64("ngram"), F.lit(_NGRAM_PRUNE_BUCKETS))
+    w_local = Window.partitionBy(*keys, "_bkt").orderBy(*order)
+    pruned = (
+        counts.withColumn("_bkt", bucket)
+        .withColumn("_lrk", F.row_number().over(w_local))
+        .filter(F.col("_lrk") <= top_k)
+        .drop("_bkt", "_lrk")
+    )
+    w_final = (
         Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
-    ).orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+    ).orderBy(*order)
     return (
-        counts.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w_final))
         .filter(F.col("rank") <= top_k)
     )
 

@@ -100,19 +100,31 @@ def read_documents_csv(spark: SparkSession, path: str,
 def read_text_lines(spark: SparkSession, path: str,
                     source: str = "textfile") -> DataFrame:
     """Bare text file(s), one document per line — the exact shape of the
-    reference's data/datawhale.txt corpus. doc_id = stable line hash-free
-    id via monotonically_increasing_id is NOT deterministic across runs;
-    we use the (file, line-order) window for a reproducible id."""
+    reference's data/datawhale.txt corpus.
+
+    doc_id must be deterministic across runs AND partitionings
+    (monotonically_increasing_id is neither), and must not cost a
+    global-order window (row_number over the whole corpus funnels 100 TB
+    through ONE partition). So: doc_id = md5-60-bit of (file, occurrence,
+    text). Duplicate lines within a file are disambiguated by an
+    occurrence index from a window partitioned by (file, text) — its
+    partitions are the duplicate groups themselves, bounded and tiny."""
     from pyspark.sql import Window
+
+    from vervectordb_spark.functions.hashing import md5_long
 
     lines = spark.read.text(path).select(
         F.col("value").alias("text"),
         F.element_at(F.split(F.input_file_name(), "/"), -1).alias("source_file"),
     )
-    w = Window.orderBy("source_file", "text")
+    w = Window.partitionBy("source_file", "text").orderBy(F.lit(1))
     return (
         lines.filter(F.length("text") > 0)
-        .withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+        .withColumn("_occ", F.row_number().over(w))
+        .withColumn(
+            "doc_id",
+            md5_long(F.concat_ws("\u0000", "source_file", "_occ", "text")),
+        )
         .select(
             "doc_id",
             "text",
