@@ -226,3 +226,35 @@ def test_load_ignores_empty_pq_artifacts(spark, tmp_path):
         st2 = VectorStore.load(spark, path)
     assert st2._pq is None
     assert any("PQ artifacts" in str(x.message) for x in w)
+
+
+def test_merge_bulk_upsert(store, spark):
+    """Bulk replace-or-insert by vec_id: updated rows replaced in place,
+    new ids appended, untouched rows intact, indexes invalidated."""
+    ids = [r["vec_id"] for r in store.df.select("vec_id").collect()]
+    src = spark.createDataFrame(
+        [
+            (ids[0], [0.0, 0.0, 1.0, 0.0], {"text": "replaced"}),
+            ("brand-new", [0.0, 0.0, 0.0, 1.0], {"text": "inserted"}),
+        ],
+        "vec_id string, embedding array<float>, metadata map<string,string>",
+    )
+    store.build_ivf_index(n_clusters=2)
+    store.merge(src)
+    assert store._ivf is None  # mutation invalidated the index
+    assert store.df.count() == 4
+    got = store.get_by_id(ids[0])
+    assert got["vector"] == [0.0, 0.0, 1.0, 0.0]
+    assert got["metadata"] == {"text": "replaced"}
+    assert store.get_by_id("brand-new")["metadata"] == {"text": "inserted"}
+    # untouched row survives with its original payload
+    assert store.get_by_id(ids[1])["vector"] == [0.0, 1.0, 0.0, 0.0]
+
+
+def test_merge_dim_check(store, spark):
+    src = spark.createDataFrame(
+        [("x", [1.0, 2.0], None)],
+        "vec_id string, embedding array<float>, metadata map<string,string>",
+    )
+    with pytest.raises(DimensionError):
+        store.merge(src)

@@ -165,6 +165,28 @@ class VectorStore:
         self.df = self.df.filter(F.col("vec_id") != vec_id)
         self._invalidate()
 
+    def merge(self, source: DataFrame) -> None:
+        """Bulk upsert: rows in `source` (store schema: vec_id, embedding,
+        metadata) REPLACE same-id rows and append otherwise — the batch
+        analogue of update()/insert() (operators/merge.merge_upsert), one
+        anti-join instead of a per-row loop of plan rewrites. Dim
+        constraint enforced as a plan-level fail-fast, like ingest()."""
+        from vervectordb_spark.operators.merge import merge_upsert
+
+        bad = source.filter(
+            F.size(F.col("embedding")) != self.vector_dim
+        ).limit(1).count()
+        if bad:
+            raise DimensionError(f"merge contains rows with dim != {self.vector_dim}")
+        src = source.select(
+            F.col("vec_id").cast("string"),
+            F.col("embedding").cast("array<float>").alias("embedding"),
+            (F.col("metadata") if "metadata" in source.columns
+             else F.lit(None)).cast("map<string,string>").alias("metadata"),
+        )
+        self.df = merge_upsert(self.df, src, "vec_id")
+        self._invalidate()
+
     # --------------------------------------------------------------- search
     def brute_force_search(
         self,
