@@ -134,18 +134,105 @@ def minhash_signature_expr(shingles: Column, num_hashes: int) -> Column:
     )
 
 
+def _py_shingles(toks: list[str], n: int) -> list[str]:
+    """Python twin of shingles_expr over an ALREADY-TOKENIZED list:
+    n-gram joins over sequence(1, greatest(len-(n-1), 1)), first-occurrence
+    distinct (== array_distinct). Tokenization itself stays JVM-side
+    (tokens_expr) so lower()/split() semantics have exactly one owner."""
+    m = max(len(toks) - (n - 1), 1)
+    seen: set[str] = set()
+    out: list[str] = []
+    for i in range(m):
+        s = " ".join(toks[i : i + n])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+def _minhash_arrow_kernel(toked: DataFrame, num_hashes: int,
+                          shingle_n: int) -> DataFrame:
+    """Arrow-batched MinHash kernel over a (…, _toks) DataFrame: Python
+    shingling (cheap), one flattened md5 pass, and a vectorized
+    (k × n_shingles) affine-min per batch. Same shingle strings and
+    md5-60/affine/min INTEGER arithmetic as the expression path — output
+    is bit-identical (pytest-pinned), nothing here is float. Map-only:
+    no shuffle, rows pass through untouched."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
+
+    from vervectordb_spark.functions.hashing import AFFINE_MOD, affine_params
+
+    params = [affine_params(i) for i in range(num_hashes)]
+    out_schema = StructType(
+        [f for f in toked.schema.fields if f.name != "_toks"]
+        + [StructField("shingles", ArrayType(StringType(), False), False),
+           StructField("signature", ArrayType(LongType(), True), True)]
+    )
+
+    def kern(batches):
+        import hashlib
+
+        A = np.array([p[0] for p in params], dtype=np.int64)[:, None]
+        B = np.array([p[1] for p in params], dtype=np.int64)[:, None]
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf = pdf.drop(columns=["_toks"])
+                pdf["shingles"] = []
+                pdf["signature"] = []
+                yield pdf
+                continue
+            lists = [_py_shingles(list(t), shingle_n) for t in pdf["_toks"]]
+            lens = np.array([len(s) for s in lists], dtype=np.int64)
+            flat = [s for sl in lists for s in sl]
+            if flat:
+                hs = np.array(
+                    [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in flat],
+                    dtype=np.int64,
+                ) % AFFINE_MOD
+                vals = (A * hs[None, :] + B) % AFFINE_MOD  # (k, total)
+            else:
+                vals = np.empty((num_hashes, 0), dtype=np.int64)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            sigs: list = []
+            for i, n in enumerate(lens):
+                if n == 0:  # parity with array_min(empty) -> null
+                    sigs.append([None] * num_hashes)
+                else:
+                    s = starts[i]
+                    sigs.append(vals[:, s : s + n].min(axis=1).tolist())
+            pdf = pdf.drop(columns=["_toks"])
+            pdf["shingles"] = lists
+            pdf["signature"] = sigs
+            yield pdf
+
+    return toked.mapInPandas(kern, out_schema)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    kernel: str = "arrow",
 ) -> DataFrame:
-    """(id, shingles, signature) — the MinHash sketch table. Staged as
-    shingle → base-hash → signature projections so the md5 pass runs once
-    (CollapseProject keeps non-cheap exprs referenced k times staged)."""
-    from vervectordb_spark.functions.hashing import affine_hash
+    """(id, shingles, signature) — the MinHash sketch table.
 
+    kernel="arrow" (default): mapInPandas — Python shingling, one md5 per
+    shingle, vectorized affine-min. kernel="expr": pure column
+    expressions (transform/array_min). Both produce IDENTICAL
+    (shingles, signature) values (same shingle strings, exact integer
+    arithmetic; pytest-pinned). The expr path's lambda higher-order
+    functions run on Spark's interpreted evaluator — per-element
+    slicing/concat for shingles plus k re-evaluations of the md5 base
+    hash make it ~4× slower at sf0.1. Tokenization stays JVM-side in
+    BOTH kernels (tokens_expr is the single owner of lower()/split()
+    semantics). The expr path remains as the no-Python-worker fallback
+    and the living spec."""
+    if kernel == "arrow":
+        toked = df.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+        return _minhash_arrow_kernel(toked, num_hashes, shingle_n)
     sh = df.select(F.col(id_col), shingles_expr(text_col, shingle_n).alias("shingles"))
     hashed = sh.withColumn("_h", F.transform(F.col("shingles"), md5_long))
     sig = F.array(
@@ -180,6 +267,7 @@ def _capped_band_candidates(
     id_col: str,
     max_bucket_size: int,
     payload_col: str | None = None,
+    pair_pred=None,
 ) -> DataFrame:
     """Candidate pairs from (id, band, band_key[, payload]) band entries,
     with per-bucket size capping.
@@ -195,6 +283,13 @@ def _capped_band_candidates(
     One shuffle on (band, band_key) computes bucket size + hub via window
     functions; the dense self-join reuses that partitioning. Returns
     (src_id, dst_id[, src_p, dst_p]) with src_id < dst_id, deduped.
+
+    `pair_pred(df) -> Column`: optional verification predicate evaluated
+    on the RAW pair stream (before the pair-dedup shuffle). When the
+    payload rides the band entries (SimHash), verifying here means the
+    dedup shuffle moves only SURVIVING pairs instead of every intra-bucket
+    candidate — filter commutes with distinct, so results are identical
+    (measured: 2.4M candidate rows → the verified few at sf0.1).
     """
     from pyspark.sql import Window
 
@@ -225,6 +320,9 @@ def _capped_band_candidates(
     if payload_col is not None:
         scols += [F.col("_hub_p").alias("src_p"), F.col(payload_col).alias("dst_p")]
     star = big.select(*scols)  # hub == min(id) ⇒ src_id < dst_id holds
+    if pair_pred is not None:
+        dense = dense.filter(pair_pred(dense))
+        star = star.filter(pair_pred(star))
     return dense.unionByName(star).dropDuplicates(["src_id", "dst_id"])
 
 
@@ -426,12 +524,74 @@ def _simhash_from_hashes(hashes: Column, bits: int = SIMHASH_BITS) -> Column:
     return out
 
 
+def _simhash_arrow_kernel(toked: DataFrame, bits: int) -> DataFrame:
+    """Arrow-batched SimHash over a (…, _toks) DataFrame: one md5 per
+    token, then all `bits` vote sums as one vectorized (bits × n_tokens)
+    pass with per-doc segment sums. Same md5-60 + ±1-vote integer
+    arithmetic as the expression path — fingerprints are bit-identical
+    (pytest-pinned). Map-only, no shuffle."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [f for f in toked.schema.fields if f.name != "_toks"]
+        + [StructField("simhash", LongType(), False)]
+    )
+    shifts = np.arange(bits, dtype=np.int64)[:, None]
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    def kern(batches):
+        import hashlib
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf = pdf.drop(columns=["_toks"])
+                pdf["simhash"] = np.empty(0, dtype=np.int64)
+                yield pdf
+                continue
+            lists = pdf["_toks"].tolist()
+            lens = np.array([len(t) for t in lists], dtype=np.int64)
+            flat = [t for tl in lists for t in tl]
+            if flat:
+                hs = np.array(
+                    [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in flat],
+                    dtype=np.int64,
+                )
+                votes = (((hs[None, :] >> shifts) & 1) * 2 - 1)  # (bits, total)
+                bounds = np.concatenate([[0], np.cumsum(lens)])
+                # segment-sum per doc; docs with 0 tokens sum to 0 (== fold
+                # over an empty array)
+                csum = np.concatenate(
+                    [np.zeros((bits, 1), dtype=np.int64), votes.cumsum(axis=1)], axis=1
+                )
+                sums = csum[:, bounds[1:]] - csum[:, bounds[:-1]]  # (bits, docs)
+            else:
+                sums = np.zeros((bits, len(pdf)), dtype=np.int64)
+            fp = ((sums > 0).astype(np.int64).T * weights).sum(axis=1)
+            pdf = pdf.drop(columns=["_toks"])
+            pdf["simhash"] = fp
+            yield pdf
+
+    return toked.mapInPandas(kern, out_schema)
+
+
 def simhash_fingerprints(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    kernel: str = "arrow",
 ) -> DataFrame:
-    """Staged tokenize→hash→votes: the base-hash array is one projected
-    column consumed by all 32 bit-votes (a single nested expression
-    re-tokenizes and re-hashes per bit — measured 30× slower at sf0.1)."""
+    """(id, simhash) fingerprint table.
+
+    kernel="arrow" (default): mapInPandas vectorized votes — one md5 per
+    token, all 32 bit-sums in one pass. kernel="expr": staged
+    tokenize→hash→votes column expressions (the base-hash array is one
+    projected column consumed by all 32 bit-votes; a single nested
+    expression re-tokenizes per bit — measured 30× slower at sf0.1). The
+    32 interpreted fold evaluations still make the expr path several
+    times slower than Arrow; fingerprints are bit-identical either way
+    (pytest-pinned), tokenization stays JVM-side in both."""
+    if kernel == "arrow":
+        toked = df.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+        return _simhash_arrow_kernel(toked, SIMHASH_BITS)
     staged = df.select(
         F.col(id_col),
         F.transform(tokens_expr(text_col), md5_long).alias("_hs"),
@@ -486,14 +646,20 @@ def simhash_near_dup_pairs(
     """
     fp = simhash_fingerprints(df, text_col, id_col)
     banded = simhash_band_entries(fp, id_col, bands)
+    # hamming verification runs on the raw pair stream, BEFORE the
+    # pair-dedup shuffle — the simhash payload is already in the band
+    # entries, so only verified pairs shuffle (filter ∘ distinct ==
+    # distinct ∘ filter)
     cand = _capped_band_candidates(
-        banded, id_col, max_bucket_size, payload_col="simhash"
+        banded, id_col, max_bucket_size, payload_col="simhash",
+        pair_pred=lambda d: hamming_expr(
+            F.col("src_p"), F.col("dst_p")) <= max_hamming,
     )
     return cand.select(
         "src_id",
         "dst_id",
         hamming_expr(F.col("src_p"), F.col("dst_p")).alias("hamming"),
-    ).filter(F.col("hamming") <= max_hamming)
+    )
 
 
 # ---------------------------------------------------------------------------
