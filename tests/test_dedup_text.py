@@ -233,3 +233,41 @@ def test_drop_near_dups_keeps_one_per_cluster(docs):
     # docs 1,2 (exact) and possibly 3 (near) collapse to doc 1; others stay
     assert 1 in kept and 2 not in kept
     assert {4, 5, 6} <= kept
+
+
+def test_minhash_arrow_expr_kernels_identical(spark):
+    """The Arrow (mapInPandas) and expression sketch kernels must produce
+    IDENTICAL (shingles, signature) values — same shingle strings, exact
+    integer hash arithmetic. Checked exceptAll both ways over the real
+    fixture (all langs, accents, CJK)."""
+    from tests.conftest import SF_DIR
+    from vervectordb_spark.schema import load_table
+
+    real = load_table(spark, SF_DIR, "documents")
+    a = D.minhash_signatures(real, kernel="arrow").select(
+        "doc_id", "shingles", "signature")
+    e = D.minhash_signatures(real, kernel="expr").select(
+        "doc_id", "shingles", "signature")
+    assert a.exceptAll(e).count() == 0
+    assert e.exceptAll(a).count() == 0
+
+
+def test_simhash_arrow_expr_kernels_identical(spark):
+    from tests.conftest import SF_DIR
+    from vervectordb_spark.schema import load_table
+
+    real = load_table(spark, SF_DIR, "documents")
+    a = D.simhash_fingerprints(real, kernel="arrow")
+    e = D.simhash_fingerprints(real, kernel="expr")
+    assert a.exceptAll(e).count() == 0
+    assert e.exceptAll(a).count() == 0
+
+
+def test_minhash_arrow_kernel_edge_docs(docs):
+    """Empty text and CJK docs survive the Arrow kernel with the same
+    semantics as the expr path (incl. the short-doc single shingle)."""
+    a = {r["doc_id"]: (r["shingles"], r["signature"]) for r in
+         D.minhash_signatures(docs, kernel="arrow").collect()}
+    e = {r["doc_id"]: (r["shingles"], r["signature"]) for r in
+         D.minhash_signatures(docs, kernel="expr").collect()}
+    assert a == e
