@@ -180,12 +180,24 @@ def build_benches(spark, sf_dir: str):
 
         @bench("ann_search_8q")
         def _ann_search():
+            # per-query serving model: 8 sequential driver-loop jobs
             idx = _ann_holder[0]
             rows = emb.filter(F.col("vec_id") < 8).select("embedding").collect()
             n = 0
             for r in rows:
                 n += _force(idx.search([float(x) for x in r[0]], top_k=10), limit=10)
             return n
+
+        @bench("ann_batch_32q")
+        def _ann_batch():
+            # throughput model: ONE job for 32 queries (first-match
+            # candidate generation, no distinct/rejoin shuffles)
+            idx = _ann_holder[0]
+            queries = emb.filter(F.col("vec_id") < 32).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_embedding"),
+            )
+            return _force(idx.batch_search(queries, top_k=10))
     except ImportError:
         pass
 

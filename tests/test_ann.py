@@ -104,3 +104,27 @@ def test_mllib_lsh_recall(emb):
     truth = {r["vec_id"] for r in S.brute_force_topk(emb, qv, 10).collect()}
     got = {r["vec_id"] for r in idx.search(qv, top_k=10).collect()}
     assert len(truth & got) / 10 >= 0.9
+
+
+def test_signlsh_batch_search_matches_per_query(emb):
+    """batch_search (one job, first-match dedup-free candidates) must
+    return exactly the per-query search() results for every query."""
+    idx = SignLSHIndex.build(emb, n_tables=4, bits=6)
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    batched = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["sim"], 9))
+        for r in idx.batch_search(queries, top_k=5).collect()
+    }
+    for q in range(6):
+        qv = _qv(emb, q)
+        for rank, r in enumerate(idx.search(qv, top_k=5).collect(), 1):
+            assert batched[(q, rank)] == (r["vec_id"], round(r["sim"], 9))
+    assert len(batched) == 30
+
+
+def test_signlsh_batch_search_empty_queries(emb, spark):
+    idx = SignLSHIndex.build(emb, n_tables=2, bits=4)
+    empty = spark.createDataFrame([], "query_id long, q_embedding array<float>")
+    assert idx.batch_search(empty, top_k=5).count() == 0

@@ -188,6 +188,77 @@ class SignLSHIndex:
             extra_cols=extra_cols,
         )
 
+    def batch_search(self, queries: DataFrame, top_k: int = 5,
+                     query_id: str = "query_id",
+                     query_emb: str = "q_embedding") -> DataFrame:
+        """Many-query ANN in ONE job (a per-query driver loop pays ~300 ms
+        Spark scheduling per query — the loop, not the scan, dominates).
+
+        Query signatures are computed driver-side (Q × planes dots, NumPy)
+        into a broadcast (query_id, table, bucket, all-buckets, qv) probe
+        relation; the index side unpivots its bucket columns into
+        (row, table, bucket) entries (map-side explode) and broadcast-joins
+        on (table, bucket). A (query, row) pair that matches in several
+        tables is kept ONLY at its first matching table — the
+        earlier-match exclusion is a column predicate over the row's own
+        bucket columns vs the probe's bucket vector — so the candidate set
+        needs no distinct, no rejoin by id, and nothing but the final
+        per-query window ever shuffles. Returns (query_id, vec_id, rank,
+        sim) with the exact fold-kernel rescore (bit-exact with the
+        per-query search path).
+
+        At 100 TB the unpivot multiplies scanned rows by n_tables but
+        stays map-side; with the signed table persisted partitioned by
+        bucket_0, single-table probes prune the scan instead."""
+        from pyspark.sql import Window
+
+        from vervectordb_spark.functions.similarity import cosine_expr
+
+        spark = self.signed.sparkSession
+        qrows = queries.select(query_id, query_emb).collect()
+        if not qrows:
+            return spark.createDataFrame(
+                [], f"{query_id} long, {self.id_col} long, rank int, sim double")
+        probe_rows = []
+        for r in qrows:
+            qv = [float(x) for x in r[1]]
+            qb = self.query_buckets(qv)
+            for t, b in enumerate(qb):
+                probe_rows.append((r[0], t, b, qb, qv))
+        probes = spark.createDataFrame(
+            probe_rows,
+            f"{query_id} long, _tbl int, _bkt long, _qb array<long>, "
+            "_qv array<double>",
+        )
+        entries = self.signed.select(
+            self.id_col,
+            self.emb_col,
+            *[F.col(f"bucket_{t}") for t in range(self.n_tables)],
+            F.explode(F.array(*[
+                F.struct(F.lit(t).alias("_tbl"), F.col(f"bucket_{t}").alias("_bkt"))
+                for t in range(self.n_tables)
+            ])).alias("_e"),
+        ).select(self.id_col, self.emb_col,
+                 *[f"bucket_{t}" for t in range(self.n_tables)],
+                 "_e._tbl", "_e._bkt")
+        joined = entries.join(F.broadcast(probes), on=["_tbl", "_bkt"])
+        # keep the pair only at its FIRST matching table: for every earlier
+        # table t', this row's bucket_t' must differ from the query's
+        first_match = F.lit(True)
+        for tp in range(self.n_tables):
+            first_match = first_match & (
+                (F.col("_tbl") <= tp)
+                | (F.col(f"bucket_{tp}") != F.col("_qb")[tp])
+            )
+        scored = joined.filter(first_match).select(
+            query_id, self.id_col,
+            cosine_expr(F.col(self.emb_col), F.col("_qv")).alias("sim"),
+        )
+        w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(self.id_col))
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= top_k
+        )
+
     def recall_at_k(self, df: DataFrame, query_vec: Sequence[float], k: int = 10) -> float:
         """H1 harness hook (examples/datawhale.py:142-148)."""
         truth = {r[self.id_col] for r in brute_force_topk(
