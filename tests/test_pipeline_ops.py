@@ -202,3 +202,22 @@ def test_sampling_is_map_only(docs):
 
     plan = A.physical_plan(hash_sample(docs, "doc_id", 0.5))
     A.assert_no_shuffle(plan)
+
+
+def test_quality_filter_reasons(spark):
+    from vervectordb_spark.operators.text import quality_filter
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and then keeps "
+            "running through the field for a while longer today"),  # passes all
+        (2, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),             # fails most
+        (3, ""),                                                     # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in quality_filter(df).collect()}
+    assert got[1]["keep"] and got[1]["fail_reasons"] == ""
+    assert not got[2]["keep"]
+    assert "stopword_ratio" in got[2]["fail_reasons"]
+    assert "punct_ratio" in got[2]["fail_reasons"]
+    assert not got[3]["keep"]
+    assert "n_tokens" in got[3]["fail_reasons"]

@@ -163,6 +163,37 @@ def fingerprint_expr(text_col: Column | str) -> Column:
     )
 
 
+#: the quality gate's individual rules: (tag, passing-predicate builder)
+_QUALITY_RULES = (
+    ("n_tokens", lambda t: (n_tokens_expr(t) >= 20) & (n_tokens_expr(t) <= 1000)),
+    ("avg_token_len", lambda t: (avg_token_len_expr(t) >= 3.0) & (avg_token_len_expr(t) <= 12.0)),
+    ("punct_ratio", lambda t: punct_ratio_expr(t) < 0.3),
+    ("stopword_ratio", lambda t: stopword_ratio_expr(t) > 0.01),
+)
+
+
+def quality_filter(df: DataFrame, text_col: str = "text",
+                   min_score: float = 0.8) -> DataFrame:
+    """The C4/Gopher-style corpus gate: appends `quality_score`,
+    `keep` (score >= min_score), and `fail_reasons` (comma-joined tags of
+    the rules that failed — the observability a filtering pipeline needs
+    to tune thresholds). Pure map-side projection; the downstream pipeline
+    is `df.filter("keep")`."""
+    failed = [
+        F.when(~rule(text_col), F.lit(tag)).otherwise(F.lit(None))
+        for tag, rule in _QUALITY_RULES
+    ]
+    reasons = F.array_join(
+        F.filter(F.array(*failed), lambda x: x.isNotNull()), ","
+    )
+    score = F.round(quality_score_expr(text_col), 6)
+    return df.withColumns({
+        "quality_score": score,
+        "keep": score >= F.lit(float(min_score)),
+        "fail_reasons": reasons,
+    })
+
+
 # ---------------------------------------------------------------------------
 # vocabulary: top n-grams
 # ---------------------------------------------------------------------------

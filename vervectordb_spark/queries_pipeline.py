@@ -185,6 +185,66 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus quality gate — keep/drop + failure reasons
+# ---------------------------------------------------------------------------
+
+@query(
+    "corpus_quality_filter",
+    oracle=f"""
+WITH base AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)
+    END AS avg_token_len,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+              / length(text) END AS punct_ratio,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE len(list_filter(toks, t -> list_contains(
+                ['the','a','an','and','or','of','to','in','is','are',
+                 'for','on','with','as','by','at','from','that','this','it'], t)))::DOUBLE
+              / len(toks) END AS stopword_ratio
+  FROM base
+),
+g AS (
+  SELECT doc_id,
+    n_tokens >= 20 AND n_tokens <= 1000 AS ok_nt,
+    avg_token_len >= 3.0 AND avg_token_len <= 12.0 AS ok_atl,
+    punct_ratio < 0.3 AS ok_pr,
+    stopword_ratio > 0.01 AS ok_sr
+  FROM m
+)
+SELECT doc_id,
+  ROUND(CASE WHEN ok_nt THEN 0.3 ELSE 0.0 END
+      + CASE WHEN ok_atl THEN 0.3 ELSE 0.0 END
+      + CASE WHEN ok_pr THEN 0.2 ELSE 0.0 END
+      + CASE WHEN ok_sr THEN 0.2 ELSE 0.0 END, 6) AS quality_score,
+  (CASE WHEN ok_nt THEN 0.3 ELSE 0.0 END
+      + CASE WHEN ok_atl THEN 0.3 ELSE 0.0 END
+      + CASE WHEN ok_pr THEN 0.2 ELSE 0.0 END
+      + CASE WHEN ok_sr THEN 0.2 ELSE 0.0 END) >= 0.8 AS keep,
+  COALESCE(array_to_string(list_filter([
+    CASE WHEN NOT ok_nt THEN 'n_tokens' END,
+    CASE WHEN NOT ok_atl THEN 'avg_token_len' END,
+    CASE WHEN NOT ok_pr THEN 'punct_ratio' END,
+    CASE WHEN NOT ok_sr THEN 'stopword_ratio' END
+  ], x -> x IS NOT NULL), ','), '') AS fail_reasons
+FROM g
+""",
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality gate over every document: composite score,
+    keep decision at 0.8, and the comma-joined tags of failed rules
+    (text.quality_filter) — the tuning observability of a filtering
+    pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.quality_filter(docs, min_score=0.8)
+    return out.select("doc_id", "quality_score", "keep", "fail_reasons")
+
+
+# ---------------------------------------------------------------------------
 # vocabulary — top word n-grams per lang
 # ---------------------------------------------------------------------------
 
