@@ -148,3 +148,27 @@ def test_adc_search_is_take_ordered_not_global_window(spark, emb):
     A.assert_operator(plan, "TakeOrderedAndProject")
     A.assert_not_operator(plan, "Window")
     A.assert_no_shuffle(plan)
+
+
+def test_merge_upsert_small_source_broadcasts(spark, emb):
+    """MERGE with a small change batch must anti-join via broadcast —
+    no shuffle of the (huge) target side."""
+    from vervectordb_spark.operators.merge import merge_upsert
+
+    source = emb.filter(F.col("vec_id") < 5)
+    plan = A.physical_plan(merge_upsert(emb, F.broadcast(source), "vec_id"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    A.assert_not_operator(plan, "SortMergeJoin")
+
+
+def test_pack_summary_bounded_shuffles(spark):
+    """Packing = one window shuffle per stream key; the per-bin group-by
+    reuses that partitioning (grouping keys ⊇ window partition keys)."""
+    from vervectordb_spark.operators.packing import pack_summary
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = A.physical_plan(pack_summary(
+        docs, token_col="n_chars", budget=4000,
+        order_col="doc_id", stream_col="lang",
+    ))
+    assert A.count_shuffles(plan) <= 2
