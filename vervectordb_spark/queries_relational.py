@@ -523,3 +523,104 @@ def users_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             (only_click.agg(F.sum("user_id")).collect()[0][0] or 0)
         ).cast("long").alias("click_only_id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# anti-join / NOT EXISTS — customers that never ordered, per nation
+# ---------------------------------------------------------------------------
+
+@query(
+    "customers_without_orders",
+    oracle="""
+SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join (never a per-row subquery): the
+    anti-join shuffles on the key (or broadcasts the distinct key set);
+    the nation dim joins broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    no_orders = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        no_orders.join(F.broadcast(nation),
+                       no_orders.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact percentiles — linear-interpolated quantiles per event type
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_value_percentiles",
+    oracle="""
+SELECT event_type,
+  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+  ROUND(quantile_cont(value, 0.9), 6) AS p90,
+  ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY 1
+""",
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`). Exact quantiles sort within each group — at
+    100 TB swap for approx_percentile (t-digest, mergeable partial aggs)
+    when a 1e-3 relative error is acceptable; this is the oracle-able
+    exact path."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE — all grouping-set rollups of (status, priority) in one pass
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_cube",
+    oracle="""
+SELECT
+  COALESCE(o_orderstatus, '<all>') AS status,
+  COALESCE(o_orderpriority, '<all>') AS priority,
+  GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(status, priority): all four grouping sets in one shuffle
+    (partial-agg per set, not four scans). The grouping id is the
+    explicit GROUPING(a)*2+GROUPING(b) bitmask on both engines; money
+    sums are exact DECIMAL partials cast at the end."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            # grouping() is only legal inside the cube's agg list
+            (F.grouping("o_orderstatus").cast("int") * 2
+             + F.grouping("o_orderpriority").cast("int")).alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "gid",
+            "n_orders",
+            "total_price",
+        )
+    )
