@@ -273,3 +273,93 @@ def vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     → partial-agg count → vocabulary-sized window (operators/text.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.top_ngrams(docs, text_col="text", n=1, top_k=5, by_col="lang")
+
+
+# ---------------------------------------------------------------------------
+# the whole corpus-construction pipeline, composed as ONE plan
+# ---------------------------------------------------------------------------
+
+@query(
+    "corpus_pipeline_e2e",
+    oracle=f"""
+WITH base AS (SELECT doc_id, lang, n_chars, text, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, lang, n_chars, text,
+    len(toks) AS n_tokens,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)
+    END AS avg_token_len,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+              / length(text) END AS punct_ratio,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE len(list_filter(toks, t -> list_contains(
+                ['the','a','an','and','or','of','to','in','is','are',
+                 'for','on','with','as','by','at','from','that','this','it'], t)))::DOUBLE
+              / len(toks) END AS stopword_ratio
+  FROM base
+),
+kept AS (
+  SELECT doc_id, lang, n_chars, text FROM m
+  WHERE (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 0.3 ELSE 0.0 END
+       + CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 12.0 THEN 0.3 ELSE 0.0 END
+       + CASE WHEN punct_ratio < 0.3 THEN 0.2 ELSE 0.0 END
+       + CASE WHEN stopword_ratio > 0.01 THEN 0.2 ELSE 0.0 END) >= 0.8
+),
+deduped AS (
+  SELECT doc_id, lang, n_chars FROM (
+    SELECT doc_id, lang, n_chars,
+      ROW_NUMBER() OVER (
+        PARTITION BY ('0x' || substr(md5(text), 1, 15))::BIGINT
+        ORDER BY doc_id) AS rk
+    FROM kept
+  ) WHERE rk = 1
+),
+sampled AS (
+  SELECT doc_id, lang, n_chars FROM deduped
+  WHERE (('0x' || substr(md5('sample:7:' || doc_id), 1, 15))::BIGINT)::DOUBLE
+        / 1152921504606846976.0 < 0.5
+),
+c AS (
+  SELECT lang, n_chars,
+    SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - n_chars AS start
+  FROM sampled
+),
+bins AS (
+  SELECT lang, CAST(FLOOR(start::DOUBLE / 4000.0) AS BIGINT) AS bin_id, n_chars
+  FROM c
+)
+SELECT lang,
+  CAST(COUNT(DISTINCT bin_id) AS BIGINT) AS n_bins,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_tokens
+FROM bins GROUP BY 1
+""",
+)
+def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-construction pipeline composed as ONE lazy plan —
+    quality gate → exact dedup (lowest-id survivor) → deterministic 50%
+    hash sample → 4000-token packing per lang — reported as per-lang bin
+    occupancy. Every stage is the operator the individual queries check;
+    this is the integration proof that they compose (and that Catalyst
+    plans the composition: map-side gate+sample, one dedup window, one
+    packing window, one final agg)."""
+    from vervectordb_spark.operators.dedup import drop_exact_dups
+    from vervectordb_spark.operators.packing import pack_by_token_offset
+    from vervectordb_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = TX.quality_filter(docs, min_score=0.8).filter("keep")
+    deduped = drop_exact_dups(kept)
+    sampled = hash_sample(deduped, "doc_id", 0.5, seed=7)
+    packed = pack_by_token_offset(
+        sampled, token_col="n_chars", budget=4000,
+        order_col="doc_id", stream_col="lang",
+    )
+    return packed.groupBy("lang").agg(
+        F.count_distinct("bin_id").alias("n_bins"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_tokens"),
+    )
