@@ -94,3 +94,95 @@ def test_md5_hash_family_distinct_and_stable(spark, vals):
     assert all(0 <= h < 2 ** HASH_BITS for h in out1)
     # distinct inputs -> distinct hashes (collision prob ~ 2^-60)
     assert len(set(out1)) == len(set(vals))
+
+
+# ---------------------------------------------------------------------------
+# sketch-kernel parity fuzz: Arrow (mapInPandas) vs expression kernels must
+# agree on arbitrary unicode text, including null/empty/whitespace-only
+# ---------------------------------------------------------------------------
+
+_TEXTS = st.lists(
+    st.one_of(st.none(), st.text(max_size=50)), min_size=1, max_size=4
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=_TEXTS)
+def test_minhash_kernels_agree_on_fuzzed_text(spark, texts):
+    from vervectordb_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    key = lambda r: r["doc_id"]  # noqa: E731
+    a = sorted(D.minhash_signatures(df, kernel="arrow").collect(), key=key)
+    e = sorted(D.minhash_signatures(df, kernel="expr").collect(), key=key)
+    assert [(r["doc_id"], r["shingles"], r["signature"]) for r in a] == [
+        (r["doc_id"], r["shingles"], r["signature"]) for r in e
+    ]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=_TEXTS)
+def test_simhash_kernels_agree_on_fuzzed_text(spark, texts):
+    from vervectordb_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    a = sorted(D.simhash_fingerprints(df, kernel="arrow").collect())
+    e = sorted(D.simhash_fingerprints(df, kernel="expr").collect())
+    assert a == e
+
+
+# ---------------------------------------------------------------------------
+# sampling: threshold-hash membership is MONOTONE in the fraction — the
+# sample at a lower rate is always a subset of the sample at a higher rate
+# (the property that makes nested training mixes consistent)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9),
+                 min_size=1, max_size=20, unique=True),
+    f1=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    f2=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+def test_hash_sample_monotone_in_fraction(spark, ids, f1, f2):
+    from vervectordb_spark.operators.sampling import hash_sample
+
+    lo, hi = min(f1, f2), max(f1, f2)
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    small = {r["doc_id"] for r in hash_sample(df, "doc_id", lo).collect()}
+    big = {r["doc_id"] for r in hash_sample(df, "doc_id", hi).collect()}
+    assert small <= big
+
+
+# ---------------------------------------------------------------------------
+# merge: result keys are exactly target ∪ source; source wins intersections
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    tkeys=st.lists(st.integers(0, 50), min_size=1, max_size=10, unique=True),
+    skeys=st.lists(st.integers(0, 50), min_size=1, max_size=10, unique=True),
+)
+def test_merge_upsert_key_algebra(spark, tkeys, skeys):
+    from pyspark.sql import functions as F
+
+    from vervectordb_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(k, "t") for k in tkeys], "k long, side string")
+    source = spark.createDataFrame(
+        [(k, "s") for k in skeys], "k long, side string")
+    out = {r["k"]: r["side"] for r in merge_upsert(target, source, "k").collect()}
+    assert set(out) == set(tkeys) | set(skeys)
+    for k in skeys:
+        assert out[k] == "s"  # source wins
+    for k in set(tkeys) - set(skeys):
+        assert out[k] == "t"

@@ -182,7 +182,12 @@ def _minhash_arrow_kernel(toked: DataFrame, num_hashes: int,
                 pdf["signature"] = []
                 yield pdf
                 continue
-            lists = [_py_shingles(list(t), shingle_n) for t in pdf["_toks"]]
+            # null text -> null token array; the expr path shingles it to
+            # [''] (concat_ws over a null slice) — reproduce exactly
+            lists = [
+                _py_shingles(list(t) if t is not None else [], shingle_n)
+                for t in pdf["_toks"]
+            ]
             lens = np.array([len(s) for s in lists], dtype=np.int64)
             flat = [s for sl in lists for s in sl]
             if flat:
@@ -549,7 +554,9 @@ def _simhash_arrow_kernel(toked: DataFrame, bits: int) -> DataFrame:
                 pdf["simhash"] = np.empty(0, dtype=np.int64)
                 yield pdf
                 continue
-            lists = pdf["_toks"].tolist()
+            # null text -> null token array == no tokens (fold over an
+            # empty array -> all-zero votes -> fingerprint 0, like expr)
+            lists = [list(t) if t is not None else [] for t in pdf["_toks"]]
             lens = np.array([len(t) for t in lists], dtype=np.int64)
             flat = [t for tl in lists for t in tl]
             if flat:
