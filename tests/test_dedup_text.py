@@ -271,3 +271,26 @@ def test_minhash_arrow_kernel_edge_docs(docs):
     e = {r["doc_id"]: (r["shingles"], r["signature"]) for r in
          D.minhash_signatures(docs, kernel="expr").collect()}
     assert a == e
+
+
+def test_profile_arrow_expr_kernels_identical(spark):
+    """Arrow profile kernel must be value-identical to the expression
+    path — ratios, rounding (decimal HALF_UP), fingerprint fold, lang-ID
+    thresholds — over the real fixture and the null/empty/CJK edges."""
+    from tests.conftest import SF_DIR
+    from vervectordb_spark.schema import load_table
+
+    real = load_table(spark, SF_DIR, "documents")
+    a = TX.profile(real, kernel="arrow")
+    e = TX.profile(real, kernel="expr")
+    assert a.exceptAll(e).count() == 0
+    assert e.exceptAll(a).count() == 0
+
+    edge = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "the of to in is hello"),
+         (4, "中文文本测试内容在这里"), (5, "!!! ??? ###")],
+        "doc_id long, text string",
+    )
+    ae = {r["doc_id"]: tuple(r) for r in TX.profile(edge, kernel="arrow").collect()}
+    ee = {r["doc_id"]: tuple(r) for r in TX.profile(edge, kernel="expr").collect()}
+    assert ae == ee

