@@ -150,6 +150,40 @@ def _py_shingles(toks: list[str], n: int) -> list[str]:
     return out
 
 
+def shingle_table(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", shingle_n: int = 3,
+                  kernel: str = "arrow") -> DataFrame:
+    """(id, shingles) — the shared shingle-set table (Jaccard verifiers,
+    MinHash sketches). kernel="arrow" shingles in Python over JVM tokens
+    (the expr path's per-element slice/concat lambdas are interpreted —
+    see minhash_signatures); values identical either way."""
+    if kernel != "arrow":
+        return df.select(
+            F.col(id_col), shingles_expr(text_col, shingle_n).alias("shingles")
+        )
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    toked = df.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+    out_schema = StructType(
+        [f for f in toked.schema.fields if f.name != "_toks"]
+        + [StructField("shingles", ArrayType(StringType(), False), False)]
+    )
+
+    def kern(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            lists = [
+                _py_shingles(list(t) if t is not None else [], shingle_n)
+                for t in pdf["_toks"]
+            ]
+            pdf = pdf.drop(columns=["_toks"])
+            pdf["shingles"] = lists
+            yield pdf
+
+    return toked.mapInPandas(kern, out_schema)
+
+
 def _minhash_arrow_kernel(toked: DataFrame, num_hashes: int,
                           shingle_n: int) -> DataFrame:
     """Arrow-batched MinHash kernel over a (…, _toks) DataFrame: Python
@@ -456,8 +490,8 @@ def ngram_jaccard_pairs(
     """Exact pairwise n-gram Jaccard >= threshold. O(N²) by construction —
     the ground-truth/verifier path; at scale this runs per-LSH-bucket, never
     globally (see minhash_near_dup_pairs)."""
-    sh = df.select(
-        F.col(id_col), shingles_expr(text_col, shingle_n).alias("sh")
+    sh = shingle_table(df, text_col, id_col, shingle_n).select(
+        F.col(id_col), F.col("shingles").alias("sh")
     )
     left = sh.select(F.col(id_col).alias("src_id"), F.col("sh").alias("src_sh"))
     right = sh.select(F.col(id_col).alias("dst_id"), F.col("sh").alias("dst_sh"))
