@@ -624,3 +624,64 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel — ordered stage progression per user (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+def funnel_stage_users(ev, steps, user_col="user_id", ts_col="ts",
+                       type_col="event_type"):
+    """Per-stage user tables for an ordered funnel: stage k keeps users
+    whose first step-k event is strictly AFTER their first step-(k-1)
+    event. One partial-agg shuffle + one join per stage; joins broadcast
+    when the surviving user set is small (it shrinks every stage)."""
+    stages = []
+    prev = None
+    for i, step in enumerate(steps):
+        src = ev.filter(F.col(type_col) == step)
+        if prev is None:
+            cur = src.groupBy(user_col).agg(F.min(ts_col).alias(f"_t{i}"))
+        else:
+            cur = (
+                src.join(prev, on=user_col)
+                .filter(F.col(ts_col) > F.col(f"_t{i-1}"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias(f"_t{i}"))
+            )
+        stages.append(cur)
+        prev = cur
+    return stages
+
+
+@query(
+    "events_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t1 FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY 1
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view_users,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_users,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase_users
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: a user advances a stage
+    only with an event strictly after their first event of the previous
+    stage. Stage counts compose as cross-joined 1-row aggregates — ONE
+    job, no driver-side counting."""
+    ev = load_events(spark, sf_dir)
+    v, c, p = funnel_stage_users(ev, ["view", "click", "purchase"])
+    return (
+        v.agg(F.count("*").alias("n_view_users"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_users")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_users")))
+    )
