@@ -176,7 +176,9 @@ class IVFIndex:
         # the driver against an accidental corpus-sized query side instead
         # of silently OOMing (the self-join path is gemm_topk's BLOCKED
         # kernel, operators/topk.py, which never collects unboundedly)
-        max_q = 1_048_576
+        # 64k queries × dim 128 × 8 B ≈ 64 MB collected — the guard must
+        # trip BEFORE the collect itself hurts the driver
+        max_q = 65_536
         qrows = queries.select(query_id, query_emb).limit(max_q + 1).collect()
         if len(qrows) > max_q:
             raise ValueError(
