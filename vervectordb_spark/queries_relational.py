@@ -685,3 +685,59 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_click_users")))
         .crossJoin(p.agg(F.count("*").alias("n_purchase_users")))
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort retention — signup week × activity-week offset
+# ---------------------------------------------------------------------------
+
+_NS_PER_WEEK = 7 * 24 * 3_600_000_000_000
+_US_PER_WEEK = 7 * 24 * 3_600_000_000
+
+
+@query(
+    "events_cohort_retention",
+    oracle=f"""
+WITH cohort AS (
+  SELECT user_id, MIN(epoch_us(ts)) // {_US_PER_WEEK} AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT c.cohort_week,
+    (epoch_us(e.ts) // {_US_PER_WEEK}) - c.cohort_week AS week_offset,
+    e.user_id
+  FROM events e JOIN cohort c ON e.user_id = c.user_id
+  WHERE (epoch_us(e.ts) // {_US_PER_WEEK}) - c.cohort_week BETWEEN 0 AND 3
+)
+SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active_users
+FROM activity GROUP BY 1, 2
+""",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users grouped by signup week, counted
+    as active in each of the following 4 weeks if ANY event lands there.
+    Week bucketing is exact integer `div` on epoch-nanos — NEVER double
+    division (epoch-ns exceeds double's 2^53 exact range; see
+    schema.load_events). ns div ns_per_week == µs div µs_per_week by the
+    nested-floor identity, so the DuckDB epoch_us twin is exact. Shape:
+    one partial-agg per user, one join on user (broadcast when the
+    cohort is small), one distinct + final agg."""
+    ev = load_events(spark, sf_dir)
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.expr(f"min(ts) div {_NS_PER_WEEK}").alias("cohort_week"))
+    )
+    activity = (
+        ev.join(cohort, on="user_id")
+        .withColumn(
+            "week_offset",
+            F.expr(f"ts div {_NS_PER_WEEK}") - F.col("cohort_week"),
+        )
+        .filter(F.col("week_offset").between(0, 3))
+        .select("cohort_week", "week_offset", "user_id")
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active_users")
+    )
