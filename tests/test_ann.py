@@ -128,3 +128,29 @@ def test_signlsh_batch_search_empty_queries(emb, spark):
     idx = SignLSHIndex.build(emb, n_tables=2, bits=4)
     empty = spark.createDataFrame([], "query_id long, q_embedding array<float>")
     assert idx.batch_search(empty, top_k=5).count() == 0
+
+
+def test_signlsh_save_load_roundtrip(emb, spark, tmp_path):
+    """Loaded index must search identically to the built one; planes
+    re-derive from md5, so only data is persisted."""
+    idx = SignLSHIndex.build(emb, n_tables=4, bits=6)
+    path = str(tmp_path / "signlsh_store")
+    idx.save(path)
+    loaded = SignLSHIndex.load(spark, path)
+    assert (loaded.n_tables, loaded.bits) == (4, 6)
+    assert loaded.planes == idx.planes
+    qv = _qv(emb, 5)
+    a = [(r["vec_id"], round(r["sim"], 9)) for r in idx.search(qv, top_k=5).collect()]
+    b = [(r["vec_id"], round(r["sim"], 9)) for r in loaded.search(qv, top_k=5).collect()]
+    assert a == b
+
+
+def test_signlsh_load_empty_meta_raises(spark, tmp_path, emb):
+    import pytest as _pytest
+
+    path = str(tmp_path / "signlsh_broken")
+    emb.limit(0).write.mode("overwrite").parquet(f"{path}/signed")
+    spark.createDataFrame([], "n_tables int, bits int, dim int, id_col string, emb_col string"
+                          ).write.mode("overwrite").parquet(f"{path}/meta")
+    with _pytest.raises(ValueError, match="meta"):
+        SignLSHIndex.load(spark, path)

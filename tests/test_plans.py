@@ -172,3 +172,22 @@ def test_pack_summary_bounded_shuffles(spark):
         order_col="doc_id", stream_col="lang",
     ))
     assert A.count_shuffles(plan) <= 2
+
+
+def test_signlsh_persisted_bucket0_probe_prunes(spark, emb, qv, tmp_path):
+    """The persisted sign-LSH layout: a single-table (bucket_0) probe on
+    the loaded index reads only that bucket's partition directory —
+    runtime scan metrics, same proof as the IVF layout."""
+    import glob
+
+    from vervectordb_spark.operators.ann import SignLSHIndex
+
+    idx = SignLSHIndex.build(emb, n_tables=2, bits=4)
+    path = str(tmp_path / "signlsh_prune")
+    idx.save(path)
+    loaded = SignLSHIndex.load(spark, path)
+    b0 = loaded.query_buckets(qv)[0]
+    probe = loaded.signed.filter(F.col("bucket_0") == b0)
+    metrics = A.executed_scan_metrics(probe)
+    dirs_on_disk = len(glob.glob(f"{path}/signed/bucket_0=*"))
+    assert metrics["numPartitions"] == 1 < dirs_on_disk

@@ -266,6 +266,47 @@ class SignLSHIndex:
         got = {r[self.id_col] for r in self.search(query_vec, top_k=k).collect()}
         return len(truth & got) / max(len(truth), 1)
 
+    # ------------------------------------------------------------ storage
+    def save(self, path: str) -> None:
+        """Persist the signed table partitioned by bucket_0 plus a one-row
+        meta table. Planes are NOT stored — they re-derive from md5
+        (rademacher_planes is deterministic), so the artifact is just data.
+
+        Layout note: partitioning by bucket_0 makes SINGLE-TABLE (t=0)
+        probes pure partition pruning (proven by scan metrics in
+        tests/test_plans.py); the multi-table OR-probe still scans the
+        other buckets. The full multi-index layout — one replica per
+        table, each partitioned by its own bucket column, probes as a
+        union of t pruned reads — is the t× storage trade a 100 TB
+        deployment makes deliberately; this single layout is the
+        1× default."""
+        self.signed.write.mode("overwrite").partitionBy("bucket_0").parquet(
+            f"{path}/signed"
+        )
+        spark = self.signed.sparkSession
+        dim = len(self.planes[0]) if self.planes else 0
+        meta = spark.createDataFrame(
+            [(self.n_tables, self.bits, dim, self.id_col, self.emb_col)],
+            "n_tables int, bits int, dim int, id_col string, emb_col string",
+        )
+        meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "SignLSHIndex":
+        rows = spark.read.parquet(f"{path}/meta").collect()
+        if not rows:
+            raise ValueError(
+                f"sign-LSH meta at {path} is empty (interrupted save?) — "
+                "rebuild or delete the directory"
+            )
+        m = rows[0]
+        signed = spark.read.parquet(f"{path}/signed").withColumn(
+            "bucket_0", F.col("bucket_0").cast("long")  # partition col reads as int
+        )
+        planes = rademacher_planes(m["n_tables"] * m["bits"], m["dim"])
+        return cls(signed, planes, m["n_tables"], m["bits"],
+                   id_col=m["id_col"], emb_col=m["emb_col"])
+
 
 class LSHAnnIndex:
     """MLlib BucketedRandomProjectionLSH over unit-normalized vectors.
