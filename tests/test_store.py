@@ -258,3 +258,21 @@ def test_merge_dim_check(store, spark):
     )
     with pytest.raises(DimensionError):
         store.merge(src)
+
+
+def test_save_load_restores_ann_index(spark, tmp_path):
+    """The MLlib ANN model rides save/load like IVF/PQ: a loaded store
+    serves ann_search without rebuilding, with the same results."""
+    st = VectorStore(spark, vector_dim=4)
+    st.batch_insert([[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+                     [0.9, 0.1, 0.0, 0.0], [0.5, 0.5, 0.0, 0.0]])
+    st.build_ann_index(num_hash_tables=2, seed=42)
+    before = st.ann_search([1.0, 0.0, 0.0, 0.0], top_k=2)
+    path = str(tmp_path / "store_with_ann")
+    st.save(path)
+
+    loaded = VectorStore.load(spark, path)
+    assert loaded._ann is not None  # restored, not rebuilt
+    after = loaded.ann_search([1.0, 0.0, 0.0, 0.0], top_k=2)
+    assert [(r["vector_id"], round(r["similarity"], 9)) for r in before] == \
+           [(r["vector_id"], round(r["similarity"], 9)) for r in after]

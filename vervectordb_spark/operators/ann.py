@@ -341,6 +341,29 @@ class LSHAnnIndex:
         model = lsh.fit(feats)
         return cls(model, model.transform(feats).cache(), id_col=id_col, emb_col=emb_col)
 
+    def save(self, path: str) -> None:
+        """Persist the fitted MLlib model (its random planes are the only
+        state; the featurized table re-derives from the base vectors)."""
+        self.model.write().overwrite().save(path)
+
+    @classmethod
+    def load(cls, spark, path: str, df: DataFrame,
+             id_col: str = "vec_id", emb_col: str = "embedding") -> "LSHAnnIndex":
+        """Restore the model and re-featurize `df` (the base vector table
+        the index serves — hashes recompute deterministically from the
+        loaded planes)."""
+        from pyspark.ml.feature import BucketedRandomProjectionLSHModel
+        from pyspark.ml.functions import array_to_vector
+
+        from vervectordb_spark.functions.similarity import normalize_expr
+
+        model = BucketedRandomProjectionLSHModel.load(path)
+        feats = df.withColumn(
+            "_features", array_to_vector(normalize_expr(F.col(emb_col)))
+        )
+        return cls(model, model.transform(feats).cache(),
+                   id_col=id_col, emb_col=emb_col)
+
     def search(self, query_vec: Sequence[float], top_k: int = 5) -> DataFrame:
         """approxNearestNeighbors over-fetches 3×k candidates in hash space,
         then exact cosine rescore (the reference's own over-fetch ratio,

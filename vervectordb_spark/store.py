@@ -352,6 +352,10 @@ class VectorStore:
             self._pq.save(f"{path}/pq", self.spark)
         if self._ivf is not None and not (same and self._ivf_from_disk):
             self._ivf.save(f"{path}/ivf")
+        if self._ann is not None:
+            # MLlib writer; model state is tiny (the random planes), the
+            # featurized table re-derives from vectors at load
+            self._ann.save(f"{path}/ann_model")
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, vector_dim: int | None = None) -> "VectorStore":
@@ -387,4 +391,13 @@ class VectorStore:
             import warnings
 
             warnings.warn(f"ignoring corrupt IVF artifacts: {e}")
+        from vervectordb_spark.operators.ann import LSHAnnIndex
+
+        try:
+            store._ann = LSHAnnIndex.load(spark, f"{path}/ann_model", df)
+        except Exception as e:  # MLlib load raises broadly on absent/corrupt
+            if "ann_model" not in str(e) and "Path does not exist" not in str(e):
+                import warnings
+
+                warnings.warn(f"ignoring corrupt ANN artifacts: {e}")
         return store
