@@ -104,3 +104,13 @@ def test_batch_search_matches_serial(ivf, emb):
         serial = ivf.search(qv, top_k=5, nprobe=8).collect()
         for rank, row in enumerate(serial, start=1):
             assert batched[(r["query_id"], rank)] == (row["vec_id"], round(row["sim"], 9))
+
+
+def test_cluster_stats_shares_sum_to_one(spark, emb):
+    from vervectordb_spark.operators.ivf import IVFIndex
+
+    idx = IVFIndex.build(emb, n_clusters=8, seed=42)
+    stats = idx.cluster_stats().collect()
+    assert len(stats) <= 8
+    assert sum(r["n_vectors"] for r in stats) == emb.count()
+    assert abs(sum(r["share"] for r in stats) - 1.0) < 1e-4

@@ -290,6 +290,24 @@ class IVFIndex:
             emb_col=self.emb_col,
         )
 
+    def cluster_stats(self) -> DataFrame:
+        """Per-cluster occupancy: (cluster_id, n_vectors, share) — the
+        observability feed for layout skew. A cluster holding a large
+        share of the corpus makes every probe that touches it scan-heavy;
+        the remedies are raising k, re-fitting, or AQE skew-split on the
+        rescore join. One partial-agg shuffle; the share window runs over
+        the k-row aggregate, not the corpus."""
+        from pyspark.sql import Window
+
+        counts = self.assigned.groupBy("cluster_id").agg(
+            F.count("*").alias("n_vectors")
+        )
+        w = Window.partitionBy(F.lit(0))  # k rows — bounded by definition
+        return counts.withColumn(
+            "share",
+            F.round(F.col("n_vectors") / F.sum("n_vectors").over(w), 6),
+        )
+
     # ------------------------------------------------------------ storage
     @classmethod
     def from_centroids(cls, df: DataFrame, centroids_df: DataFrame,

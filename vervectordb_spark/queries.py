@@ -437,3 +437,42 @@ from vervectordb_spark import queries_ann  # noqa: E402,F401  (registration)
 from vervectordb_spark import queries_multimodal  # noqa: E402,F401  (registration)
 from vervectordb_spark import queries_embed  # noqa: E402,F401  (registration)
 from vervectordb_spark import queries_pipeline  # noqa: E402,F401  (registration)
+
+
+@query(
+    "ivf_cluster_stats",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id::INTEGER AS cluster_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 16
+),
+assign AS (
+  SELECT e.vec_id, c.cluster_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_cos('e.embedding::DOUBLE[]', 'c.cv')} DESC, c.cluster_id
+         ) AS rk
+  FROM embeddings e CROSS JOIN cent c
+),
+counts AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
+  FROM assign WHERE rk = 1 GROUP BY 1
+)
+SELECT cluster_id, n_vectors,
+       ROUND(n_vectors::DOUBLE / SUM(n_vectors) OVER (), 6) AS share
+FROM counts
+""",
+)
+def ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-layout observability: per-cluster occupancy + corpus share
+    (IVFIndex.cluster_stats) over the frozen-centroid assignment — the
+    skew report that decides when to raise k or re-fit."""
+    from vervectordb_spark.operators.ivf import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cluster_id"),
+        to_double(F.col("embedding")).alias("centroid"),
+    )
+    idx = IVFIndex.from_centroids(emb, cent)
+    return idx.cluster_stats()
