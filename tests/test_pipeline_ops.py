@@ -221,3 +221,26 @@ def test_quality_filter_reasons(spark):
     assert "punct_ratio" in got[2]["fail_reasons"]
     assert not got[3]["keep"]
     assert "n_tokens" in got[3]["fail_reasons"]
+
+
+def test_normalize_text_semantics(spark):
+    from vervectordb_spark.operators.text import normalize_text_expr
+
+    rows = [
+        (1, "<p>Hello   <b>world</b></p>"),
+        (2, "tab\there\nand\r\nnewlines"),
+        (3, "ctrl\x01chars\x1fdropped"),
+        (4, "  UPPER Case  "),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", normalize_text_expr("text").alias("n")).collect()}
+    assert got[1] == "Hello world"
+    assert got[2] == "tab here and newlines"
+    assert got[3] == "ctrlcharsdropped"
+    assert got[4] == "UPPER Case"
+    assert got[5] is None
+    low = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", normalize_text_expr("text", lowercase=True).alias("n")).collect()}
+    assert low[4] == "upper case"

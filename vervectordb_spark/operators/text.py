@@ -163,6 +163,25 @@ def fingerprint_expr(text_col: Column | str) -> Column:
     )
 
 
+def normalize_text_expr(text_col: Column | str,
+                        lowercase: bool = False) -> Column:
+    """Canonical text cleanup — the step every dedup/quality pass runs
+    FIRST so near-identical documents actually hash together:
+
+      1. strip HTML/XML tags (`<...>` non-greedy);
+      2. drop control characters (C0 except \\t \\n \\r);
+      3. collapse all whitespace runs to one space;
+      4. trim; optionally lowercase.
+
+    Pure column expressions (regexp_replace chains, codegen) — and every
+    regex is portable to the DuckDB oracle verbatim."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    out = F.regexp_replace(c, r"<[^>]*>", " ")
+    out = F.regexp_replace(out, r"[\x00-\x08\x0B\x0C\x0E-\x1F]", "")
+    out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return F.lower(out) if lowercase else out
+
+
 #: the quality gate's individual rules: (tag, passing-predicate builder)
 _QUALITY_RULES = (
     ("n_tokens", lambda t: (n_tokens_expr(t) >= 20) & (n_tokens_expr(t) <= 1000)),

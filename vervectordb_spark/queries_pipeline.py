@@ -363,3 +363,35 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("sum_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text normalization — the canonical pre-dedup cleanup
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_normalize",
+    oracle="""
+SELECT doc_id,
+  trim(regexp_replace(
+    regexp_replace(
+      regexp_replace(text, '<[^>]*>', ' ', 'g'),
+      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g'),
+    '\\s+', ' ', 'g')) AS norm_text,
+  length(trim(regexp_replace(
+    regexp_replace(
+      regexp_replace(text, '<[^>]*>', ' ', 'g'),
+      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g'),
+    '\\s+', ' ', 'g'))) AS norm_len
+FROM documents
+""",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical cleanup (tag strip, control-char drop, whitespace
+    collapse, trim) — text.normalize_text_expr, value-replayed by the
+    identical DuckDB regex chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = TX.normalize_text_expr("text")
+    return docs.select(
+        "doc_id", norm.alias("norm_text"), F.length(norm).alias("norm_len")
+    )
