@@ -130,6 +130,18 @@ def test_signlsh_batch_search_empty_queries(emb, spark):
     assert idx.batch_search(empty, top_k=5).count() == 0
 
 
+def test_signlsh_batch_search_oversized_query_side_raises(emb, spark):
+    """A corpus-sized query side must trip the driver guard (same 64k bound
+    as IVFIndex.batch_search), not silently collect onto the driver."""
+    idx = SignLSHIndex.build(emb, n_tables=1, bits=2)
+    big = spark.range(65_537).select(
+        F.col("id").alias("query_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).cast("array<float>").alias("q_embedding"),
+    )
+    with pytest.raises(ValueError, match="exceeds"):
+        idx.batch_search(big, top_k=5)
+
+
 def test_signlsh_save_load_roundtrip(emb, spark, tmp_path):
     """Loaded index must search identically to the built one; planes
     re-derive from md5, so only data is persisted."""

@@ -215,7 +215,17 @@ class SignLSHIndex:
         from vervectordb_spark.functions.similarity import cosine_expr
 
         spark = self.signed.sparkSession
-        qrows = queries.select(query_id, query_emb).collect()
+        # same driver guard as IVFIndex.batch_search (operators/ivf.py):
+        # queries are API arguments (bounded), never the corpus — trip
+        # BEFORE an accidental corpus-sized collect hurts the driver
+        max_q = 65_536
+        qrows = queries.select(query_id, query_emb).limit(max_q + 1).collect()
+        if len(qrows) > max_q:
+            raise ValueError(
+                f"batch_search query side exceeds {max_q} rows; for "
+                "corpus-scale query sets use operators.topk.gemm_topk "
+                "(blocked broadcast) or knn_self_join"
+            )
         if not qrows:
             return spark.createDataFrame(
                 [], f"{query_id} long, {self.id_col} long, rank int, sim double")
