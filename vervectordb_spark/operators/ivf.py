@@ -295,17 +295,17 @@ class IVFIndex:
         observability feed for layout skew. A cluster holding a large
         share of the corpus makes every probe that touches it scan-heavy;
         the remedies are raising k, re-fitting, or AQE skew-split on the
-        rescore join. One partial-agg shuffle; the share window runs over
-        the k-row aggregate, not the corpus."""
-        from pyspark.sql import Window
-
+        rescore join. One partial-agg shuffle; the corpus total arrives as
+        a broadcast 1-row aggregate crossJoin (house style — no global
+        no-partition window, which single-threads through one task)."""
         counts = self.assigned.groupBy("cluster_id").agg(
             F.count("*").alias("n_vectors")
         )
-        w = Window.partitionBy(F.lit(0))  # k rows — bounded by definition
-        return counts.withColumn(
-            "share",
-            F.round(F.col("n_vectors") / F.sum("n_vectors").over(w), 6),
+        total = counts.agg(F.sum("n_vectors").alias("_total"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "cluster_id",
+            "n_vectors",
+            F.round(F.col("n_vectors") / F.col("_total"), 6).alias("share"),
         )
 
     # ------------------------------------------------------------ storage

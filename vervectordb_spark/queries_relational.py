@@ -509,19 +509,30 @@ SELECT
 """,
 )
 def users_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT/EXCEPT (distinct set semantics — planned as left-semi /
-    left-anti joins over pre-aggregated keys, not row-level diffs)."""
+    """INTERSECT/EXCEPT (distinct set semantics). Both inputs are distinct
+    key sets, so INTERSECT = inner-match and EXCEPT = null-match of ONE
+    left join; all three scalars fold into a single aggregate — one job,
+    no driver-side counting (same shape as events_funnel)."""
     ev = load_events(spark, sf_dir)
     clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
-    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
-    both_u = clickers.intersect(purchasers)
-    only_click = clickers.exceptAll(purchasers)
-    return spark.range(1).select(
-        F.lit(both_u.count()).cast("long").alias("n_both"),
-        F.lit(only_click.count()).cast("long").alias("n_click_only"),
-        F.lit(
-            (only_click.agg(F.sum("user_id")).collect()[0][0] or 0)
-        ).cast("long").alias("click_only_id_sum"),
+    purchasers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("is_purchaser", F.lit(True))
+    )
+    joined = clickers.join(purchasers, "user_id", "left")
+    return joined.agg(
+        F.count(F.when(F.col("is_purchaser"), 1)).cast("long").alias("n_both"),
+        F.count(F.when(F.col("is_purchaser").isNull(), 1))
+        .cast("long")
+        .alias("n_click_only"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_purchaser").isNull(), F.col("user_id"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("click_only_id_sum"),
     )
 
 
