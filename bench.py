@@ -180,13 +180,23 @@ def build_benches(spark, sf_dir: str):
 
         @bench("ann_search_8q")
         def _ann_search():
-            # per-query serving model: 8 sequential driver-loop jobs
+            # 8 queries through the batched path: ONE job (the r3 plan
+            # audit showed the per-query driver loop paying ~300 ms Spark
+            # scheduling each — 423 ms/query vs 33 ms/query batched)
             idx = _ann_holder[0]
-            rows = emb.filter(F.col("vec_id") < 8).select("embedding").collect()
-            n = 0
-            for r in rows:
-                n += _force(idx.search([float(x) for x in r[0]], top_k=10), limit=10)
-            return n
+            queries = emb.filter(F.col("vec_id") < 8).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_embedding"),
+            )
+            return _force(idx.batch_search(queries, top_k=10))
+
+        @bench("ann_search_1q")
+        def _ann_search_single():
+            # per-query serving latency floor (kept so the latency story
+            # stays measured, not just throughput)
+            idx = _ann_holder[0]
+            row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+            return _force(idx.search([float(x) for x in row[0]], top_k=10), limit=10)
 
         @bench("ann_batch_32q")
         def _ann_batch():
@@ -267,15 +277,16 @@ def build_benches(spark, sf_dir: str):
                 _ivfpq_holder.append((codec, encoded))
             codec, encoded = _ivfpq_holder[0]
             idx = _ivf_holder[0]
-            rows = emb.filter(F.col("vec_id") < 8).select("embedding").collect()
-            n = 0
-            for r in rows:
-                n += _force(
-                    idx.search_pq(codec, encoded, [float(x) for x in r[0]],
-                                  top_k=10, nprobe=8),
-                    limit=10,
-                )
-            return n
+            # 8 queries through the batched ADC: one stacked-LUT broadcast,
+            # ONE masked scan of the probed-cluster union (vs 8 driver-loop
+            # jobs at ~300 ms scheduling each in r3)
+            queries = emb.filter(F.col("vec_id") < 8).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_embedding"),
+            )
+            return _force(
+                idx.batch_search_pq(codec, encoded, queries, top_k=10, nprobe=8)
+            )
     except ImportError:
         pass
 

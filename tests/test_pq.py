@@ -142,3 +142,71 @@ def test_ivfpq_search(codec, emb):
             "cluster_id").distinct().collect()
     }
     assert cand_clusters <= probed
+
+
+def test_batch_adc_matches_per_query(codec, emb, spark):
+    """The stacked-LUT batch kernel must be row-for-row the per-query ADC
+    path (same sequential fold order per query), with and without the
+    exact rerank stage."""
+    encoded = codec.encode(emb).select("vec_id", "pq_code").cache()
+    qdf = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    for rerank in (None, emb.select("vec_id", "embedding")):
+        batch = codec.batch_adc_search(encoded, qdf, top_k=5, rerank=rerank)
+        got = {
+            (r["query_id"], r["rank"]): (r["vec_id"], r["sim"])
+            for r in batch.collect()
+        }
+        for qid in range(4):
+            qv = [float(x) for x in
+                  emb.filter(F.col("vec_id") == qid).collect()[0]["embedding"]]
+            single = codec.adc_search(encoded, qv, top_k=5, rerank=rerank)
+            rows = single.orderBy(F.desc("sim"), F.asc("vec_id")).collect()
+            for rank, r in enumerate(rows, 1):
+                assert got[(qid, rank)][0] == r["vec_id"]
+                assert got[(qid, rank)][1] == r["sim"]  # bit-exact
+
+
+def test_batch_search_pq_matches_per_query(codec, emb):
+    """Batched IVF-PQ (one masked scan of the probed-cluster union) must
+    reproduce the per-query probe -> ADC -> rerank path."""
+    from vervectordb_spark.operators.ivf import IVFIndex
+
+    ivf = IVFIndex.build(emb, n_clusters=8, seed=42)
+    encoded = codec.encode(ivf.assigned).select(
+        "vec_id", "cluster_id", "pq_code"
+    ).cache()
+    qdf = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    batch = ivf.batch_search_pq(
+        codec, encoded, qdf, top_k=5, nprobe=4, rerank=emb
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["sim"])
+        for r in batch.collect()
+    }
+    for qid in range(4):
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == qid).collect()[0]["embedding"]]
+        rows = (
+            ivf.search_pq(codec, encoded, qv, top_k=5, nprobe=4, rerank=emb)
+            .orderBy(F.desc("sim"), F.asc("vec_id"))
+            .collect()
+        )
+        for rank, r in enumerate(rows, 1):
+            assert got[(qid, rank)] == (r["vec_id"], r["sim"])
+
+
+def test_batch_adc_query_guard(codec, emb):
+    """Corpus-sized query sides must trip the driver guard, not OOM it."""
+    encoded = codec.encode(emb.limit(50)).select("vec_id", "pq_code")
+    qdf = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    with pytest.raises(ValueError, match="query side exceeds"):
+        codec.batch_adc_search(encoded, qdf, top_k=5, max_q=100)

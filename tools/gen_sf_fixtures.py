@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Generate larger-sf fixtures by deterministic upscale of an existing sf dir.
+
+Usage: python tools/gen_sf_fixtures.py [--factor 10] [--src /root/testdata/sf0.1]
+                                       [--dest /root/repo/fixtures/sf1]
+
+The driver's fixtures stop at sf0.1; the scale story ("would this plan
+survive 10-100x?") needs a bigger measured point. Rather than re-deriving
+the driver's generator, each table is replicated `factor` times with all
+keys shifted by a per-replica stride (max_key+1), so:
+
+  * every distribution (value ranges, category frequencies, text shape,
+    timestamps) is preserved EXACTLY by construction;
+  * join fanouts (orders per customer, lineitems per order, events per
+    user) are preserved exactly — replicas never cross-join;
+  * text/embedding payloads are deterministically perturbed per replica
+    (replica 1 keeps exact copies — realistic dedup load; replicas >= 2
+    mutate) so dedup/ANN operators see realistic near-dup rates instead of
+    a degenerate 10x exact-duplicate corpus;
+  * region/nation stay fixed (dimension tables don't scale — same as TPC-H).
+
+Fully distributed: one crossJoin(range(factor)) + column exprs per table,
+no driver-side data. Deterministic: no RNG — perturbations are
+xxhash64-derived.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+#: key columns shifted by (replica * stride) — stride = max(key)+1 of the
+#: column's OWNING table, reused for foreign keys so joins stay intra-replica
+KEYED = {
+    "customer": {"c_custkey": "c_custkey"},
+    "supplier": {"s_suppkey": "s_suppkey"},
+    "part": {"p_partkey": "p_partkey"},
+    "orders": {"o_orderkey": "o_orderkey", "o_custkey": "c_custkey"},
+    "lineitem": {
+        "l_orderkey": "o_orderkey",
+        "l_partkey": "p_partkey",
+        "l_suppkey": "s_suppkey",
+    },
+    "events": {"event_id": "event_id", "user_id": "user_id"},
+    "documents": {"doc_id": "doc_id"},
+    "embeddings": {"vec_id": "vec_id"},
+}
+
+#: where each stride key is owned (table, column)
+STRIDE_SOURCE = {
+    "c_custkey": ("customer", "c_custkey"),
+    "s_suppkey": ("supplier", "s_suppkey"),
+    "p_partkey": ("part", "p_partkey"),
+    "o_orderkey": ("orders", "o_orderkey"),
+    "event_id": ("events", "event_id"),
+    "user_id": ("events", "user_id"),
+    "doc_id": ("documents", "doc_id"),
+    "vec_id": ("embeddings", "vec_id"),
+}
+
+
+def upscale(df: DataFrame, table: str, factor: int, strides: dict) -> DataFrame:
+    rep = df.sparkSession.range(factor).select(F.col("id").alias("_rep"))
+    out = df.crossJoin(rep)
+    for col, skey in KEYED.get(table, {}).items():
+        dtype = df.schema[col].dataType.simpleString()
+        out = out.withColumn(
+            col, (F.col(col) + F.col("_rep") * F.lit(strides[skey])).cast(dtype)
+        )
+    if table == "documents":
+        # replica 0 = original, 1 = exact copy (dedup load), >=2 = word-level
+        # mutation: prefix a replica-specific token so shingle sets shift
+        # slightly (near-dup, not exact)
+        out = out.withColumn(
+            "text",
+            F.when(F.col("_rep") <= 1, F.col("text")).otherwise(
+                F.concat(
+                    F.lit("rep"), F.col("_rep").cast("string"), F.lit(" "),
+                    F.col("text"),
+                )
+            ),
+        ).withColumn("n_chars", F.length("text").cast(df.schema["n_chars"].dataType.simpleString()))
+    if table == "embeddings":
+        # deterministic tiny perturbation for replicas >= 1: cosine stays
+        # ~1-1e-4 to the source vector (near-dup, not bit-equal), norms and
+        # the N(0, 0.12) element distribution essentially unchanged
+        out = out.withColumn(
+            "embedding",
+            F.when(F.col("_rep") == 0, F.col("embedding")).otherwise(
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: (
+                        x
+                        + (
+                            F.pmod(
+                                F.xxhash64(F.col("vec_id"), i, F.col("_rep")),
+                                F.lit(1000),
+                            )
+                            - F.lit(500)
+                        ).cast("float")
+                        * F.lit(1e-6)
+                    ).cast("float"),
+                )
+            ),
+        )
+    if table == "events":
+        # shift replica timestamps by a few minutes so hourly buckets don't
+        # collapse onto identical (bucket, type) keys 10x deep
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":  # epoch-nanos generation
+            out = out.withColumn(
+                "ts", F.col("ts") + F.col("_rep") * F.lit(137_000_000_000)
+            )
+        else:
+            out = out.withColumn(
+                "ts",
+                (F.col("ts").cast("timestamp")
+                 + F.make_interval(secs=F.col("_rep") * F.lit(137))
+                 ).cast(ts_type),
+            )
+    return out.drop("_rep")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dest", default="/root/repo/fixtures/sf1")
+    args = ap.parse_args()
+
+    from vervectordb_spark.session import get_spark
+
+    spark = get_spark("gen-sf-fixtures")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tables = {}
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        tables[t] = spark.read.parquet(f"{args.src}/{t}.parquet")
+
+    strides = {
+        key: tables[t].agg(F.max(col)).collect()[0][0] + 1
+        for key, (t, col) in STRIDE_SOURCE.items()
+    }
+    print(f"strides: {strides}")
+
+    os.makedirs(args.dest, exist_ok=True)
+    for t, df in tables.items():
+        if t in ("region", "nation"):
+            out = df
+        else:
+            out = upscale(df, t, args.factor, strides)
+        # single parquet prefix per table (the loaders read a path, dirs ok)
+        out.write.mode("overwrite").parquet(f"{args.dest}/{t}.parquet")
+        n = spark.read.parquet(f"{args.dest}/{t}.parquet").count()
+        print(f"{t}: {n} rows")
+    print(f"done -> {args.dest}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

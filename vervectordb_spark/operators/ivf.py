@@ -290,6 +290,45 @@ class IVFIndex:
             emb_col=self.emb_col,
         )
 
+    def batch_search_pq(self, codec, encoded: DataFrame, queries: DataFrame,
+                        top_k: int = 5, nprobe: int | None = None,
+                        rerank: DataFrame | None = None,
+                        query_id: str = "query_id",
+                        query_emb: str = "q_embedding",
+                        probe_sets: dict | None = None) -> DataFrame:
+        """Many-query IVF-PQ in ONE job: per-query probe sets are computed
+        driver-side (Q × k centroid dots, NumPy — no Spark job), the codes
+        table is scanned ONCE over the UNION of probed clusters (partition
+        pruning on a cluster-partitioned layout), and the stacked-LUT ADC
+        kernel masks query×row pairs whose cluster the query didn't probe
+        (codec.batch_adc_search). vs the per-query driver loop of
+        `search_pq`: one scan + one job instead of Q of each.
+
+        `probe_sets` overrides probing (oracle-gated callers pass bit-exact
+        sets from probe_clusters_exact per query).
+        Returns (query_id, vec_id, rank, sim)."""
+        nprobe = min(nprobe or self.default_nprobe(), self.n_clusters)
+        max_q = 65_536
+        qrows = queries.select(query_id, query_emb).limit(max_q + 1).collect()
+        if len(qrows) > max_q:
+            raise ValueError(
+                f"batch_search_pq query side exceeds {max_q} rows; prune "
+                "first or use operators.topk.gemm_topk (blocked broadcast)"
+            )
+        if probe_sets is None:
+            probe_sets = {
+                r[0]: self.probe_clusters([float(x) for x in r[1]], nprobe)
+                for r in qrows
+            }
+        probed_union = sorted({c for s in probe_sets.values() for c in s})
+        src = encoded.filter(F.col("cluster_id").isin(probed_union))
+        return codec.batch_adc_search(
+            src, top_k=top_k, id_col=self.id_col, query_id=query_id,
+            query_emb=query_emb, rerank=rerank, emb_col=self.emb_col,
+            probe_sets=probe_sets, n_clusters=self.n_clusters,
+            _qrows=qrows,
+        )
+
     def cluster_stats(self) -> DataFrame:
         """Per-cluster occupancy: (cluster_id, n_vectors, share) — the
         observability feed for layout skew. A cluster holding a large

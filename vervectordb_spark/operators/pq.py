@@ -310,6 +310,162 @@ class PQCodec:
             exact_pool, query_vec, top_k, emb_col=emb_col, id_col=id_col
         )
 
+    # ----------------------------------------------------- batched ADC
+    def batch_adc_search(self, encoded: DataFrame, queries: DataFrame | None = None,
+                         top_k: int = 10, code_col: str = "pq_code",
+                         id_col: str = "vec_id",
+                         query_id: str = "query_id",
+                         query_emb: str = "q_embedding",
+                         rerank: DataFrame | None = None,
+                         rerank_factor: int = 5,
+                         emb_col: str = "embedding",
+                         probe_sets: dict | None = None,
+                         n_clusters: int | None = None,
+                         cluster_col: str = "cluster_id",
+                         max_q: int = 65_536,
+                         _qrows: list | None = None) -> DataFrame:
+        """Many-query ADC in ONE job: the per-query LUT pair of
+        `adc_search` stacks into a (Q, m, k) dot tensor plus the shared
+        query-independent (m, k) norm table, broadcast once; one scan over
+        the codes scores every query per Arrow batch with a LUT gather.
+        vs the driver loop of Q jobs this trades Q× scheduling overhead
+        (~300 ms each) for one pass — the same batching economics as
+        IVFIndex.batch_search.
+
+        `probe_sets` (qid → probed cluster list, with `n_clusters`) masks
+        query×row pairs whose cluster the query didn't probe — the batched
+        IVF-PQ path scans the UNION of probed clusters once (partition
+        pruning on the persisted layout) and masks per query in-kernel.
+
+        Numerics contract: identical to `adc_search` — LUT dot folds are
+        sequential over sub_dim (vectorized ACROSS queries, preserving
+        per-query fold order), per-row sums accumulate in subspace order,
+        per-batch candidate pruning tie-breaks (sim desc, id asc) per
+        query — so the batch path is oracle-checkable row-for-row against
+        the single-query SQL replayed per query (queries_pq.ivfpq_adc_batch).
+
+        Memory: kernel holds a (Q × arrow-batch) score block; the `max_q`
+        guard bounds it (64k queries × 10k-row batch ≈ 5 GB — lower max_q
+        for thin executors; corpus-scale query sides belong in gemm_topk's
+        blocked kernel after IVF pruning).
+        Returns (query_id, id, rank, sim), rank 1..top_k per query."""
+        from pyspark.sql import Window
+
+        spark = encoded.sparkSession
+        if _qrows is None:
+            qrows = queries.select(query_id, query_emb).limit(max_q + 1).collect()
+            if len(qrows) > max_q:
+                raise ValueError(
+                    f"batch_adc_search query side exceeds {max_q} rows; for "
+                    "corpus-scale query sets prune with IVF/LSH and use "
+                    "operators.topk.gemm_topk (blocked broadcast)"
+                )
+        else:
+            qrows = _qrows
+        vid_type = encoded.schema[id_col].dataType.simpleString()
+        if not qrows:
+            return spark.createDataFrame(
+                [], f"{query_id} long, {id_col} {vid_type}, rank int, sim double"
+            )
+        m, sub_dim, k = self.n_subquantizers, self.sub_dim, self.codebook_size
+        qids = np.array([r[0] for r in qrows], dtype=np.int64)
+        qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+        nq = len(qids)
+        # ‖q‖ per query: sequential fold over dim, vectorized across queries
+        # (elementwise float64 — bit-identical per query to the serial path)
+        acc = np.zeros(nq)
+        for i in range(self.dim):
+            acc += qmat[:, i] * qmat[:, i]
+        qn = np.sqrt(acc)
+        lut_dot = np.empty((nq, m, k))
+        lut_norm = np.empty((m, k))
+        for s in range(m):
+            for c in range(k):
+                d = np.zeros(nq)
+                n = 0.0
+                for i in range(sub_dim):
+                    cv = float(self.codebooks[s, c, i])
+                    d += cv * qmat[:, s * sub_dim + i]
+                    n += cv * cv
+                lut_dot[:, s, c] = d
+                lut_norm[s, c] = n
+        mask = None
+        if probe_sets is not None:
+            if n_clusters is None:
+                n_clusters = 1 + max(c for s in probe_sets.values() for c in s)
+            mask = np.zeros((nq, n_clusters), dtype=bool)
+            for i, qid in enumerate(qids):
+                mask[i, list(probe_sets[qid])] = True
+        bc = spark.sparkContext.broadcast((qids, lut_dot, lut_norm, qn, mask))
+        fetch = rerank_factor * top_k if rerank is not None else top_k
+        out_schema = f"{query_id} long, {id_col} {vid_type}, sim double"
+        cols = [id_col, code_col] + ([cluster_col] if mask is not None else [])
+
+        def score(batches):
+            import pandas as pd
+
+            b_qids, b_dot, b_norm, b_qn, b_mask = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                codes = np.asarray(pdf[code_col].tolist(), dtype=np.int16) + 128
+                nr = len(codes)
+                dots = np.zeros((len(b_qids), nr))
+                norms_sq = np.zeros(nr)
+                for s in range(b_dot.shape[1]):  # subspace order (fold)
+                    dots += b_dot[:, s, codes[:, s]]
+                    norms_sq += b_norm[s, codes[:, s]]
+                denom = np.sqrt(norms_sq)[None, :] * b_qn[:, None]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = np.where(denom == 0.0, 0.0, dots / denom)
+                if b_mask is not None:
+                    sims = np.where(
+                        b_mask[:, pdf[cluster_col].to_numpy()], sims, -2.0
+                    )
+                vids = pdf[id_col].to_numpy()
+                kk = min(fetch, nr)
+                out_q, out_v, out_s = [], [], []
+                for qi in range(len(b_qids)):  # deterministic per-query prune
+                    idx = np.lexsort((vids, -sims[qi]))[:kk]
+                    out_q.append(np.full(kk, b_qids[qi]))
+                    out_v.append(vids[idx])
+                    out_s.append(sims[qi, idx])
+                yield pd.DataFrame({
+                    query_id: np.concatenate(out_q),
+                    id_col: np.concatenate(out_v),
+                    "sim": np.concatenate(out_s),
+                })
+
+        cand = (
+            encoded.select(*cols)
+            .mapInPandas(score, out_schema)
+            .filter(F.col("sim") > -2.0)
+        )
+        w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(id_col))
+        pool = cand.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= fetch
+        )
+        if rerank is None:
+            return pool.filter(F.col("rank") <= top_k)
+        from vervectordb_spark.functions.similarity import cosine_expr
+
+        probes = spark.createDataFrame(
+            [(int(r[0]), [float(x) for x in r[1]]) for r in qrows],
+            f"{query_id} long, _qv array<double>",
+        )
+        exact = (
+            rerank.join(pool.select(query_id, id_col), on=id_col)
+            .join(F.broadcast(probes), on=query_id)
+            .select(
+                query_id,
+                id_col,
+                cosine_expr(F.col(emb_col), F.col("_qv")).alias("sim"),
+            )
+        )
+        return exact.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= top_k
+        )
+
     # ------------------------------------------------------------- metrics
     def compression_ratio(self) -> float:
         """Raw float32 bytes / code bytes (reference prints this,

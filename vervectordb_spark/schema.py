@@ -57,12 +57,25 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the events fixture. Its `ts` is parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects by default (PARQUET_TYPE_ILLEGAL);
-    `nanosAsLong` (runtime SQL conf) reads it as epoch-nanos int64, which is
-    also the parity-safe representation — all window/bucket/gap arithmetic
-    stays exact 64-bit integer math on both engines (epoch-ns ≈ 1.7e18
-    exceeds double's 2^53 exact range, so NEVER divide it as double; use
-    `div`)."""
+    """Read the events fixture, normalizing `ts` to epoch-nanos int64 —
+    the parity-safe representation: all window/bucket/gap arithmetic stays
+    exact 64-bit integer math on both engines (epoch-ns ≈ 1.7e18 exceeds
+    double's 2^53 exact range, so NEVER divide it as double; use `div`).
+
+    Fixture generations differ: parquet TIMESTAMP(NANOS) reads as int64
+    directly via `nanosAsLong` (Spark's vectorized reader rejects NANOS
+    otherwise); TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+    TIMESTAMP_NTZ and is converted via unix_micros under a pinned UTC
+    session zone (ntz→ltz is zone-sensitive; UTC makes it the identity the
+    DuckDB oracle's epoch_us(ts) computes)."""
+    from pyspark.sql import functions as F
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = df.schema["ts"].dataType
+    if not isinstance(ts_type, T.LongType):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
+    return df
