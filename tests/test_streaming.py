@@ -164,3 +164,58 @@ def test_ingest_with_index_refresh(spark, tmp_path):
     qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
     hits = idx.search(qv, top_k=5, nprobe=4).collect()
     assert len(hits) == 5
+
+
+def test_incremental_ann_signing_before_rebuild(spark, tmp_path):
+    """Rows arriving AFTER the last full rebuild are signed with the
+    deterministic planes and appended into the bucket-partitioned layout —
+    the loaded sign-LSH index serves them before the next rebuild, with
+    signatures identical to what a full rebuild would produce."""
+    from vervectordb_spark.operators.ann import SignLSHIndex
+    from vervectordb_spark.schema import load_table
+    from vervectordb_spark.streaming.refresh import ingest_with_index_refresh
+
+    src = str(tmp_path / "vec_stream_ann")
+    store = str(tmp_path / "store_ann")
+    ckpt = str(tmp_path / "ann_ckpt")
+    emb = load_table(spark, SF_DIR, "embeddings").limit(120)
+    emb.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    # 4 micro-batches, rebuild after the 3rd: batch 4 reaches the ANN
+    # layout only via the incremental signing path
+    q = ingest_with_index_refresh(
+        stream, store, ckpt, refresh_every=3, n_clusters=4, dim=64,
+        ann_tables=4, ann_bits=6,
+    )
+    q.awaitTermination(180)
+    assert q._refresh_state["refreshes"] == 1
+    assert q._refresh_state["ann_incremental_appends"] == 1
+
+    idx = SignLSHIndex.load(spark, f"{store}/ann")
+    ingested = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    indexed = {r["vec_id"] for r in idx.signed.select("vec_id").collect()}
+    assert indexed == ingested  # batch-4 rows present pre-rebuild
+
+    # incremental signatures == full-rebuild signatures (deterministic planes)
+    rebuilt = SignLSHIndex.build(
+        spark.read.parquet(f"{store}/vectors"), n_tables=4, bits=6
+    )
+    want = {
+        r["vec_id"]: tuple(r[f"bucket_{t}"] for t in range(4))
+        for r in rebuilt.signed.collect()
+    }
+    got = {
+        r["vec_id"]: tuple(r[f"bucket_{t}"] for t in range(4))
+        for r in idx.signed.collect()
+    }
+    assert got == want
+
+    # a batch-4 row must be ANN-searchable now (self-hit is its own bucket)
+    batch4_id = sorted(ingested)[-1]
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == batch4_id).collect()[0]["embedding"]]
+    hits = idx.search(qv, top_k=5)
+    assert any(r["vec_id"] == batch4_id for r in hits.collect())

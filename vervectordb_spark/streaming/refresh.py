@@ -42,19 +42,31 @@ def ingest_with_index_refresh(
     seed: int = 42,
     dim: int | None = None,
     incremental: bool = True,
+    ann_tables: int | None = None,
+    ann_bits: int = 6,
 ):
     """Start a streaming query that appends vectors to
     `{store_path}/vectors`, rebuilds `{store_path}/ivf` every
     `refresh_every` micro-batches, and (with `incremental=True`) assigns
     each in-between batch to the current centroids so it is searchable
-    before the next rebuild. Returns the StreamingQuery."""
+    before the next rebuild.
+
+    With `ann_tables` set, a sign-LSH layout at `{store_path}/ann` is
+    maintained the same way — and incrementally it is EXACT, not stale:
+    hyperplanes derive deterministically from (n_tables, bits, dim)
+    (operators/ann.rademacher_planes), so signing an arriving batch and
+    dynamic-partition-appending it into the bucket_0 layout produces
+    byte-identical signatures to a full rebuild. The periodic rebuild only
+    compacts files. Returns the StreamingQuery."""
     from vervectordb_spark.operators.ivf import IVFIndex, assign_by_centroids
 
     state = {
         "batches_since_refresh": 0,
         "refreshes": 0,
         "incremental_appends": 0,
+        "ann_incremental_appends": 0,
         "centroids": None,  # list[(cluster_id, [floats])] after first rebuild
+        "ann_ready": False,  # meta exists once the first rebuild saved it
     }
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -73,7 +85,15 @@ def ingest_with_index_refresh(
             state["centroids"] = [
                 (i, [float(x) for x in c]) for i, c in enumerate(idx.centroids)
             ]
-        elif incremental and state["centroids"] is not None:
+            if ann_tables is not None:
+                from vervectordb_spark.operators.ann import SignLSHIndex
+
+                SignLSHIndex.build(
+                    full, n_tables=ann_tables, bits=ann_bits
+                ).save(f"{store_path}/ann")
+                state["ann_ready"] = True
+            return
+        if incremental and state["centroids"] is not None:
             # cheap path: argmax-cosine against k broadcast centroids, then
             # dynamic-partition append of ONLY this batch's rows
             cent = spark.createDataFrame(
@@ -84,6 +104,20 @@ def ingest_with_index_refresh(
                 f"{store_path}/ivf/vectors_by_cluster"
             )
             state["incremental_appends"] += 1
+        if incremental and state["ann_ready"] and ann_tables is not None:
+            from vervectordb_spark.operators.ann import (
+                _sign_gemm,
+                rademacher_planes,
+            )
+
+            d = dim or out.select(F.size("embedding").alias("d")).first()["d"]
+            planes = rademacher_planes(ann_tables * ann_bits, d)
+            signed = _sign_gemm(out, planes, ann_tables, ann_bits,
+                                "embedding", d)
+            signed.write.mode("append").partitionBy("bucket_0").parquet(
+                f"{store_path}/ann/signed"
+            )
+            state["ann_incremental_appends"] += 1
 
     q = (
         stream_df.writeStream.foreachBatch(handle)
