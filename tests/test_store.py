@@ -276,3 +276,53 @@ def test_save_load_restores_ann_index(spark, tmp_path):
     after = loaded.ann_search([1.0, 0.0, 0.0, 0.0], top_k=2)
     assert [(r["vector_id"], round(r["similarity"], 9)) for r in before] == \
            [(r["vector_id"], round(r["similarity"], 9)) for r in after]
+
+
+def test_atomic_save_on_exception_keeps_previous(tmp_path):
+    """A save that dies mid-write must leave the previous complete
+    artifact in place, not a torn one."""
+    import os
+
+    from vervectordb_spark.sources.atomic import atomic_save
+
+    p = str(tmp_path / "artifact")
+    with atomic_save(p) as tmp:
+        os.makedirs(tmp, exist_ok=True)
+        with open(f"{tmp}/data", "w") as f:
+            f.write("v1")
+    with pytest.raises(RuntimeError):
+        with atomic_save(p) as tmp:
+            os.makedirs(tmp, exist_ok=True)
+            with open(f"{tmp}/data", "w") as f:
+                f.write("v2-partial")
+            raise RuntimeError("killed mid-save")
+    with open(f"{p}/data") as f:
+        assert f.read() == "v1"
+    assert not os.path.exists(p + ".__tmp__")
+
+
+def test_store_save_interrupted_keeps_previous_loadable(spark, tmp_path, monkeypatch):
+    """Kill-mid-save at the store level: the interrupted save raises, and
+    load still serves the previous complete store (vectors AND index)."""
+    from vervectordb_spark.operators.ivf import IVFIndex
+
+    path = str(tmp_path / "db_atomic")
+    st = VectorStore(spark, vector_dim=4)
+    st.batch_insert([[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]])
+    st.build_ivf_index(n_clusters=2)
+    st.save(path)
+
+    st.batch_insert([[0.5, 0.5, 0.0, 0.0]])
+    st.build_ivf_index(n_clusters=2)
+
+    def boom(self, p):
+        raise RuntimeError("killed mid-save")
+
+    monkeypatch.setattr(IVFIndex, "save", boom)
+    with pytest.raises(RuntimeError):
+        st.save(path)
+
+    loaded = VectorStore.load(spark, path)
+    assert loaded.df.count() == 2  # previous version, complete
+    hits = loaded.ivf_search([1.0, 0.0, 0.0, 0.0], top_k=2, nprobe=2)
+    assert len(hits) == 2

@@ -290,16 +290,19 @@ class SignLSHIndex:
         union of t pruned reads — is the t× storage trade a 100 TB
         deployment makes deliberately; this single layout is the
         1× default."""
-        self.signed.write.mode("overwrite").partitionBy("bucket_0").parquet(
-            f"{path}/signed"
-        )
-        spark = self.signed.sparkSession
-        dim = len(self.planes[0]) if self.planes else 0
-        meta = spark.createDataFrame(
-            [(self.n_tables, self.bits, dim, self.id_col, self.emb_col)],
-            "n_tables int, bits int, dim int, id_col string, emb_col string",
-        )
-        meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        from vervectordb_spark.sources.atomic import atomic_save
+
+        with atomic_save(path) as tmp:
+            self.signed.write.mode("overwrite").partitionBy("bucket_0").parquet(
+                f"{tmp}/signed"
+            )
+            spark = self.signed.sparkSession
+            dim = len(self.planes[0]) if self.planes else 0
+            meta = spark.createDataFrame(
+                [(self.n_tables, self.bits, dim, self.id_col, self.emb_col)],
+                "n_tables int, bits int, dim int, id_col string, emb_col string",
+            )
+            meta.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/meta")
 
     @classmethod
     def load(cls, spark, path: str) -> "SignLSHIndex":

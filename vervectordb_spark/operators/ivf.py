@@ -385,16 +385,21 @@ class IVFIndex:
 
     def save(self, path: str) -> None:
         """Persist the inverted layout: data partitioned BY cluster —
-        reading a probe set touches only those directories."""
-        self.assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
-            f"{path}/vectors_by_cluster"
-        )
-        spark = self.assigned.sparkSession
-        cent = spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
-            "cluster_id int, centroid array<double>",
-        )
-        cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        reading a probe set touches only those directories. Write-then-swap
+        (sources/atomic.py): an interrupted save leaves the previous
+        complete artifact, never the torn one the load guard detects."""
+        from vervectordb_spark.sources.atomic import atomic_save
+
+        with atomic_save(path) as tmp:
+            self.assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
+                f"{tmp}/vectors_by_cluster"
+            )
+            spark = self.assigned.sparkSession
+            cent = spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
+                "cluster_id int, centroid array<double>",
+            )
+            cent.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/centroids")
 
     @classmethod
     def load(cls, spark, path: str, id_col: str = "vec_id",

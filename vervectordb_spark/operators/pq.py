@@ -496,9 +496,12 @@ class PQCodec:
             for s in range(self.n_subquantizers)
             for k in range(self.codebook_size)
         ]
-        spark.createDataFrame(
-            rows, "subspace int, code int, centroid array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(path)
+        from vervectordb_spark.sources.atomic import atomic_save
+
+        with atomic_save(path) as tmp:
+            spark.createDataFrame(
+                rows, "subspace int, code int, centroid array<double>"
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
 
     @classmethod
     def load(cls, spark, path: str) -> "PQCodec":

@@ -332,30 +332,37 @@ class VectorStore:
         """S4: per-component parquet tables instead of one pickle blob —
         scan-able, partition-able, schema-evolvable.
 
+        The whole artifact tree is written under `{path}.__tmp__` and
+        rename-swapped in (sources/atomic.py) — an interrupted save leaves
+        the previous complete store, never the half-written artifacts the
+        load guards detect (the reference's pickle save truncates in
+        place, vervectordb/__init__.py:556-573).
+
         Save-after-load to the SAME path is supported: the in-flight
-        DataFrames are materialized (localCheckpoint) first so the
-        overwrite never targets a path its own lineage is reading
-        ('Cannot overwrite a path that is also being read from'), and IVF
-        artifacts that came unchanged off this very path are not
-        rewritten. At 100 TB prefer versioned destination dirs; the
-        same-path rewrite is the small-store convenience."""
+        DataFrames are materialized (localCheckpoint) first, because the
+        swap retires the very files their lineage reads. At 100 TB prefer
+        versioned destination dirs or a table format; the same-path
+        rewrite is the small-store convenience."""
+        from vervectordb_spark.sources.atomic import atomic_save
+
         path = path or self.db_path
         if not path:
             raise ValueError("no db_path")
         same = self._loaded_from == path
         if same:
             self.df = self.df.localCheckpoint(eager=True)
-            if self._ivf is not None and not self._ivf_from_disk:
+            if self._ivf is not None:
                 self._ivf.assigned = self._ivf.assigned.localCheckpoint(eager=True)
-        self.df.write.mode("overwrite").parquet(f"{path}/vectors")
-        if self._pq is not None:
-            self._pq.save(f"{path}/pq", self.spark)
-        if self._ivf is not None and not (same and self._ivf_from_disk):
-            self._ivf.save(f"{path}/ivf")
-        if self._ann is not None:
-            # MLlib writer; model state is tiny (the random planes), the
-            # featurized table re-derives from vectors at load
-            self._ann.save(f"{path}/ann_model")
+        with atomic_save(path) as tmp:
+            self.df.write.mode("overwrite").parquet(f"{tmp}/vectors")
+            if self._pq is not None:
+                self._pq.save(f"{tmp}/pq", self.spark)
+            if self._ivf is not None:
+                self._ivf.save(f"{tmp}/ivf")
+            if self._ann is not None:
+                # MLlib writer; model state is tiny (the random planes), the
+                # featurized table re-derives from vectors at load
+                self._ann.save(f"{tmp}/ann_model")
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, vector_dim: int | None = None) -> "VectorStore":
