@@ -107,15 +107,27 @@ def gemm_topk(
                 mat = _normalize_rows(
                     np.array(pdf[corpus_emb].tolist(), dtype=np.float64)
                 )
-                sims = b_qmat @ mat.T  # (Q_block, batch)
                 vids = pdf[id_col].to_numpy()
-                kk = min(fetch_k, sims.shape[1])
-                idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                kk = min(fetch_k, len(vids))
+                # chunk the query axis so the score matrix stays ≤ ~256 MB
+                # regardless of Q_block (a corpus-sized query side against a
+                # 10k-row Arrow batch would otherwise allocate Q×batch×8 B
+                # per batch per task — the sf1 self-join paid 1.6 GB/batch);
+                # chunking keeps ONE corpus scan, unlike shrinking the
+                # broadcast block, which multiplies scans
+                q_chunk = max(256, (1 << 25) // max(1, len(vids)))
+                out_q, out_v, out_s = [], [], []
+                for lo in range(0, len(b_qids), q_chunk):
+                    sims = b_qmat[lo : lo + q_chunk] @ mat.T  # (chunk, batch)
+                    idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                    out_q.append(np.repeat(b_qids[lo : lo + q_chunk], kk))
+                    out_v.append(vids[idx].ravel())
+                    out_s.append(np.take_along_axis(sims, idx, 1).ravel())
                 yield pd.DataFrame(
                     {
-                        query_id: np.repeat(b_qids, kk),
-                        id_col: vids[idx].ravel(),
-                        "sim": np.take_along_axis(sims, idx, 1).ravel(),
+                        query_id: np.concatenate(out_q),
+                        id_col: np.concatenate(out_v),
+                        "sim": np.concatenate(out_s),
                     }
                 )
 
