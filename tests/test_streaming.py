@@ -219,3 +219,44 @@ def test_incremental_ann_signing_before_rebuild(spark, tmp_path):
           emb.filter(F.col("vec_id") == batch4_id).collect()[0]["embedding"]]
     hits = idx.search(qv, top_k=5)
     assert any(r["vec_id"] == batch4_id for r in hits.collect())
+
+
+def test_incremental_pq_codes_before_rebuild(spark, tmp_path):
+    """Rows arriving after the last rebuild are PQ-encoded against the
+    current codebooks and appended to the ADC serving layout — searchable
+    through the compressed path before the next rebuild."""
+    from vervectordb_spark.operators.ivf import IVFIndex
+    from vervectordb_spark.operators.pq import PQCodec
+    from vervectordb_spark.schema import load_table
+    from vervectordb_spark.streaming.refresh import ingest_with_index_refresh
+
+    src = str(tmp_path / "vec_stream_pq")
+    store = str(tmp_path / "store_pq")
+    ckpt = str(tmp_path / "pq_ckpt")
+    emb = load_table(spark, SF_DIR, "embeddings").limit(120)
+    emb.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = ingest_with_index_refresh(
+        stream, store, ckpt, refresh_every=3, n_clusters=4, dim=64,
+        pq_subquantizers=8, pq_codebook_size=16,
+    )
+    q.awaitTermination(180)
+    assert q._refresh_state["refreshes"] == 1
+    assert q._refresh_state["pq_incremental_appends"] == 1
+
+    codes = spark.read.parquet(f"{store}/codes")
+    ingested = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert {r["vec_id"] for r in codes.select("vec_id").collect()} == ingested
+
+    # a batch-4 row is servable through probe -> ADC -> rerank now
+    codec = PQCodec.load(spark, f"{store}/pq")
+    idx = IVFIndex.load(spark, f"{store}/ivf")
+    batch4_id = sorted(ingested)[-1]
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == batch4_id).collect()[0]["embedding"]]
+    rer = spark.read.parquet(f"{store}/vectors").select("vec_id", "embedding")
+    hits = idx.search_pq(codec, codes, qv, top_k=5, nprobe=4, rerank=rer).collect()
+    assert any(r["vec_id"] == batch4_id for r in hits)

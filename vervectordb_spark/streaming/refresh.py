@@ -44,6 +44,8 @@ def ingest_with_index_refresh(
     incremental: bool = True,
     ann_tables: int | None = None,
     ann_bits: int = 6,
+    pq_subquantizers: int | None = None,
+    pq_codebook_size: int = 16,
 ):
     """Start a streaming query that appends vectors to
     `{store_path}/vectors`, rebuilds `{store_path}/ivf` every
@@ -57,7 +59,15 @@ def ingest_with_index_refresh(
     (operators/ann.rademacher_planes), so signing an arriving batch and
     dynamic-partition-appending it into the bucket_0 layout produces
     byte-identical signatures to a full rebuild. The periodic rebuild only
-    compacts files. Returns the StreamingQuery."""
+    compacts files.
+
+    With `pq_subquantizers` set, a PQ codes table at `{store_path}/codes`
+    (vec_id, cluster_id, pq_code — the ADC serving layout) is maintained
+    too: the rebuild fits + saves the codec and re-encodes the full table;
+    in-between batches are encoded against the CURRENT codebooks (encode
+    is deterministic given codebooks, so between-rebuild codes are exactly
+    what a rebuild with those codebooks would emit; codebook QUALITY lags
+    like IVF centroids do). Returns the StreamingQuery."""
     from vervectordb_spark.operators.ivf import IVFIndex, assign_by_centroids
 
     state = {
@@ -65,8 +75,10 @@ def ingest_with_index_refresh(
         "refreshes": 0,
         "incremental_appends": 0,
         "ann_incremental_appends": 0,
+        "pq_incremental_appends": 0,
         "centroids": None,  # list[(cluster_id, [floats])] after first rebuild
         "ann_ready": False,  # meta exists once the first rebuild saved it
+        "codec": None,  # PQCodec after first rebuild
     }
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -92,6 +104,20 @@ def ingest_with_index_refresh(
                     full, n_tables=ann_tables, bits=ann_bits
                 ).save(f"{store_path}/ann")
                 state["ann_ready"] = True
+            if pq_subquantizers is not None:
+                from vervectordb_spark.operators.pq import PQCodec
+
+                d = dim or full.select(F.size("embedding").alias("d")).first()["d"]
+                codec = PQCodec.fit(
+                    full, dim=d, n_subquantizers=pq_subquantizers,
+                    codebook_size=pq_codebook_size, seed=seed,
+                )
+                codec.save(f"{store_path}/pq", spark)
+                codes = codec.encode(idx.assigned).select(
+                    "vec_id", "cluster_id", "pq_code"
+                )
+                codes.write.mode("overwrite").parquet(f"{store_path}/codes")
+                state["codec"] = codec
             return
         if incremental and state["centroids"] is not None:
             # cheap path: argmax-cosine against k broadcast centroids, then
@@ -100,10 +126,21 @@ def ingest_with_index_refresh(
                 state["centroids"], "cluster_id int, centroid array<double>"
             )
             assigned = assign_by_centroids(out, cent)
+            if state["codec"] is not None:
+                # one assignment feeds both layouts: materialize it so the
+                # broadcast-argmax doesn't run twice
+                assigned = assigned.localCheckpoint(eager=True)
             assigned.write.mode("append").partitionBy("cluster_id").parquet(
                 f"{store_path}/ivf/vectors_by_cluster"
             )
             state["incremental_appends"] += 1
+            if state["codec"] is not None:
+                # encode against CURRENT codebooks — deterministic, so these
+                # codes equal what a rebuild with the same books would emit
+                state["codec"].encode(assigned).select(
+                    "vec_id", "cluster_id", "pq_code"
+                ).write.mode("append").parquet(f"{store_path}/codes")
+                state["pq_incremental_appends"] += 1
         if incremental and state["ann_ready"] and ann_tables is not None:
             from vervectordb_spark.operators.ann import (
                 _sign_gemm,
