@@ -107,6 +107,15 @@ def build_benches(spark, sf_dir: str):
     def _knn():
         return _force(S.knn_self_join(emb, top_k=3, kernel="gemm"))
 
+    @bench("knn_self_join_lsh")
+    def _knn_lsh():
+        # the corpus-scale path: bucket-collision candidates instead of the
+        # exact Q×N GEMM — pair volume ~t·N²/2^bits, no driver collect
+        from vervectordb_spark.operators.ann import SignLSHIndex
+
+        idx = SignLSHIndex.build(emb, n_tables=4, bits=8)
+        return _force(idx.self_join(top_k=3))
+
     _ivf_holder: list = []
 
     @bench("ivf_build")

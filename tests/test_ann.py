@@ -166,3 +166,22 @@ def test_signlsh_load_empty_meta_raises(spark, tmp_path, emb):
                           ).write.mode("overwrite").parquet(f"{path}/meta")
     with _pytest.raises(ValueError, match="meta"):
         SignLSHIndex.load(spark, path)
+
+
+def test_lsh_self_join_arrow_matches_fold(spark):
+    """The einsum rescore must produce the same ranking as the bit-exact
+    fold path (agreement to float tolerance; identical id sets)."""
+    from vervectordb_spark.operators.ann import SignLSHIndex
+    from vervectordb_spark.schema import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(200).cache()
+    idx = SignLSHIndex.build(emb, n_tables=4, bits=6, kernel="fold")
+    a = {(r["query_id"], r["rank"]): (r["vec_id"], round(r["sim"], 9))
+         for r in idx.self_join(top_k=3, rescore="arrow").collect()}
+    f = {(r["query_id"], r["rank"]): (r["vec_id"], round(r["sim"], 9))
+         for r in idx.self_join(top_k=3, rescore="fold").collect()}
+    assert set(a) == set(f)
+    for k in f:
+        assert a[k][0] == f[k][0]
+        assert abs(a[k][1] - f[k][1]) < 1e-9

@@ -269,6 +269,100 @@ class SignLSHIndex:
             F.col("rank") <= top_k
         )
 
+    def self_join(self, top_k: int = 3, rescore: str = "arrow") -> DataFrame:
+        """LSH-pruned kNN self-join: the corpus-scale answer the blocked
+        GEMM path (operators/topk.gemm_topk) deliberately is not. No
+        driver collect, no Q×N pair relation — candidates are rows
+        sharing a (table, bucket) signature:
+
+          1. unpivot the signed table into (row, table, bucket) entries
+             (map-side explode, t rows per input row);
+          2. self-join on (table, bucket) — a key shuffle whose pair
+             volume is Σ_buckets |b|², i.e. ~t·N²/2^bits for balanced
+             buckets, NOT N². Skewed (hub) buckets are the hazard; AQE
+             skew-join splits them (session default);
+          3. keep each (query, cand) pair only at its FIRST matching
+             table — a column predicate, no distinct shuffle;
+          4. exact rescore + per-query window top-k.
+
+        Two rescore kernels: "arrow" (default) computes the pair cosines
+        with one einsum per Arrow batch — the fold expression interprets
+        ~400 sub-expressions per pair and was 25× slower end-to-end at
+        7M pairs (sf1: 323 s → 13 s); "fold" is the bit-exact
+        oracle-checkable path (queries_ann.knn_self_join_lsh pins it).
+
+        Approximate: a true neighbor sharing no bucket is missed (recall
+        tunable via tables/bits). Returns (query_id, vec_id, rank, sim);
+        rows with zero collisions emit nothing."""
+        from pyspark.sql import Window
+
+        from vervectordb_spark.functions.similarity import cosine_expr
+
+        bucket_cols = [f"bucket_{t}" for t in range(self.n_tables)]
+        unpivot = F.explode(F.array(*[
+            F.struct(F.lit(t).alias("_tbl"), F.col(c).alias("_bkt"))
+            for t, c in enumerate(bucket_cols)
+        ])).alias("_e")
+        qside = self.signed.select(
+            F.col(self.id_col).alias("query_id"),
+            F.col(self.emb_col).alias("_q_emb"),
+            F.array(*bucket_cols).alias("_qb"),
+            unpivot,
+        ).select("query_id", "_q_emb", "_qb", "_e._tbl", "_e._bkt")
+        cside = self.signed.select(
+            self.id_col, self.emb_col, *bucket_cols, unpivot
+        ).select(self.id_col, self.emb_col, *bucket_cols, "_e._tbl", "_e._bkt")
+        joined = cside.join(qside, on=["_tbl", "_bkt"]).filter(
+            F.col("query_id") != F.col(self.id_col)
+        )
+        first_match = F.lit(True)
+        for tp in range(self.n_tables):
+            first_match = first_match & (
+                (F.col("_tbl") <= tp)
+                | (F.col(f"bucket_{tp}") != F.col("_qb")[tp])
+            )
+        pairs = joined.filter(first_match)
+        if rescore == "fold":
+            scored = pairs.select(
+                "query_id",
+                self.id_col,
+                cosine_expr(F.col(self.emb_col), F.col("_q_emb")).alias("sim"),
+            )
+        else:
+            import numpy as np
+
+            id_col, emb_col = self.id_col, self.emb_col
+            qid_t = self.signed.schema[id_col].dataType.simpleString()
+            out_schema = f"query_id {qid_t}, {id_col} {qid_t}, sim double"
+
+            def score(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    a = np.array(pdf[emb_col].tolist(), dtype=np.float64)
+                    b = np.array(pdf["_q_emb"].tolist(), dtype=np.float64)
+                    dots = np.einsum("ij,ij->i", a, b)
+                    denom = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        sims = np.where(denom == 0.0, 0.0, dots / denom)
+                    yield pd.DataFrame({
+                        "query_id": pdf["query_id"].to_numpy(),
+                        id_col: pdf[id_col].to_numpy(),
+                        "sim": sims,
+                    })
+
+            scored = pairs.select(
+                "query_id", id_col, emb_col, "_q_emb"
+            ).mapInPandas(score, out_schema)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc(self.id_col)
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= top_k
+        )
+
     def recall_at_k(self, df: DataFrame, query_vec: Sequence[float], k: int = 10) -> float:
         """H1 harness hook (examples/datawhale.py:142-148)."""
         truth = {r[self.id_col] for r in brute_force_topk(

@@ -84,3 +84,80 @@ def ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vec(spark, sf_dir)
     out = idx.search(qv, top_k=10)
     return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+# ---------------------------------------------------------------------------
+# LSH-pruned kNN self-join — the corpus-scale alternative to the blocked
+# brute-force self-join (operators/topk.py): candidate pairs are rows
+# sharing a (table, bucket) signature, so pair volume is ~t·N²/2^bits, not
+# N², and nothing is ever collected to the driver. Oracle: DuckDB re-derives
+# the planes, signatures, DISTINCT collision pairs, and the rescored top-3
+# (first-match-table dedup in Spark == DISTINCT pairs in SQL — each
+# colliding pair survives exactly once in both).
+# ---------------------------------------------------------------------------
+
+_SJ_TABLES = 4
+_SJ_BITS = 6
+_SJ_PLANES = _SJ_TABLES * _SJ_BITS
+
+_SJ_PLANES_SQL = f"""
+  SELECT p,
+    list_transform(range(0, 64),
+      i -> CASE WHEN (('0x' || substr(md5('plane:' || p || ':' || i), 1, 15))::BIGINT & 1) = 1
+                THEN 1.0 ELSE -1.0 END) AS plane
+  FROM range({_SJ_PLANES}) t(p)
+"""
+
+_SJ_COS = (
+    "(CASE WHEN list_dot_product({a}, {a}) = 0 OR list_dot_product({b}, {b}) = 0 "
+    "THEN 0.0 ELSE list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))) END)"
+)
+
+
+@query(
+    "knn_self_join_lsh",
+    oracle=f"""
+WITH planes AS ({_SJ_PLANES_SQL}),
+doc_bits AS (
+  SELECT e.vec_id, p.p // {_SJ_BITS} AS tbl,
+    CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) > 0
+         THEN 1 << (p.p % {_SJ_BITS}) ELSE 0 END AS bit
+  FROM embeddings e CROSS JOIN planes p
+),
+doc_buckets AS (
+  SELECT vec_id, tbl, CAST(SUM(bit) AS BIGINT) AS bucket
+  FROM doc_bits GROUP BY 1, 2
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS cand_id
+  FROM doc_buckets a JOIN doc_buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT p.query_id, p.cand_id AS vec_id,
+         {_SJ_COS.format(a='eb.embedding::DOUBLE[]', b='ea.embedding::DOUBLE[]')} AS sim
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.query_id
+  JOIN embeddings eb ON eb.vec_id = p.cand_id
+)
+SELECT query_id, vec_id, rank, ROUND(sim, 6) AS sim
+FROM (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+WHERE rank <= 3
+""",
+)
+def knn_self_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-pruned kNN self-join (operators/ann.SignLSHIndex.self_join):
+    bucket-collision candidate generation, first-match dedup, exact
+    fold-kernel rescore, per-query top-3. kernel="fold" signatures are
+    bit-exact with the DuckDB plane derivation."""
+    from vervectordb_spark.operators.ann import SignLSHIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = SignLSHIndex.build(emb, n_tables=_SJ_TABLES, bits=_SJ_BITS, kernel="fold")
+    out = idx.self_join(top_k=3, rescore="fold")
+    return out.select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
