@@ -110,10 +110,13 @@ def build_benches(spark, sf_dir: str):
     @bench("knn_self_join_lsh")
     def _knn_lsh():
         # the corpus-scale path: bucket-collision candidates instead of the
-        # exact Q×N GEMM — pair volume ~t·N²/2^bits, no driver collect
+        # exact Q×N GEMM. bits="auto" holds bucket occupancy constant so
+        # pair volume is t·N·c (linear in N) — fixed bits made 10× rows
+        # cost 100× pairs (sf1: 25 s, slower than the exact GEMM's 13 s)
         from vervectordb_spark.operators.ann import SignLSHIndex
 
-        idx = SignLSHIndex.build(emb, n_tables=4, bits=8)
+        idx = SignLSHIndex.build(emb, n_tables=4, bits="auto",
+                                 target_occupancy=16)
         return _force(idx.self_join(top_k=3))
 
     _ivf_holder: list = []

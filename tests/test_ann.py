@@ -185,3 +185,21 @@ def test_lsh_self_join_arrow_matches_fold(spark):
     for k in f:
         assert a[k][0] == f[k][0]
         assert abs(a[k][1] - f[k][1]) < 1e-9
+
+
+def test_signlsh_auto_bits_tracks_corpus_size(emb):
+    """bits="auto" holds expected bucket occupancy ~constant: width is
+    log2(n / target_occupancy) clamped to [4, 24] — the knob that keeps
+    self_join's pair volume t·N·c (linear) instead of t·N²/2^bits."""
+    import math
+
+    n = emb.count()
+    idx = SignLSHIndex.build(emb, n_tables=2, bits="auto", target_occupancy=16)
+    assert idx.bits == max(4, min(24, math.ceil(math.log2(n / 16))))
+    # tiny corpus clamps at the floor instead of going to 0/negative
+    tiny = SignLSHIndex.build(emb.limit(8), n_tables=1, bits="auto")
+    assert tiny.bits == 4
+    # the auto-built index serves the same contract as a fixed-width one
+    out = idx.self_join(top_k=3)
+    assert out.columns == ["query_id", "vec_id", "sim", "rank"]
+    assert out.count() <= n * 3

@@ -116,11 +116,23 @@ class SignLSHIndex:
         self.emb_col = emb_col
 
     @classmethod
-    def build(cls, df: DataFrame, n_tables: int = 8, bits: int = 8,
+    def build(cls, df: DataFrame, n_tables: int = 8, bits: int | str = 8,
               id_col: str = "vec_id", emb_col: str = "embedding",
-              kernel: str = "gemm") -> "SignLSHIndex":
+              kernel: str = "gemm", target_occupancy: int = 32) -> "SignLSHIndex":
         """One map-only pass adds bucket_<t> columns. At scale, persist
         partitioned/clustered by bucket_0 so probes prune partitions.
+
+        bits="auto" sizes the hash width to the corpus: bits =
+        log2(n / target_occupancy), clamped to [4, 24], so expected bucket
+        occupancy stays ~constant as the corpus grows. This is what keeps
+        self_join linear — its candidate volume is Σ_buckets |b|² ≈
+        t·N²/2^bits, so FIXED bits turns 10× rows into 100× pairs (measured
+        at sf1: 25 s vs the exact GEMM's 13 s), while constant occupancy c
+        gives t·N·c pairs, linear in N. The standard LSH trade rides along:
+        wider hashes lower per-table collision recall (p^bits), so a larger
+        corpus that must hold recall adds tables (t ~ N^ρ) — callers that
+        need a fixed (tables, bits) for oracle determinism pass ints.
+        Costs one count() job at build (build is already a full pass).
 
         Two signature kernels (pytest-checked equivalent):
 
@@ -136,6 +148,11 @@ class SignLSHIndex:
         plane dot is within rounding of 0 — never observed on real data,
         and oracle-gated queries pin kernel="fold" regardless.
         """
+        if bits == "auto":
+            import math
+
+            n = df.count()
+            bits = max(4, min(24, math.ceil(math.log2(max(n, 1) / target_occupancy))))
         dim = df.select(F.size(emb_col).alias("d")).first()["d"]
         planes = rademacher_planes(n_tables * bits, dim)
         if kernel == "gemm":
