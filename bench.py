@@ -315,6 +315,16 @@ def main() -> None:
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     benches = build_benches(spark, sf_dir)
+    # subset hooks for scale runs (e.g. skip the deliberately-quadratic
+    # exact-GEMM baseline at sf10): comma-separated query names. Search
+    # entries need their build entry (ivf_search/ivfpq need ivf_build,
+    # ann_search/ann_batch need ann_build) — keep them together.
+    only = {s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s}
+    skip = {s for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",") if s}
+    benches = {
+        k: v for k, v in benches.items()
+        if (not only or k in only) and k not in skip
+    }
     timings: dict[str, float] = {}
     for name, thunk in benches.items():
         samples = []

@@ -13,10 +13,13 @@ keys shifted by a per-replica stride (max_key+1), so:
     timestamps) is preserved EXACTLY by construction;
   * join fanouts (orders per customer, lineitems per order, events per
     user) are preserved exactly — replicas never cross-join;
-  * text/embedding payloads are deterministically perturbed per replica
-    (replica 1 keeps exact copies — realistic dedup load; replicas >= 2
-    mutate) so dedup/ANN operators see realistic near-dup rates instead of
-    a degenerate 10x exact-duplicate corpus;
+  * the dup-cluster-size distribution is preserved: replica 1 keeps an
+    exact copy (constant dedup load — one dup pair per source doc at any
+    factor) while replicas >= 2 are strongly mutated (documents) or
+    re-drawn (embeddings) into DISTINCT content. Cluster sizes must not
+    scale with the factor: pair-emitting dedup/ANN queries output
+    Σ|cluster|² rows, so factor-sized clusters make them quadratic in sf
+    by construction — a fixture artifact that masks real engine scaling;
   * region/nation stay fixed (dimension tables don't scale — same as TPC-H).
 
 Fully distributed: one crossJoin(range(factor)) + column exprs per table,
@@ -73,25 +76,59 @@ def upscale(df: DataFrame, table: str, factor: int, strides: dict) -> DataFrame:
             col, (F.col(col) + F.col("_rep") * F.lit(strides[skey])).cast(dtype)
         )
     if table == "documents":
-        # replica 0 = original, 1 = exact copy (dedup load), >=2 = word-level
-        # mutation: prefix a replica-specific token so shingle sets shift
-        # slightly (near-dup, not exact)
+        # replica 0 = original, 1 = exact copy (dedup load), >=2 = every 3rd
+        # word replaced with a replica-unique token. The heavy mutation is
+        # deliberate: the upscale must hold the DUP-CLUSTER-SIZE distribution
+        # constant (more clusters, not bigger ones). A light mutation leaves
+        # every replica a near-dup of its source, so cluster size grows with
+        # the factor and pair-emitting dedup queries (output Σ|cluster|²)
+        # go quadratic in sf by construction — measured 42-68x per 10x sf
+        # before this change, a fixture artifact, not engine scaling.
+        # Every-3rd-word replacement drops shingle Jaccard to ~0.17 between
+        # any two replicas (and replica vs source) — below band-collision
+        # range — while preserving text length/shape.
         out = out.withColumn(
             "text",
             F.when(F.col("_rep") <= 1, F.col("text")).otherwise(
-                F.concat(
-                    F.lit("rep"), F.col("_rep").cast("string"), F.lit(" "),
-                    F.col("text"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w, i: F.when(
+                            (i + F.col("_rep")) % 3 == 0,
+                            F.concat(
+                                F.lit("w"), F.col("_rep").cast("string"),
+                                F.lit("x"), i.cast("string"),
+                            ),
+                        ).otherwise(w),
+                    ),
                 )
             ),
         ).withColumn("n_chars", F.length("text").cast(df.schema["n_chars"].dataType.simpleString()))
     if table == "embeddings":
-        # deterministic tiny perturbation for replicas >= 1: cosine stays
-        # ~1-1e-4 to the source vector (near-dup, not bit-equal), norms and
-        # the N(0, 0.12) element distribution essentially unchanged
+        # replica 0 = original; replica 1 = tiny perturbation (cosine
+        # ~1-1e-4 to the source — the near-dup dedup load, not bit-equal);
+        # replicas >= 2 are RE-DRAWN vectors: each element is an
+        # Irwin-Hall sum of three xxhash uniforms, i.e. ~N(0, 0.15) like
+        # the source distribution but INDEPENDENT of it. Same cluster-size
+        # rationale as documents: tiny-perturbing every replica gives each
+        # source vector `factor` near-identical copies that no LSH width
+        # can separate (identical signatures), so self-join pair volume
+        # grows quadratically in sf — fixture artifact, not engine scaling.
+        def _u(i, j):
+            return (
+                F.pmod(
+                    F.xxhash64(F.col("vec_id"), i, F.col("_rep"), F.lit(j)),
+                    F.lit(1000),
+                ).cast("double")
+                / F.lit(1000.0)
+            )
+
         out = out.withColumn(
             "embedding",
-            F.when(F.col("_rep") == 0, F.col("embedding")).otherwise(
+            F.when(F.col("_rep") == 0, F.col("embedding"))
+            .when(
+                F.col("_rep") == 1,
                 F.transform(
                     F.col("embedding"),
                     lambda x, i: (
@@ -104,6 +141,15 @@ def upscale(df: DataFrame, table: str, factor: int, strides: dict) -> DataFrame:
                             - F.lit(500)
                         ).cast("float")
                         * F.lit(1e-6)
+                    ).cast("float"),
+                ),
+            )
+            .otherwise(
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: (
+                        (_u(i, 1) + _u(i, 2) + _u(i, 3) - F.lit(1.5))
+                        * F.lit(0.3)
                     ).cast("float"),
                 )
             ),
@@ -131,6 +177,8 @@ def main() -> int:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dest", default="/root/repo/fixtures/sf1")
+    ap.add_argument("--min-files", type=int, default=16,
+                    help="minimum output files per fact table")
     args = ap.parse_args()
 
     from vervectordb_spark.session import get_spark
@@ -155,6 +203,11 @@ def main() -> int:
             out = df
         else:
             out = upscale(df, t, args.factor, strides)
+            # spread output over enough files that scans parallelize the way
+            # a real deployment's would (the upscale crossJoin preserves the
+            # source's partition count, so a 10x table would otherwise land
+            # in 2-3 files and every downstream scan gets 2-3 tasks)
+            out = out.repartition(max(args.min_files, args.factor))
         # single parquet prefix per table (the loaders read a path, dirs ok)
         out.write.mode("overwrite").parquet(f"{args.dest}/{t}.parquet")
         n = spark.read.parquet(f"{args.dest}/{t}.parquet").count()

@@ -95,9 +95,13 @@ GROUP BY n.n_name
 )
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape. Join order: fact × fact (lineitem⋈orders) shuffles on
-    orderkey; customer/supplier/nation/region are broadcast — four of the
-    five joins move zero fact data. The local-supplier predicate
-    (c_nationkey = s_nationkey) rides on the broadcast hash join."""
+    orderkey. Only the BOUNDED dims (nation=25, region=5 rows at every SF)
+    get broadcast hints; customer and supplier scale linearly with SF, so
+    they take shuffle joins and AQE upgrades them to broadcast at runtime
+    whenever the measured size is small — a forced broadcast hint on a
+    scaling table is the plan that collects millions of rows to the driver
+    at 100× (measured: 2× run-to-run variance at sf10 from rebuilding a
+    1.5M-row broadcast hash table)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -106,9 +110,9 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = load_table(spark, sf_dir, "region")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -151,7 +155,9 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nat = load_table(spark, sf_dir, "nation")
     rev = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales with SF — no broadcast hint; AQE upgrades the
+        # shuffle join to broadcast at runtime when it measures small
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", F.col("n_name").alias("nation"))
         .agg(_dec_sum("o_totalprice").cast("double").alias("revenue"))
