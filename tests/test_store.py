@@ -326,3 +326,37 @@ def test_store_save_interrupted_keeps_previous_loadable(spark, tmp_path, monkeyp
     assert loaded.df.count() == 2  # previous version, complete
     hits = loaded.ivf_search([1.0, 0.0, 0.0, 0.0], top_k=2, nprobe=2)
     assert len(hits) == 2
+
+
+def test_versioned_checkpoint_history_and_restore(spark, tmp_path):
+    """checkpoint(versioned=True) commits snapshots to an append-only
+    manifest log: repeated checkpoints never overwrite what the current
+    plan reads, old states stay readable, restore_version rolls back."""
+    from vervectordb_spark.store import VectorStore
+
+    store = VectorStore(spark, 4, db_path=str(tmp_path / "vs"))
+    store.batch_insert([[0.1, 0.2, 0.3, 0.4], [0.5, 0.6, 0.7, 0.8]])
+    store.checkpoint(versioned=True)          # v1: 2 rows
+    n_v1 = store.df.count()
+    store.insert([0.9, 0.9, 0.9, 0.9])
+    store.checkpoint(versioned=True)          # v2: 3 rows
+    assert store.df.count() == n_v1 + 1
+    ops = [m["op"] for m in store.version_history()]
+    assert ops[0] == "overwrite" and ops[-1] == "create"
+    store.restore_version(1)                  # publish v3 = v1's files
+    assert store.df.count() == n_v1
+    # rollback is append-only: v2's 3-row state is still in the log
+    assert store._versions.read(version=2).count() == n_v1 + 1
+
+
+def test_versioned_checkpoint_requires_path(spark):
+    from vervectordb_spark.store import VectorStore
+
+    store = VectorStore(spark, 4)
+    store.insert([0.1, 0.2, 0.3, 0.4])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="db_path"):
+        store.checkpoint(versioned=True)
+    with _pytest.raises(ValueError, match="versioned"):
+        store.version_history()

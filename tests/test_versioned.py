@@ -1,0 +1,127 @@
+"""Versioned-table commit protocol: snapshot isolation, time travel,
+crash/race behavior. (The reference has no versioning to mirror — its
+pickle save truncates in place, vervectordb/__init__.py:556-573; this
+layer is the mutable-store upgrade SURVEY §2.6/S4 calls for.)"""
+
+import json
+import os
+
+import pytest
+
+from vervectordb_spark.sources.versioned import (
+    CommitConflict,
+    VersionedTable,
+    _manifest_path,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return VersionedTable.create(spark, str(tmp_path / "t"))
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+
+def test_create_open_empty(spark, table):
+    assert table.latest_version() == 0
+    assert table.read().count() == 0
+    reopened = VersionedTable.open(spark, table.path)
+    assert reopened.manifest()["op"] == "create"
+    with pytest.raises(FileNotFoundError):
+        VersionedTable.open(spark, table.path + "_nope")
+
+
+def test_append_accumulates_and_time_travel(spark, table):
+    table.append(_df(spark, 0, 10))
+    table.append(_df(spark, 10, 15))
+    assert table.read().count() == 15
+    assert table.read(version=1).count() == 10
+    assert table.read(version=0).count() == 0
+    assert [m["op"] for m in table.history()] == ["append", "append", "create"]
+    assert table.manifest()["n_rows"] == 15
+
+
+def test_overwrite_is_copy_on_write(spark, table):
+    table.append(_df(spark, 0, 10))
+    table.overwrite(_df(spark, 100, 103))
+    assert table.read().count() == 3
+    # the pre-overwrite snapshot still reads — old data untouched
+    assert table.read(version=1).count() == 10
+
+
+def test_rollback_appends_not_rewrites(spark, table):
+    table.append(_df(spark, 0, 10))       # v1
+    table.overwrite(_df(spark, 0, 2))     # v2
+    man = table.rollback(1)               # v3 = v1's files
+    assert man["version"] == 3
+    assert table.read().count() == 10
+    assert table.read(version=2).count() == 2  # history intact
+
+
+def test_commit_race_loser_retries_with_same_data(spark, table):
+    """Simulate a racing writer grabbing the next version: the loser's
+    publish hits EEXIST and retries against the new head — its data files
+    are written once and survive into the winning commit."""
+    table.append(_df(spark, 0, 5))  # v1
+    # racer publishes v2 out from under the next append
+    racer = table.manifest()
+    table._publish(2, files=racer["files"], op="racer",
+                   parent=1, n_rows=racer["n_rows"])
+    man = table.append(_df(spark, 5, 8))  # wanted v2, must land at v3
+    assert man["version"] == 3
+    assert man["parent"] == 2
+    assert table.read().count() == 8
+
+
+def test_publish_same_version_twice_conflicts(spark, table):
+    with pytest.raises(CommitConflict):
+        table._publish(0, files=[], op="dup", parent=None, n_rows=0)
+
+
+def test_interrupted_commit_invisible_and_vacuumable(spark, table):
+    """A writer that dies after writing data but before publishing leaves
+    the table exactly as it was; vacuum removes the orphan."""
+    table.append(_df(spark, 0, 5))
+    rel, _ = table._write_data(_df(spark, 5, 50))  # crash before _commit
+    assert table.read().count() == 5  # orphan invisible to readers
+    removed = table.vacuum()
+    assert rel in removed
+    assert not os.path.exists(os.path.join(table.path, rel))
+    assert table.read().count() == 5
+
+
+def test_vacuum_keeps_all_referenced(spark, table):
+    table.append(_df(spark, 0, 5))
+    table.overwrite(_df(spark, 0, 2))
+    assert table.vacuum() == []  # v1's files still referenced by history
+    assert table.read(version=1).count() == 5
+
+
+def test_expire_then_vacuum_reclaims(spark, table):
+    table.append(_df(spark, 0, 5))       # v1
+    table.overwrite(_df(spark, 0, 2))    # v2
+    dropped = table.expire_versions(keep_last=1)
+    assert dropped == [0, 1]
+    removed = table.vacuum()
+    assert len(removed) == 1             # v1's now-unreferenced data dir
+    assert table.read().count() == 2
+    with pytest.raises(FileNotFoundError):
+        table.manifest(1)
+
+
+def test_manifest_is_plain_json(spark, table):
+    """The log is engine-agnostic: any process (or DuckDB glob) can read
+    the manifest and scan the listed files."""
+    table.append(_df(spark, 0, 5))
+    with open(_manifest_path(table.path, 1)) as fh:
+        man = json.load(fh)
+    assert man["files"] and man["op"] == "append"
+    import duckdb
+
+    paths = [os.path.join(table.path, f, "*.parquet") for f in man["files"]]
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet({paths!r})"
+    ).fetchone()[0]
+    assert n == 5

@@ -13,7 +13,9 @@ This is the local-FS / HDFS guarantee (rename is atomic per dir). On object
 stores rename is copy+delete, and a real mutable 100 TB deployment should
 put artifacts behind a table format (Delta/Iceberg) whose commit protocol
 does this transactionally; this helper is the no-dependency equivalent for
-the plain-parquet layout.
+the plain-parquet layout. For MUTABLE data (not write-once artifacts) the
+full protocol — versioned manifests, snapshot isolation, optimistic
+concurrency, time travel — lives in sources/versioned.py.
 """
 
 from __future__ import annotations

@@ -1,0 +1,241 @@
+"""Versioned parquet tables: snapshot-isolated commits on a plain
+filesystem, no table-format dependency.
+
+The reference's only persistence is a pickle blob rewritten in place
+(/root/reference/vervectordb/__init__.py:556-573): no versions, no
+concurrent-writer story, an interrupt loses the store. `atomic.py` fixes
+the torn-write hazard for single-artifact saves; this module supplies the
+rest of what a mutable 100 TB store needs — the commit protocol of a table
+format (the public Delta/Iceberg design), reduced to its filesystem core:
+
+  data files are immutable     every write lands in a fresh uuid-named
+                               directory under data/; nothing is ever
+                               modified in place
+  a version is a manifest      _manifests/v{N}.json lists exactly the data
+                               directories visible at version N (plus op,
+                               parent, row count, timestamp)
+  commit = publish manifest    the manifest is written to a temp name and
+                               published with os.link(tmp, final) — link
+                               fails with EEXIST if v{N} already exists, so
+                               two racing writers cannot both win a
+                               version: one retries against the new head
+                               (optimistic concurrency, same contract as a
+                               Delta transaction log)
+  readers pin a manifest       a read resolves HEAD (or any historical
+                               version) once, then only touches that
+                               manifest's files — writers never disturb an
+                               in-flight read (snapshot isolation), and
+                               time travel is just reading an old manifest
+
+Crash safety: an interrupt before the link leaves an orphan data dir and
+temp manifest (invisible; removed by vacuum); after the link the commit is
+complete. There is no window where a reader sees a torn table.
+
+Scale posture: the protocol costs one small JSON write per commit
+regardless of data size; reads plan from a file list exactly like any
+parquet scan (pushdown/pruning unchanged). On object stores without
+atomic link/rename semantics a real deployment uses a log-backed catalog
+service — this is the local-FS/HDFS equivalent, like atomic.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+class CommitConflict(Exception):
+    """Another writer published this version first — reload and retry."""
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(path, _MANIFEST_DIR, f"v{version:08d}.json")
+
+
+class VersionedTable:
+    """A directory of immutable parquet data dirs + a manifest log."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # ------------------------------------------------------------ lifecycle
+    @classmethod
+    def create(cls, spark: SparkSession, path: str) -> "VersionedTable":
+        os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
+        t = cls(spark, path)
+        if t.latest_version() is None:
+            t._publish(0, files=[], op="create", parent=None, n_rows=0)
+        return t
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "VersionedTable":
+        t = cls(spark, path)
+        if t.latest_version() is None:
+            raise FileNotFoundError(f"no versioned table at {path}")
+        return t
+
+    # ------------------------------------------------------------ log
+    def latest_version(self) -> int | None:
+        mdir = os.path.join(self.path, _MANIFEST_DIR)
+        if not os.path.isdir(mdir):
+            return None
+        versions = [
+            int(f[1:9]) for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions) if versions else None
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no versioned table at {self.path}")
+        with open(_manifest_path(self.path, v)) as fh:
+            return json.load(fh)
+
+    def history(self) -> list[dict]:
+        """All manifests, newest first (op, parent, n_rows, ts per entry)."""
+        last = self.latest_version()
+        if last is None:
+            return []
+        out = []
+        for v in range(last, -1, -1):
+            p = _manifest_path(self.path, v)
+            if os.path.exists(p):  # tolerate vacuumed gaps
+                with open(p) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    # ------------------------------------------------------------ commit
+    def _publish(self, version: int, files: list[str], op: str,
+                 parent: int | None, n_rows: int) -> dict:
+        """Exclusive-publish manifest v{version}. Raises CommitConflict if
+        that version already exists (racing writer won)."""
+        man = {
+            "version": version,
+            "parent": parent,
+            "op": op,
+            "files": sorted(files),
+            "n_rows": n_rows,
+            "ts": time.time(),
+        }
+        final = _manifest_path(self.path, version)
+        tmp = final + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(man, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, final)  # atomic, fails with EEXIST on a race
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"version {version} of {self.path} was committed by another "
+                "writer — re-read HEAD and retry"
+            ) from e
+        finally:
+            os.unlink(tmp)
+        return man
+
+    def _write_data(self, df: DataFrame) -> tuple[str, int]:
+        """Write df into a fresh immutable data dir; returns (relpath, rows)."""
+        rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+        full = os.path.join(self.path, rel)
+        df.write.mode("errorifexists").parquet(full)
+        n = self.spark.read.parquet(full).count()
+        return rel, n
+
+    def _commit(self, files: list[str], op: str, n_rows: int,
+                max_retries: int = 5) -> dict:
+        """Publish against the current head, retrying on version races.
+        `files` is the COMPLETE file list of the new version."""
+        for _ in range(max_retries):
+            head = self.latest_version()
+            try:
+                return self._publish(
+                    (head if head is not None else -1) + 1,
+                    files=files, op=op, parent=head, n_rows=n_rows,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"gave up after {max_retries} retries on {self.path}"
+        )
+
+    # ------------------------------------------------------------ writes
+    def append(self, df: DataFrame) -> dict:
+        """Add rows: new data dir + manifest carrying parent files + it.
+        The data write happens BEFORE the commit race — a loser retries
+        with its already-written files, never rewrites data."""
+        rel, n = self._write_data(df)
+        head = self.manifest()
+        return self._commit(
+            head["files"] + [rel], op="append", n_rows=head["n_rows"] + n
+        )
+
+    def overwrite(self, df: DataFrame) -> dict:
+        """Replace the table contents (full copy-on-write: old versions
+        remain readable until vacuumed)."""
+        rel, n = self._write_data(df)
+        return self._commit([rel], op="overwrite", n_rows=n)
+
+    def rollback(self, version: int) -> dict:
+        """Re-publish an old version's file list as a NEW version (the log
+        stays append-only — no history is destroyed)."""
+        old = self.manifest(version)
+        return self._commit(
+            list(old["files"]), op=f"rollback:{version}", n_rows=old["n_rows"]
+        )
+
+    # ------------------------------------------------------------ reads
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read: resolve a manifest once, scan only its files.
+        An empty version yields an empty DataFrame with no schema promise
+        (callers that need one pass their own)."""
+        man = self.manifest(version)
+        if not man["files"]:
+            return self.spark.range(0).drop("id")
+        paths = [os.path.join(self.path, f) for f in man["files"]]
+        return self.spark.read.parquet(*paths)
+
+    # ------------------------------------------------------------ maintenance
+    def vacuum(self) -> list[str]:
+        """Remove data dirs referenced by NO manifest (crash orphans and
+        data dropped by overwrite after its versions were vacuumed) plus
+        stale temp manifests. Returns removed relpaths."""
+        import shutil
+
+        referenced: set[str] = set()
+        for man in self.history():
+            referenced.update(man["files"])
+        removed = []
+        ddir = os.path.join(self.path, _DATA_DIR)
+        for d in os.listdir(ddir):
+            rel = os.path.join(_DATA_DIR, d)
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(ddir, d), ignore_errors=True)
+                removed.append(rel)
+        mdir = os.path.join(self.path, _MANIFEST_DIR)
+        for f in os.listdir(mdir):
+            if f.endswith(".tmp"):
+                os.unlink(os.path.join(mdir, f))
+        return removed
+
+    def expire_versions(self, keep_last: int = 10) -> list[int]:
+        """Drop manifests older than the newest `keep_last` (time-travel
+        horizon); their exclusively-referenced data falls to vacuum()."""
+        last = self.latest_version() or 0
+        dropped = []
+        for v in range(0, max(0, last - keep_last + 1)):
+            p = _manifest_path(self.path, v)
+            if os.path.exists(p):
+                os.unlink(p)
+                dropped.append(v)
+        return dropped

@@ -314,18 +314,53 @@ class VectorStore:
             raise RuntimeError("train_pq first")
         return self._pq.decode(self.df)
 
-    def checkpoint(self, path: str | None = None) -> None:
+    def checkpoint(self, path: str | None = None,
+                   versioned: bool = False) -> None:
         """Collapse the copy-on-write lineage. Every insert/update/delete
         extends the logical plan (union/filter chain); after a mutation
         burst the plan itself becomes the cost (the reference's analogue
         is np.vstack doubling peak memory per batch,
         vervectordb/__init__.py:256,284). Writing and re-reading resets the
-        plan to one scan — at scale this is the compaction job."""
+        plan to one scan — at scale this is the compaction job.
+
+        versioned=True commits the snapshot to a VersionedTable at
+        `{db_path}/_versions` instead of rewriting one directory: each
+        checkpoint is an immutable manifest commit, so repeated
+        checkpoints never write over the files the current plan reads,
+        prior states stay readable (`version_history`), and
+        `restore_version` rolls the store back without data loss."""
+        if versioned:
+            from vervectordb_spark.sources.versioned import VersionedTable
+
+            vpath = path or (self.db_path and f"{self.db_path}/_versions")
+            if not vpath:
+                raise ValueError("no db_path for checkpoint")
+            vt = VersionedTable.create(self.spark, vpath)  # open-if-exists
+            vt.overwrite(self.df)
+            self.df = vt.read()
+            self._versions = vt
+            return
         path = path or (self.db_path and f"{self.db_path}/_checkpoint")
         if not path:
             raise ValueError("no db_path for checkpoint")
         self.df.write.mode("overwrite").parquet(path)
         self.df = self.spark.read.parquet(path)
+
+    def version_history(self) -> list[dict]:
+        """Manifests of the versioned-checkpoint log, newest first."""
+        if getattr(self, "_versions", None) is None:
+            raise ValueError("no versioned checkpoint yet")
+        return self._versions.history()
+
+    def restore_version(self, version: int) -> None:
+        """Roll the store's vectors back to a prior checkpoint — published
+        as a NEW version (append-only log; nothing is destroyed). Derived
+        indexes are invalidated and rebuild lazily."""
+        if getattr(self, "_versions", None) is None:
+            raise ValueError("no versioned checkpoint yet")
+        self._versions.rollback(version)
+        self.df = self._versions.read()
+        self._invalidate()
 
     # ---------------------------------------------------------- persistence
     def save(self, path: str | None = None) -> None:
