@@ -125,3 +125,19 @@ def test_manifest_is_plain_json(spark, table):
         f"SELECT count(*) FROM read_parquet({paths!r})"
     ).fetchone()[0]
     assert n == 5
+
+
+def test_concurrent_appends_all_land(spark, table):
+    """Four real threads race appends through the optimistic-commit loop:
+    every append must land in SOME version order with no lost rows and a
+    contiguous version chain."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(4) as ex:
+        list(ex.map(
+            lambda i: table.append(_df(spark, i * 10, i * 10 + 10)), range(4)
+        ))
+    assert table.latest_version() == 4
+    assert table.read().count() == 40
+    parents = [m["parent"] for m in table.history()]
+    assert parents == [3, 2, 1, 0, None]  # linear chain, no forks
