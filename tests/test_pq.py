@@ -210,3 +210,93 @@ def test_batch_adc_query_guard(codec, emb):
     )
     with pytest.raises(ValueError, match="query side exceeds"):
         codec.batch_adc_search(encoded, qdf, top_k=5, max_q=100)
+
+
+def test_residual_beats_plain_reconstruction(emb):
+    """Residual IVF-PQ quality claim: with the SAME codebook budget, fitted
+    residual codebooks reconstruct x̂ = centroid + decode(r̂-code) with
+    lower MAE than raw-vector PQ — the reason real IVFPQ quantizes
+    residuals. Both sides fitted on the fixture, seed-pinned."""
+    from vervectordb_spark.operators.ivf import IVFIndex
+    from vervectordb_spark.operators.pq import with_residual
+
+    ivf = IVFIndex.build(emb, n_clusters=8, seed=42)
+    plain = PQCodec.fit(emb, dim=64, n_subquantizers=8, codebook_size=32, seed=42)
+    mae_plain = plain.reconstruction_error(emb)
+
+    res_codec = ivf.fit_residual_codec(n_subquantizers=8, codebook_size=32, seed=42)
+    res = with_residual(ivf.assigned, ivf.centroids_df()).cache()
+    rec = res_codec.decode(
+        res_codec.encode(res, emb_col="_residual"), out_col="_rhat"
+    )
+    # x̂ = centroid + r̂ where centroid = x - residual; rebuild explicitly
+    rec2 = rec.select(
+        "vec_id",
+        F.zip_with(
+            F.zip_with(F.col("embedding").cast("array<double>"),
+                       F.col("_residual"), lambda x, r: x - r),  # centroid
+            F.col("_rhat").cast("array<double>"),
+            lambda c, rh: c + rh,
+        ).alias("xhat"),
+        F.col("embedding").cast("array<double>").alias("x"),
+    )
+    mae_res = rec2.select(
+        F.aggregate(
+            F.zip_with(F.col("x"), F.col("xhat"), lambda x, y: F.abs(x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("abs_err")
+    ).agg((F.sum("abs_err") / (F.count("*") * 64)).alias("mae")).collect()[0]["mae"]
+    assert mae_res < mae_plain, (mae_res, mae_plain)
+
+
+def test_residual_adc_self_is_top1(emb):
+    """Residual ADC end-to-end with fitted codebooks: a corpus vector
+    queried against the residual-encoded corpus must return itself."""
+    from vervectordb_spark.operators.ivf import IVFIndex
+
+    ivf = IVFIndex.build(emb, n_clusters=8, seed=42)
+    codec = ivf.fit_residual_codec(n_subquantizers=8, codebook_size=32, seed=42)
+    encoded = ivf.encode_residual(codec).select(
+        "vec_id", "cluster_id", "pq_code"
+    ).cache()
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 11).collect()[0]["embedding"]]
+    top = ivf.search_residual_pq(
+        codec, encoded, qv, top_k=5, nprobe=8, rerank=emb
+    ).collect()
+    assert top[0]["vec_id"] == 11
+
+
+def test_residual_adc_recall_beats_plain_adc(emb, spark):
+    """ADC ranking quality (no rerank): recall@10 vs exact search of the
+    residual ADC must be at least that of raw-vector ADC at the same
+    codebook budget, averaged over queries — the ranking-side payoff of
+    residual quantization."""
+    from vervectordb_spark.operators.ivf import IVFIndex
+    from vervectordb_spark.operators.search import brute_force_topk
+
+    ivf = IVFIndex.build(emb, n_clusters=8, seed=42)
+    plain = PQCodec.fit(emb, dim=64, n_subquantizers=8, codebook_size=32, seed=42)
+    res_codec = ivf.fit_residual_codec(n_subquantizers=8, codebook_size=32, seed=42)
+    enc_plain = plain.encode(ivf.assigned).select(
+        "vec_id", "cluster_id", "pq_code").cache()
+    enc_res = ivf.encode_residual(codec=res_codec).select(
+        "vec_id", "cluster_id", "pq_code").cache()
+    probes = [r for r in emb.filter(F.col("vec_id").isin([3, 77, 201, 404]))
+              .select("vec_id", "embedding").collect()]
+    rec_plain = rec_res = 0.0
+    for r in probes:
+        qv = [float(x) for x in r["embedding"]]
+        truth = [x["vec_id"] for x in brute_force_topk(emb, qv, 10).collect()]
+        got_p = [x["vec_id"] for x in
+                 ivf.search_pq(plain, enc_plain, qv, top_k=10, nprobe=8).collect()]
+        got_r = [x["vec_id"] for x in
+                 ivf.search_residual_pq(res_codec, enc_res, qv, top_k=10,
+                                        nprobe=8).collect()]
+        rec_plain += len(set(truth) & set(got_p)) / 10.0
+        rec_res += len(set(truth) & set(got_r)) / 10.0
+    assert rec_res >= rec_plain - 1e-9, (rec_res, rec_plain)
+    # absolute floor is modest: k=32 codes × m=8 over 500 rows is a COARSE
+    # budget by design (keeps the test fast); measured 0.45 vs plain 0.40
+    assert rec_res / len(probes) >= 0.4

@@ -290,6 +290,63 @@ class IVFIndex:
             emb_col=self.emb_col,
         )
 
+    def centroids_df(self) -> DataFrame:
+        """The centroid matrix as a broadcastable (cluster_id, centroid)
+        table — k×dim floats, the only driver state this index holds."""
+        spark = self.assigned.sparkSession
+        rows = [
+            (int(i), [float(x) for x in c]) for i, c in enumerate(self.centroids)
+        ]
+        return spark.createDataFrame(rows, "cluster_id int, centroid array<double>")
+
+    def fit_residual_codec(self, n_subquantizers: int = 8,
+                           codebook_size: int = 256, seed: int = 42,
+                           sample_size: int = 10_000, max_iter: int = 20):
+        """Fit a PQ codec on RESIDUALS (embedding − assigned centroid) —
+        true FAISS-style IVF-PQ. Residuals concentrate around 0 far more
+        tightly than raw vectors, so the same m×k codebook budget yields a
+        lower reconstruction error and a sharper ADC ranking (gain pinned
+        by tests/test_pq.py::test_residual_beats_plain_reconstruction)."""
+        from vervectordb_spark.operators.pq import PQCodec, with_residual
+
+        dim = int(self.centroids.shape[1])
+        res = with_residual(
+            self.assigned, self.centroids_df(), emb_col=self.emb_col
+        )
+        return PQCodec.fit(
+            res, dim, n_subquantizers=n_subquantizers,
+            codebook_size=codebook_size, seed=seed, emb_col="_residual",
+            sample_size=sample_size, max_iter=max_iter,
+        )
+
+    def encode_residual(self, codec, df: DataFrame | None = None,
+                        code_col: str = "pq_code") -> DataFrame:
+        """Residual-encode `df` (default: the assigned corpus) with a
+        residual-fitted codec. Map-only after the broadcast centroid join."""
+        src = df if df is not None else self.assigned
+        return codec.encode_residual(
+            src, self.centroids_df(), emb_col=self.emb_col, code_col=code_col
+        )
+
+    def search_residual_pq(self, codec, encoded: DataFrame,
+                           query_vec: Sequence[float], top_k: int = 5,
+                           nprobe: int | None = None,
+                           rerank: DataFrame | None = None,
+                           probed: Sequence[int] | None = None) -> DataFrame:
+        """IVF-PQ over residual codes: probe → per-probed-cluster fused
+        LUTs (centroid ⊕ codebook) → ADC scan of the probed partitions →
+        optional exact rerank. Same scan economics as search_pq (m
+        bytes/row over ~nprobe/k of the corpus); LUT state is nprobe·m·k.
+
+        `probed` overrides probe-set selection (oracle-gated callers pass
+        the bit-exact set from probe_clusters_exact)."""
+        if probed is None:
+            probed = self.probe_clusters(query_vec, nprobe)
+        return codec.adc_search_residual(
+            encoded, self.centroids, query_vec, probed, top_k=top_k,
+            id_col=self.id_col, rerank=rerank, emb_col=self.emb_col,
+        )
+
     def batch_search_pq(self, codec, encoded: DataFrame, queries: DataFrame,
                         top_k: int = 5, nprobe: int | None = None,
                         rerank: DataFrame | None = None,

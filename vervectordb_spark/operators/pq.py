@@ -77,6 +77,32 @@ def _lloyd_kmeans(X: np.ndarray, k: int, seed: int, max_iter: int = 20) -> np.nd
     return centers
 
 
+def with_residual(df: DataFrame, centroids_df: DataFrame,
+                  emb_col: str = "embedding", cluster_col: str = "cluster_id",
+                  out_col: str = "_residual") -> DataFrame:
+    """Append `out_col` = embedding − centroid[cluster_id] (double), via a
+    broadcast centroid join + zip_with subtraction. The residual is what
+    IVF-PQ quantizes: after the coarse assignment, residual magnitudes are
+    much smaller than raw vectors, so the same codebook budget spends its
+    centroids on a tighter distribution (FAISS-style IVFPQ; the reference
+    quantizes raw vectors only — vervectordb/__init__.py:182-201)."""
+    cent = centroids_df.select(
+        F.col("cluster_id").alias(cluster_col), F.col("centroid").alias("_cent")
+    )
+    return (
+        df.join(F.broadcast(cent), on=cluster_col)
+        .withColumn(
+            out_col,
+            F.zip_with(
+                F.col(emb_col).cast("array<double>"),
+                F.col("_cent"),
+                lambda x, y: x - y,
+            ),
+        )
+        .drop("_cent")
+    )
+
+
 class PQCodec:
     """Product quantizer: `codebooks` is (m, k, sub_dim) float64."""
 
@@ -209,6 +235,112 @@ class PQCodec:
                 yield pdf
 
         return df.mapInPandas(dec, out_schema)
+
+    # ---------------------------------------------------- residual encoding
+    def encode_residual(self, df: DataFrame, centroids_df: DataFrame,
+                        emb_col: str = "embedding",
+                        cluster_col: str = "cluster_id",
+                        code_col: str = "pq_code") -> DataFrame:
+        """Encode residuals (embedding − assigned centroid) instead of raw
+        vectors — the codec must have been fitted on residuals. Same
+        map-only GEMM argmin as `encode`, over the joined residual column."""
+        res = with_residual(df, centroids_df, emb_col=emb_col,
+                            cluster_col=cluster_col)
+        return self.encode(res, emb_col="_residual", code_col=code_col).drop(
+            "_residual"
+        )
+
+    # ------------------------------------------------------ residual ADC
+    def adc_search_residual(self, encoded: DataFrame, centroids,
+                            query_vec, probed: Sequence[int],
+                            top_k: int = 10,
+                            code_col: str = "pq_code", id_col: str = "vec_id",
+                            cluster_col: str = "cluster_id",
+                            rerank: DataFrame | None = None,
+                            rerank_factor: int = 5,
+                            emb_col: str = "embedding") -> DataFrame:
+        """ADC over RESIDUAL codes: reconstruction x̂ = centroid[j] + r̂, so
+        the LUTs fuse the coarse centroid into the fine codebook per probed
+        cluster —
+
+            lut_dot[j][s][c]  = (centroid_j⊕codebook)[s][c] · q_s
+            lut_norm[j][s][c] = ‖(centroid_j⊕codebook)[s][c]‖²
+
+        i.e. plain ADC against a per-cluster SHIFTED codebook. LUT state is
+        nprobe·m·k entries (probed clusters only — at k_clusters=4096 a
+        full-cluster LUT would be 100× the probe set's), built driver-side
+        and broadcast; the scan still reads m bytes/row.
+
+        Numerics contract: identical to `adc_search` — LUT entries are
+        sequential folds over sub_dim (vectorized across the 256 codes,
+        preserving per-code fold order), per-row sums accumulate in
+        subspace order, per-batch pruning tie-breaks (sim desc, id asc) —
+        so the path is oracle-checkable (queries_pq.ivfpq_residual_adc)."""
+        q = np.asarray(query_vec, dtype=np.float64)
+        cents = np.asarray(centroids, dtype=np.float64)
+        m, sub_dim, k = self.n_subquantizers, self.sub_dim, self.codebook_size
+        probed = [int(c) for c in probed]
+        acc = 0.0
+        for x in q:
+            acc += x * x
+        qn = float(np.sqrt(acc))
+        cmap = {c: i for i, c in enumerate(probed)}
+        lut_dot = np.empty((len(probed), m, k))
+        lut_norm = np.empty((len(probed), m, k))
+        for pi, j in enumerate(probed):
+            cj = cents[j]
+            for s in range(m):
+                d = np.zeros(k)
+                n = np.zeros(k)
+                for i in range(sub_dim):  # sequential fold, vectorized over codes
+                    rv = self.codebooks[s, :, i] + cj[s * sub_dim + i]
+                    d += rv * q[s * sub_dim + i]
+                    n += rv * rv
+                lut_dot[pi, s] = d
+                lut_norm[pi, s] = n
+        spark = encoded.sparkSession
+        bc = spark.sparkContext.broadcast((cmap, lut_dot, lut_norm, qn))
+        fetch = rerank_factor * top_k if rerank is not None else top_k
+        vid_type = encoded.schema[id_col].dataType.simpleString()
+        out_schema = f"{id_col} {vid_type}, sim double"
+
+        def score(batches):
+            import pandas as pd
+
+            b_cmap, b_dot, b_norm, b_qn = bc.value
+            n_sub = b_dot.shape[1]
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                codes = np.asarray(pdf[code_col].tolist(), dtype=np.int16) + 128
+                ci = pdf[cluster_col].map(b_cmap).to_numpy(dtype=np.int64)
+                dots = np.zeros(len(codes))
+                norms_sq = np.zeros(len(codes))
+                for s in range(n_sub):  # subspace order (fold)
+                    dots += b_dot[ci, s, codes[:, s]]
+                    norms_sq += b_norm[ci, s, codes[:, s]]
+                denom = np.sqrt(norms_sq) * b_qn
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = np.where(denom == 0.0, 0.0, dots / denom)
+                kk = min(fetch, len(sims))
+                vids = pdf[id_col].to_numpy()
+                idx = np.lexsort((vids, -sims))[:kk]
+                yield pd.DataFrame({id_col: vids[idx], "sim": sims[idx]})
+
+        cand = (
+            encoded.filter(F.col(cluster_col).isin(probed))
+            .select(id_col, code_col, cluster_col)
+            .mapInPandas(score, out_schema)
+        )
+        approx_top = cand.orderBy(F.desc("sim"), F.asc(id_col)).limit(fetch)
+        if rerank is None:
+            return approx_top.orderBy(F.desc("sim"), F.asc(id_col)).limit(top_k)
+        from vervectordb_spark.operators.search import brute_force_topk
+
+        exact_pool = rerank.join(approx_top.select(id_col), on=id_col)
+        return brute_force_topk(
+            exact_pool, query_vec, top_k, emb_col=emb_col, id_col=id_col
+        )
 
     # ----------------------------------------------------------- ADC search
     def adc_search(self, encoded: DataFrame, query_vec, top_k: int = 10,

@@ -400,3 +400,175 @@ def ivfpq_adc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=emb.select("vec_id", "embedding"), probe_sets=probe_sets,
     )
     return out.select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ: quantize (embedding − assigned centroid) instead of the
+# raw vector — true FAISS-style IVFPQ (operators/ivf.IVFIndex
+# .search_residual_pq + operators/pq.PQCodec.adc_search_residual). The ADC
+# LUTs fuse the coarse centroid into the fine codebook per probed cluster,
+# so reconstruction x̂ = centroid ⊕ r̂ never materializes. The oracle
+# replays assignment, residual encode (L2 argmin on residual slices), the
+# fused LUT, the subspace-ordered fold, and the exact rerank.
+# ---------------------------------------------------------------------------
+
+#: frozen RESIDUAL codebooks: subspace slices of fixture embeddings 16..31
+_CB_RES_SQL = f"""
+  SELECT t.s::INT AS subspace, (e.vec_id - 16)::INT AS code,
+         list_slice(e.embedding::DOUBLE[], t.s*{_SUB_DIM}+1, t.s*{_SUB_DIM}+{_SUB_DIM}) AS centroid
+  FROM embeddings e, range({_N_SUB}) t(s)
+  WHERE e.vec_id >= 16 AND e.vec_id < 32
+"""
+
+_RES_DIFF = f"list_transform(range(1, {_SUB_DIM}+1), i -> rsl[i] - centroid[i])"
+_RECON = f"list_transform(range(1, {_SUB_DIM}+1), i -> csl[i] + cb.centroid[i])"
+
+
+def _frozen_residual_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 32))
+        .select(
+            (F.col("vec_id") - 16).cast("int").alias("code"),
+            F.col("embedding").cast("array<double>").alias("_emb"),
+            F.explode(F.sequence(F.lit(0), F.lit(_N_SUB - 1))).alias("subspace"),
+        )
+        .select(
+            "subspace",
+            "code",
+            F.slice(
+                F.col("_emb"), F.col("subspace") * _SUB_DIM + 1, _SUB_DIM
+            ).alias("centroid"),
+        )
+    )
+
+
+@query(
+    "ivfpq_residual_adc",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id::INTEGER AS cluster_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 16
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+assign AS (
+  SELECT e.vec_id, c.cluster_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_COS.format(a='e.embedding::DOUBLE[]', b='c.cv')} DESC,
+                    c.cluster_id
+         ) AS rk
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (SELECT vec_id, cluster_id FROM assign WHERE rk = 1),
+probed AS (
+  SELECT c.cluster_id FROM cent c CROSS JOIN q
+  ORDER BY {_COS.format(a='c.cv', b='q.qv')} DESC, c.cluster_id
+  LIMIT {_NPROBE}
+),
+cb AS ({_CB_RES_SQL}),
+rsliced AS (
+  SELECT e.vec_id, a.cluster_id, t.s AS subspace,
+         list_transform(range(1, {_SUB_DIM}+1), i ->
+           list_slice(e.embedding::DOUBLE[], t.s*{_SUB_DIM}+1, t.s*{_SUB_DIM}+{_SUB_DIM})[i]
+           - list_slice(c.cv,               t.s*{_SUB_DIM}+1, t.s*{_SUB_DIM}+{_SUB_DIM})[i]
+         ) AS rsl
+  FROM embeddings e
+  JOIN assigned a ON a.vec_id = e.vec_id
+  JOIN cent c     ON c.cluster_id = a.cluster_id
+  CROSS JOIN range({_N_SUB}) t(s)
+),
+code_scored AS (
+  SELECT r.vec_id, r.cluster_id, r.subspace, cb.code,
+         list_dot_product({_RES_DIFF}, {_RES_DIFF}) AS dist
+  FROM rsliced r JOIN cb ON cb.subspace = r.subspace
+),
+code_ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id, subspace ORDER BY dist, code
+  ) AS rk
+  FROM code_scored
+),
+codes AS (
+  SELECT vec_id, cluster_id, subspace, code FROM code_ranked WHERE rk = 1
+),
+lut AS (
+  SELECT c.cluster_id, cb.subspace, cb.code,
+         list_dot_product({_RECON},
+           list_slice(q.qv, cb.subspace*{_SUB_DIM}+1, cb.subspace*{_SUB_DIM}+{_SUB_DIM})
+         ) AS dot_v,
+         list_dot_product({_RECON}, {_RECON}) AS norm_v
+  FROM cent c
+  JOIN probed p ON p.cluster_id = c.cluster_id
+  CROSS JOIN cb CROSS JOIN q
+  CROSS JOIN LATERAL (SELECT list_slice(c.cv, cb.subspace*{_SUB_DIM}+1,
+                             cb.subspace*{_SUB_DIM}+{_SUB_DIM}) AS csl) sl
+),
+adc0 AS (
+  SELECT c.vec_id,
+         list(l.dot_v ORDER BY c.subspace) AS dl,
+         list(l.norm_v ORDER BY c.subspace) AS nl
+  FROM codes c
+  JOIN lut l ON l.cluster_id = c.cluster_id
+            AND l.subspace = c.subspace AND l.code = c.code
+  GROUP BY c.vec_id
+),
+adc AS (
+  SELECT vec_id, {_seq_sum('dl')} AS dot_sum, {_seq_sum('nl')} AS norm_sum
+  FROM adc0
+),
+qn AS (SELECT sqrt(list_dot_product(qv, qv)) AS v FROM q),
+adc_sims AS (
+  SELECT vec_id,
+         CASE WHEN sqrt(norm_sum) * (SELECT v FROM qn) = 0 THEN 0.0
+              ELSE dot_sum / (sqrt(norm_sum) * (SELECT v FROM qn)) END AS sim
+  FROM adc
+),
+pool AS (
+  SELECT vec_id FROM adc_sims ORDER BY sim DESC, vec_id LIMIT {_RERANK_FETCH}
+),
+rerank AS (
+  SELECT e.vec_id, {_COS.format(a='e.embedding::DOUBLE[]', b='q.qv')} AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id IN (SELECT vec_id FROM pool)
+)
+SELECT vec_id, ROUND(sim, 6) AS sim
+FROM (SELECT * FROM rerank ORDER BY sim DESC, vec_id LIMIT 10)
+""",
+)
+def ivfpq_residual_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ end-to-end: assign to frozen centroids → residual
+    encode against frozen residual codebooks (expr path, bit-exact) →
+    probe nprobe=8 → fused-LUT ADC over the probed clusters → exact rerank
+    of the top-50 pool → top-10. The quality gain of residual over raw
+    quantization with FITTED codebooks is pinned in tests/test_pq.py."""
+    from vervectordb_spark.operators.ivf import IVFIndex
+    from vervectordb_spark.operators.pq import PQCodec, with_residual
+    from vervectordb_spark.queries import _query_vec
+    from vervectordb_spark.functions.similarity import to_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cluster_id"),
+        to_double(F.col("embedding")).alias("centroid"),
+    )
+    idx = IVFIndex.from_centroids(emb, cent)
+    cb_res = _frozen_residual_codebooks(spark, sf_dir)
+    codec = PQCodec.from_codebook_df(cb_res)
+    res = with_residual(idx.assigned, cent)
+    codes = PQCodec.encode_with_expr(res, cb_res, emb_col="_residual",
+                                     sub_dim=_SUB_DIM)
+    pq_arr = codes.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+            lambda s: (s["code"] - 128).cast("tinyint"),
+        ).alias("pq_code")
+    )
+    encoded = idx.assigned.select("vec_id", "cluster_id").join(pq_arr, on="vec_id")
+    qv = _query_vec(spark, sf_dir)
+    probed = idx.probe_clusters_exact(qv, nprobe=_NPROBE)
+    out = idx.search_residual_pq(
+        codec, encoded, qv, top_k=10,
+        rerank=emb.select("vec_id", "embedding"), probed=probed,
+    )
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
