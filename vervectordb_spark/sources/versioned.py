@@ -152,12 +152,21 @@ class VersionedTable:
         n = self.spark.read.parquet(full).count()
         return rel, n
 
-    def _commit(self, files: list[str], op: str, n_rows: int,
-                max_retries: int = 5) -> dict:
+    def _commit(self, build, op: str, max_retries: int = 5) -> dict:
         """Publish against the current head, retrying on version races.
-        `files` is the COMPLETE file list of the new version."""
+
+        `build(head_manifest) -> (files, n_rows)` derives the new version's
+        COMPLETE file list from the head it will be committed against, and
+        is re-evaluated on EVERY attempt: a loser that merely bumped the
+        version number but kept a file list derived from the stale parent
+        would publish a manifest missing the racing winner's files — the
+        lost-append race tests/test_versioned.py::
+        test_concurrent_appends_all_land caught (40 rows written, 20
+        visible)."""
         for _ in range(max_retries):
             head = self.latest_version()
+            head_man = self.manifest(head) if head is not None else None
+            files, n_rows = build(head_man)
             try:
                 return self._publish(
                     (head if head is not None else -1) + 1,
@@ -173,25 +182,30 @@ class VersionedTable:
     def append(self, df: DataFrame) -> dict:
         """Add rows: new data dir + manifest carrying parent files + it.
         The data write happens BEFORE the commit race — a loser retries
-        with its already-written files, never rewrites data."""
+        with its already-written files, never rewrites data — and the
+        parent file list is re-read per attempt (see _commit)."""
         rel, n = self._write_data(df)
-        head = self.manifest()
         return self._commit(
-            head["files"] + [rel], op="append", n_rows=head["n_rows"] + n
+            lambda head: (
+                (head["files"] if head else []) + [rel],
+                (head["n_rows"] if head else 0) + n,
+            ),
+            op="append",
         )
 
     def overwrite(self, df: DataFrame) -> dict:
         """Replace the table contents (full copy-on-write: old versions
         remain readable until vacuumed)."""
         rel, n = self._write_data(df)
-        return self._commit([rel], op="overwrite", n_rows=n)
+        return self._commit(lambda head: ([rel], n), op="overwrite")
 
     def rollback(self, version: int) -> dict:
         """Re-publish an old version's file list as a NEW version (the log
         stays append-only — no history is destroyed)."""
         old = self.manifest(version)
         return self._commit(
-            list(old["files"]), op=f"rollback:{version}", n_rows=old["n_rows"]
+            lambda head: (list(old["files"]), old["n_rows"]),
+            op=f"rollback:{version}",
         )
 
     # ------------------------------------------------------------ reads
