@@ -260,3 +260,43 @@ def test_incremental_pq_codes_before_rebuild(spark, tmp_path):
     rer = spark.read.parquet(f"{store}/vectors").select("vec_id", "embedding")
     hits = idx.search_pq(codec, codes, qv, top_k=5, nprobe=4, rerank=rer).collect()
     assert any(r["vec_id"] == batch4_id for r in hits)
+
+
+@pytest.fixture()
+def docs_dir(spark, tmp_path):
+    """Stage documents as a 2-file streaming source — the fixture corpus
+    contains byte-identical duplicate texts by construction, so dedup has
+    real work across file boundaries."""
+    from vervectordb_spark.schema import load_table
+
+    src = str(tmp_path / "docs_src")
+    load_table(spark, SF_DIR, "documents").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    return src
+
+
+def test_streaming_corpus_gate_dedup_matches_batch(spark, docs_dir):
+    """The streaming gate→dedup pipeline must land exactly the batch
+    result: every kept content hash once (dup arrivals within the
+    watermark dropped), low-quality docs gated out."""
+    from vervectordb_spark.operators.dedup import md5_long
+    from vervectordb_spark.operators.text import quality_filter
+    from vervectordb_spark.schema import load_table
+
+    stream = SI.stream_documents(spark, docs_dir, max_files_per_trigger=1)
+    assert stream.isStreaming
+    out = SI.corpus_gate_dedup(stream, min_score=0.8)
+    _run_to_memory(out, "corpus_ingest", mode="append")
+    got = spark.sql("SELECT content_hash FROM corpus_ingest").collect()
+    got_hashes = [r["content_hash"] for r in got]
+
+    batch = (
+        quality_filter(load_table(spark, SF_DIR, "documents"), min_score=0.8)
+        .filter(F.col("keep"))
+        .select(md5_long(F.col("text")).alias("content_hash"))
+        .distinct()
+    )
+    want_hashes = {r["content_hash"] for r in batch.collect()}
+    assert len(got_hashes) == len(set(got_hashes))  # no dup landed
+    assert set(got_hashes) == want_hashes

@@ -167,3 +167,57 @@ def stream_ingest_vectors(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming corpus pipeline: the gate → dedup prefix of corpus_pipeline_e2e
+# as a continuous ingest (documents landing as files → filtered, deduped,
+# appended to the corpus table)
+# ---------------------------------------------------------------------------
+
+#: documents fixture schema (FIXTURES.md)
+DOCS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("n_chars", T.LongType()),
+])
+
+
+def stream_documents(spark: SparkSession, source_dir: str,
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of document parquet part-files landing in a dir."""
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def corpus_gate_dedup(docs: DataFrame, min_score: float = 0.8,
+                      watermark: str = "10 minutes") -> DataFrame:
+    """Streaming corpus ingest: quality gate → exact dedup, continuously.
+
+    * gate: the batch `quality_filter` exprs are pure map-side column
+      projections, so the SAME operator runs unchanged on the stream —
+      one logical definition for batch and streaming (the point of
+      Structured Streaming);
+    * dedup: `dropDuplicatesWithinWatermark` keyed on the 60-bit content
+      hash. State is BOUNDED by the watermark: a duplicate arriving within
+      the window is dropped, one arriving after the state expired lands
+      (and the periodic batch `drop_exact_dups` compaction catches it) —
+      the standard streaming/batch split for dedup at 100 TB, where
+      forever-state on content hashes would grow with the corpus.
+
+    Returns the streaming DataFrame (append-mode sink ready)."""
+    from vervectordb_spark.operators.dedup import md5_long
+    from vervectordb_spark.operators.text import quality_filter
+
+    gated = quality_filter(docs, min_score=min_score).filter(F.col("keep"))
+    return (
+        gated.withColumn("content_hash", md5_long(F.col("text")))
+        .withColumn("ingest_time", F.current_timestamp())
+        .withWatermark("ingest_time", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+        .drop("ingest_time")
+    )
