@@ -191,3 +191,55 @@ def test_signlsh_persisted_bucket0_probe_prunes(spark, emb, qv, tmp_path):
     metrics = A.executed_scan_metrics(probe)
     dirs_on_disk = len(glob.glob(f"{path}/signed/bucket_0=*"))
     assert metrics["numPartitions"] == 1 < dirs_on_disk
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth (queries_tpch.py): the plan shapes that keep the classic
+# decision-support queries scan-bound at 100 TB
+# ---------------------------------------------------------------------------
+
+
+def test_tpch_q3_takeordered_and_pushdown(spark):
+    from vervectordb_spark.queries_tpch import tpch_shipping_priority
+
+    plan = A.physical_plan(tpch_shipping_priority(spark, SF_DIR))
+    A.assert_operator(plan, "TakeOrderedAndProject")  # top-10, no global sort
+    A.assert_pushed_filter(plan, "l_shipdate")        # date reaches the scan
+    A.assert_pushed_filter(plan, "c_mktsegment")      # segment reaches the scan
+
+
+def test_tpch_q4_semi_join(spark):
+    from vervectordb_spark.queries_tpch import tpch_order_priority
+
+    plan = A.physical_plan(tpch_order_priority(spark, SF_DIR))
+    assert "LeftSemi" in plan, plan[:2000]            # EXISTS stays a semi-join
+    A.assert_pushed_filter(plan, "l_returnflag")
+
+
+def test_tpch_q7_double_nation_broadcast(spark):
+    from vervectordb_spark.queries_tpch import tpch_volume_shipping
+
+    plan = A.physical_plan(tpch_volume_shipping(spark, SF_DIR))
+    A.assert_broadcast_join(plan)
+    # both nation aliases broadcast: two BroadcastExchanges minimum
+    assert plan.count("BroadcastExchange") >= 2, plan[:3000]
+
+
+def test_tpch_q18_preaggregates_before_join(spark):
+    from vervectordb_spark.queries_tpch import tpch_large_volume_customers
+
+    df = tpch_large_volume_customers(spark, SF_DIR)
+    plan = A.physical_plan(df)
+    A.assert_operator(plan, "TakeOrderedAndProject")
+    # the HAVING filter must run on the AGGREGATED rows (one per orderkey),
+    # i.e. appear as a post-agg Filter, not a pushed scan predicate
+    assert "HashAggregate" in plan
+
+
+def test_tpch_q22_anti_join_no_driver_collect(spark):
+    from vervectordb_spark.queries_tpch import tpch_top_acctbal_no_orders
+
+    plan = A.physical_plan(tpch_top_acctbal_no_orders(spark, SF_DIR))
+    assert "LeftAnti" in plan, plan[:2000]            # NOT EXISTS anti-join
+    # the global average arrives via a broadcast 1-row agg, not a collect
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -44,10 +44,10 @@ def assert_not_operator(plan: str, op: str) -> None:
 def assert_pushed_filter(plan: str, column: str) -> None:
     """The parquet scan carries a pushed filter on `column` (predicate
     reached the data source — row-group/page skipping applies)."""
-    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
-    assert m and column in m.group(1), (
-        f"no pushed filter on {column!r}; PushedFilters="
-        f"{m.group(1) if m else 'MISSING'}"
+    lists = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(column in l for l in lists), (
+        f"no pushed filter on {column!r} in any scan; PushedFilters="
+        f"{lists or 'MISSING'}"
     )
 
 
