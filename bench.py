@@ -250,6 +250,21 @@ def build_benches(spark, sf_dir: str):
         pass
 
     try:
+        from vervectordb_spark import queries_tpch as QT
+
+        @bench("tpch_q3_shipping")
+        def _tpch_q3():
+            # 3-way join + grouped revenue + top-10: the pre-aggregate-
+            # before-join shape (shuffle carries orderkey groups, not rows)
+            return _force(QT.tpch_shipping_priority(spark, sf_dir), limit=10)
+
+        @bench("tpch_q18_large_volume")
+        def _tpch_q18():
+            return _force(QT.tpch_large_volume_customers(spark, sf_dir), limit=100)
+    except ImportError:
+        pass
+
+    try:
         from vervectordb_spark.operators import text as TX
 
         @bench("text_profile")
@@ -298,6 +313,29 @@ def build_benches(spark, sf_dir: str):
             )
             return _force(
                 idx.batch_search_pq(codec, encoded, queries, top_k=10, nprobe=8)
+            )
+
+        _res_holder: list = []
+
+        @bench("ivfpq_residual_1q")
+        def _ivfpq_res():
+            # residual IVF-PQ serving latency: probe -> fused-LUT ADC over
+            # residual codes -> top-k. Fit + encode are one-time build
+            # costs (first repeat only, like ivfpq_adc_8q).
+            idx = _ivf_holder[0]
+            if not _res_holder:
+                codec = idx.fit_residual_codec(
+                    n_subquantizers=8, codebook_size=16, seed=42
+                )
+                encoded = idx.encode_residual(codec).select(
+                    "vec_id", "cluster_id", "pq_code"
+                ).cache()
+                encoded.count()
+                _res_holder.append((codec, encoded))
+            codec, encoded = _res_holder[0]
+            return _force(
+                idx.search_residual_pq(codec, encoded, qv, top_k=10, nprobe=8),
+                limit=10,
             )
     except ImportError:
         pass

@@ -203,3 +203,40 @@ def test_signlsh_auto_bits_tracks_corpus_size(emb):
     out = idx.self_join(top_k=3)
     assert out.columns == ["query_id", "vec_id", "sim", "rank"]
     assert out.count() <= n * 3
+
+
+def test_multiprobe_buckets_ranked_and_prefixed(emb):
+    """Probe list: base bucket first, then lowest-margin flips; n_probes=1
+    degenerates to the single-probe path."""
+    idx = SignLSHIndex.build(emb, n_tables=2, bits=6)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    single = idx.query_buckets(qv)
+    multi = idx.query_buckets_multiprobe(qv, n_probes=4)
+    assert [b[0] for b in multi] == single
+    for probes in multi:
+        assert len(probes) == 4 and len(set(probes)) == 4
+
+
+def test_multiprobe_recall_at_least_single(emb):
+    """Multi-probe must expand the candidate set (superset of the single
+    probe) and never lose recall; with few tables the fixture shows a
+    strict gain."""
+    from vervectordb_spark.operators.search import brute_force_topk
+
+    idx = SignLSHIndex.build(emb, n_tables=2, bits=6)
+    probes = [3, 77, 201]
+    gain = 0.0
+    for vid in probes:
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == vid).collect()[0]["embedding"]]
+        truth = {r["vec_id"] for r in brute_force_topk(emb, qv, 10).collect()}
+        c1 = {r["vec_id"] for r in idx.candidates(qv).select("vec_id").collect()}
+        c4 = {r["vec_id"] for r in
+              idx.candidates_multiprobe(qv, 4).select("vec_id").collect()}
+        assert c1 <= c4
+        r1 = len(truth & c1) / 10.0
+        r4 = len(truth & c4) / 10.0
+        assert r4 >= r1
+        gain += r4 - r1
+    assert gain > 0.0  # strictly better somewhere on this fixture

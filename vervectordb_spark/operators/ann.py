@@ -193,11 +193,65 @@ class SignLSHIndex:
             pred = pred | (F.col(f"bucket_{t}") == b)
         return self.signed.filter(pred)
 
+    def query_buckets_multiprobe(self, query_vec: Sequence[float],
+                                 n_probes: int = 4) -> list[list[int]]:
+        """Per table: the base bucket plus the n_probes−1 next-likeliest
+        buckets — flip the bits whose hyperplane margin |q·plane| is
+        smallest (multi-probe LSH, Lv et al. VLDB'07). A near neighbor
+        that lands one low-confidence bit away is recovered WITHOUT more
+        tables or a bigger index: recall rises at the cost of probing
+        n_probes buckets per table instead of 1.
+
+        Flip subsets of size ≤ 2 are ranked by their summed margin (the
+        likelihood a neighbor crossed exactly those hyperplanes); that
+        covers every useful probe sequence for the bit widths this index
+        uses (n_probes ≤ 1 + b + b(b−1)/2)."""
+        out = []
+        for t in range(self.n_tables):
+            base = 0
+            margins = []
+            for j in range(self.bits):
+                plane = self.planes[t * self.bits + j]
+                acc = 0.0
+                for x, p in zip(query_vec, plane):
+                    acc = acc + float(x) * p
+                if acc > 0.0:
+                    base |= 1 << j
+                margins.append(abs(acc))
+            flips: list[tuple[float, int]] = []
+            for j in range(self.bits):
+                flips.append((margins[j], 1 << j))
+                for i in range(j):
+                    flips.append((margins[j] + margins[i], (1 << j) | (1 << i)))
+            flips.sort()
+            buckets = [base] + [base ^ m for _, m in flips[: max(0, n_probes - 1)]]
+            out.append(buckets[:n_probes])
+        return out
+
+    def candidates_multiprobe(self, query_vec: Sequence[float],
+                              n_probes: int = 4) -> DataFrame:
+        """Rows landing in ANY of the n_probes probed buckets of ANY table.
+        The per-table predicate is an IN-list over literal bucket ids, so
+        it pushes to the scan (and prunes partitions on a
+        bucket-partitioned layout) exactly like the single-probe path."""
+        probes = self.query_buckets_multiprobe(query_vec, n_probes)
+        pred = F.lit(False)
+        for t, bl in enumerate(probes):
+            pred = pred | F.col(f"bucket_{t}").isin(bl)
+        return self.signed.filter(pred)
+
     def search(self, query_vec: Sequence[float], top_k: int = 5,
                pre_filter: Column | None = None,
-               extra_cols: Sequence[str] = ()) -> DataFrame:
-        """Probe → exact cosine rescore → top-k. Returns (id, sim)."""
-        cand = self.candidates(query_vec)
+               extra_cols: Sequence[str] = (),
+               n_probes: int = 1) -> DataFrame:
+        """Probe → exact cosine rescore → top-k. Returns (id, sim).
+        `n_probes > 1` probes low-margin neighbor buckets per table
+        (multi-probe LSH) — higher recall, same index."""
+        cand = (
+            self.candidates(query_vec)
+            if n_probes <= 1
+            else self.candidates_multiprobe(query_vec, n_probes)
+        )
         if pre_filter is not None:
             cand = cand.filter(pre_filter)
         return brute_force_topk(
