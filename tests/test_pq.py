@@ -300,3 +300,33 @@ def test_residual_adc_recall_beats_plain_adc(emb, spark):
     # absolute floor is modest: k=32 codes × m=8 over 500 rows is a COARSE
     # budget by design (keeps the test fast); measured 0.45 vs plain 0.40
     assert rec_res / len(probes) >= 0.4
+
+
+def test_batch_residual_matches_per_query(emb):
+    """The batched residual ADC must return row-for-row the per-query
+    residual path for every query (same probes, same codec)."""
+    from pyspark.sql import functions as F
+    from vervectordb_spark.operators.ivf import IVFIndex
+
+    ivf = IVFIndex.build(emb, n_clusters=8, seed=42)
+    codec = ivf.fit_residual_codec(n_subquantizers=8, codebook_size=32, seed=42)
+    encoded = ivf.encode_residual(codec).select(
+        "vec_id", "cluster_id", "pq_code").cache()
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    batch = ivf.batch_search_residual_pq(
+        codec, encoded, qdf, top_k=5, nprobe=4, rerank=emb
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append((r["vec_id"], round(r["sim"], 9)))
+    for qid in range(3):
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == qid).collect()[0]["embedding"]]
+        single = ivf.search_residual_pq(
+            codec, encoded, qv, top_k=5, nprobe=4, rerank=emb
+        ).collect()
+        want = [(r["vec_id"], round(r["sim"], 9)) for r in single]
+        assert got[qid] == want, (qid, got[qid], want)

@@ -386,6 +386,37 @@ class IVFIndex:
             _qrows=qrows,
         )
 
+    def batch_search_residual_pq(self, codec, encoded: DataFrame,
+                                 queries: DataFrame, top_k: int = 5,
+                                 nprobe: int | None = None,
+                                 rerank: DataFrame | None = None,
+                                 query_id: str = "query_id",
+                                 query_emb: str = "q_embedding",
+                                 probe_sets: dict | None = None) -> DataFrame:
+        """Many-query residual IVF-PQ in ONE job — the residual twin of
+        batch_search_pq: per-query probe sets driver-side, one scan of the
+        probed-cluster union, fused (query × cluster) LUT broadcast.
+        Returns (query_id, vec_id, rank, sim)."""
+        nprobe = min(nprobe or self.default_nprobe(), self.n_clusters)
+        max_q = 4_096  # LUT is Q × |union| × m × k doubles — tighter than
+        # the plain-ADC 64k guard (fused per-cluster LUTs cost |union|×)
+        qrows = queries.select(query_id, query_emb).limit(max_q + 1).collect()
+        if len(qrows) > max_q:
+            raise ValueError(
+                f"batch_search_residual_pq query side exceeds {max_q} rows; "
+                "prune first or use operators.topk.gemm_topk"
+            )
+        if probe_sets is None:
+            probe_sets = {
+                r[0]: self.probe_clusters([float(x) for x in r[1]], nprobe)
+                for r in qrows
+            }
+        return codec.batch_adc_search_residual(
+            encoded, self.centroids, probe_sets, qrows, top_k=top_k,
+            id_col=self.id_col, query_id=query_id, rerank=rerank,
+            emb_col=self.emb_col,
+        )
+
     def cluster_stats(self) -> DataFrame:
         """Per-cluster occupancy: (cluster_id, n_vectors, share) — the
         observability feed for layout skew. A cluster holding a large

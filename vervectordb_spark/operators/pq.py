@@ -598,6 +598,141 @@ class PQCodec:
             F.col("rank") <= top_k
         )
 
+    # ------------------------------------------- batched residual ADC
+    def batch_adc_search_residual(self, encoded: DataFrame, centroids,
+                                  probe_sets: dict, qrows: list,
+                                  top_k: int = 10,
+                                  code_col: str = "pq_code",
+                                  id_col: str = "vec_id",
+                                  cluster_col: str = "cluster_id",
+                                  query_id: str = "query_id",
+                                  rerank: DataFrame | None = None,
+                                  rerank_factor: int = 5,
+                                  emb_col: str = "embedding") -> DataFrame:
+        """Many-query RESIDUAL ADC in ONE job: per-(query, probed-cluster)
+        fused LUTs (centroid ⊕ codebook — the dot LUT is NOT separable into
+        centroid + codebook terms without changing the float fold, so it
+        stays fused) broadcast once; one scan of the probed-cluster union
+        scores every query per Arrow batch.
+
+        LUT memory is Q × |probed union| × m × k doubles — the caller's
+        max_q guard bounds it (32 queries × 16 clusters × 8 × 256 ≈ 8 MB;
+        at k_clusters=4096 pass tighter probe sets).
+
+        Numerics contract: identical to `adc_search_residual` — per-code
+        fold over sub_dim (vectorized across the queries probing a
+        cluster), subspace-ordered row sums, (sim desc, id asc) per-batch
+        prune — oracle-checkable per query (queries_pq.ivfpq_residual_batch).
+        Returns (query_id, id, rank, sim)."""
+        from pyspark.sql import Window
+
+        spark = encoded.sparkSession
+        vid_type = encoded.schema[id_col].dataType.simpleString()
+        if not qrows:
+            return spark.createDataFrame(
+                [], f"{query_id} long, {id_col} {vid_type}, rank int, sim double"
+            )
+        cents = np.asarray(centroids, dtype=np.float64)
+        m, sub_dim, k = self.n_subquantizers, self.sub_dim, self.codebook_size
+        qids = np.array([r[0] for r in qrows], dtype=np.int64)
+        qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+        nq = len(qids)
+        acc = np.zeros(nq)
+        for i in range(self.dim):  # ‖q‖: sequential fold, vectorized across q
+            acc += qmat[:, i] * qmat[:, i]
+        qn = np.sqrt(acc)
+        union = sorted({c for s in probe_sets.values() for c in s})
+        uidx = {c: i for i, c in enumerate(union)}
+        n_clusters = len(cents)
+        mask = np.zeros((nq, n_clusters), dtype=bool)
+        for qi, qid in enumerate(qids):
+            mask[qi, list(probe_sets[qid])] = True
+        lut_dot = np.zeros((nq, len(union), m, k))
+        lut_norm = np.empty((len(union), m, k))
+        for ui, cl in enumerate(union):
+            cj = cents[cl]
+            qsel = np.nonzero(mask[:, cl])[0]
+            for s in range(m):
+                d = np.zeros((len(qsel), k))
+                n = np.zeros(k)
+                for i in range(sub_dim):  # sequential fold over sub_dim
+                    rv = self.codebooks[s, :, i] + cj[s * sub_dim + i]  # (k,)
+                    d += rv[None, :] * qmat[qsel, s * sub_dim + i][:, None]
+                    n += rv * rv
+                lut_dot[qsel, ui, s] = d
+                lut_norm[ui, s] = n
+        bc = spark.sparkContext.broadcast(
+            (qids, uidx, lut_dot, lut_norm, qn, mask)
+        )
+        fetch = rerank_factor * top_k if rerank is not None else top_k
+        out_schema = f"{query_id} long, {id_col} {vid_type}, sim double"
+
+        def score(batches):
+            import pandas as pd
+
+            b_qids, b_uidx, b_dot, b_norm, b_qn, b_mask = bc.value
+            n_sub = b_norm.shape[1]
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                codes = np.asarray(pdf[code_col].tolist(), dtype=np.int16) + 128
+                cl = pdf[cluster_col].to_numpy()
+                uv = np.array([b_uidx[c] for c in cl], dtype=np.int64)
+                nr = len(codes)
+                dots = np.zeros((len(b_qids), nr))
+                norms_sq = np.zeros(nr)
+                for s in range(n_sub):  # subspace order (fold)
+                    dots += b_dot[:, uv, s, codes[:, s]]
+                    norms_sq += b_norm[uv, s, codes[:, s]]
+                denom = np.sqrt(norms_sq)[None, :] * b_qn[:, None]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = np.where(denom == 0.0, 0.0, dots / denom)
+                sims = np.where(b_mask[:, cl], sims, -2.0)
+                vids = pdf[id_col].to_numpy()
+                kk = min(fetch, nr)
+                out_q, out_v, out_s = [], [], []
+                for qi in range(len(b_qids)):  # deterministic per-query prune
+                    idx = np.lexsort((vids, -sims[qi]))[:kk]
+                    out_q.append(np.full(kk, b_qids[qi]))
+                    out_v.append(vids[idx])
+                    out_s.append(sims[qi, idx])
+                yield pd.DataFrame({
+                    query_id: np.concatenate(out_q),
+                    id_col: np.concatenate(out_v),
+                    "sim": np.concatenate(out_s),
+                })
+
+        cand = (
+            encoded.filter(F.col(cluster_col).isin(union))
+            .select(id_col, code_col, cluster_col)
+            .mapInPandas(score, out_schema)
+            .filter(F.col("sim") > -2.0)
+        )
+        w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(id_col))
+        pool = cand.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= fetch
+        )
+        if rerank is None:
+            return pool.filter(F.col("rank") <= top_k)
+        from vervectordb_spark.functions.similarity import cosine_expr
+
+        probes = spark.createDataFrame(
+            [(int(r[0]), [float(x) for x in r[1]]) for r in qrows],
+            f"{query_id} long, _qv array<double>",
+        )
+        exact = (
+            rerank.join(pool.select(query_id, id_col), on=id_col)
+            .join(F.broadcast(probes), on=query_id)
+            .select(
+                query_id,
+                id_col,
+                cosine_expr(F.col(emb_col), F.col("_qv")).alias("sim"),
+            )
+        )
+        return exact.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= top_k
+        )
+
     # ------------------------------------------------------------- metrics
     def compression_ratio(self) -> float:
         """Raw float32 bytes / code bytes (reference prints this,

@@ -572,3 +572,158 @@ def ivfpq_residual_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=emb.select("vec_id", "embedding"), probed=probed,
     )
     return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+@query(
+    "ivfpq_residual_batch",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id::INTEGER AS cluster_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 16
+),
+qs AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {_N_BATCH_Q}
+),
+assign AS (
+  SELECT e.vec_id, c.cluster_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_COS.format(a='e.embedding::DOUBLE[]', b='c.cv')} DESC,
+                    c.cluster_id
+         ) AS rk
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (SELECT vec_id, cluster_id FROM assign WHERE rk = 1),
+probed0 AS (
+  SELECT q.query_id, c.cluster_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {_COS.format(a='c.cv', b='q.qv')} DESC, c.cluster_id
+         ) AS rk
+  FROM cent c CROSS JOIN qs q
+),
+probed AS (SELECT query_id, cluster_id FROM probed0 WHERE rk <= {_NPROBE}),
+cb AS ({_CB_RES_SQL}),
+rsliced AS (
+  SELECT e.vec_id, a.cluster_id, t.s AS subspace,
+         list_transform(range(1, {_SUB_DIM}+1), i ->
+           list_slice(e.embedding::DOUBLE[], t.s*{_SUB_DIM}+1, t.s*{_SUB_DIM}+{_SUB_DIM})[i]
+           - list_slice(c.cv,               t.s*{_SUB_DIM}+1, t.s*{_SUB_DIM}+{_SUB_DIM})[i]
+         ) AS rsl
+  FROM embeddings e
+  JOIN assigned a ON a.vec_id = e.vec_id
+  JOIN cent c     ON c.cluster_id = a.cluster_id
+  CROSS JOIN range({_N_SUB}) t(s)
+),
+code_scored AS (
+  SELECT r.vec_id, r.cluster_id, r.subspace, cb.code,
+         list_dot_product({_RES_DIFF}, {_RES_DIFF}) AS dist
+  FROM rsliced r JOIN cb ON cb.subspace = r.subspace
+),
+code_ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id, subspace ORDER BY dist, code
+  ) AS rk
+  FROM code_scored
+),
+codes AS (
+  SELECT vec_id, cluster_id, subspace, code FROM code_ranked WHERE rk = 1
+),
+lut AS (
+  SELECT p.query_id, c.cluster_id, cb.subspace, cb.code,
+         list_dot_product({_RECON},
+           list_slice(q.qv, cb.subspace*{_SUB_DIM}+1, cb.subspace*{_SUB_DIM}+{_SUB_DIM})
+         ) AS dot_v,
+         list_dot_product({_RECON}, {_RECON}) AS norm_v
+  FROM probed p
+  JOIN cent c ON c.cluster_id = p.cluster_id
+  JOIN qs q   ON q.query_id = p.query_id
+  CROSS JOIN cb
+  CROSS JOIN LATERAL (SELECT list_slice(c.cv, cb.subspace*{_SUB_DIM}+1,
+                             cb.subspace*{_SUB_DIM}+{_SUB_DIM}) AS csl) sl
+),
+adc0 AS (
+  SELECT l.query_id, c.vec_id,
+         list(l.dot_v ORDER BY c.subspace) AS dl,
+         list(l.norm_v ORDER BY c.subspace) AS nl
+  FROM codes c
+  JOIN lut l ON l.cluster_id = c.cluster_id
+           AND l.subspace = c.subspace AND l.code = c.code
+  GROUP BY l.query_id, c.vec_id
+),
+adc AS (
+  SELECT query_id, vec_id, {_seq_sum('dl')} AS dot_sum, {_seq_sum('nl')} AS norm_sum
+  FROM adc0
+),
+qn AS (SELECT query_id, sqrt(list_dot_product(qv, qv)) AS v FROM qs),
+adc_sims AS (
+  SELECT a.query_id, a.vec_id,
+         CASE WHEN sqrt(a.norm_sum) * n.v = 0 THEN 0.0
+              ELSE a.dot_sum / (sqrt(a.norm_sum) * n.v) END AS sim
+  FROM adc a JOIN qn n ON a.query_id = n.query_id
+),
+pool0 AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+  FROM adc_sims
+),
+pool AS (SELECT query_id, vec_id FROM pool0 WHERE rk <= {_RERANK_FETCH}),
+rerank AS (
+  SELECT p.query_id, e.vec_id,
+         {_COS.format(a='e.embedding::DOUBLE[]', b='q.qv')} AS sim
+  FROM embeddings e
+  JOIN pool p ON p.vec_id = e.vec_id
+  JOIN qs q ON q.query_id = p.query_id
+)
+SELECT query_id, vec_id, rank, ROUND(sim, 6) AS sim
+FROM (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM rerank
+)
+WHERE rank <= 10
+""",
+)
+def ivfpq_residual_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched residual IVF-PQ: 4 queries, one fused (query × probed
+    cluster) LUT broadcast, one scan of the probed-cluster union, batched
+    exact rerank — row-for-row the per-query ivfpq_residual_adc path
+    (parity also pytest-pinned, tests/test_pq.py)."""
+    from vervectordb_spark.operators.ivf import IVFIndex
+    from vervectordb_spark.operators.pq import PQCodec, with_residual
+    from vervectordb_spark.functions.similarity import to_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cluster_id"),
+        to_double(F.col("embedding")).alias("centroid"),
+    )
+    idx = IVFIndex.from_centroids(emb, cent)
+    cb_res = _frozen_residual_codebooks(spark, sf_dir)
+    codec = PQCodec.from_codebook_df(cb_res)
+    res = with_residual(idx.assigned, cent)
+    codes = PQCodec.encode_with_expr(res, cb_res, emb_col="_residual",
+                                     sub_dim=_SUB_DIM)
+    pq_arr = codes.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+            lambda s: (s["code"] - 128).cast("tinyint"),
+        ).alias("pq_code")
+    )
+    encoded = idx.assigned.select("vec_id", "cluster_id").join(pq_arr, on="vec_id")
+    qdf = emb.filter(F.col("vec_id") < _N_BATCH_Q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    probe_sets = {
+        int(r["query_id"]): idx.probe_clusters_exact(
+            [float(x) for x in r["q_embedding"]], nprobe=_NPROBE
+        )
+        for r in qdf.collect()
+    }
+    out = idx.batch_search_residual_pq(
+        codec, encoded, qdf, top_k=10,
+        rerank=emb.select("vec_id", "embedding"), probe_sets=probe_sets,
+    )
+    return out.select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
