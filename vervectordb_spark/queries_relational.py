@@ -758,3 +758,44 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count("*").alias("n_active_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# events: rolling 1-hour RANGE-frame window per user (the time-based frame
+# the tumbling/hopping aggs can't express: every event sees its own
+# trailing hour)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_rolling_1h",
+    oracle=f"""
+SELECT event_id, user_id,
+  COUNT(*) OVER w AS roll_n,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 6) AS roll_value
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_ns(ts)
+  RANGE BETWEEN {_NS_PER_HOUR} PRECEDING AND CURRENT ROW
+)
+""",
+)
+def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour activity per event: RANGE frame over epoch-nanos,
+    partitioned by user_id (high cardinality — no single-partition sort).
+    The frame sum is an exact decimal (order-free within the frame, so
+    engines agree bit-for-bit even though their in-frame orders differ);
+    events sharing a timestamp are RANGE peers in both engines."""
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"))
+        .rangeBetween(-_NS_PER_HOUR, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("roll_n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"), 6
+        ).alias("roll_value"),
+    )
