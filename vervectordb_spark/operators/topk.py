@@ -109,13 +109,19 @@ def gemm_topk(
                 )
                 vids = pdf[id_col].to_numpy()
                 kk = min(fetch_k, len(vids))
-                # chunk the query axis so the score matrix stays ≤ ~256 MB
-                # regardless of Q_block (a corpus-sized query side against a
-                # 10k-row Arrow batch would otherwise allocate Q×batch×8 B
-                # per batch per task — the sf1 self-join paid 1.6 GB/batch);
-                # chunking keeps ONE corpus scan, unlike shrinking the
-                # broadcast block, which multiplies scans
-                q_chunk = max(256, (1 << 25) // max(1, len(vids)))
+                # chunk the query axis so the score matrix stays ~8 MB.
+                # Two regimes matter: (a) without chunking, a corpus-sized
+                # query side allocates Q×batch×8 B per batch per task (sf1
+                # self-join: 1.6 GB/batch); (b) even a bounded-but-large
+                # chunk is slow — every ≳32 MB numpy temp is a fresh
+                # mmap/munmap, and 16 workers churning 268 MB maps threw
+                # the kernel into page-compaction (khugepaged/kcompactd)
+                # storms: measured 27.7 s (2^25 elems) → 2.3 s (2^21) for
+                # the identical sf1 GEMM, ~30% of ALL cpu in sys time.
+                # Small chunks reuse the allocator's heap instead.
+                # Chunking keeps ONE corpus scan, unlike shrinking the
+                # broadcast block, which multiplies scans.
+                q_chunk = max(256, (1 << 20) // max(1, len(vids)))
                 out_q, out_v, out_s = [], [], []
                 for lo in range(0, len(b_qids), q_chunk):
                     sims = b_qmat[lo : lo + q_chunk] @ mat.T  # (chunk, batch)

@@ -36,6 +36,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    # Pin BLAS to one thread PER PYTHON WORKER: parallelism comes from Spark
+    # tasks (local[N] runs N workers), so letting every worker's
+    # OpenBLAS/MKL spawn N more threads oversubscribes the box N× — measured
+    # on the sf1 kNN self-join GEMM: 47 s → 8 s warm once pinned (the kernel
+    # was spending ~30% of all CPU in the scheduler). On a real cluster the
+    # same flags keep one task = one core.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS"):
+        builder = builder.config(
+            f"spark.executorEnv.{var}", os.environ.get(var, "1")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
