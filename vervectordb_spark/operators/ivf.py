@@ -246,15 +246,25 @@ class IVFIndex:
                 mat = _normalize_rows(
                     np.array(pdf[emb_col].tolist(), dtype=np.float64)
                 )
-                sims = b_qmat @ mat.T  # (Q, batch)
-                sims = np.where(b_mask[:, pdf["cluster_id"].to_numpy()], sims, -2.0)
+                cl = pdf["cluster_id"].to_numpy()
                 vids = pdf[id_col].to_numpy()
-                kk = min(top_k, sims.shape[1])
-                idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                kk = min(top_k, len(vids))
+                # chunk the query axis: keep the (chunk, batch) score
+                # matrix ~8 MB so numpy reuses heap instead of churning
+                # mmap/THP (same pathology and fix as topk.gemm_topk)
+                q_chunk = max(256, (1 << 20) // max(1, len(vids)))
+                out_q, out_v, out_s = [], [], []
+                for lo in range(0, len(b_qids), q_chunk):
+                    sims = b_qmat[lo : lo + q_chunk] @ mat.T  # (chunk, batch)
+                    sims = np.where(b_mask[lo : lo + q_chunk, cl], sims, -2.0)
+                    idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                    out_q.append(np.repeat(b_qids[lo : lo + q_chunk], kk))
+                    out_v.append(vids[idx].ravel())
+                    out_s.append(np.take_along_axis(sims, idx, 1).ravel())
                 yield pd.DataFrame({
-                    query_id: np.repeat(b_qids, kk),
-                    id_col: vids[idx].ravel(),
-                    "sim": np.take_along_axis(sims, idx, 1).ravel(),
+                    query_id: np.concatenate(out_q),
+                    id_col: np.concatenate(out_v),
+                    "sim": np.concatenate(out_s),
                 })
 
         cand = src.select(id_col, emb_col, "cluster_id").mapInPandas(

@@ -200,9 +200,15 @@ class PQCodec:
                     continue
                 mat = np.asarray(pdf[emb_col].tolist(), dtype=np.float64)
                 codes = np.empty((len(mat), m), dtype=np.int16)
+                # one (n, k) score buffer reused across subspaces (a fresh
+                # ~20 MB temp per subspace per batch churns mmap/THP — the
+                # kernel-compaction pathology documented in topk.gemm_topk)
+                scores = np.empty((len(mat), books.shape[1]))
                 for s in range(m):
                     x = mat[:, s * sub_dim : (s + 1) * sub_dim]  # (n, sub)
-                    scores = -2.0 * (x @ books[s].T) + cnorm[s]  # (n, k)
+                    np.matmul(x, books[s].T, out=scores)
+                    scores *= -2.0
+                    scores += cnorm[s]
                     codes[:, s] = np.argmin(scores, axis=1)
                 pdf[code_col] = list((codes - 128).astype(np.int8))
                 yield pdf
