@@ -360,3 +360,26 @@ def test_versioned_checkpoint_requires_path(spark):
         store.checkpoint(versioned=True)
     with _pytest.raises(ValueError, match="versioned"):
         store.version_history()
+
+
+def test_residual_pq_search_and_roundtrip(spark, tmp_path):
+    """Residual IVF-PQ through the store facade: self query is top-1;
+    save/load restores the codec WITH its centroids and still serves."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    st = VectorStore(spark, vector_dim=8)
+    vecs = rng.randn(40, 8).astype(float).tolist()
+    ids = st.batch_insert(vecs)
+    st.build_ivf_index(n_clusters=4)
+    st.train_residual_pq(n_subquantizers=4, n_bits=3)
+    got = st.ivfpq_residual_search(vecs[5], top_k=3, nprobe=4)
+    assert got[0]["vector_id"] == ids[5]
+
+    path = str(tmp_path / "res_store")
+    st.save(path)
+    loaded = VectorStore.load(spark, path)
+    assert loaded._pq_res is not None and loaded._ivf is not None
+    got2 = loaded.ivfpq_residual_search(vecs[5], top_k=3, nprobe=4)
+    assert got2[0]["vector_id"] == ids[5]
+    assert [g["vector_id"] for g in got] == [g["vector_id"] for g in got2]

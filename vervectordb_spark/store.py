@@ -69,6 +69,11 @@ class VectorStore:
         self._ivf = None
         self._ann = None
         self._pq = None
+        # residual codec (FAISS-style IVF-PQ): tied to the IVF centroids it
+        # was fitted against, so it IS index-like — cleared on mutation
+        # together with the IVF index; the encoded table is a cache.
+        self._pq_res = None
+        self._res_encoded = None
         # provenance for same-path save-after-load (see save())
         self._loaded_from: str | None = None
         self._ivf_from_disk = False
@@ -248,6 +253,8 @@ class VectorStore:
         self._ivf = None
         self._ann = None
         self._ivf_from_disk = False
+        self._pq_res = None
+        self._res_encoded = None
 
     def build_ivf_index(self, n_clusters: int = 16, seed: int = 42):
         from vervectordb_spark.operators.ivf import IVFIndex
@@ -300,6 +307,47 @@ class VectorStore:
             codebook_size=2 ** n_bits, sample_size=sample_size, seed=seed,
         )
         return self._pq
+
+    def train_residual_pq(self, n_subquantizers: int = 8, n_bits: int = 8,
+                          sample_size: int = 10_000, seed: int = 42):
+        """Residual IVF-PQ codec (FAISS-style; beyond the reference's
+        raw-vector PQ): fit on (embedding − assigned centroid). Builds the
+        IVF index first if absent — the codec is tied to those centroids."""
+        from vervectordb_spark.operators.pq import PQCodec  # noqa: F401
+
+        if self.vector_dim % n_subquantizers:
+            raise DimensionError(
+                f"dim {self.vector_dim} not divisible by {n_subquantizers}"
+            )
+        if self._ivf is None:
+            self.build_ivf_index()
+        self._pq_res = self._ivf.fit_residual_codec(
+            n_subquantizers=n_subquantizers, codebook_size=2 ** n_bits,
+            sample_size=sample_size, seed=seed,
+        )
+        self._res_encoded = None
+        return self._pq_res
+
+    def ivfpq_residual_search(self, query_vector, top_k: int = 5,
+                              nprobe: int | None = None) -> list[dict]:
+        """Serving path over residual codes: probe → fused-LUT ADC →
+        exact rerank. The residual-encoded table is built lazily once and
+        cached (at scale: persisted partitionBy(cluster_id) like the plain
+        codes table, so the probe partition-prunes)."""
+        if self._pq_res is None:
+            self.train_residual_pq()
+        if self._res_encoded is None:
+            self._res_encoded = self._ivf.encode_residual(self._pq_res).select(
+                "vec_id", "cluster_id", "pq_code"
+            ).cache()
+        out = self._ivf.search_residual_pq(
+            self._pq_res, self._res_encoded, query_vector, top_k=top_k,
+            nprobe=nprobe, rerank=self.df.select("vec_id", "embedding"),
+        )
+        return [
+            {"vector_id": r["vec_id"], "similarity": r["sim"]}
+            for r in out.collect()
+        ]
 
     def compress(self) -> DataFrame:
         """C4: adds pq_code ARRAY<TINYINT>; storage-only codec, like the
@@ -392,6 +440,10 @@ class VectorStore:
             self.df.write.mode("overwrite").parquet(f"{tmp}/vectors")
             if self._pq is not None:
                 self._pq.save(f"{tmp}/pq", self.spark)
+            if self._pq_res is not None and self._ivf is not None:
+                # valid only with the centroids it was fitted against — the
+                # IVF artifacts saved below carry them
+                self._pq_res.save(f"{tmp}/pq_residual", self.spark)
             if self._ivf is not None:
                 self._ivf.save(f"{tmp}/ivf")
             if self._ann is not None:
@@ -433,6 +485,21 @@ class VectorStore:
             import warnings
 
             warnings.warn(f"ignoring corrupt IVF artifacts: {e}")
+        try:
+            store._pq_res = PQCodec.load(spark, f"{path}/pq_residual")
+        except AnalysisException:
+            pass  # no residual codec saved
+        except ValueError as e:
+            import warnings
+
+            warnings.warn(f"ignoring corrupt residual-PQ artifacts: {e}")
+        if store._pq_res is not None and store._ivf is None:
+            import warnings
+
+            warnings.warn(
+                "residual-PQ codec found without IVF centroids — dropping it"
+            )
+            store._pq_res = None
         from vervectordb_spark.operators.ann import LSHAnnIndex
 
         try:
