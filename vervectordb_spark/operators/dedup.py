@@ -223,23 +223,37 @@ def _minhash_arrow_kernel(toked: DataFrame, num_hashes: int,
                 for t in pdf["_toks"]
             ]
             lens = np.array([len(s) for s in lists], dtype=np.int64)
-            flat = [s for sl in lists for s in sl]
-            if flat:
-                hs = np.array(
-                    [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in flat],
-                    dtype=np.int64,
-                ) % AFFINE_MOD
-                vals = (A * hs[None, :] + B) % AFFINE_MOD  # (k, total)
-            else:
-                vals = np.empty((num_hashes, 0), dtype=np.int64)
-            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-            sigs: list = []
-            for i, n in enumerate(lens):
-                if n == 0:  # parity with array_min(empty) -> null
-                    sigs.append([None] * num_hashes)
+            sigs: list = [None] * len(lists)
+            # chunk at DOC boundaries: the (k × shingles) affine matrix and
+            # its modulo temps stay ~8 MB instead of ~100+ MB per batch
+            # (kernel page-compaction churn — see topk.gemm_topk). Integer
+            # affine/min arithmetic is unchanged by chunking.
+            FLAT = 1 << 16
+            start = 0
+            while start < len(lists):
+                end, tot = start, 0
+                while end < len(lists) and (tot == 0 or tot + lens[end] <= FLAT):
+                    tot += lens[end]
+                    end += 1
+                flat = [s for sl in lists[start:end] for s in sl]
+                if flat:
+                    hs = np.array(
+                        [int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                         for s in flat],
+                        dtype=np.int64,
+                    ) % AFFINE_MOD
+                    vals = (A * hs[None, :] + B) % AFFINE_MOD  # (k, ≤FLAT)
                 else:
-                    s = starts[i]
-                    sigs.append(vals[:, s : s + n].min(axis=1).tolist())
+                    vals = np.empty((num_hashes, 0), dtype=np.int64)
+                local = np.concatenate([[0], np.cumsum(lens[start:end])[:-1]])
+                for i in range(start, end):
+                    n = lens[i]
+                    if n == 0:  # parity with array_min(empty) -> null
+                        sigs[i] = [None] * num_hashes
+                    else:
+                        s = local[i - start]
+                        sigs[i] = vals[:, s : s + n].min(axis=1).tolist()
+                start = end
             pdf = pdf.drop(columns=["_toks"])
             pdf["shingles"] = lists
             pdf["signature"] = sigs
@@ -592,23 +606,40 @@ def _simhash_arrow_kernel(toked: DataFrame, bits: int) -> DataFrame:
             # empty array -> all-zero votes -> fingerprint 0, like expr)
             lists = [list(t) if t is not None else [] for t in pdf["_toks"]]
             lens = np.array([len(t) for t in lists], dtype=np.int64)
-            flat = [t for tl in lists for t in tl]
-            if flat:
-                hs = np.array(
-                    [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in flat],
-                    dtype=np.int64,
-                )
-                votes = (((hs[None, :] >> shifts) & 1) * 2 - 1)  # (bits, total)
-                bounds = np.concatenate([[0], np.cumsum(lens)])
-                # segment-sum per doc; docs with 0 tokens sum to 0 (== fold
-                # over an empty array)
-                csum = np.concatenate(
-                    [np.zeros((bits, 1), dtype=np.int64), votes.cumsum(axis=1)], axis=1
-                )
-                sums = csum[:, bounds[1:]] - csum[:, bounds[:-1]]  # (bits, docs)
-            else:
-                sums = np.zeros((bits, len(pdf)), dtype=np.int64)
-            fp = ((sums > 0).astype(np.int64).T * weights).sum(axis=1)
+            fp = np.empty(len(lists), dtype=np.int64)
+            # chunk at DOC boundaries so the (bits × tokens) vote matrix and
+            # its cumsum stay ~8 MB — unchunked, an sf10 batch allocated
+            # 2 × ~400 MB temps per batch, hitting the kernel
+            # page-compaction churn documented in topk.gemm_topk (measured
+            # there: 12× on the identical arithmetic). Integer votes chunk
+            # exactly: per-doc sums are unchanged.
+            FLAT = 1 << 15
+            start = 0
+            while start < len(lists):
+                end, tot = start, 0
+                while end < len(lists) and (tot == 0 or tot + lens[end] <= FLAT):
+                    tot += lens[end]
+                    end += 1
+                flat = [t for tl in lists[start:end] for t in tl]
+                if flat:
+                    hs = np.array(
+                        [int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                         for t in flat],
+                        dtype=np.int64,
+                    )
+                    votes = (((hs[None, :] >> shifts) & 1) * 2 - 1)
+                    bounds = np.concatenate([[0], np.cumsum(lens[start:end])])
+                    # segment-sum per doc; docs with 0 tokens sum to 0 (==
+                    # fold over an empty array)
+                    csum = np.concatenate(
+                        [np.zeros((bits, 1), dtype=np.int64),
+                         votes.cumsum(axis=1)], axis=1
+                    )
+                    sums = csum[:, bounds[1:]] - csum[:, bounds[:-1]]
+                else:
+                    sums = np.zeros((bits, end - start), dtype=np.int64)
+                fp[start:end] = ((sums > 0).astype(np.int64).T * weights).sum(axis=1)
+                start = end
             pdf = pdf.drop(columns=["_toks"])
             pdf["simhash"] = fp
             yield pdf
