@@ -243,3 +243,75 @@ def test_tpch_q22_anti_join_no_driver_collect(spark):
     assert "LeftAnti" in plan, plan[:2000]            # NOT EXISTS anti-join
     # the global average arrives via a broadcast 1-row agg, not a collect
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_tpch_q5_intra_nation_region_broadcast(spark):
+    from vervectordb_spark.queries_tpch import tpch_local_supplier_volume
+
+    plan = A.physical_plan(tpch_local_supplier_volume(spark, SF_DIR))
+    A.assert_broadcast_join(plan)                     # nation⋈region dim
+    A.assert_pushed_filter(plan, "o_orderdate")       # year reaches the scan
+    A.assert_pushed_filter(plan, "r_name")
+
+
+def test_tpch_q6_single_scan_all_filters_pushed(spark):
+    from vervectordb_spark.queries_tpch import tpch_forecast_revenue
+
+    plan = A.physical_plan(tpch_forecast_revenue(spark, SF_DIR))
+    # every predicate reaches the parquet scan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        A.assert_pushed_filter(plan, col)
+    A.assert_not_operator(plan, "SortMergeJoin")      # no join at all
+    A.assert_not_operator(plan, "BroadcastHashJoin")
+    # only the single agg exchange moves data
+    assert A.count_shuffles(plan) <= 1, plan[:3000]
+
+
+def test_tpch_q13_preaggregates_orders_before_outer_join(spark):
+    from vervectordb_spark.queries_tpch import tpch_customer_distribution
+
+    df = tpch_customer_distribution(spark, SF_DIR)
+    plan = A.physical_plan(df)
+    # the left join must see the PRE-AGGREGATED per-custkey counts, so a
+    # HashAggregate appears below the outer join in the plan text
+    assert "HashAggregate" in plan
+    assert "LeftOuter" in plan or "BuildRight" in plan, plan[:3000]
+    A.assert_pushed_filter(plan, "o_orderpriority")
+
+
+def test_tpch_q15_max_via_broadcast_not_collect(spark):
+    from vervectordb_spark.queries_tpch import tpch_top_supplier
+
+    plan = A.physical_plan(tpch_top_supplier(spark, SF_DIR))
+    # the global max arrives as a broadcast 1-row aggregate
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    A.assert_not_operator(plan, "Window")             # no global window
+    A.assert_pushed_filter(plan, "l_shipdate")
+
+
+def test_tpch_q17_decorrelated_single_lineitem_avg(spark):
+    from vervectordb_spark.queries_tpch import tpch_small_qty_revenue
+
+    plan = A.physical_plan(tpch_small_qty_revenue(spark, SF_DIR))
+    assert "LeftSemi" in plan, plan[:3000]            # brand prune is a semi
+    assert "HashAggregate" in plan                    # per-part avg, once
+
+
+def test_tpch_q19_brand_envelope_pushed(spark):
+    from vervectordb_spark.queries_tpch import tpch_discounted_revenue
+
+    plan = A.physical_plan(tpch_discounted_revenue(spark, SF_DIR))
+    # the derivable envelopes reach both scans even though the OR can't
+    A.assert_pushed_filter(plan, "p_brand")
+    A.assert_pushed_filter(plan, "l_quantity")
+
+
+def test_tpch_q21_decorrelated_no_per_row_rescan(spark):
+    from vervectordb_spark.queries_tpch import tpch_waiting_suppliers
+
+    plan = A.physical_plan(tpch_waiting_suppliers(spark, SF_DIR))
+    A.assert_operator(plan, "TakeOrderedAndProject")
+    assert "LeftSemi" in plan, plan[:3000]            # both EXISTS as semis
+    # decorrelation: lineitem aggregates ONCE (distinct-count pair), it is
+    # not re-scanned per outer row — no nested-loop join against lineitem
+    A.assert_not_operator(plan, "CartesianProduct")

@@ -8,10 +8,18 @@ columns that exist, keeping each query's OPERATOR shape intact):
 
   tpch_shipping_priority       Q3  — 3-way join, grouped revenue, top-N
   tpch_order_priority          Q4  — EXISTS semi-join + priority counts
+  tpch_local_supplier_volume   Q5  — 6-way join, intra-nation condition
+  tpch_forecast_revenue        Q6  — single-scan filtered aggregate
   tpch_volume_shipping         Q7  — nation×nation self-join aliasing
+  tpch_market_share            Q8  — per-year conditional share over 7 joins
   tpch_returned_items          Q10 — returned-revenue per customer, top-N
+  tpch_customer_distribution   Q13 — outer join + double aggregation
   tpch_promo_revenue           Q14 — conditional-aggregate revenue share
+  tpch_top_supplier            Q15 — agg view + global-max scalar equality
+  tpch_small_qty_revenue       Q17 — correlated per-part avg, decorrelated
   tpch_large_volume_customers  Q18 — HAVING on a pre-aggregated fact
+  tpch_discounted_revenue      Q19 — OR-of-ANDs join predicate branches
+  tpch_waiting_suppliers       Q21 — EXISTS + NOT EXISTS self-join, decorrelated
   tpch_top_acctbal_no_orders   Q22 — global-avg scalar subquery + anti-join
 
 Money arithmetic follows the module contract in queries_relational.py:
@@ -370,4 +378,434 @@ def tpch_top_acctbal_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("numcust"),
             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 — local supplier volume: revenue kept inside each ASIA nation
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_local_supplier_volume",
+    oracle=f"""
+SELECT n.n_name AS nation, CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lineitems
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+)
+def tpch_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue shipped by a supplier to a customer of the
+    SAME nation, per ASIA nation. nation⋈region collapses to a 5-row
+    broadcast dim; supplier and customer each carry their nationkey through
+    the fact joins, and the intra-nation condition is applied as a join
+    condition (not a post-filter) so the planner can use it. customer /
+    orders / lineitem / supplier scale with SF → shuffle joins, AQE
+    upgrades small sides at runtime."""
+    asia_nat = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", F.col("n_name").alias("nation"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(asia_nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+    )
+    return joined.groupBy("nation").agg(
+        F.sum(_revenue_col()).cast("double").alias("revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — forecast revenue change: single-scan filtered aggregate
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24.0
+""",
+)
+def tpch_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the canonical single-scan query — every predicate
+    (shipdate range, discount band, quantity cap) must reach the parquet
+    scan as a pushed filter, and the whole plan is scan → partial agg →
+    1-row final agg. No joins, no wide shuffle; the 100 TB cost is exactly
+    one pruned column scan. Plan-audited in tests/test_plans.py."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share: conditional share over the full star
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_market_share",
+    oracle=f"""
+SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+  ROUND(CAST(SUM(CASE WHEN n2.n_name = 'BRAZIL' THEN {_REV_SQL}
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      / CAST(SUM({_REV_SQL}) AS DOUBLE), 6) AS mkt_share,
+  COUNT(*) AS n_lineitems
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+JOIN region r   ON n1.n_regionkey = r.r_regionkey
+JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+GROUP BY o_year
+""",
+)
+def tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: BRAZIL's share of AMERICA-bound ECONOMY-part revenue
+    per order year. Seven joins: the two nation aliases + region are
+    bounded broadcast dims; part/supplier/orders/customer/lineitem all
+    scale with SF and take shuffle joins. Both sums stay exact decimal;
+    one double division per group at the end."""
+    nat = load_table(spark, sf_dir, "nation")
+    amer = (
+        nat.join(
+            load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("_cn_key"))
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("_supp_nation")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    zero = F.lit(0).cast("decimal(18,2)")
+    joined = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(amer), cust.c_nationkey == F.col("_cn_key"))
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("_sn_key"))
+    )
+    return joined.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("_supp_nation") == "BRAZIL", _revenue_col()).otherwise(zero)
+            ).cast("double")
+            / F.sum(_revenue_col()).cast("double"),
+            6,
+        ).alias("mkt_share"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution: outer join + double aggregation
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""",
+)
+def tpch_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed 0, 1, 2, … non-urgent
+    orders. Instead of outer-joining raw orders rows (|orders| shuffle)
+    then counting, orders pre-aggregates per custkey FIRST (shuffle
+    carries one row per customer), then a left join + coalesce(0) keeps
+    the order-less customers the outer join exists for. The second
+    aggregation groups on the tiny distinct-count domain."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("_n"))
+    )
+    counts = (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier: aggregate view + global-max scalar equality
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_top_supplier",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({_REV_SQL}) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+FROM supplier s
+JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+ORDER BY s.s_suppkey
+""",
+)
+def tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with the max quarterly revenue.
+    The revenue view aggregates once and is reused for both the per-key
+    rows and the global max — the max arrives as a broadcast 1-row
+    aggregate crossJoined in (house style: no driver collect, no global
+    window), and the equality filter keeps exact decimals so ties are
+    bit-exact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_revenue_col()).alias("_total_rev"))
+    max_rev = rev.agg(F.max("_total_rev").alias("_max_rev"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("_total_rev") == F.col("_max_rev"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.col("_total_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue: correlated per-part avg, decorrelated
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_small_qty_revenue",
+    oracle="""
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            / 7.0 AS DOUBLE) AS avg_yearly,
+  COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23' AND p.p_type = 'MEDIUM'
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p.p_partkey
+  )
+""",
+)
+def tpch_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost if below-one-fifth-of-average-quantity
+    orders stopped. The correlated scalar subquery is decorrelated by hand
+    into ONE per-partkey average aggregate joined back to the fact — the
+    same rewrite Catalyst/DuckDB apply, made explicit so the shuffle
+    carries one row per part, not a re-scan per outer row. The average is
+    over ALL lineitems of the part (not just the brand's), matching the
+    oracle's subquery scope; the brand filter prunes via a broadcast-able
+    filtered part dim before both the avg and the final join."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    # per-part avg over all lineitems, restricted to surviving parts first
+    avg_qty = (
+        li.join(part, li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("_qty_cap"))
+        .withColumnRenamed("l_partkey", "_avg_partkey")
+    )
+    joined = (
+        li.join(part, li.l_partkey == part.p_partkey, "left_semi")
+        .join(avg_qty, F.col("l_partkey") == F.col("_avg_partkey"))
+        .filter(F.col("l_quantity") < F.col("_qty_cap"))
+    )
+    return joined.agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0))
+        .cast("double")
+        .alias("avg_yearly"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — discounted revenue: OR-of-ANDs predicate across join branches
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_discounted_revenue",
+    oracle=f"""
+SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue, COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+""",
+)
+def tpch_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: three OR'd brand/size/quantity windows over the
+    part join. The disjunction mixes columns from both sides, so it can't
+    fully push to either scan — but each side's derivable envelope CAN:
+    part pre-filters to the union of the three brands, lineitem to the
+    quantity hull [1, 30], shrinking the join inputs before the residual
+    OR applies. Catalyst derives some of this; the explicit envelope
+    filters make it unconditional."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+    ).select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1.0) & (F.col("l_quantity") <= 30.0)
+    )
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & (F.col("l_quantity") >= 1.0) & (F.col("l_quantity") <= 11.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & (F.col("l_quantity") >= 10.0) & (F.col("l_quantity") <= 20.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 20.0) & (F.col("l_quantity") <= 30.0)
+        )
+    )
+    joined = li.join(part, li.l_partkey == part.p_partkey).filter(branch)
+    return joined.agg(
+        F.sum(_revenue_col()).cast("double").alias("revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting: EXISTS + NOT EXISTS, decorrelated
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_waiting_suppliers",
+    oracle="""
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 10
+""",
+)
+def tpch_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (re-targeted onto l_returnflag — no receipt/commit
+    dates in the fixtures): suppliers who were the ONLY returner on a
+    multi-supplier finalized order. The correlated EXISTS / NOT EXISTS
+    pair decorrelates into ONE per-orderkey aggregate — distinct supplier
+    count and distinct returning-supplier count — joined back to the
+    candidate rows; l1 qualifies iff the order has another supplier
+    (n_supp > 1) and no OTHER returner (n_ret_supp = 1, and l1 is it).
+    One lineitem shuffle for the aggregate, one broadcast-able join back;
+    no per-row re-scan of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ord_stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_n_ret_supp"),
+    ).filter((F.col("_n_supp") > 1) & (F.col("_n_ret_supp") == 1))
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    cand = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey, "left_semi")
+        .join(
+            ord_stats.select("l_orderkey"),
+            on="l_orderkey",
+            how="left_semi",
+        )
+    )
+    return (
+        cand.join(supp, cand.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
     )
