@@ -315,3 +315,13 @@ def test_tpch_q21_decorrelated_no_per_row_rescan(spark):
     # decorrelation: lineitem aggregates ONCE (distinct-count pair), it is
     # not re-scanned per outer row — no nested-loop join against lineitem
     A.assert_not_operator(plan, "CartesianProduct")
+
+
+def test_sketch_quantile_rank_check_broadcasts_not_collects(spark):
+    from vervectordb_spark.queries_sketch import events_quantile_bound
+
+    plan = A.physical_plan(events_quantile_bound(spark, SF_DIR))
+    # the 1-row approx aggregate reaches the rank re-scan as a broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    A.assert_not_operator(plan, "CartesianProduct")
+    A.assert_pushed_filter(plan, "value")             # isNotNull reaches scan
