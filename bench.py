@@ -261,6 +261,24 @@ def build_benches(spark, sf_dir: str):
         @bench("tpch_q18_large_volume")
         def _tpch_q18():
             return _force(QT.tpch_large_volume_customers(spark, sf_dir), limit=100)
+
+        @bench("tpch_q8_market_share")
+        def _tpch_q8():
+            # widest relational shape in the suite: 7 joins (4 SF-scaling
+            # shuffle sides + 3 broadcast dims) + per-year conditional agg
+            return _force(QT.tpch_market_share(spark, sf_dir))
+    except ImportError:
+        pass
+
+    try:
+        from vervectordb_spark import queries_sketch as QS
+
+        @bench("events_hll_distinct")
+        def _hll():
+            # sketch path: per-type daily Datasketches HLL union vs direct,
+            # KB-sized mergeable state per group instead of a distinct
+            # shuffle of every (type, user) pair
+            return _force(QS.events_hll_mergeable(spark, sf_dir))
     except ImportError:
         pass
 
