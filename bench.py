@@ -271,6 +271,18 @@ def build_benches(spark, sf_dir: str):
         pass
 
     try:
+        from vervectordb_spark import queries_hybrid as QH
+
+        @bench("hybrid_rrf_search")
+        def _hybrid():
+            # lexical top-50 (map-only integer tf) + dense top-50 (exact
+            # cosine), RRF-fused; two TakeOrderedAndProject scans + a
+            # 100-row fusion
+            return _force(QH.hybrid_search_rrf(spark, sf_dir), limit=10)
+    except ImportError:
+        pass
+
+    try:
         from vervectordb_spark import queries_sketch as QS
 
         @bench("events_hll_distinct")

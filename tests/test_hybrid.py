@@ -1,0 +1,104 @@
+"""Hybrid keyword+vector retrieval (operators/hybrid.py).
+
+BM25 is pinned against an independent NumPy computation (its ln() can't
+cross the DuckDB hash gate bit-exact); the RRF pipeline's oracle parity is
+covered by test_oracle_parity via the hybrid_search_rrf /
+keyword_topk_tf registrations.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from vervectordb_spark.operators import hybrid as H
+from vervectordb_spark.plans import audit as A
+from vervectordb_spark.schema import load_table
+
+TERMS = ["spark", "window", "join"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def test_bm25_matches_numpy(spark, docs):
+    """Okapi BM25 (k1=1.2, b=0.75) against a from-scratch Python
+    computation over the same tokenization."""
+    rows = docs.select("doc_id", "text").collect()
+    corpus = {r.doc_id: [t for t in r.text.lower().split() if t] for r in rows}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in corpus.values()) / n
+    k1, b = 1.2, 0.75
+    df_t = {
+        t: sum(1 for toks in corpus.values() if t in toks) for t in TERMS
+    }
+    expected = {}
+    for doc_id, toks in corpus.items():
+        s = 0.0
+        for t in TERMS:
+            tf = toks.count(t)
+            idf = math.log((n - df_t[t] + 0.5) / (df_t[t] + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(toks) / avgdl)
+            )
+        if s > 0.0:
+            expected[doc_id] = s
+    exp_top = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+
+    got = H.bm25_topk(docs, TERMS, top_k=15, k1=k1, b=b).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in exp_top]
+    for r, (_, s) in zip(got, exp_top):
+        assert r.bm25 == pytest.approx(s, rel=1e-9)
+
+
+def test_keyword_topk_is_integer_and_positive(spark, docs):
+    out = H.keyword_topk(docs, TERMS, top_k=25).collect()
+    assert 0 < len(out) <= 25
+    assert all(isinstance(r.kw_score, int) and r.kw_score > 0 for r in out)
+    # descending, ties by id
+    keys = [(-r.kw_score, r.doc_id) for r in out]
+    assert keys == sorted(keys)
+
+
+def test_rrf_single_modality_docs_still_rank(spark, docs):
+    """A doc present in only one candidate list gets exactly that side's
+    1/(k+rank) and -1 sentinels for the other side."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qv = [float(x) for x in qrow[0][0]]
+    out = H.hybrid_search(docs, emb, TERMS, qv, n_candidates=20, top_k=40).collect()
+    assert out
+    for r in out:
+        terms = []
+        if r.kw_rank != -1:
+            terms.append(1.0 / (60 + r.kw_rank))
+        else:
+            assert r.kw_score == -1
+        if r.vec_rank != -1:
+            terms.append(1.0 / (60 + r.vec_rank))
+        else:
+            assert r.sim == -1.0
+        assert terms, "doc in neither candidate list leaked into the fusion"
+        assert r.rrf_score == pytest.approx(sum(terms), abs=0.0)
+
+
+def test_hybrid_candidate_sides_are_take_ordered(spark, docs):
+    """Both candidate generators must be TakeOrderedAndProject over their
+    scans; the only Window ops run on the bounded candidate sets."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qv = [float(x) for x in qrow[0][0]]
+    plan = A.physical_plan(H.hybrid_search(docs, emb, TERMS, qv))
+    assert plan.count("TakeOrderedAndProject") >= 2, plan[:3000]
+    # windows exist (rank over candidates) but no corpus-sized exchange
+    # feeds them: each window's input is a TakeOrderedAndProject limit
+    A.assert_not_operator(plan, "CartesianProduct")
+
+
+def test_bm25_stats_arrive_broadcast(spark, docs):
+    plan = A.physical_plan(H.bm25_topk(docs, TERMS, top_k=10))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    A.assert_operator(plan, "TakeOrderedAndProject")

@@ -1,0 +1,205 @@
+"""Hybrid keyword + vector search with reciprocal-rank fusion.
+
+The reference is a pure vector store whose only text facility is the
+case-insensitive keyword substring filter (`/root/reference/vervectordb/
+__init__.py:540-544`). Real retrieval over a large corpus fuses BOTH
+signals: a lexical score (term frequency / BM25 over the text column) and
+a dense score (cosine over the embedding column), combined by reciprocal
+rank fusion — RRF(d) = Σ_modalities 1/(k + rank_m(d)) (Cormack &
+Clarke-Buettcher, SIGIR'09), the standard score-free fusion because it
+needs no cross-modality score calibration.
+
+Scale shape: each modality produces its top-R candidates with a
+TakeOrderedAndProject (no global sort, no global window over the corpus);
+ranking then happens on the two ≤R-row candidate sets — the only window
+functions run on bounded constants, never on corpus-sized input. The
+lexical scorer is a map-only column expression (no explode, no shuffle);
+BM25's corpus stats (N, avgdl, per-term df) arrive via a broadcast 1-row
+aggregate, house style.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vervectordb_spark.functions.similarity import cosine_expr
+from vervectordb_spark.operators.dedup import tokens_expr
+
+
+def _eq_term(term: str):
+    """Single-arg lambda factory for F.filter — a 2-arg lambda would be
+    interpreted as (element, index) by the higher-order function."""
+    lit = F.lit(term)
+    return lambda x: x == lit
+
+
+def term_tf_expr(text_col: Column | str, terms: Sequence[str]) -> Column:
+    """Total term frequency of `terms` in the token list — an INTEGER
+    lexical score, map-only (array filter per term, no explode/shuffle).
+    Integer on purpose: it is bit-exact replayable on any SQL engine,
+    unlike float BM25 whose log() differs across libm implementations."""
+    toks = tokens_expr(text_col)
+    score: Column | None = None
+    for t in terms:
+        c = F.size(F.filter(toks, _eq_term(t.lower())))
+        score = c if score is None else score + c
+    if score is None:
+        return F.lit(0)
+    return score
+
+
+def keyword_topk(
+    df: DataFrame,
+    terms: Sequence[str],
+    top_k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-R docs by total query-term frequency (ties by id). Plan:
+    Scan → map-only tf expression → TakeOrderedAndProject."""
+    scored = df.select(
+        id_col, term_tf_expr(text_col, terms).cast("long").alias("kw_score")
+    ).filter(F.col("kw_score") > 0)
+    return scored.orderBy(F.desc("kw_score"), F.asc(id_col)).limit(top_k)
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: Sequence[str],
+    top_k: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-R:
+
+        score(d) = Σ_t idf(t) · tf_t·(k1+1) / (tf_t + k1·(1−b+b·|d|/avgdl))
+        idf(t)   = ln( (N − df_t + 0.5) / (df_t + 0.5) + 1 )
+
+    Corpus stats (N, avgdl, one df per term) are ONE 1-row aggregate over
+    the corpus, broadcast-crossJoined back — at 100 TB that is a partial-
+    aggregated scan plus a KB broadcast, not a join. Per-doc scoring is
+    then a map-only expression; top-R via TakeOrderedAndProject.
+
+    Float caveat: ln() is not bit-portable across engines, so BM25 is
+    validated by pytest against an independent NumPy computation rather
+    than by the DuckDB hash gate (the oracle-gated hybrid query uses the
+    integer `term_tf_expr` scorer instead)."""
+    toks = tokens_expr(text_col)
+    dl = F.size(toks).alias("_dl")
+    tf_cols = [
+        F.size(F.filter(toks, _eq_term(t.lower()))).alias(f"_tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    base = df.select(id_col, dl, *tf_cols)
+    stats = base.agg(
+        F.count("*").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    n, avgdl = F.col("_n"), F.col("_avgdl")
+    score: Column = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"_tf_{i}").cast("double")
+        dfc = F.col(f"_df_{i}").cast("double")
+        idf = F.log((n - dfc + 0.5) / (dfc + 0.5) + 1.0)
+        denom = tf + k1 * (1.0 - b + b * F.col("_dl") / avgdl)
+        score = score + idf * (tf * (k1 + 1.0)) / denom
+    out = scored.select(id_col, score.alias("bm25"))
+    return (
+        out.filter(F.col("bm25") > 0.0)
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(top_k)
+    )
+
+
+def _rank_bounded(df: DataFrame, order: list[Column], rank_name: str) -> DataFrame:
+    """row_number over an explicitly BOUNDED candidate set (≤ top-R rows —
+    the callers produce it via TakeOrderedAndProject). The single-partition
+    window is fine here precisely because the input is a constant-sized
+    candidate list, never the corpus."""
+    w = Window.orderBy(*order)
+    return df.withColumn(rank_name, F.row_number().over(w).cast("long"))
+
+
+def rrf_fuse(
+    kw_top: DataFrame,
+    vec_top: DataFrame,
+    rrf_k: int = 60,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Fuse the two ranked candidate lists: full outer join on id, then
+    RRF(d) = 1/(k+kw_rank) + 1/(k+vec_rank), absent modality contributing
+    0. Missing ranks/scores surface as -1 sentinels (not NULL) so the
+    result is engine-portable without nullable-int coercion drift.
+
+    The float arithmetic is two IEEE divisions and one addition in a fixed
+    order — bit-exact replayable, which keeps the whole hybrid pipeline
+    inside the DuckDB hash gate."""
+    kw_ranked = _rank_bounded(
+        kw_top, [F.desc("kw_score"), F.asc(id_col)], "kw_rank"
+    )
+    vec_ranked = _rank_bounded(
+        vec_top, [F.desc("sim"), F.asc(vec_id_col)], "vec_rank"
+    ).withColumnRenamed(vec_id_col, "_vid")
+    fused = kw_ranked.join(
+        vec_ranked, kw_ranked[id_col] == F.col("_vid"), "full_outer"
+    )
+    one = F.lit(1.0)
+    rrf = (
+        F.coalesce(one / (F.lit(rrf_k) + F.col("kw_rank")), F.lit(0.0))
+        + F.coalesce(one / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0))
+    )
+    return (
+        fused.select(
+            F.coalesce(F.col(id_col), F.col("_vid")).alias(id_col),
+            F.coalesce(F.col("kw_score"), F.lit(-1).cast("long")).alias("kw_score"),
+            F.coalesce(F.col("kw_rank"), F.lit(-1).cast("long")).alias("kw_rank"),
+            F.coalesce(F.round("sim", 6), F.lit(-1.0)).alias("sim"),
+            F.coalesce(F.col("vec_rank"), F.lit(-1).cast("long")).alias("vec_rank"),
+            rrf.alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(top_k)
+    )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: Sequence[str],
+    query_vec: Sequence[float],
+    n_candidates: int = 50,
+    top_k: int = 10,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    emb_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """End-to-end hybrid retrieval: lexical top-R (integer tf scorer) +
+    dense top-R (exact cosine), fused by RRF. Each side is one bounded
+    TakeOrderedAndProject over its scan; fusion touches 2·R rows."""
+    kw_top = keyword_topk(
+        docs, terms, top_k=n_candidates, text_col=text_col, id_col=doc_id_col
+    )
+    vec_scored = emb.select(
+        vec_id_col, cosine_expr(F.col(emb_col), list(query_vec)).alias("sim")
+    )
+    vec_top = vec_scored.orderBy(F.desc("sim"), F.asc(vec_id_col)).limit(
+        n_candidates
+    )
+    return rrf_fuse(
+        kw_top, vec_top, rrf_k=rrf_k, top_k=top_k,
+        id_col=doc_id_col, vec_id_col=vec_id_col,
+    )

@@ -1,0 +1,101 @@
+"""Hybrid retrieval queries (operators/hybrid.py) with DuckDB oracles.
+
+The fused score is reciprocal-rank based, so the only floats crossing the
+hash gate are ROUND(sim, 6) (the established cosine contract) and
+1/(k+rank) sums over integer ranks computed in a fixed order — bit-exact
+on both engines. BM25's ln() is NOT oracle-gated (libm drift); it is
+pinned by tests/test_hybrid.py against an independent NumPy computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vervectordb_spark.operators import hybrid as H
+from vervectordb_spark.queries import _Q0, _cos, query, _query_vec
+from vervectordb_spark.schema import load_table
+
+_TERMS = ("spark", "window", "join")
+
+#: DuckDB twin of dedup.tokens_expr over the documents view
+_DOC_TOKS = r"list_filter(regexp_split_to_array(lower(d.text), '\s+'), x -> x <> '')"
+
+_KW_SCORE = " + ".join(
+    f"len(list_filter({_DOC_TOKS}, x -> x = '{t}'))" for t in _TERMS
+)
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle=f"""
+WITH q AS ({_Q0}),
+kw AS (
+  SELECT d.doc_id, CAST({_KW_SCORE} AS BIGINT) AS kw_score
+  FROM documents d
+),
+kw_top AS (
+  SELECT doc_id, kw_score FROM kw WHERE kw_score > 0
+  ORDER BY kw_score DESC, doc_id LIMIT 50
+),
+kw_r AS (
+  SELECT doc_id, kw_score,
+    ROW_NUMBER() OVER (ORDER BY kw_score DESC, doc_id) AS kw_rank
+  FROM kw_top
+),
+vec AS (
+  SELECT e.vec_id, {_cos("e.embedding::DOUBLE[]", "q.qv")} AS sim
+  FROM embeddings e CROSS JOIN q
+),
+vec_top AS (
+  SELECT vec_id, sim FROM vec ORDER BY sim DESC, vec_id LIMIT 50
+),
+vec_r AS (
+  SELECT vec_id, sim,
+    ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS vec_rank
+  FROM vec_top
+)
+SELECT COALESCE(k.doc_id, v.vec_id) AS doc_id,
+  COALESCE(k.kw_score, CAST(-1 AS BIGINT)) AS kw_score,
+  COALESCE(k.kw_rank, CAST(-1 AS BIGINT)) AS kw_rank,
+  COALESCE(ROUND(v.sim, 6), CAST(-1 AS DOUBLE)) AS sim,
+  COALESCE(v.vec_rank, CAST(-1 AS BIGINT)) AS vec_rank,
+  COALESCE(CAST(1 AS DOUBLE) / (60 + k.kw_rank), CAST(0 AS DOUBLE))
+    + COALESCE(CAST(1 AS DOUBLE) / (60 + v.vec_rank), CAST(0 AS DOUBLE))
+    AS rrf_score
+FROM kw_r k FULL OUTER JOIN vec_r v ON k.doc_id = v.vec_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT 10
+""",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval, RRF-fused: integer term-frequency
+    top-50 over documents.text, exact cosine top-50 over
+    embeddings.embedding (query = vec_id 0, the house query vector), fused
+    as 1/(60+rank) sums, top-10. Each candidate side is one
+    TakeOrderedAndProject over its scan; the only windows run on the two
+    50-row candidate sets."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    return H.hybrid_search(
+        docs, emb, list(_TERMS), qv, n_candidates=50, top_k=10, rrf_k=60
+    )
+
+
+@query(
+    "keyword_topk_tf",
+    oracle=f"""
+WITH kw AS (
+  SELECT d.doc_id, CAST({_KW_SCORE} AS BIGINT) AS kw_score
+  FROM documents d
+)
+SELECT doc_id, kw_score FROM kw WHERE kw_score > 0
+ORDER BY kw_score DESC, doc_id LIMIT 20
+""",
+)
+def keyword_topk_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-only retrieval: total query-term frequency (integer,
+    map-only array filters — no explode, no shuffle before the bounded
+    top-k)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return H.keyword_topk(docs, list(_TERMS), top_k=20)
