@@ -72,6 +72,25 @@ def test_filtered_search_keywords(store):
     assert texts == {"beta doc", "alpha beta"}
 
 
+def test_hybrid_search_via_store(store):
+    """RRF fusion over the store: the doc matching both the query terms and
+    the query vector must outrank single-modality docs."""
+    res = store.hybrid_search([1.0, 0.0, 0.0, 0.0], ["alpha", "beta"], top_k=3)
+    assert res
+    # "alpha beta" matches 2 terms AND is cosine-close to the query
+    top = res[0]
+    assert top["kw_rank"] != -1 and top["vec_rank"] != -1
+    scores = [r["rrf_score"] for r in res]
+    assert scores == sorted(scores, reverse=True)
+    for r in res:
+        got = 0.0
+        if r["kw_rank"] != -1:
+            got += 1.0 / (60 + r["kw_rank"])
+        if r["vec_rank"] != -1:
+            got += 1.0 / (60 + r["vec_rank"])
+        assert abs(r["rrf_score"] - got) < 1e-12
+
+
 def test_batch_search_batched(store):
     res = store.batch_search([[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]], top_k=2)
     assert len(res) == 2 and all(len(r) == 2 for r in res)

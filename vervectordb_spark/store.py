@@ -226,6 +226,42 @@ class VectorStore:
             pred = metadata_filter if pred is None else (pred & metadata_filter)
         return self.brute_force_search(query_vector, top_k, pre_filter=pred)
 
+    def hybrid_search(
+        self,
+        query_vector: Sequence[float],
+        terms: Sequence[str],
+        top_k: int = 5,
+        n_candidates: int = 50,
+        rrf_k: int = 60,
+    ) -> list[dict]:
+        """Hybrid retrieval over the store: reciprocal-rank fusion of the
+        lexical top-R (total term frequency over metadata['text']) and the
+        dense top-R (exact cosine) — the upgrade of Q7's binary keyword
+        filter (reference vervectordb/__init__.py:540-544) from a
+        pre-filter to a ranked modality. Each side is one bounded
+        TakeOrderedAndProject; fusion touches 2·R rows."""
+        from vervectordb_spark.operators import hybrid as _hybrid
+
+        self._check_rows([query_vector])
+        docs = self.df.select(
+            F.col("vec_id").alias("doc_id"),
+            F.element_at(F.col("metadata"), "text").alias("text"),
+        )
+        out = _hybrid.hybrid_search(
+            docs, self.df, list(terms), list(query_vector),
+            n_candidates=n_candidates, top_k=top_k, rrf_k=rrf_k,
+        )
+        return [
+            {
+                "vector_id": r["doc_id"],
+                "rrf_score": r["rrf_score"],
+                "kw_rank": r["kw_rank"],
+                "vec_rank": r["vec_rank"],
+                "similarity": r["sim"],
+            }
+            for r in out.collect()
+        ]
+
     def batch_search(
         self, query_vectors: Sequence[Sequence[float]], top_k: int = 5
     ) -> list[list[dict]]:
