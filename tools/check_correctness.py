@@ -48,9 +48,16 @@ def main() -> int:
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        # driver fixtures are single files; gen_sf_fixtures writes Spark
+        # directories of part files — glob handles both
+        import os as _os
+
+        pat = (
+            f"{sf_dir}/{t}.parquet/*.parquet"
+            if _os.path.isdir(f"{sf_dir}/{t}.parquet")
+            else f"{sf_dir}/{t}.parquet"
         )
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
