@@ -114,3 +114,41 @@ def test_cluster_stats_shares_sum_to_one(spark, emb):
     assert len(stats) <= 8
     assert sum(r["n_vectors"] for r in stats) == emb.count()
     assert abs(sum(r["share"] for r in stats) - 1.0) < 1e-4
+
+
+def test_adaptive_probe_monotone_in_mass(ivf, emb):
+    """Higher mass target ⇒ superset of probed clusters; mass→1 probes all."""
+    qv = _qv(emb, 7)
+    small = ivf.probe_clusters_adaptive(qv, mass=0.3)
+    big = ivf.probe_clusters_adaptive(qv, mass=0.9)
+    assert set(small) <= set(big)
+    assert 1 <= len(small) <= len(big) <= ivf.n_clusters
+    assert len(ivf.probe_clusters_adaptive(qv, mass=1.0)) == ivf.n_clusters
+    # prefix property: the adaptive set is always the top of the fixed ranking
+    fixed = ivf.probe_clusters(qv, nprobe=ivf.n_clusters)
+    assert fixed[: len(big)] == big
+
+
+def test_adaptive_probe_recall_tracks_budget(ivf, emb):
+    """nprobe="adaptive" must reach the recall of a fixed budget of the
+    same size — it IS the same ranking, cut per-query instead of
+    globally."""
+    for vid in (0, 5, 11):
+        qv = _qv(emb, vid)
+        probed = ivf.probe_clusters_adaptive(qv, mass=0.8)
+        truth = {r["vec_id"] for r in S.brute_force_topk(emb, qv, 10).collect()}
+        got = {
+            r["vec_id"]
+            for r in ivf.search(qv, top_k=10, nprobe="adaptive", mass=0.8).collect()
+        }
+        fixed = {
+            r["vec_id"]
+            for r in ivf.search(qv, top_k=10, nprobe=len(probed)).collect()
+        }
+        assert got == fixed  # same prefix ⇒ same result set
+        assert len(truth & got) / len(truth) >= 0.5
+
+
+def test_adaptive_probe_respects_cap(ivf, emb):
+    qv = _qv(emb, 2)
+    assert len(ivf.probe_clusters_adaptive(qv, mass=1.0, max_nprobe=3)) == 3

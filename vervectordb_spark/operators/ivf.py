@@ -123,15 +123,40 @@ class IVFIndex:
         order = np.lexsort((np.arange(len(sims)), -sims))
         return [int(c) for c in order[:nprobe]]
 
+    def probe_clusters_adaptive(
+        self, query_vec: Sequence[float], mass: float = 0.8,
+        max_nprobe: int | None = None,
+    ) -> list[int]:
+        """Per-query probe budget instead of a fixed nprobe: rank centroids
+        by cosine, then probe the minimal prefix whose share of the total
+        (min-shifted) similarity mass reaches `mass`. A query that lands
+        squarely in one cluster probes 1–2 partitions; a query near a
+        Voronoi boundary probes more — the latency/recall knob follows the
+        query instead of the worst case. Driver-side on k×dim floats like
+        probe_clusters; never a Spark job."""
+        sims = _cosine_to_centroids(query_vec, self.centroids)
+        order = np.lexsort((np.arange(len(sims)), -sims))
+        ranked = sims[order]
+        w = ranked - ranked.min() + 1e-12
+        cum = np.cumsum(w) / w.sum()
+        n = int(np.searchsorted(cum, mass) + 1)
+        cap = min(max_nprobe or self.n_clusters, self.n_clusters)
+        return [int(c) for c in order[: max(1, min(n, cap))]]
+
     def search(self, query_vec: Sequence[float], top_k: int = 5,
                nprobe: int | None = None, pre_filter: Column | None = None,
-               probed: Sequence[int] | None = None) -> DataFrame:
+               probed: Sequence[int] | None = None,
+               mass: float = 0.8) -> DataFrame:
         """`cluster_id IN probed` → partition pruning → exact rescore →
         TakeOrderedAndProject. Returns (vec_id, cluster_id, sim).
         `probed` overrides probe-set selection (oracle-gated callers pass
-        the bit-exact set from probe_clusters_exact)."""
+        the bit-exact set from probe_clusters_exact); nprobe="adaptive"
+        sizes the probe set per query from centroid-similarity mass."""
         if probed is None:
-            probed = self.probe_clusters(query_vec, nprobe)
+            if nprobe == "adaptive":
+                probed = self.probe_clusters_adaptive(query_vec, mass=mass)
+            else:
+                probed = self.probe_clusters(query_vec, nprobe)
         pred = F.col("cluster_id").isin(probed)
         if pre_filter is not None:
             pred = pred & pre_filter

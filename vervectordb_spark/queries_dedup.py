@@ -407,3 +407,94 @@ def dedup_drop_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.agg(
         F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_sum")
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator accuracy — the sketch-vs-truth face of dedup. The same
+# affine family is bit-exact replayable in SQL, so the ESTIMATE itself (not
+# just a bound) crosses the hash gate: per verified near-dup pair we emit
+# exact shingle Jaccard, the 16-wide signature-agreement estimate, and the
+# absolute error. At 100 TB the estimate is what the banding actually
+# ranks on; this query measures how far it sits from the truth it proxies.
+# ---------------------------------------------------------------------------
+
+_EST_HASHES = 16
+_EST_BANDS = 8
+
+_EST_SIG_MINS = ", ".join(
+    f"list_min(list_transform(hs, x -> {affine_hash_sql('x', i)}))"
+    for i in range(_EST_HASHES)
+)
+_EST_BAND_KEYS = " UNION ALL ".join(
+    f"SELECT doc_id, s, {b} AS band, "
+    f"sig[{b * 2 + 1}]::VARCHAR || '_' || "
+    f"sig[{b * 2 + 2}]::VARCHAR AS band_key FROM sig"
+    for b in range(_EST_BANDS)
+)
+
+
+@query(
+    "dedup_minhash_estimate",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
+hb AS (SELECT doc_id, s, list_transform(s, t -> {_md5_sql('t')}) AS hs FROM sh),
+sig AS (SELECT doc_id, s, [{_EST_SIG_MINS}] AS sig FROM hb),
+bands AS ({_EST_BAND_KEYS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS src_id, b.doc_id AS dst_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.src_id, c.dst_id, {_jaccard_sql('x.s', 'y.s')} AS jacc
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.src_id
+  JOIN sh y ON y.doc_id = c.dst_id
+)
+SELECT v.src_id, v.dst_id, ROUND(v.jacc, 6) AS jaccard,
+  len(list_filter(range(1, {_EST_HASHES} + 1), i -> a.sig[i] = b.sig[i]))::DOUBLE
+    / CAST({_EST_HASHES} AS DOUBLE) AS jaccard_est,
+  ROUND(ABS(len(list_filter(range(1, {_EST_HASHES} + 1), i -> a.sig[i] = b.sig[i]))::DOUBLE
+    / CAST({_EST_HASHES} AS DOUBLE) - v.jacc), 6) AS abs_err
+FROM verified v
+JOIN sig a ON a.doc_id = v.src_id
+JOIN sig b ON b.doc_id = v.dst_id
+WHERE v.jacc >= 0.3
+""",
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-agreement Jaccard estimate next to the exact value for
+    every verified near-dup pair (16-wide signature, 8 bands × 2 rows).
+    The agreement count is an integer and the exact Jaccard a ratio of
+    set sizes, so every output float is bit-exact replayable."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup_pairs(
+        docs, num_hashes=_EST_HASHES, bands=_EST_BANDS, shingle_n=3,
+        threshold=0.3,
+    )
+    sigs = D.minhash_signatures(docs, num_hashes=_EST_HASHES, shingle_n=3)
+    sa = sigs.select(
+        F.col("doc_id").alias("_sa_id"), F.col("signature").alias("_sa")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("_sb_id"), F.col("signature").alias("_sb")
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    est = agree.cast("double") / F.lit(float(_EST_HASHES))
+    return (
+        pairs.join(sa, pairs.src_id == F.col("_sa_id"))
+        .join(sb, pairs.dst_id == F.col("_sb_id"))
+        .select(
+            "src_id",
+            "dst_id",
+            F.round("jaccard", 6).alias("jaccard"),
+            est.alias("jaccard_est"),
+            F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
+        )
+    )
