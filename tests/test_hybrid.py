@@ -102,3 +102,15 @@ def test_bm25_stats_arrive_broadcast(spark, docs):
     plan = A.physical_plan(H.bm25_topk(docs, TERMS, top_k=10))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     A.assert_operator(plan, "TakeOrderedAndProject")
+
+
+def test_hybrid_empty_terms_degrades_to_vector_only(spark, docs):
+    """No lexical terms: the keyword side is empty and fusion returns pure
+    vector ranking with -1 keyword sentinels."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qv = [float(x) for x in qrow[0][0]]
+    out = H.hybrid_search(docs, emb, [], qv, n_candidates=10, top_k=5).collect()
+    assert len(out) == 5
+    assert all(r.kw_rank == -1 and r.kw_score == -1 for r in out)
+    assert [r.vec_rank for r in out] == [1, 2, 3, 4, 5]

@@ -498,3 +498,42 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# band-bucket observability — the cap's dashboard (operators/dedup.py
+# band_bucket_stats). A tiny cap (2) is used so the fixture actually
+# exercises the capped branch; production uses DEFAULT_MAX_BUCKET_SIZE.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_band_stats",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
+hb AS (SELECT doc_id, s, list_transform(s, t -> {_md5_sql('t')}) AS hs FROM sh),
+sig AS (SELECT doc_id, s, [{_SIG_MINS}] AS sig FROM hb),
+bands AS ({_BAND_KEYS}),
+sizes AS (
+  SELECT band, band_key, COUNT(*) AS bucket_size
+  FROM bands GROUP BY band, band_key
+)
+SELECT band, COUNT(*) AS n_buckets, MAX(bucket_size) AS max_bucket,
+  CAST(SUM(CASE WHEN bucket_size > 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_capped_buckets,
+  CAST(SUM(CASE WHEN bucket_size > 2 THEN bucket_size ELSE 0 END) AS BIGINT)
+    AS rows_in_capped
+FROM sizes GROUP BY band
+""",
+)
+def dedup_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH bucket-size distribution + how much the size cap would
+    degrade to hub-star candidates — the observability that tells an
+    operator whether a corpus is boilerplate-skewed BEFORE the pair join
+    runs. Two grouped aggregates, no joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    sk = D.minhash_signatures(docs, num_hashes=_NUM_HASHES, shingle_n=3)
+    entries = D.minhash_band_entries(
+        sk, num_hashes=_NUM_HASHES, bands=_BANDS
+    )
+    return D.band_bucket_stats(entries, max_bucket_size=2)
