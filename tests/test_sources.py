@@ -81,3 +81,45 @@ def test_text_lines_reader_deterministic(spark, tmp_path):
 
     prof = profile(SRC.read_text_lines(spark, str(p)))
     assert prof.count() == 4
+
+
+def test_orc_roundtrip_preserves_schema_and_values(spark, tmp_path):
+    from vervectordb_spark.sources.tables import read_table, write_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "emb_orc")
+    write_table(emb, path, format="orc")
+    back = read_table(spark, path, format="orc")
+    assert back.schema == emb.schema
+    assert back.count() == emb.count()
+    a = {r.vec_id: r.embedding for r in emb.collect()}
+    b = {r.vec_id: r.embedding for r in back.collect()}
+    assert a == b
+
+
+def test_orc_scan_pushes_filters(spark, tmp_path):
+    from vervectordb_spark.plans import audit as A
+    from vervectordb_spark.sources.tables import read_table, write_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "docs_orc")
+    write_table(docs, path, format="orc")
+    q = read_table(spark, path, format="orc").filter(F.col("lang") == "zh")
+    plan = A.physical_plan(q)
+    A.assert_pushed_filter(plan, "lang")
+
+
+def test_register_sql_views_runs_raw_sql(spark):
+    from vervectordb_spark.sources.tables import register_sql_views
+
+    register_sql_views(spark, SF_DIR)
+    got = spark.sql(
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag"
+    ).collect()
+    want = (
+        load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))

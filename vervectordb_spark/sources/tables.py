@@ -133,3 +133,57 @@ def read_text_lines(spark: SparkSession, path: str,
             F.length("text").cast("long").alias("n_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# generic multi-format sink / source (parquet, orc, json, csv)
+# ---------------------------------------------------------------------------
+
+_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_table(df: DataFrame, path: str, format: str = "parquet",
+                partition_cols: tuple[str, ...] = (),
+                mode: str = "overwrite") -> None:
+    """Format-agnostic sink. parquet and orc are the columnar production
+    formats (both vectorized, both carry schema + min/max stats so filter
+    pushdown and pruning survive the format swap); json/csv are interchange
+    sinks (row-oriented, no stats — documented as export-only, not the
+    100 TB layout)."""
+    if format not in _FORMATS:
+        raise ValueError(f"format must be one of {_FORMATS}, got {format!r}")
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    if format == "csv":
+        w = w.option("header", "true")
+    w.format(format).save(path)
+
+
+def read_table(spark: SparkSession, path: str, format: str = "parquet",
+               schema: T.StructType | None = None) -> DataFrame:
+    """Format-agnostic reader. For json/csv pass an explicit schema —
+    inference is a full extra pass over the data (a complete 100 TB scan
+    spent guessing types) and type-lossy for csv."""
+    if format not in _FORMATS:
+        raise ValueError(f"format must be one of {_FORMATS}, got {format!r}")
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    if format == "csv":
+        r = r.option("header", "true")
+    return r.format(format).load(path)
+
+
+def register_sql_views(spark: SparkSession, sf_dir: str,
+                       tables: tuple[str, ...] = (
+                           "region", "nation", "customer", "supplier",
+                           "part", "orders", "lineitem", "events",
+                           "documents", "embeddings",
+                       )) -> None:
+    """Register every fixture table as a temp view so the whole engine is
+    reachable from `spark.sql(...)` — the SQL twin of the DataFrame API
+    (same Catalyst plans, same pushdown). The DuckDB oracle strings in the
+    query registry are near-portable to this surface."""
+    for t in tables:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
