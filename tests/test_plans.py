@@ -325,3 +325,22 @@ def test_sketch_quantile_rank_check_broadcasts_not_collects(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     A.assert_not_operator(plan, "CartesianProduct")
     A.assert_pushed_filter(plan, "value")             # isNotNull reaches scan
+
+
+def test_tpch_q16_distinct_agg_not_raw_shuffle(spark):
+    from vervectordb_spark.queries_tpch import tpch_parts_supplier_counts
+
+    plan = A.physical_plan(tpch_parts_supplier_counts(spark, SF_DIR))
+    # two-phase distinct: partial aggregates run before the exchange
+    assert plan.count("HashAggregate") >= 2, plan[:3000]
+    A.assert_pushed_filter(plan, "p_brand")
+    A.assert_pushed_filter(plan, "p_size")
+
+
+def test_tpch_q20_two_level_agg_shares_scan(spark):
+    from vervectordb_spark.queries_tpch import tpch_dominant_suppliers
+
+    plan = A.physical_plan(tpch_dominant_suppliers(spark, SF_DIR))
+    A.assert_operator(plan, "TakeOrderedAndProject")
+    assert "LeftSemi" in plan, plan[:3000]      # PROMO prune is a semi
+    A.assert_not_operator(plan, "Window")       # totals via agg, not window

@@ -17,8 +17,10 @@ columns that exist, keeping each query's OPERATOR shape intact):
   tpch_promo_revenue           Q14 — conditional-aggregate revenue share
   tpch_top_supplier            Q15 — agg view + global-max scalar equality
   tpch_small_qty_revenue       Q17 — correlated per-part avg, decorrelated
+  tpch_parts_supplier_counts   Q16 — distinct-count over a bridge join
   tpch_large_volume_customers  Q18 — HAVING on a pre-aggregated fact
   tpch_discounted_revenue      Q19 — OR-of-ANDs join predicate branches
+  tpch_dominant_suppliers      Q20 — two-level share-of-total ratio
   tpch_waiting_suppliers       Q21 — EXISTS + NOT EXISTS self-join, decorrelated
   tpch_top_acctbal_no_orders   Q22 — global-avg scalar subquery + anti-join
 
@@ -808,4 +810,95 @@ def tpch_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — parts/supplier relationship: distinct-supplier counts per part attrs
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_parts_supplier_counts",
+    oracle="""
+SELECT p.p_type, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+GROUP BY p.p_type, p.p_size
+""",
+)
+def tpch_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp replaced by the lineitem bridge — the
+    fixtures carry no partsupp table): how many distinct suppliers ship
+    each (type, size) bucket, excluding one brand. The distinct aggregate
+    runs on (type, size, suppkey) triples — Spark expands to a two-phase
+    distinct agg so the shuffle carries distinct triples, not lineitems."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_type", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — dominant suppliers: share-of-part-volume ratio over two agg levels
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_dominant_suppliers",
+    oracle="""
+WITH ps AS (
+  SELECT l.l_partkey, l.l_suppkey,
+    SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS supp_qty
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_type = 'PROMO'
+  GROUP BY l.l_partkey, l.l_suppkey
+),
+tot AS (
+  SELECT l_partkey, SUM(supp_qty) AS part_qty FROM ps GROUP BY l_partkey
+)
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_dominated_parts
+FROM ps
+JOIN tot      ON ps.l_partkey = tot.l_partkey
+JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+WHERE ps.supp_qty > CAST(0.15 AS DECIMAL(18,2)) * tot.part_qty
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY n_dominated_parts DESC, s.s_suppkey
+LIMIT 20
+""",
+)
+def tpch_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (the available-quantity test re-targeted from
+    partsupp onto shipped volume): suppliers carrying an outsized
+    share (>15%) of a PROMO part's total shipped quantity. Two aggregation levels share one
+    lineitem scan lineage — the per-(part, supplier) rollup feeds the
+    per-part total (shuffle carries (part, supplier) groups, then part
+    groups), and the share test is an exact decimal comparison, so ties
+    at exactly the cut resolve identically on both engines."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        li.join(part, li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_supp_qty"))
+    )
+    tot = ps.groupBy("l_partkey").agg(F.sum("_supp_qty").alias("_part_qty"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    share_cut = F.lit(0.15).cast("decimal(18,2)")
+    return (
+        ps.join(tot, on="l_partkey")
+        .filter(F.col("_supp_qty") > share_cut * F.col("_part_qty"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_dominated_parts"))
+        .orderBy(F.desc("n_dominated_parts"), F.asc("s_suppkey"))
+        .limit(20)
     )
