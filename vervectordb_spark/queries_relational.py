@@ -799,3 +799,36 @@ def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"), 6
         ).alias("roll_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pivot: long → wide event-type matrix per day (classic BI reshape)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "events_daily_pivot",
+    oracle=f"""
+SELECT epoch_us(ts) // {24 * 3_600_000_000} AS day_bucket,
+  {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}" for t in _EVENT_TYPES)}
+FROM events
+GROUP BY 1
+""",
+)
+def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide reshape: one row per day, one count column per event type
+    (`groupBy().pivot(values)` with the value list PINNED — an unpinned
+    pivot runs an extra distinct job to discover columns and makes the
+    output schema data-dependent, which breaks at 100 TB on both counts).
+    Catalyst lowers it to the same conditional aggregation the oracle
+    spells out: ONE shuffle of (day, 5 partial counts)."""
+    ev = load_events(spark, sf_dir)
+    ns_per_day = 24 * 3_600_000_000_000
+    return (
+        ev.groupBy(F.expr(f"ts div {ns_per_day}").alias("day_bucket"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_EVENT_TYPES))
+    )
