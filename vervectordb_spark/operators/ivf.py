@@ -196,7 +196,9 @@ class IVFIndex:
         from pyspark.sql import Window
 
         spark = self.assigned.sparkSession
-        nprobe = min(nprobe or self.default_nprobe(), self.n_clusters)
+        adaptive = nprobe == "adaptive"
+        if not adaptive:
+            nprobe = min(nprobe or self.default_nprobe(), self.n_clusters)
         # queries are API arguments (bounded), never the corpus — but guard
         # the driver against an accidental corpus-sized query side instead
         # of silently OOMing (the self-join path is gemm_topk's BLOCKED
@@ -214,10 +216,16 @@ class IVFIndex:
         if not qrows:
             return spark.createDataFrame(
                 [], f"{query_id} long, {self.id_col} long, cluster_id int, rank int, sim double")
-        probe_sets = {
-            r[0]: self.probe_clusters([float(x) for x in r[1]], nprobe)
-            for r in qrows
-        }
+        if adaptive:
+            probe_sets = {
+                r[0]: self.probe_clusters_adaptive([float(x) for x in r[1]])
+                for r in qrows
+            }
+        else:
+            probe_sets = {
+                r[0]: self.probe_clusters([float(x) for x in r[1]], nprobe)
+                for r in qrows
+            }
 
         if kernel == "fold":
             from vervectordb_spark.functions.similarity import cosine_expr
@@ -385,6 +393,7 @@ class IVFIndex:
     def batch_search_pq(self, codec, encoded: DataFrame, queries: DataFrame,
                         top_k: int = 5, nprobe: int | None = None,
                         rerank: DataFrame | None = None,
+                        rerank_factor: int = 5,
                         query_id: str = "query_id",
                         query_emb: str = "q_embedding",
                         probe_sets: dict | None = None) -> DataFrame:
@@ -416,7 +425,8 @@ class IVFIndex:
         src = encoded.filter(F.col("cluster_id").isin(probed_union))
         return codec.batch_adc_search(
             src, top_k=top_k, id_col=self.id_col, query_id=query_id,
-            query_emb=query_emb, rerank=rerank, emb_col=self.emb_col,
+            query_emb=query_emb, rerank=rerank, rerank_factor=rerank_factor,
+            emb_col=self.emb_col,
             probe_sets=probe_sets, n_clusters=self.n_clusters,
             _qrows=qrows,
         )
@@ -425,6 +435,7 @@ class IVFIndex:
                                  queries: DataFrame, top_k: int = 5,
                                  nprobe: int | None = None,
                                  rerank: DataFrame | None = None,
+                                 rerank_factor: int = 5,
                                  query_id: str = "query_id",
                                  query_emb: str = "q_embedding",
                                  probe_sets: dict | None = None) -> DataFrame:
@@ -449,7 +460,7 @@ class IVFIndex:
         return codec.batch_adc_search_residual(
             encoded, self.centroids, probe_sets, qrows, top_k=top_k,
             id_col=self.id_col, query_id=query_id, rerank=rerank,
-            emb_col=self.emb_col,
+            rerank_factor=rerank_factor, emb_col=self.emb_col,
         )
 
     def cluster_stats(self) -> DataFrame:
