@@ -152,3 +152,23 @@ def test_adaptive_probe_recall_tracks_budget(ivf, emb):
 def test_adaptive_probe_respects_cap(ivf, emb):
     qv = _qv(emb, 2)
     assert len(ivf.probe_clusters_adaptive(qv, mass=1.0, max_nprobe=3)) == 3
+
+
+def test_batch_search_adaptive_matches_per_query_probes(ivf, emb):
+    """nprobe="adaptive" in the batched path must equal running each query
+    with its own adaptive probe set."""
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    batch = ivf.batch_search(queries, top_k=5, nprobe="adaptive").collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for vid in range(4):
+        qv = _qv(emb, vid)
+        serial = {
+            r["vec_id"]
+            for r in ivf.search(qv, top_k=5, nprobe="adaptive").collect()
+        }
+        assert by_q[vid] == serial

@@ -330,3 +330,44 @@ def test_batch_residual_matches_per_query(emb):
         ).collect()
         want = [(r["vec_id"], round(r["sim"], 9)) for r in single]
         assert got[qid] == want, (qid, got[qid], want)
+
+
+def test_batch_rerank_factor_widens_candidate_pool(spark):
+    """rerank_factor is a recall knob: a bigger exact-rerank pool can only
+    improve (never hurt) agreement with the exact top-k."""
+    from pyspark.sql import functions as F
+
+    from vervectordb_spark.operators import search as S
+    from vervectordb_spark.operators.ivf import IVFIndex
+    from vervectordb_spark.schema import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    ivf = IVFIndex.build(emb, n_clusters=8, seed=42)
+    codec = ivf.fit_residual_codec(n_subquantizers=8, codebook_size=16, seed=42)
+    enc = ivf.encode_residual(codec)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    rerank = emb.select("vec_id", "embedding")
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        total = 0.0
+        for q in got:
+            qv = [float(x) for x in emb.filter(F.col("vec_id") == q)
+                  .select("embedding").collect()[0][0]]
+            truth = {r["vec_id"] for r in S.brute_force_topk(emb, qv, 5).collect()}
+            total += len(got[q] & truth) / len(truth)
+        return total / len(got)
+
+    narrow = ivf.batch_search_residual_pq(
+        codec, enc, queries, top_k=5, nprobe=4, rerank=rerank, rerank_factor=1
+    ).collect()
+    wide = ivf.batch_search_residual_pq(
+        codec, enc, queries, top_k=5, nprobe=4, rerank=rerank, rerank_factor=20
+    ).collect()
+    assert recall(wide) >= recall(narrow)
+    assert all(len({r["vec_id"] for r in rows}) <= 15 for rows in (narrow, wide))
