@@ -479,3 +479,53 @@ def ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = IVFIndex.from_centroids(emb, cent)
     return idx.cluster_stats()
+
+
+# --------------------------------------------------------------------------
+# store health audit — the data-quality face of S-ops: dim violations,
+# zero-norm rows (the kernel's guard case), norm envelope. Counts and
+# min/max only — no float sums, so every value is order-independent and
+# bit-exact replayable.
+# --------------------------------------------------------------------------
+
+@query(
+    "store_health_audit",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, len(embedding) AS dim, {_dot(_E, _E)} AS sq
+  FROM embeddings e
+)
+SELECT COUNT(*) AS n_vectors,
+  CAST(SUM(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+  CAST(SUM(CASE WHEN sq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+  ROUND(MIN(sqrt(sq)), 6) AS min_norm,
+  ROUND(MAX(sqrt(sq)), 6) AS max_norm
+FROM n
+""",
+)
+def store_health_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus invariants every ingest gate checks before search quality
+    degrades silently: row count, dimension violations (the reference
+    raises per-row, vervectordb/__init__.py:163 — at scale you COUNT
+    first), zero-norm rows (the cosine kernel's guard case, :34-35), and
+    the norm envelope. One map-side projection + one 1-row aggregate; no
+    float additions cross the hash gate (counts and min/max only)."""
+    from vervectordb_spark.functions.similarity import dot_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = to_double(F.col("embedding"))
+    sq = dot_expr(e, e)
+    base = emb.select(
+        F.size("embedding").alias("_dim"), sq.alias("_sq")
+    )
+    return base.agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.when(F.col("_dim") != 64, 1).otherwise(0))
+        .cast("long")
+        .alias("n_wrong_dim"),
+        F.sum(F.when(F.col("_sq") == 0.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_norm"),
+        F.round(F.min(F.sqrt("_sq")), 6).alias("min_norm"),
+        F.round(F.max(F.sqrt("_sq")), 6).alias("max_norm"),
+    )
