@@ -537,3 +537,46 @@ def dedup_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         sk, num_hashes=_NUM_HASHES, bands=_BANDS
     )
     return D.band_bucket_stats(entries, max_bucket_size=2)
+
+
+# ---------------------------------------------------------------------------
+# language-ID evaluation — the predicted-vs-gold confusion matrix, the eval
+# primitive every heuristic labeler in a training-data pipeline needs. The
+# fixture's `lang` column is the gold label; the heuristic's per-cell counts
+# (and per-gold-language hit rates) are the accuracy surface.
+# ---------------------------------------------------------------------------
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+WITH base AS (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents),
+ext AS (
+  SELECT doc_id, lang,
+    length(text) AS n_chars,
+    len(toks) AS n_tokens,
+    len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) AS n_stop,
+    length(text) - length(regexp_replace(text, '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS n_cjk
+  FROM base
+),
+pred AS (
+  SELECT lang,
+    CASE WHEN (CASE WHEN n_chars = 0 THEN 0.0
+               ELSE n_cjk::DOUBLE / n_chars END) > 0.2 THEN 'zh'
+         WHEN (CASE WHEN n_tokens = 0 THEN 0.0
+               ELSE n_stop::DOUBLE / n_tokens END) > 0.08 THEN 'en'
+         ELSE 'unknown' END AS lang_pred
+  FROM ext
+)
+SELECT lang, lang_pred, COUNT(*) AS n_docs
+FROM pred GROUP BY lang, lang_pred
+""",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(gold lang, predicted lang, count) over the corpus — one map-side
+    projection + one grouped count on a tiny (|langs|²) domain."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TX.lang_id_expr("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
