@@ -279,6 +279,20 @@ def build_benches(spark, sf_dir: str):
             # cosine), RRF-fused; two TakeOrderedAndProject scans + a
             # 100-row fusion
             return _force(QH.hybrid_search_rrf(spark, sf_dir), limit=10)
+
+        @bench("hybrid_batch_3q")
+        def _hybrid_batch():
+            # 3 hybrid queries in ONE plan: token explode -> broadcast term
+            # join -> one (query, doc) shuffle + GEMM dense side
+            from vervectordb_spark.operators import hybrid as HY
+
+            term_table = spark.createDataFrame(
+                QH._BATCH_TERMS, "query_id long, term string")
+            queries = emb.filter(F.col("vec_id") < 3).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_embedding"))
+            return _force(HY.hybrid_search_batch(
+                docs, emb, term_table, queries, kernel="gemm"), limit=30)
     except ImportError:
         pass
 

@@ -114,3 +114,58 @@ def test_hybrid_empty_terms_degrades_to_vector_only(spark, docs):
     assert len(out) == 5
     assert all(r.kw_rank == -1 and r.kw_score == -1 for r in out)
     assert [r.vec_rank for r in out] == [1, 2, 3, 4, 5]
+
+
+def test_hybrid_batch_gemm_matches_fold(spark, docs):
+    """The GEMM serving kernel and the fold oracle kernel must produce the
+    same fused result sets (sim values can differ in the last ulp, so
+    compare ids and integer ranks, not floats)."""
+    from pyspark.sql import functions as F2
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    term_table = spark.createDataFrame(
+        [(0, "spark"), (0, "window"), (1, "join"), (2, "batch")],
+        "query_id long, term string",
+    )
+    queries = emb.filter(F2.col("vec_id") < 3).select(
+        F2.col("vec_id").alias("query_id"),
+        F2.col("embedding").alias("q_embedding"),
+    )
+
+    def key(rows):
+        return sorted(
+            (r["query_id"], r["doc_id"], r["rank"], r["kw_rank"], r["vec_rank"])
+            for r in rows
+        )
+
+    fold = H.hybrid_search_batch(
+        docs, emb, term_table, queries, n_candidates=20, top_k=5, kernel="fold"
+    ).collect()
+    gemm = H.hybrid_search_batch(
+        docs, emb, term_table, queries, n_candidates=20, top_k=5, kernel="gemm"
+    ).collect()
+    assert key(fold) == key(gemm)
+    assert len({r["query_id"] for r in fold}) == 3
+
+
+def test_hybrid_batch_windows_partition_by_query(spark, docs):
+    from pyspark.sql import functions as F2
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    term_table = spark.createDataFrame(
+        [(0, "spark")], "query_id long, term string"
+    )
+    queries = emb.filter(F2.col("vec_id") < 2).select(
+        F2.col("vec_id").alias("query_id"),
+        F2.col("embedding").alias("q_embedding"),
+    )
+    plan = A.physical_plan(
+        H.hybrid_search_batch(docs, emb, term_table, queries, kernel="fold")
+    )
+    # the tiny term relation broadcasts; no unpartitioned window exists
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    import re
+
+    for m in re.finditer(r"Window \[", plan):
+        seg = plan[m.start():m.start() + 400]
+        assert "partitionBy" not in seg or "query_id" in seg

@@ -203,3 +203,105 @@ def hybrid_search(
         kw_top, vec_top, rrf_k=rrf_k, top_k=top_k,
         id_col=doc_id_col, vec_id_col=vec_id_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# batched hybrid: Q queries, per-query term lists, ONE job
+# ---------------------------------------------------------------------------
+
+def keyword_topk_batch(
+    docs: DataFrame,
+    term_table: DataFrame,
+    top_k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Per-query lexical top-R for MANY queries in one pass. `term_table`
+    is the tiny (query_id, term) relation (API argument — broadcast).
+    Shape: map-side token explode → broadcast join prunes to query-term
+    hits immediately (non-matching tokens never shuffle) → ONE
+    (query, doc) count shuffle → per-query rank window. Returns
+    (query_id, doc_id, kw_score, kw_rank) with kw_rank ≤ top_k."""
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("_term")
+    )
+    terms = term_table.select(
+        F.col(query_id), F.col("term").alias("_term")
+    )
+    hits = tok.join(F.broadcast(terms), on="_term")
+    kw = hits.groupBy(query_id, id_col).agg(
+        F.count("*").cast("long").alias("kw_score")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("kw_score"), F.asc(id_col))
+    return (
+        kw.withColumn("kw_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("kw_rank") <= top_k)
+    )
+
+
+def hybrid_search_batch(
+    docs: DataFrame,
+    emb: DataFrame,
+    term_table: DataFrame,
+    queries: DataFrame,
+    n_candidates: int = 50,
+    top_k: int = 10,
+    rrf_k: int = 60,
+    kernel: str = "gemm",
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    emb_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+    query_id: str = "query_id",
+    query_emb: str = "q_embedding",
+) -> DataFrame:
+    """Many-query hybrid retrieval in ONE plan: batched lexical top-R
+    (keyword_topk_batch), batched dense top-R (search.batch_topk — GEMM
+    kernel by default, kernel="fold" for the bit-exact oracle path), RRF
+    fusion, per-query final rank. All windows partition by query_id over
+    ≤2R candidate rows per query — nothing corpus-sized is sorted.
+    Returns (query_id, doc_id, kw_score, kw_rank, sim, vec_rank,
+    rrf_score, rank)."""
+    from vervectordb_spark.operators.search import batch_topk
+
+    kw = keyword_topk_batch(
+        docs, term_table, top_k=n_candidates, text_col=text_col,
+        id_col=doc_id_col, query_id=query_id,
+    ).withColumnRenamed(query_id, "_kq")
+    vec = batch_topk(
+        emb, queries, top_k=n_candidates, corpus_emb=emb_col,
+        query_emb=query_emb, query_id=query_id, id_col=vec_id_col,
+        kernel=kernel,
+    ).select(
+        F.col(query_id).alias("_vq"),
+        F.col(vec_id_col).alias("_vid"),
+        F.col("rank").cast("long").alias("vec_rank"),
+        "sim",
+    )
+    fused = kw.join(
+        vec,
+        (F.col("_kq") == F.col("_vq")) & (kw[doc_id_col] == F.col("_vid")),
+        "full_outer",
+    )
+    one = F.lit(1.0)
+    rrf = (
+        F.coalesce(one / (F.lit(rrf_k) + F.col("kw_rank")), F.lit(0.0))
+        + F.coalesce(one / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0))
+    )
+    out = fused.select(
+        F.coalesce(F.col("_kq"), F.col("_vq")).alias(query_id),
+        F.coalesce(F.col(doc_id_col), F.col("_vid")).alias(doc_id_col),
+        F.coalesce(F.col("kw_score"), F.lit(-1).cast("long")).alias("kw_score"),
+        F.coalesce(F.col("kw_rank"), F.lit(-1).cast("long")).alias("kw_rank"),
+        F.coalesce(F.round("sim", 6), F.lit(-1.0)).alias("sim"),
+        F.coalesce(F.col("vec_rank"), F.lit(-1).cast("long")).alias("vec_rank"),
+        rrf.alias("rrf_score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("rrf_score"), F.asc(doc_id_col)
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+    )

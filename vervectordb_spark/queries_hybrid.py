@@ -99,3 +99,93 @@ def keyword_topk_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k)."""
     docs = load_table(spark, sf_dir, "documents")
     return H.keyword_topk(docs, list(_TERMS), top_k=20)
+
+
+# ---------------------------------------------------------------------------
+# batched hybrid: 3 queries, per-query term lists, one plan
+# ---------------------------------------------------------------------------
+
+_BATCH_TERMS = [
+    (0, "spark"), (0, "window"),
+    (1, "join"), (1, "query"),
+    (2, "scan"), (2, "batch"),
+]
+
+_TERMS_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BATCH_TERMS)
+
+
+@query(
+    "hybrid_batch_rrf",
+    oracle=f"""
+WITH terms(tq, term) AS (VALUES {_TERMS_VALUES}),
+qs AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 3
+),
+tok AS (
+  SELECT d.doc_id, unnest({_DOC_TOKS}) AS term FROM documents d
+),
+kw AS (
+  SELECT t.tq AS query_id, k.doc_id, COUNT(*)::BIGINT AS kw_score
+  FROM tok k JOIN terms t ON k.term = t.term
+  GROUP BY t.tq, k.doc_id
+),
+kw_r AS (
+  SELECT * FROM (
+    SELECT query_id, doc_id, kw_score,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY kw_score DESC, doc_id) AS kw_rank
+    FROM kw
+  ) WHERE kw_rank <= 50
+),
+vec AS (
+  SELECT q.query_id, e.vec_id,
+    {_cos("e.embedding::DOUBLE[]", "q.qv")} AS sim
+  FROM embeddings e CROSS JOIN qs q
+),
+vec_r AS (
+  SELECT * FROM (
+    SELECT query_id, vec_id, sim,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY sim DESC, vec_id) AS vec_rank
+    FROM vec
+  ) WHERE vec_rank <= 50
+),
+fused AS (
+  SELECT CAST(COALESCE(k.query_id, v.query_id) AS BIGINT) AS query_id,
+    COALESCE(k.doc_id, v.vec_id) AS doc_id,
+    COALESCE(k.kw_score, CAST(-1 AS BIGINT)) AS kw_score,
+    COALESCE(k.kw_rank, CAST(-1 AS BIGINT)) AS kw_rank,
+    COALESCE(ROUND(v.sim, 6), CAST(-1 AS DOUBLE)) AS sim,
+    COALESCE(v.vec_rank, CAST(-1 AS BIGINT)) AS vec_rank,
+    COALESCE(CAST(1 AS DOUBLE) / (60 + k.kw_rank), CAST(0 AS DOUBLE))
+      + COALESCE(CAST(1 AS DOUBLE) / (60 + v.vec_rank), CAST(0 AS DOUBLE))
+      AS rrf_score
+  FROM kw_r k FULL OUTER JOIN vec_r v
+    ON k.query_id = v.query_id AND k.doc_id = v.vec_id
+)
+SELECT * FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= 10
+""",
+)
+def hybrid_batch_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three hybrid queries in ONE plan: batched lexical top-50 (token
+    explode → broadcast term join → one (query, doc) count shuffle),
+    batched dense top-50 (fold kernel — the bit-exact oracle path), RRF
+    fusion, per-query final rank. Every window partitions by query_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    term_table = spark.createDataFrame(
+        _BATCH_TERMS, "query_id long, term string"
+    )
+    queries = emb.filter(emb.vec_id < 3).select(
+        emb.vec_id.alias("query_id"),
+        emb.embedding.alias("q_embedding"),
+    )
+    return H.hybrid_search_batch(
+        docs, emb, term_table, queries,
+        n_candidates=50, top_k=10, rrf_k=60, kernel="fold",
+    )
