@@ -169,3 +169,27 @@ def test_hybrid_batch_windows_partition_by_query(spark, docs):
     for m in re.finditer(r"Window \[", plan):
         seg = plan[m.start():m.start() + 400]
         assert "partitionBy" not in seg or "query_id" in seg
+
+
+def test_cross_encoder_tier_raises_without_model_stack(spark, docs):
+    import pytest as _pytest
+
+    cands = docs.limit(20)
+    try:
+        import sentence_transformers  # noqa: F401
+        _pytest.skip("model stack present; slot is live")
+    except ImportError:
+        pass
+    with _pytest.raises(NotImplementedError):
+        H.rerank_cross_encoder(cands, "query text")
+
+
+def test_rerank_scored_fake_orders_by_density(spark, docs):
+    """The deterministic rerank fake: higher query-term density ranks
+    first; contract matches the model tier (id, ce_score)."""
+    cands = docs.limit(200)
+    out = H.rerank_scored(cands, ["spark", "join"], top_k=10).collect()
+    assert 0 < len(out) <= 10
+    scores = [r.ce_score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert out[0].ce_score > 0

@@ -305,3 +305,70 @@ def hybrid_search_batch(
         out.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= top_k)
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-encoder rerank tier (model slot — env-guarded, like
+# embed.model_embedding and multimodal's real codecs)
+# ---------------------------------------------------------------------------
+
+def rerank_cross_encoder(
+    candidates: DataFrame,
+    query_text: str,
+    model_name: str = "cross-encoder/ms-marco-MiniLM-L-6-v2",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 10,
+    batch_size: int = 64,
+) -> DataFrame:
+    """Final-stage rerank of a BOUNDED candidate set with a cross-encoder
+    (query, doc) relevance model — the production tier above RRF fusion.
+    One batched forward pass per Arrow batch via mapInPandas; candidates
+    are the ≤2R fused rows, so the model cost is R·queries, never corpus-
+    sized. Raises NotImplementedError when the model stack is absent
+    (this container); `rerank_scored` below is the deterministic fake
+    with the identical batch/schema contract, used by tests."""
+    try:
+        import sentence_transformers  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "sentence-transformers not available in this environment; "
+            "use rerank_scored (deterministic fake) or RRF order"
+        ) from e
+
+    out_schema = f"{id_col} long, ce_score double"
+
+    def score(batches):  # pragma: no cover - needs the model stack
+        import pandas as pd
+        from sentence_transformers import CrossEncoder
+
+        model = CrossEncoder(model_name)
+        for pdf in batches:
+            pairs = [(query_text, t) for t in pdf[text_col]]
+            s = model.predict(pairs, batch_size=batch_size)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "ce_score": s})
+
+    scored = candidates.select(id_col, text_col).mapInPandas(score, out_schema)
+    return scored.orderBy(F.desc("ce_score"), F.asc(id_col)).limit(top_k)
+
+
+def rerank_scored(
+    candidates: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 10,
+) -> DataFrame:
+    """Deterministic stand-in for the cross-encoder tier with the same
+    contract (bounded candidates in → (id, ce_score) top-k out): scores by
+    exact term-frequency density tf/(1+n_tokens) — a real, if crude,
+    relevance signal that is bit-exact replayable and keeps the rerank
+    stage testable without the model stack."""
+    toks = tokens_expr(text_col)
+    tf = term_tf_expr(text_col, query_terms).cast("double")
+    score = tf / (1.0 + F.size(toks).cast("double"))
+    scored = candidates.select(
+        id_col, F.round(score, 9).alias("ce_score")
+    )
+    return scored.orderBy(F.desc("ce_score"), F.asc(id_col)).limit(top_k)
