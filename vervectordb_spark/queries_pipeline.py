@@ -395,3 +395,93 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", norm.alias("norm_text"), F.length(norm).alias("norm_len")
     )
+
+
+# ---------------------------------------------------------------------------
+# disjoint train/eval/test split — the band counts per stratum. Band widths
+# are binary-exact (0.75/0.125/0.125) so the cumulative edges are identical
+# floats on both engines.
+# ---------------------------------------------------------------------------
+
+_SPLIT_SEED = 7
+_SPLITS = {"train": 0.75, "eval": 0.125, "test": 0.125}
+_U_SQL = (
+    f"(('0x' || substr(md5('sample:{_SPLIT_SEED}:' || doc_id), 1, 15))::BIGINT)"
+    "::DOUBLE / 1152921504606846976.0"
+)
+
+
+@query(
+    "sample_split_counts",
+    oracle=f"""
+WITH u AS (SELECT doc_id, lang, {_U_SQL} AS u FROM documents)
+SELECT lang,
+  CASE WHEN u >= 0.0 AND u < 0.125 THEN 'eval'
+       WHEN u >= 0.125 AND u < 0.25 THEN 'test'
+       WHEN u >= 0.25 AND u < 1.0 THEN 'train'
+  END AS split,
+  COUNT(*) AS n_docs
+FROM u GROUP BY lang, split
+""",
+)
+def sample_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint hash-band train/eval/test assignment
+    (operators/sampling.train_eval_split) counted per lang — membership is
+    a pure function of the row id, so the same doc lands in the same split
+    on every engine, run, and repartitioning; bands can never overlap by
+    construction."""
+    from vervectordb_spark.operators.sampling import train_eval_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        train_eval_split(docs, "doc_id", dict(_SPLITS), seed=_SPLIT_SEED)
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# packing efficiency — per-stream fill-rate rollup over the binned layout
+# ---------------------------------------------------------------------------
+
+@query(
+    "pack_efficiency",
+    oracle=f"""
+WITH c AS (
+  SELECT lang, doc_id, n_chars,
+    SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - n_chars AS start
+  FROM documents
+),
+bins AS (
+  SELECT lang, CAST(FLOOR(start::DOUBLE / {_PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_tokens
+  FROM c GROUP BY 1, 2
+)
+SELECT lang, COUNT(*) AS n_bins,
+  CAST(MAX(sum_tokens) AS BIGINT) AS max_bin_tokens,
+  ROUND(CAST(SUM(sum_tokens) AS DOUBLE)
+        / (COUNT(*) * {_PACK_BUDGET}.0), 6) AS fill_rate
+FROM bins GROUP BY lang
+""",
+)
+def pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How well the 4000-token bins fill per lang stream: bin count, the
+    hottest bin, and the overall fill rate (token sum over bin capacity).
+    The observability that tells a pipeline whether its packing order is
+    wasting context-window budget. Integer sums, one double division."""
+    docs = load_table(spark, sf_dir, "documents")
+    bins = pack_summary(
+        docs, token_col="n_chars", budget=_PACK_BUDGET,
+        order_col="doc_id", stream_col="lang",
+    )
+    return bins.groupBy("lang").agg(
+        F.count("*").alias("n_bins"),
+        F.max("sum_tokens").cast("long").alias("max_bin_tokens"),
+        F.round(
+            F.sum("sum_tokens").cast("double")
+            / (F.count("*") * float(_PACK_BUDGET)),
+            6,
+        ).alias("fill_rate"),
+    )
