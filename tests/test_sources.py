@@ -123,3 +123,36 @@ def test_register_sql_views_runs_raw_sql(spark):
         .collect()
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_time_partitioned_layout_prunes_days(spark, tmp_path):
+    """A one-day filter over the day-partitioned layout must read ONLY
+    that day's directory — runtime scan metrics, not plan text."""
+    import glob
+
+    from vervectordb_spark.plans import audit as A
+    from vervectordb_spark.schema import load_events
+    from vervectordb_spark.sources.tables import (
+        read_time_partitioned,
+        write_time_partitioned,
+    )
+
+    events = load_events(spark, SF_DIR)
+    path = str(tmp_path / "events_by_day")
+    write_time_partitioned(events, path)
+    days_on_disk = len(glob.glob(f"{path}/event_day=*"))
+    assert days_on_disk > 5  # the fixture spans ~30 days
+
+    one_day = int(
+        events.selectExpr("min(ts div 86400000000000) AS d").collect()[0].d
+    )
+    q = read_time_partitioned(spark, path).filter(
+        F.col("event_day") == one_day
+    )
+    metrics = A.executed_scan_metrics(q)
+    assert metrics["numPartitions"] == 1 < days_on_disk
+    # row counts agree with the unpartitioned source
+    want = events.filter(
+        F.expr("ts div 86400000000000") == one_day
+    ).count()
+    assert q.count() == want

@@ -187,3 +187,30 @@ def register_sql_views(spark: SparkSession, sf_dir: str,
     query registry are near-portable to this surface."""
     for t in tables:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# time-partitioned event layout — directory pruning for time-range scans
+# ---------------------------------------------------------------------------
+
+def write_time_partitioned(events: DataFrame, path: str,
+                           ts_col: str = "ts",
+                           mode: str = "overwrite") -> None:
+    """Persist events partitioned by event day (epoch-ns `ts` → integer
+    day bucket) — the time-series twin of the IVF cluster layout: a
+    time-range predicate on `event_day` prunes whole directories at plan
+    time, so a one-day query over a year of data reads 1/365th of the
+    files. Day is derived with exact integer division (the same
+    epoch-ns contract as schema.load_events)."""
+    ns_per_day = 24 * 3_600_000_000_000
+    with_day = events.withColumn(
+        "event_day", F.expr(f"{ts_col} div {ns_per_day}")
+    )
+    with_day.write.mode(mode).partitionBy("event_day").parquet(path)
+
+
+def read_time_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read the day-partitioned layout; filter on `event_day` for
+    directory pruning (verified by runtime scan metrics in
+    tests/test_sources.py)."""
+    return spark.read.parquet(path)
