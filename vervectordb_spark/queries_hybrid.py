@@ -10,6 +10,7 @@ pinned by tests/test_hybrid.py against an independent NumPy computation.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from vervectordb_spark.operators import hybrid as H
 from vervectordb_spark.queries import _Q0, _cos, query, _query_vec
@@ -189,3 +190,97 @@ def hybrid_batch_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, emb, term_table, queries,
         n_candidates=50, top_k=10, rrf_k=60, kernel="fold",
     )
+
+
+# ---------------------------------------------------------------------------
+# retrieval pipeline e2e: token gate → hash-embed → hybrid RRF, one plan
+# ---------------------------------------------------------------------------
+
+from vervectordb_spark.queries_dedup import _TOKS as _DOCTOKS_PLAIN  # noqa: E402
+from vervectordb_spark.queries_embed import _EMBED_SQL  # noqa: E402
+
+#: the gated-corpus twin of queries_embed._EMBED_SQL
+_EMBED_GATED_SQL = _EMBED_SQL.replace("FROM documents", "FROM gated")
+
+_E2E_TERMS = ("spark", "window")
+_E2E_KW = " + ".join(
+    f"len(list_filter({_DOC_TOKS}, x -> x = '{t}'))" for t in _E2E_TERMS
+)
+
+
+@query(
+    "retrieval_pipeline_e2e",
+    oracle=f"""
+WITH gated AS (
+  SELECT doc_id, text FROM documents
+  WHERE len({_DOCTOKS_PLAIN}) >= 20 AND len({_DOCTOKS_PLAIN}) <= 1000
+),
+emb AS ({_EMBED_GATED_SQL}),
+q AS (
+  SELECT ne AS qv FROM ({_EMBED_SQL}) WHERE vec_id = 0
+),
+kw AS (
+  SELECT d.doc_id, CAST({_E2E_KW} AS BIGINT) AS kw_score
+  FROM gated d
+),
+kw_top AS (
+  SELECT doc_id, kw_score FROM kw WHERE kw_score > 0
+  ORDER BY kw_score DESC, doc_id LIMIT 20
+),
+kw_r AS (
+  SELECT doc_id, kw_score,
+    ROW_NUMBER() OVER (ORDER BY kw_score DESC, doc_id) AS kw_rank
+  FROM kw_top
+),
+vec AS (
+  SELECT e.vec_id, {_cos("e.ne", "q.qv")} AS sim
+  FROM emb e CROSS JOIN q
+),
+vec_top AS (
+  SELECT vec_id, sim FROM vec ORDER BY sim DESC, vec_id LIMIT 20
+),
+vec_r AS (
+  SELECT vec_id, sim,
+    ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS vec_rank
+  FROM vec_top
+)
+SELECT COALESCE(k.doc_id, v.vec_id) AS doc_id,
+  COALESCE(k.kw_rank, CAST(-1 AS BIGINT)) AS kw_rank,
+  COALESCE(ROUND(v.sim, 6), CAST(-1 AS DOUBLE)) AS sim,
+  COALESCE(v.vec_rank, CAST(-1 AS BIGINT)) AS vec_rank,
+  COALESCE(CAST(1 AS DOUBLE) / (60 + k.kw_rank), CAST(0 AS DOUBLE))
+    + COALESCE(CAST(1 AS DOUBLE) / (60 + v.vec_rank), CAST(0 AS DOUBLE))
+    AS rrf_score
+FROM kw_r k FULL OUTER JOIN vec_r v ON k.doc_id = v.vec_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT 10
+""",
+)
+def retrieval_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval-side composition proof (the sibling of
+    corpus_pipeline_e2e's curation chain): token-count gate → CJK-aware
+    hashed-BoW embedding of the gated corpus → hybrid lexical+dense
+    retrieval with RRF — ONE lazy plan end-to-end (the query embedding is
+    the only materialized scalar), fully replayed on DuckDB. The gate
+    prunes before the embed projection, the embed is a scan-side
+    expression, each candidate side is a bounded TakeOrderedAndProject."""
+    from vervectordb_spark.operators.embed import embed_documents
+    from vervectordb_spark.operators.text import n_tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.filter(
+        (n_tokens_expr("text") >= 20) & (n_tokens_expr("text") <= 1000)
+    )
+    emb = embed_documents(gated, dim=32).withColumnRenamed("vec_id", "doc_id")
+    qv = [
+        float(x)
+        for x in embed_documents(docs, dim=32)
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    out = H.hybrid_search(
+        gated, emb.withColumnRenamed("doc_id", "vec_id"),
+        list(_E2E_TERMS), qv, n_candidates=20, top_k=10, rrf_k=60,
+    )
+    return out.drop("kw_score")
