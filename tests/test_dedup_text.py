@@ -294,3 +294,42 @@ def test_profile_arrow_expr_kernels_identical(spark):
     ae = {r["doc_id"]: tuple(r) for r in TX.profile(edge, kernel="arrow").collect()}
     ee = {r["doc_id"]: tuple(r) for r in TX.profile(edge, kernel="expr").collect()}
     assert ae == ee
+
+
+def test_chunking_covers_all_tokens_with_overlap(spark):
+    """Every token appears in at least one chunk; consecutive chunks share
+    exactly `overlap` tokens; short docs yield one chunk."""
+    from tests.conftest import SF_DIR
+    from vervectordb_spark.operators.text import chunk_documents
+    from vervectordb_spark.schema import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    out = chunk_documents(docs, chunk_tokens=40, overlap=10).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    src = {r["doc_id"]: [t for t in r["text"].lower().split() if t]
+           for r in docs.collect()}
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        toks = src[doc_id]
+        if len(toks) <= 40:
+            assert len(chunks) == 1
+        rebuilt = chunks[0]["chunk_text"].split()
+        for c in chunks[1:]:
+            piece = c["chunk_text"].split()
+            assert rebuilt[-10:] == piece[:10]  # the shared overlap
+            rebuilt.extend(piece[10:])
+        assert rebuilt == toks  # full coverage, order preserved
+
+
+def test_chunking_rejects_bad_overlap(spark):
+    from tests.conftest import SF_DIR
+    from vervectordb_spark.operators.text import chunk_documents
+    from vervectordb_spark.schema import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=20, overlap=20)

@@ -420,3 +420,40 @@ def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.round(quality_score_expr(text_col), 6).alias("quality_score"),
         fingerprint_expr(text_col).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# chunking — overlapping token windows (the RAG/embedding prep primitive)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 100,
+                    overlap: int = 20, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split each document into overlapping token windows: chunk i covers
+    tokens [i·stride, i·stride + chunk_tokens) with stride = chunk_tokens −
+    overlap. Returns (id, chunk_id, chunk_text, n_chunk_tokens); a doc
+    shorter than one window yields a single chunk. Pure column expressions
+    (sequence → transform → explode), map-only — chunking 100 TB is one
+    scan-side projection, no shuffle, and the chunk table feeds the
+    embed/dedup/pack operators unchanged."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens_expr(text_col)
+    n = F.size(toks)
+    # ceil((n - overlap) / stride), clamped to >= 1 — integer arithmetic
+    n_chunks = F.greatest(
+        F.lit(1), (n - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride)
+    ).cast("int")
+    chunk = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id")
+    out = df.select(F.col(id_col), toks.alias("_toks"), chunk)
+    piece = F.slice(
+        F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+    )

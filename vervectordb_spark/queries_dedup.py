@@ -580,3 +580,45 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# chunking — overlapping token windows (text.chunk_documents)
+# ---------------------------------------------------------------------------
+
+_CHUNK, _OVERLAP = 40, 10
+_STRIDE = _CHUNK - _OVERLAP
+
+
+@query(
+    "documents_chunked",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 200
+),
+n AS (
+  SELECT doc_id, toks,
+    GREATEST(1, CAST((len(toks) - 10 + 29) // 30 AS INT)) AS nc
+  FROM t
+),
+expl AS (
+  SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_id FROM n
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+  array_to_string(list_slice(toks, chunk_id * {_STRIDE} + 1,
+                             chunk_id * {_STRIDE} + {_CHUNK}), ' ')
+    AS chunk_text,
+  CAST(len(list_slice(toks, chunk_id * {_STRIDE} + 1,
+                      chunk_id * {_STRIDE} + {_CHUNK})) AS BIGINT)
+    AS n_chunk_tokens
+FROM expl
+""",
+)
+def documents_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 40-token windows with 10-token overlap over the first
+    200 docs — the RAG-prep chunker as a map-only scan projection
+    (text.chunk_documents)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    return TX.chunk_documents(docs, chunk_tokens=_CHUNK, overlap=_OVERLAP)
