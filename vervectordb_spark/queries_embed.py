@@ -75,3 +75,114 @@ def text_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
     out = brute_force_topk(emb, qv, top_k=10)
     return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+# ---------------------------------------------------------------------------
+# chunk-level retrieval with per-doc max-sim — the long-document pattern:
+# embed overlapping chunks, score chunks, return docs by their best chunk.
+# ---------------------------------------------------------------------------
+
+_CH, _OV = 40, 10
+_STRIDE = _CH - _OV
+
+
+def _mixed_toks_sql(col: str) -> str:
+    """== queries_embed._MIXED_TOKS, parameterized by column."""
+    return (
+        r"list_filter(regexp_split_to_array(lower("
+        + f"regexp_replace({col}, '([\\x{{4e00}}-\\x{{9fff}}])', ' \\1 ', 'g')"
+        + r"), '\s+'), x -> x <> '')"
+    )
+
+
+#: embed chain over a (chunk_key, chunk_text) relation named `chunks`
+_CHUNK_EMBED_SQL = f"""
+  SELECT chunk_key AS vec_id,
+    list_transform(CASE WHEN nrm = 0 THEN counts
+                        ELSE list_transform(counts, x -> x / nrm) END,
+                   x -> x::FLOAT)::DOUBLE[] AS ne
+  FROM (
+    SELECT chunk_key, counts, sqrt(list_dot_product(counts, counts)) AS nrm
+    FROM (
+      SELECT chunk_key,
+        list_transform(range(0, {_DIM}),
+          i -> len(list_filter(bks, b -> b = i))::DOUBLE) AS counts
+      FROM (
+        SELECT chunk_key,
+          list_transform({_mixed_toks_sql('chunk_text')}, t -> {_MD5} % {_DIM}) AS bks
+        FROM chunks
+      )
+    )
+  )
+"""
+
+_PLAIN_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+
+
+@query(
+    "chunk_retrieval_maxsim",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_PLAIN_TOKS} AS toks FROM documents WHERE doc_id < 500
+),
+n AS (
+  SELECT doc_id, toks,
+    GREATEST(1, CAST((len(toks) - {_OV} + {_STRIDE - 1}) // {_STRIDE} AS INT)) AS nc
+  FROM t
+),
+chunks AS (
+  SELECT doc_id * 1000 + chunk_id AS chunk_key,
+    array_to_string(list_slice(toks, chunk_id * {_STRIDE} + 1,
+                               chunk_id * {_STRIDE} + {_CH}), ' ') AS chunk_text
+  FROM (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_id FROM n)
+),
+cemb AS ({_CHUNK_EMBED_SQL}),
+q AS (SELECT ne AS qv FROM cemb WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id // 1000 AS doc_id, {_cos('e.ne', 'q.qv')} AS sim
+  FROM cemb e CROSS JOIN q
+),
+best AS (
+  SELECT doc_id, ROUND(MAX(sim), 6) AS best_sim, COUNT(*) AS n_chunks
+  FROM scored GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, best_sim, n_chunks
+FROM best ORDER BY best_sim DESC, doc_id LIMIT 10
+""",
+)
+def chunk_retrieval_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document retrieval: chunk (40-token windows, 10 overlap) →
+    hash-embed each chunk → cosine vs the query chunk → per-DOC max over
+    its chunks → top-10 docs. The chunk table is a map-only projection;
+    the doc rollup is one grouped max (sim floats are bit-exact, so max
+    is engine-stable); top-10 via TakeOrderedAndProject."""
+    from vervectordb_spark.operators.embed import embed_documents
+    from vervectordb_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    chunks = chunk_documents(docs, chunk_tokens=_CH, overlap=_OV).withColumn(
+        "chunk_key", F.col("doc_id") * 1000 + F.col("chunk_id")
+    )
+    cemb = embed_documents(
+        chunks, dim=_DIM, text_col="chunk_text", id_col="chunk_key"
+    )
+    qv = [
+        float(x)
+        for x in cemb.filter(F.col("vec_id") == 0)
+        .select("embedding").collect()[0][0]
+    ]
+    from vervectordb_spark.functions.similarity import cosine_expr
+
+    scored = cemb.select(
+        (F.col("vec_id") / 1000).cast("long").alias("doc_id"),
+        cosine_expr(F.col("embedding"), qv).alias("sim"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.max("sim"), 6).alias("best_sim"),
+            F.count("*").alias("n_chunks"),
+        )
+        .orderBy(F.desc("best_sim"), F.asc("doc_id"))
+        .limit(10)
+    )
