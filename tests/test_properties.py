@@ -186,3 +186,69 @@ def test_merge_upsert_key_algebra(spark, tkeys, skeys):
         assert out[k] == "s"  # source wins
     for k in set(tkeys) - set(skeys):
         assert out[k] == "t"
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=_TEXTS,
+       chunk=st.integers(min_value=3, max_value=40),
+       overlap=st.integers(min_value=0, max_value=10))
+def test_chunking_conserves_tokens(spark, texts, chunk, overlap):
+    """For arbitrary unicode text and window geometry: stitching chunks
+    back together (dropping each chunk's leading overlap) reproduces the
+    exact token stream, and every chunk except possibly the last is
+    full-width."""
+    from vervectordb_spark.operators.text import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    stride = chunk - overlap
+    texts = [t or "" for t in texts]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        toks = [x for x in t.lower().split() if x]
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_id"])
+        if not toks:
+            # empty text: a single empty chunk
+            assert len(chunks) == 1 and chunks[0]["chunk_text"] == ""
+            continue
+        rebuilt = chunks[0]["chunk_text"].split()
+        for c in chunks[1:]:
+            rebuilt.extend(c["chunk_text"].split()[overlap:])
+        assert rebuilt == toks
+        for c in chunks[:-1]:
+            assert c["n_chunk_tokens"] == chunk
+        # no spurious trailing chunk: the last chunk starts within bounds
+        assert (len(chunks) - 1) * stride < max(len(toks), 1)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=_TEXTS, terms=st.lists(
+    st.text(alphabet="abcxyz", min_size=1, max_size=4), min_size=1,
+    max_size=3))
+def test_term_tf_matches_python_count(spark, texts, terms):
+    """The map-only lexical scorer == a plain Python count over the same
+    tokenization, for arbitrary text/terms."""
+    from vervectordb_spark.operators.hybrid import term_tf_expr
+
+    texts = [t or "" for t in texts]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", term_tf_expr("text", terms).alias("s")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = [x for x in t.lower().split() if x]
+        want = sum(toks.count(term.lower()) for term in terms)
+        assert got[i] == want
