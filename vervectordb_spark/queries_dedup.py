@@ -622,3 +622,64 @@ def documents_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < 200
     )
     return TX.chunk_documents(docs, chunk_tokens=_CHUNK, overlap=_OVERLAP)
+
+
+# ---------------------------------------------------------------------------
+# chunk-level exact dedup — boilerplate chunks repeating ACROSS documents
+# (headers, disclaimers, license blocks): the chunk-table twin of
+# dedup_exact, over the chunk_documents projection.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_chunk_exact",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 500
+),
+n AS (
+  SELECT doc_id, toks,
+    GREATEST(1, CAST((len(toks) - 10 + 29) // 30 AS INT)) AS nc
+  FROM t
+),
+chunks AS (
+  SELECT doc_id,
+    array_to_string(list_slice(toks, chunk_id * 30 + 1, chunk_id * 30 + 40),
+                    ' ') AS chunk_text
+  FROM (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_id FROM n)
+),
+grouped AS (
+  SELECT {_md5_sql('chunk_text')} AS chunk_hash,
+    COUNT(*) AS n_occurrences,
+    COUNT(DISTINCT doc_id) AS n_docs,
+    MIN(doc_id) AS first_doc
+  FROM chunks GROUP BY 1
+)
+SELECT chunk_hash, n_occurrences, n_docs, first_doc
+FROM grouped WHERE n_docs > 1
+ORDER BY n_occurrences DESC, chunk_hash
+LIMIT 20
+""",
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunks (40 tokens, 10 overlap) shared verbatim by MULTIPLE docs —
+    the boilerplate detector a chunk-level RAG corpus runs before
+    embedding (embedding the same disclaimer 10k times wastes index space
+    and poisons retrieval). Shuffle carries (60-bit hash, counts), never
+    chunk text; top-20 via TakeOrderedAndProject."""
+    from vervectordb_spark.functions.hashing import md5_long
+    from vervectordb_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    chunks = chunk_documents(docs, chunk_tokens=40, overlap=10)
+    grouped = (
+        chunks.groupBy(md5_long(F.col("chunk_text")).alias("chunk_hash"))
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    return grouped.orderBy(
+        F.desc("n_occurrences"), F.asc("chunk_hash")
+    ).limit(20)
