@@ -832,3 +832,39 @@ def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, list(_EVENT_TYPES))
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS through the raw-SQL surface — the one aggregation shape
+# cube/rollup don't cover (explicit, non-hierarchical set list), run via
+# spark.sql over registered views to exercise the SQL entry path
+# (sources.tables.register_sql_views) inside the oracle gate.
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets — per-status totals, per-priority totals, and
+    the grand total in ONE pass (Catalyst lowers to a single Expand +
+    aggregate: one scan, one shuffle, not three jobs). Runs through the
+    raw-SQL surface over a registered view: the engine's spark.sql entry
+    path is oracle-gated here, not just the DataFrame API."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_gs_orders"
+    )
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS total_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
