@@ -300,3 +300,31 @@ def test_streaming_corpus_gate_dedup_matches_batch(spark, docs_dir):
     want_hashes = {r["content_hash"] for r in batch.collect()}
     assert len(got_hashes) == len(set(got_hashes))  # no dup landed
     assert set(got_hashes) == want_hashes
+
+
+def test_streaming_chunking_matches_batch(spark, docs_dir):
+    """chunk_documents is a stateless map projection, so it must apply to
+    a readStream unchanged and land exactly the batch chunk set."""
+    from vervectordb_spark.operators.text import chunk_documents
+    from vervectordb_spark.schema import load_table
+
+    stream = SI.stream_documents(spark, docs_dir, max_files_per_trigger=1)
+    chunked = chunk_documents(stream.filter(F.col("doc_id") < 100),
+                              chunk_tokens=40, overlap=10)
+    assert chunked.isStreaming
+    _run_to_memory(chunked.drop("ingest_time", "source_file"),
+                   "stream_chunks", mode="append")
+    got = {
+        (r["doc_id"], r["chunk_id"], r["chunk_text"])
+        for r in spark.sql(
+            "SELECT doc_id, chunk_id, chunk_text FROM stream_chunks"
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_id"], r["chunk_text"])
+        for r in chunk_documents(
+            load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 100),
+            chunk_tokens=40, overlap=10,
+        ).collect()
+    }
+    assert got == want
