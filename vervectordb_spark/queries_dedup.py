@@ -683,3 +683,52 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.orderBy(
         F.desc("n_occurrences"), F.asc("chunk_hash")
     ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# SimHash hamming-distance histogram — the threshold-tuning dashboard:
+# how many doc pairs sit at each hamming distance ≤ 8. At 100 TB this runs
+# over the BANDED candidate pairs (bounded); the all-pairs form here is the
+# small-N oracle shape, like dedup_ngram_jaccard.
+# ---------------------------------------------------------------------------
+
+_POPCNT_TERMS = " + ".join(
+    f"((x >> {b}) & 1)" for b in range(D.SIMHASH_BITS)
+)
+
+
+@query(
+    "simhash_hamming_hist",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 300),
+h AS (SELECT doc_id, list_transform(toks, t -> {_md5_sql('t')}) AS hs FROM t),
+fp AS (SELECT doc_id, ({_SIMHASH_TERMS}) AS simhash FROM h),
+pairs AS (
+  SELECT xor(a.simhash, b.simhash) AS x
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+),
+dist AS (SELECT ({_POPCNT_TERMS}) AS hamming FROM pairs)
+SELECT CAST(hamming AS INT) AS hamming, COUNT(*) AS n_pairs
+FROM dist WHERE hamming <= 8 GROUP BY hamming
+""",
+)
+def simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair count per hamming distance (≤ 8) over SimHash fingerprints of
+    the first 300 docs — the histogram that picks max_hamming: the gap
+    between the near-dup mass at 0-3 and the random-pair mass tells an
+    operator where to cut (operators/dedup.simhash_expr + hamming_expr)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    fp = docs.select(
+        "doc_id", D.simhash_expr("text").alias("simhash")
+    )
+    a = fp.select(F.col("doc_id").alias("_a"), F.col("simhash").alias("_fa"))
+    b = fp.select(F.col("doc_id").alias("_b"), F.col("simhash").alias("_fb"))
+    pairs = a.join(b, F.col("_a") < F.col("_b"))
+    dist = pairs.select(
+        D.hamming_expr(F.col("_fa"), F.col("_fb")).cast("int").alias("hamming")
+    )
+    return (
+        dist.filter(F.col("hamming") <= 8)
+        .groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+    )
