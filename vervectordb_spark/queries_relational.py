@@ -868,3 +868,42 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """)
+
+
+# ---------------------------------------------------------------------------
+# NTILE — equal-frequency quartile assignment per event type
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_value_quartiles",
+    oracle="""
+WITH q AS (
+  SELECT event_type, value,
+    NTILE(4) OVER (PARTITION BY event_type
+                   ORDER BY value, event_id) AS quartile
+  FROM events
+)
+SELECT event_type, CAST(quartile AS INT) AS quartile,
+  COUNT(*) AS n_events,
+  ROUND(MIN(value), 6) AS lo, ROUND(MAX(value), 6) AS hi
+FROM q GROUP BY event_type, quartile
+""",
+)
+def events_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency quartiles per event type (NTILE over a
+    deterministic order — value ties broken by event_id so the bucket
+    boundaries replay identically), rolled up to per-bucket count and
+    value range. The window partitions by type; min/max are the only
+    floats and are order-independent."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    q = ev.select(
+        "event_type", "value", F.ntile(4).over(w).alias("quartile")
+    )
+    return q.groupBy("event_type", "quartile").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )
