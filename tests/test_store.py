@@ -402,3 +402,27 @@ def test_residual_pq_search_and_roundtrip(spark, tmp_path):
     got2 = loaded.ivfpq_residual_search(vecs[5], top_k=3, nprobe=4)
     assert got2[0]["vector_id"] == ids[5]
     assert [g["vector_id"] for g in got] == [g["vector_id"] for g in got2]
+
+
+def test_chunk_ingest_end_to_end(spark):
+    """chunk_ingest: documents become searchable chunk vectors with
+    doc/chunk provenance in metadata; hybrid search over the chunk store
+    returns the ingested chunks."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from vervectordb_spark.schema import load_table
+
+    st = VectorStore(spark, vector_dim=32)
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 30)
+    n = st.chunk_ingest(docs, chunk_tokens=40, overlap=10)
+    assert n > 30  # at least one chunk per doc, some docs multi-chunk
+    assert st.df.count() == n
+    row = st.df.limit(1).collect()[0]
+    md = dict(row["metadata"])
+    assert {"doc_id", "chunk_id", "text"} <= set(md)
+    assert row["vec_id"] == f"{md['doc_id']}#{md['chunk_id']}"
+    # chunk store is searchable end-to-end
+    qv = [float(x) for x in row["embedding"]]
+    res = st.brute_force_search(qv, top_k=3)
+    assert res and res[0]["vector_id"] == row["vec_id"]

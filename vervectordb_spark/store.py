@@ -226,6 +226,43 @@ class VectorStore:
             pred = metadata_filter if pred is None else (pred & metadata_filter)
         return self.brute_force_search(query_vector, top_k, pre_filter=pred)
 
+    def chunk_ingest(self, docs: DataFrame, chunk_tokens: int = 100,
+                     overlap: int = 20, text_col: str = "text",
+                     id_col: str = "doc_id") -> int:
+        """RAG-style corpus ingest in one call: chunk each document into
+        overlapping token windows (text.chunk_documents — map-only), embed
+        every chunk (embed.embed_documents hashing trick; swap in the
+        model slot for production), and ingest (chunk vectors carry
+        metadata {doc_id, chunk_id, text}). Returns the number of chunks
+        ingested. The whole chain is scan-side projections — the only
+        shuffle is none; ingest appends lazily."""
+        from vervectordb_spark.operators.embed import embed_documents
+        from vervectordb_spark.operators.text import chunk_documents
+
+        chunks = chunk_documents(
+            docs, chunk_tokens=chunk_tokens, overlap=overlap,
+            text_col=text_col, id_col=id_col,
+        ).withColumn(
+            "_chunk_key",
+            F.concat_ws("#", F.col(id_col).cast("string"),
+                        F.col("chunk_id").cast("string")),
+        )
+        emb = embed_documents(
+            chunks, dim=self.vector_dim, text_col="chunk_text",
+            id_col="_chunk_key",
+        )
+        meta = chunks.select(
+            F.col("_chunk_key").alias("vec_id"),
+            F.map_from_arrays(
+                F.array(F.lit("doc_id"), F.lit("chunk_id"), F.lit("text")),
+                F.array(F.col(id_col).cast("string"),
+                        F.col("chunk_id").cast("string"),
+                        F.col("chunk_text")),
+            ).alias("metadata"),
+        )
+        self.ingest(emb.join(meta, on="vec_id"))
+        return emb.count()
+
     def hybrid_search(
         self,
         query_vector: Sequence[float],
