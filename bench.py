@@ -142,6 +142,20 @@ def build_benches(spark, sf_dir: str):
         )
         return _force(idx.batch_search(queries, top_k=10, nprobe=8))
 
+    @bench("ivf_search_adaptive_32q")
+    def _ivf_search_adaptive():
+        # per-query probe budgets from centroid-similarity mass: an easy
+        # query probes 1-2 clusters, a boundary query more (RECALL.md:
+        # 0.96 recall at fixed-nprobe-8 cost on the reference corpus)
+        if not _ivf_holder:  # BENCH_ONLY runs without ivf_build
+            _ivf_holder.append(IVFIndex.build(emb, n_clusters=16, seed=42))
+        idx = _ivf_holder[0]
+        queries = emb.filter(F.col("vec_id") < 32).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        return _force(idx.batch_search(queries, top_k=10, nprobe="adaptive"))
+
     @bench("pricing_summary")
     def _tpch_q1():
         # Relational posture probe: full-scan group-by over the largest
