@@ -6,13 +6,17 @@ next to the vector queries, adapted to the driver fixtures (which lack
 l_commitdate / l_receiptdate / partsupp — filters are re-targeted onto the
 columns that exist, keeping each query's OPERATOR shape intact):
 
+  tpch_min_cost_supplier       Q2  — correlated MIN over a region, decorrelated
   tpch_shipping_priority       Q3  — 3-way join, grouped revenue, top-N
   tpch_order_priority          Q4  — EXISTS semi-join + priority counts
   tpch_local_supplier_volume   Q5  — 6-way join, intra-nation condition
   tpch_forecast_revenue        Q6  — single-scan filtered aggregate
   tpch_volume_shipping         Q7  — nation×nation self-join aliasing
   tpch_market_share            Q8  — per-year conditional share over 7 joins
+  tpch_product_type_profit     Q9  — 5-way join profit by (nation, year)
   tpch_returned_items          Q10 — returned-revenue per customer, top-N
+  tpch_important_stock         Q11 — group value vs global-total threshold
+  tpch_late_shipment_priority  Q12 — conditional two-way counts per class
   tpch_customer_distribution   Q13 — outer join + double aggregation
   tpch_promo_revenue           Q14 — conditional-aggregate revenue share
   tpch_top_supplier            Q15 — agg view + global-max scalar equality
@@ -901,4 +905,241 @@ def tpch_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_dominated_parts"))
         .orderBy(F.desc("n_dominated_parts"), F.asc("s_suppkey"))
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier: correlated MIN subquery over a region
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_min_cost_supplier",
+    oracle="""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), eu AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_type,
+       CAST(c.supply_cost AS DOUBLE) AS supply_cost
+FROM part p
+JOIN cost c ON c.l_partkey = p.p_partkey
+JOIN eu e   ON e.s_suppkey = c.l_suppkey
+WHERE p.p_size <= 15 AND p.p_type = 'LARGE'
+  AND c.supply_cost = (
+    SELECT MIN(c2.supply_cost) FROM cost c2
+    JOIN eu e2 ON e2.s_suppkey = c2.l_suppkey
+    WHERE c2.l_partkey = p.p_partkey
+  )
+ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+LIMIT 100
+""",
+)
+def tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (partsupp re-targeted onto observed lineitem unit
+    cost): for each small LARGE-type part, the EUROPE supplier(s) offering
+    the minimum cost. The correlated MIN subquery is decorrelated into one
+    per-part MIN over the region-restricted cost table, joined back on
+    (part, exact-decimal cost equality) — the same rewrite both optimizers
+    apply, made explicit so each aggregation shuffles once on its group
+    key. nation/region are bounded dims (25/5 rows) and broadcast; the
+    supplier join stays a shuffle join (supplier scales with SF) that AQE
+    upgrades at runtime when small."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_dec("l_extendedprice")).alias("_supply_cost")
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_cost = cost.join(
+        eu, cost.l_suppkey == eu.s_suppkey
+    )
+    min_cost = eu_cost.groupBy("l_partkey").agg(
+        F.min("_supply_cost").alias("_min_cost")
+    ).withColumnRenamed("l_partkey", "_min_partkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
+    ).select("p_partkey", "p_type")
+    return (
+        eu_cost.join(min_cost, F.col("l_partkey") == F.col("_min_partkey"))
+        .filter(F.col("_supply_cost") == F.col("_min_cost"))
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            F.col("_supply_cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit: 5-way join grouped by (nation, year)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_product_type_profit",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       EXTRACT(year FROM o.o_orderdate) AS o_year,
+       CAST(SUM({_REV_SQL}
+                - CAST(l.l_tax AS DECIMAL(18,2))
+                  * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+ORDER BY nation, o_year DESC
+""",
+)
+def tpch_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (ps_supplycost re-targeted onto the tax-per-unit
+    columns that exist): profit per supplier-nation per order-year for
+    parts matching a name pattern. Five joins, but only ONE is fact-fact
+    (lineitem ⋈ orders on orderkey): part is pre-filtered by the LIKE
+    before joining (semi-filter prunes the fact early), supplier→nation
+    resolves the group key, and nation is broadcast. Profit is exact
+    decimal end-to-end — both products are dec(18,2)×dec(18,2) at scale 4,
+    so the subtraction and sum are order-independent and bit-identical to
+    the DuckDB twin."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").join(
+        part, F.col("l_partkey") == part.p_partkey, "left_semi"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = _revenue_col() - _dec("l_tax") * _dec("l_quantity")
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock: group value vs a global-total threshold
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_important_stock",
+    oracle="""
+WITH val AS (
+  SELECT l.l_partkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * CAST(l.l_quantity AS DECIMAL(18,2))) AS part_value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name IN ('NATION_13', 'NATION_18')
+  GROUP BY l.l_partkey
+)
+SELECT v.l_partkey AS p_partkey, CAST(v.part_value AS DOUBLE) AS stock_value
+FROM val v
+CROSS JOIN (SELECT SUM(part_value) AS total_value FROM val) t
+WHERE CAST(v.part_value AS DOUBLE) > CAST(t.total_value AS DOUBLE) / 500.0
+ORDER BY stock_value DESC, p_partkey
+""",
+)
+def tpch_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp availqty·supplycost re-targeted onto
+    shipped value): parts whose value held by two nations' suppliers
+    exceeds a fraction of the global total. The global scalar arrives as a
+    broadcast 1-row aggregate crossJoined in (house style — no driver
+    collect, no global window); the threshold comparison is done in
+    double on BOTH engines (same cast, same division) so the cut is
+    bit-identical. The value table aggregates once and feeds both sides."""
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_13", "NATION_18")
+    ).select("n_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey, "left_semi"
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    val = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice") * _dec("l_quantity")).alias("_value"))
+    )
+    total = val.agg(F.sum("_value").alias("_total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("_value").cast("double")
+            > F.col("_total").cast("double") / F.lit(500.0)
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("_value").cast("double").alias("stock_value"),
+        )
+        .orderBy(F.desc("stock_value"), "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — late shipments by priority class: conditional two-way counts
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_late_shipment_priority",
+    oracle="""
+SELECT l.l_returnflag AS return_flag,
+  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY l.l_returnflag
+ORDER BY return_flag
+""",
+)
+def tpch_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (l_shipmode/commitdate re-targeted onto returnflag
+    and ship-lateness): per return class, how many late-shipped lineitems
+    belonged to high- vs low-priority orders. One fact-fact join on
+    orderkey with the lateness predicate evaluated join-side (no
+    pre-filter is possible — it spans both tables), then a 3-group
+    conditional aggregate; the CASE pair is one pass, not two scans."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("return_flag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("return_flag")
     )
