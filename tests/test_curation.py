@@ -1,0 +1,132 @@
+"""Corpus-curation operators: repetition metrics, PII scrubbing,
+target-mix resampling, decontamination plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vervectordb_spark.operators import pii as PII
+from vervectordb_spark.operators import text as TX
+from vervectordb_spark.operators.sampling import mix_to_target
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics
+# ---------------------------------------------------------------------------
+
+def _rep(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return TX.repetition_profile(df).collect()[0]
+
+
+def test_repetition_all_unique(spark):
+    r = _rep(spark, "a b c d e f")
+    assert r["n_words"] == 6
+    assert r["frac_dup_words"] == 0.0
+    assert r["frac_dup_3grams"] == 0.0
+
+
+def test_repetition_one_word_repeated(spark):
+    r = _rep(spark, "x x x x x x x x")
+    assert r["frac_dup_words"] == pytest.approx(1 - 1 / 8)
+    # 6 identical 3-grams -> 1 distinct of 6
+    assert r["frac_dup_3grams"] == pytest.approx(1 - 1 / 6)
+
+
+def test_repetition_short_doc_scores_zero_ngrams(spark):
+    # < 3 words: a single (whole-doc) n-gram, duplicate fraction 0
+    r = _rep(spark, "hello world")
+    assert r["frac_dup_3grams"] == 0.0
+
+
+def test_repetition_gate_splits(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"), (2, "clean unique words only here")],
+        "doc_id long, text string",
+    )
+    kept = df.filter(TX.repetition_gate("text")).collect()
+    assert [r["doc_id"] for r in kept] == [2]
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+def test_pii_redact_all_four_patterns(spark):
+    txt = (
+        "mail alice.smith+x@example.co.uk call +1 (415) 555-0199 "
+        "host 192.168.10.250 ssn 123-45-6789 end"
+    )
+    df = spark.createDataFrame([(1, txt)], "id long, text string")
+    out = PII.redact(df).collect()[0]
+    assert "<EMAIL>" in out["text"]
+    assert "<PHONE>" in out["text"]
+    assert "<IP>" in out["text"]
+    assert "<SSN>" in out["text"]
+    assert "@" not in out["text"]
+    assert "555" not in out["text"]
+    assert out["n_email"] == 1
+    assert out["n_phone"] == 1
+    assert out["n_ipv4"] == 1
+    assert out["n_ssn"] == 1
+
+
+def test_pii_clean_text_untouched(spark):
+    txt = "no personal data in this perfectly ordinary sentence"
+    df = spark.createDataFrame([(1, txt)], "id long, text string")
+    out = PII.redact(df).collect()[0]
+    assert out["text"] == txt
+    assert out["n_email"] == out["n_phone"] == out["n_ipv4"] == out["n_ssn"] == 0
+
+
+def test_pii_out_col_preserves_original(spark):
+    df = spark.createDataFrame([(1, "a@b.io")], "id long, text string")
+    out = PII.redact(df, out_col="clean").collect()[0]
+    assert out["text"] == "a@b.io"
+    assert out["clean"] == "<EMAIL>"
+
+
+# ---------------------------------------------------------------------------
+# target-mix resampling
+# ---------------------------------------------------------------------------
+
+def _mix_df(spark):
+    rows = [(i, "en" if i < 800 else "zh") for i in range(1000)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_mix_to_target_hits_target_shares(spark):
+    df = _mix_df(spark)
+    out = mix_to_target(df, "lang", {"en": 0.5, "zh": 0.5},
+                        id_col="doc_id", total=300)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # expect ~150 each despite the 4:1 input skew (hash draw is uniform)
+    assert 110 <= counts["en"] <= 190
+    assert 110 <= counts["zh"] <= 190
+
+
+def test_mix_to_target_never_upsamples(spark):
+    df = _mix_df(spark)
+    # zh has 200 rows; target asks for 450 -> rate clamps to 1, keeps all 200
+    out = mix_to_target(df, "lang", {"en": 0.1, "zh": 0.9},
+                        id_col="doc_id", total=500)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["zh"] == 200
+
+
+def test_mix_to_target_stable_under_repartition(spark):
+    df = _mix_df(spark)
+    kw = dict(strata_col="lang", targets={"en": 0.5, "zh": 0.5},
+              id_col="doc_id", total=400)
+    a = {r["doc_id"] for r in mix_to_target(df, **kw).collect()}
+    b = {r["doc_id"] for r in mix_to_target(df.repartition(13), **kw).collect()}
+    assert a == b
+
+
+def test_mix_to_target_drops_unlisted_strata(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "xx")], "doc_id long, lang string"
+    )
+    out = mix_to_target(df, "lang", {"en": 1.0}, id_col="doc_id", total=10)
+    assert [r["doc_id"] for r in out.collect()] == [1]

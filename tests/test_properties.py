@@ -10,7 +10,7 @@ sane."""
 import math
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 
 from vervectordb_spark.functions import similarity as sim
@@ -57,8 +57,19 @@ def test_cosine_self_is_one_or_zero(spark, a):
 @given(a=VEC, b=VEC, scale=st.floats(min_value=0.0009765625, max_value=1024.0,
                                      allow_nan=False, width=32))
 def test_cosine_scale_invariant(spark, a, b, scale):
+    import numpy as np
+
+    # Scale invariance holds only while scaling preserves the float32
+    # zero-pattern: a subnormal component (e.g. 1.4e-45) times 0.5
+    # underflows to exactly 0.0 in the stored array<float>, and a vector
+    # that becomes all-zero correctly trips the zero-norm guard instead.
+    scaled = [x * scale for x in a]
+    assume(all(
+        (np.float32(x) == 0.0) == (np.float32(y) == 0.0)
+        for x, y in zip(a, scaled)
+    ))
     c1 = _cos(spark, a, b)
-    c2 = _cos(spark, [x * scale for x in a], b)
+    c2 = _cos(spark, scaled, b)
     assert math.isclose(c1, c2, abs_tol=1e-6)
 
 

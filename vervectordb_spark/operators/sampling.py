@@ -80,3 +80,40 @@ def train_eval_split(df: DataFrame, id_col: str,
     """Add a `split` column from disjoint hash bands (rows beyond the
     bands' total mass get NULL — "unassigned")."""
     return df.withColumn(split_col, split_column_expr(id_col, splits, seed))
+
+
+def mix_to_target(df: DataFrame, strata_col: str, targets: dict[str, float],
+                  id_col: str, total: int, seed: int = 42) -> DataFrame:
+    """Resample to a TARGET domain mix: keep ≈ total·targets[s] rows of
+    stratum s, whatever its observed share is (the "rebalance the training
+    mix to 40% en / 15% each else" operator).
+
+    Per-stratum acceptance rates are target_count / observed_count,
+    clamped to 1 (an under-represented stratum is kept whole — this
+    operator never upsamples). The observed counts come from ONE small
+    aggregate joined back by broadcast — no driver collect, so the plan
+    composes lazily — and membership stays the same pure-row hash draw as
+    hash_sample: reproducible across runs, engines, and partitionings.
+
+    Scale posture: one groupBy on the stratum key (#strata rows out),
+    broadcast join of that tiny table, then a map-side filter. At 100 TB
+    this is a scan + one metadata-sized shuffle.
+    """
+    rate_rows = [(s, float(share)) for s, share in sorted(targets.items())]
+    tgt = df.sparkSession.createDataFrame(
+        rate_rows, f"{strata_col} string, _target_share double"
+    )
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_n_stratum"))
+    rates = counts.join(tgt, on=strata_col, how="inner").select(
+        strata_col,
+        F.least(
+            F.lit(1.0),
+            (F.col("_target_share") * F.lit(float(total)))
+            / F.col("_n_stratum").cast("double"),
+        ).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), on=strata_col, how="inner")
+        .filter(hash_uniform_expr(id_col, seed) < F.col("_rate"))
+        .drop("_rate")
+    )

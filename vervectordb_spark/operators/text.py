@@ -457,3 +457,61 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 100,
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).cast("long").alias("n_chunk_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics — Gopher-style "repetitive document" signals
+# ---------------------------------------------------------------------------
+# Public heuristics from the Gopher corpus-filtering recipe (Rae et al.
+# 2021, "Scaling Language Models", table A1): documents dominated by
+# repeated words / n-grams are boilerplate or spam and get dropped before
+# training. Re-expressed as pure array expressions — map-only, whole-stage
+# codegen, no shuffle — so profiling 100 TB is a single scan projection.
+
+
+def frac_dup_words_expr(text_col: Column | str) -> Column:
+    """Fraction of word occurrences that are repeats of an earlier word:
+    1 − |distinct words| / |words|. 0 = all unique, →1 = one word repeated."""
+    toks = tokens_expr(text_col)
+    n = F.size(toks)
+    return F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n
+
+
+def frac_dup_ngrams_expr(text_col: Column | str, n: int = 3) -> Column:
+    """Fraction of word n-gram occurrences that are duplicates:
+    1 − |distinct n-grams| / |n-grams| (n-grams overlap, stride 1).
+    Short docs (< n words) have one n-gram and score 0."""
+    toks = tokens_expr(text_col)
+    total = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    distinct = F.size(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), total),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+    )
+    return F.lit(1.0) - distinct.cast("double") / total
+
+
+def repetition_profile(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition profile: (id, n_words, frac_dup_words,
+    frac_dup_3grams), each rounded to 6 places for the oracle contract."""
+    return df.select(
+        F.col(id_col),
+        n_tokens_expr(text_col).cast("long").alias("n_words"),
+        F.round(frac_dup_words_expr(text_col), 6).alias("frac_dup_words"),
+        F.round(frac_dup_ngrams_expr(text_col, 3), 6).alias("frac_dup_3grams"),
+    )
+
+
+def repetition_gate(text_col: str = "text",
+                    max_dup_word_frac: float = 0.55,
+                    max_dup_3gram_frac: float = 0.05) -> Column:
+    """Boolean keep/drop column for the repetition gate (thresholds are
+    the tunable analog of Gopher's published cutoffs)."""
+    return (
+        (frac_dup_words_expr(text_col) <= F.lit(float(max_dup_word_frac)))
+        & (frac_dup_ngrams_expr(text_col, 3) <= F.lit(float(max_dup_3gram_frac)))
+    )

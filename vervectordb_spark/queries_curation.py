@@ -1,0 +1,220 @@
+"""Corpus-curation query registrations — repetition gating, benchmark
+decontamination, target-mix resampling, PII scrubbing.
+
+The reference engine stores vectors + opaque metadata
+(/root/reference/vervectordb/__init__.py:247-262) and has no corpus layer;
+these are the curation stages a training-data pipeline runs upstream of
+embedding, layered onto the documents/events tables. All follow the
+queries.py portability contract (md5-60 hash family, int/int single
+divisions, round-at-the-end) so every query is hash-checked against its
+DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vervectordb_spark.operators import dedup as D
+from vervectordb_spark.operators import pii as PII
+from vervectordb_spark.operators import text as TX
+from vervectordb_spark.operators.sampling import mix_to_target
+from vervectordb_spark.queries import query
+from vervectordb_spark.schema import load_table
+
+# DuckDB twins of the token/repetition expressions (operators/text.py).
+_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+_FDW = "1.0 - len(list_distinct(toks))::DOUBLE / len(toks)"
+_FD3 = (
+    "1.0 - len(list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 2, 1) + 1), "
+    "i -> array_to_string(list_slice(toks, i, i + 2), ' '))))::DOUBLE"
+    " / greatest(len(toks) - 2, 1)"
+)
+
+
+# ---------------------------------------------------------------------------
+# repetition profile — Gopher-style duplicate-word / duplicate-n-gram rates
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_repetition_profile",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_words,
+       ROUND({_FDW}, 6) AS frac_dup_words,
+       ROUND({_FD3}, 6) AS frac_dup_3grams
+FROM t
+""",
+)
+def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (duplicate-word fraction,
+    duplicate-3-gram fraction — the Gopher boilerplate heuristics). Pure
+    array expressions, map-only: profiling 100 TB is one scan projection
+    (operators/text.repetition_profile)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.repetition_profile(docs)
+
+
+# ---------------------------------------------------------------------------
+# repetition gate — per-source pass rates at the published-style cutoffs
+# ---------------------------------------------------------------------------
+
+@query(
+    "repetition_gate_by_source",
+    oracle=f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+p AS (SELECT source, {_FDW} AS fdw, {_FD3} AS fd3 FROM t)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN fdw <= 0.55 AND fd3 <= 0.05 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_pass,
+  ROUND(SUM(CASE WHEN fdw <= 0.55 AND fd3 <= 0.05 THEN 1 ELSE 0 END)::DOUBLE
+        / COUNT(*), 6) AS pass_rate
+FROM p GROUP BY source
+""",
+)
+def repetition_gate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of each source survives the repetition gate — the
+    per-domain quality dashboard a curation run reads before deciding mix
+    weights. The gate is the same map-side expression as the profile; the
+    only shuffle carries (source, two counters)."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = TX.repetition_gate("text", max_dup_word_frac=0.55,
+                              max_dup_3gram_frac=0.05)
+    flagged = docs.select("source", keep.cast("int").alias("_pass"))
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_pass").cast("long").alias("n_pass"),
+        F.round(
+            F.sum("_pass").cast("double") / F.count("*"), 6
+        ).alias("pass_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decontamination — flag corpus docs sharing n-grams with a benchmark set
+# ---------------------------------------------------------------------------
+
+@query(
+    "decontaminate_ngrams",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS ng
+  FROM t
+),
+bench AS (SELECT DISTINCT ng FROM s WHERE doc_id % 97 = 0)
+SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+FROM s JOIN bench USING (ng)
+WHERE s.doc_id % 97 <> 0
+GROUP BY s.doc_id
+ORDER BY n_shared_ngrams DESC, s.doc_id
+""",
+)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing any word
+    n-gram with the held-out benchmark set (docs with doc_id % 97 == 0
+    stand in for an eval suite), scored by how many distinct n-grams they
+    share. Real pipelines use 13-grams (the public GPT-3/Llama recipe);
+    n=3 is the proportional choice for these ~40-word fixtures.
+
+    Scale posture: the benchmark side is an eval suite — bounded and tiny
+    relative to the corpus — so its distinct n-gram set is broadcast; the
+    corpus side is one explode + broadcast semi-structured join + one
+    groupBy on doc_id. The corpus n-grams never shuffle (the join prunes
+    non-matches map-side); only (doc_id, hit) pairs reach the aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(D.shingles_expr("text", 3)).alias("ng")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0).select("ng").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), on="ng")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+        .orderBy(F.desc("n_shared_ngrams"), "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# target-mix resampling — rebalance the corpus to a target domain mix
+# ---------------------------------------------------------------------------
+
+_MIX_TARGETS = {"de": 0.15, "en": 0.40, "es": 0.15, "fr": 0.15, "zh": 0.15}
+_MIX_TOTAL = 250
+
+
+@query(
+    "domain_mix_resample",
+    oracle=f"""
+WITH tgt(lang, share) AS (VALUES
+  ('de', 0.15), ('en', 0.40), ('es', 0.15), ('fr', 0.15), ('zh', 0.15)),
+counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+rates AS (
+  SELECT c.lang, least(1.0, t.share * {_MIX_TOTAL}.0 / c.n) AS rate
+  FROM counts c JOIN tgt t USING (lang)
+),
+kept AS (
+  SELECT d.doc_id, d.lang FROM documents d JOIN rates r USING (lang)
+  WHERE (('0x' || substr(md5('sample:42:' || d.doc_id), 1, 15))::BIGINT)::DOUBLE
+        / 1152921504606846976.0 < r.rate
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM kept GROUP BY lang
+""",
+)
+def domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus to a TARGET language mix (40% en, 15% each
+    else, ~250 docs total at sf0.01) regardless of observed shares —
+    per-stratum acceptance rates are derived from ONE tiny count aggregate
+    broadcast back (no driver collect), membership is the pure-row hash
+    draw (operators/sampling.mix_to_target), so the resample is stable
+    under repartitioning and incremental ingest."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mix_to_target(docs, "lang", _MIX_TARGETS, id_col="doc_id",
+                         total=_MIX_TOTAL, seed=42)
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — regex redaction with an audit count, on real columns
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_scrub_numeric_ids",
+    oracle="""
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS n_scrubbed,
+  CAST(COUNT(DISTINCT regexp_replace(props, '[0-9]+', '<NUM>', 'g'))
+       AS BIGINT) AS n_distinct_shapes
+FROM events GROUP BY event_type
+""",
+)
+def events_scrub_numeric_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub numeric identifiers out of the event props payload and audit
+    the result per event type (operators/pii — same regexp_replace /
+    regexp_count machinery as the email/phone/IP/SSN patterns, exercised
+    here on a column that actually matches). n_distinct_shapes counts the
+    redacted payload shapes, proving the replacement text itself is
+    identical across engines. Map-side projection + one small aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    pats = {"num": ("[0-9]+", "<NUM>")}
+    red = ev.select(
+        "event_type",
+        PII.match_count_expr("props", "[0-9]+").alias("_n"),
+        PII.redact_expr("props", pats).alias("_shape"),
+    )
+    return red.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("_n").cast("long").alias("n_scrubbed"),
+        F.countDistinct("_shape").alias("n_distinct_shapes"),
+    )
