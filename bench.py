@@ -332,6 +332,33 @@ def build_benches(spark, sf_dir: str):
         @bench("vocab_top_ngrams")
         def _vocab():
             return _force(TX.top_ngrams(docs, n=1, top_k=20, by_col="lang"))
+
+        @bench("repetition_profile")
+        def _rep():
+            # Gopher-style dup-word/dup-3gram rates: map-only array exprs
+            return _force(TX.repetition_profile(docs))
+    except ImportError:
+        pass
+
+    try:
+        from vervectordb_spark.queries_curation import (
+            decontaminate_ngrams as _decon,
+        )
+        from vervectordb_spark.queries_tpch import (
+            tpch_product_type_profit as _q9,
+        )
+
+        @bench("decontam_ngrams")
+        def _decontam():
+            # benchmark-overlap scan: explode 3-grams, broadcast the eval
+            # set's distinct n-grams, one groupBy on doc_id
+            return _force(_decon(spark, sf_dir))
+
+        @bench("tpch_q9_profit")
+        def _tpch9():
+            # heaviest new TPC-H shape: lineitem ⋈ orders fact-fact join
+            # + 3 dim joins, grouped by (nation, year)
+            return _force(_q9(spark, sf_dir))
     except ImportError:
         pass
 

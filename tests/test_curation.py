@@ -130,3 +130,23 @@ def test_mix_to_target_drops_unlisted_strata(spark):
     )
     out = mix_to_target(df, "lang", {"en": 1.0}, id_col="doc_id", total=10)
     assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+# ---------------------------------------------------------------------------
+# kernel parity: arrow fast path == expr oracle spec
+# ---------------------------------------------------------------------------
+
+def test_repetition_kernels_agree(spark):
+    texts = [
+        None, "", "   ", "a", "a b", "x x x x x x",
+        "one two three one two three one two three",
+        "Mixed CASE Mixed case tokens tokens",
+        "unique words only in this sentence of sorts",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    key = lambda r: r["doc_id"]  # noqa: E731
+    a = sorted(TX.repetition_profile(df, kernel="arrow").collect(), key=key)
+    e = sorted(TX.repetition_profile(df, kernel="expr").collect(), key=key)
+    assert [tuple(r) for r in a] == [tuple(r) for r in e]

@@ -474,7 +474,10 @@ def frac_dup_words_expr(text_col: Column | str) -> Column:
     1 − |distinct words| / |words|. 0 = all unique, →1 = one word repeated."""
     toks = tokens_expr(text_col)
     n = F.size(toks)
-    return F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n
+    return F.when(
+        n > 0,
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n,
+    )  # 0-token doc -> NULL (undefined), matching the Arrow kernel
 
 
 def frac_dup_ngrams_expr(text_col: Column | str, n: int = 3) -> Column:
@@ -491,13 +494,73 @@ def frac_dup_ngrams_expr(text_col: Column | str, n: int = 3) -> Column:
             )
         )
     )
-    return F.lit(1.0) - distinct.cast("double") / total
+    # explicit null-text guard: greatest(NULL,1)=1 and concat_ws skips
+    # nulls, so without it a NULL doc would score 0.0 instead of NULL
+    return F.when(
+        F.size(toks).isNotNull(), F.lit(1.0) - distinct.cast("double") / total
+    )
+
+
+def _repetition_arrow(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Arrow-batched repetition kernel — the fast path for the same values
+    the expr spec produces (higher-order array exprs are interpreted, not
+    codegen'd; at sf0.1 this kernel is ~10× the expr path). Tokens come
+    from the JVM (tokens_expr stays the single owner of lower/split);
+    fractions are the same 1.0 − distinct/total IEEE divisions, rounding
+    is decimal HALF_UP == Spark F.round. Pytest-pinned value-identical to
+    kernel="expr", including null/empty/short docs."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType([
+        StructField(id_col, id_type),
+        StructField("n_words", LongType()),
+        StructField("frac_dup_words", DoubleType()),
+        StructField("frac_dup_3grams", DoubleType()),
+    ])
+    q6 = Decimal("0.000001")
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP))
+
+    def kern(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, toks in zip(pdf[id_col], pdf["_toks"]):
+                if toks is None:
+                    rows.append((rid, None, None, None))
+                    continue
+                toks = list(toks)
+                n = len(toks)
+                fdw = None if n == 0 else r6(1.0 - len(set(toks)) / n)
+                total = max(n - 2, 1)
+                grams = {
+                    " ".join(toks[i:i + 3]) for i in range(total)
+                }
+                rows.append((rid, n, fdw, r6(1.0 - len(grams) / total)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    src = df.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+    return src.mapInPandas(kern, out_schema)
 
 
 def repetition_profile(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       kernel: str = "arrow") -> DataFrame:
     """Per-document repetition profile: (id, n_words, frac_dup_words,
-    frac_dup_3grams), each rounded to 6 places for the oracle contract."""
+    frac_dup_3grams), each rounded to 6 places for the oracle contract.
+    kernel="expr" is the oracle-shaped spec; "arrow" (default) computes
+    identical values in one mapInPandas pass."""
+    if kernel == "arrow":
+        return _repetition_arrow(df, text_col, id_col)
     return df.select(
         F.col(id_col),
         n_tokens_expr(text_col).cast("long").alias("n_words"),

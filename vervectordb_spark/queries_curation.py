@@ -129,8 +129,8 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy on doc_id. The corpus n-grams never shuffle (the join prunes
     non-matches map-side); only (doc_id, hit) pairs reach the aggregate."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(D.shingles_expr("text", 3)).alias("ng")
+    sh = D.shingle_table(docs, shingle_n=3).select(
+        "doc_id", F.explode("shingles").alias("ng")
     )
     bench = (
         sh.filter(F.col("doc_id") % 97 == 0).select("ng").distinct()
