@@ -344,3 +344,60 @@ def test_tpch_q20_two_level_agg_shares_scan(spark):
     A.assert_operator(plan, "TakeOrderedAndProject")
     assert "LeftSemi" in plan, plan[:3000]      # PROMO prune is a semi
     A.assert_not_operator(plan, "Window")       # totals via agg, not window
+
+
+# ---------------------------------------------------------------------------
+# curation queries (round 5): plan shapes for the 100 TB posture
+# ---------------------------------------------------------------------------
+
+def test_repetition_profile_is_map_only(spark):
+    from vervectordb_spark.operators.text import repetition_profile
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for kernel in ("arrow", "expr"):
+        plan = A.physical_plan(repetition_profile(docs, kernel=kernel))
+        A.assert_no_shuffle(plan)  # profiling 100 TB = one scan projection
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    from vervectordb_spark.queries_curation import decontaminate_ngrams
+
+    plan = A.physical_plan(decontaminate_ngrams(spark, SF_DIR))
+    # the eval-suite n-gram set is the broadcast side; the corpus n-grams
+    # must NOT shuffle into a sort-merge join. The allowed exchanges are
+    # all small or post-prune: benchmark-side distinct (eval-suite sized),
+    # the doc_id aggregate over join survivors, and the output sort.
+    A.assert_broadcast_join(plan)
+    A.assert_not_operator(plan, "SortMergeJoin")
+    assert A.count_shuffles(plan) <= 3
+
+
+def test_mix_to_target_rates_broadcast_no_extra_shuffle(spark):
+    from vervectordb_spark.operators.sampling import mix_to_target
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = mix_to_target(docs, "lang", {"en": 0.5, "zh": 0.5},
+                        id_col="doc_id", total=100)
+    plan = A.physical_plan(out)
+    A.assert_broadcast_join(plan)  # tiny rate table joins map-side
+    # one shuffle for the per-stratum counts; the corpus scan itself
+    # never repartitions
+    assert A.count_shuffles(plan) <= 1
+
+
+def test_pii_scrub_is_map_only(spark):
+    from vervectordb_spark.operators.pii import redact
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = A.physical_plan(redact(docs))
+    A.assert_no_shuffle(plan)
+
+
+def test_tpch_q9_prefilters_part_before_fact_join(spark):
+    from vervectordb_spark.queries_tpch import tpch_product_type_profit
+
+    plan = A.physical_plan(tpch_product_type_profit(spark, SF_DIR))
+    # the p_name LIKE filter must reach the part scan (semi-filter prunes
+    # lineitem before the fact-fact join with orders)
+    A.assert_pushed_filter(plan, "p_name")
+    A.assert_operator(plan, "BroadcastHashJoin")
