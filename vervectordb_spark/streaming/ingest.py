@@ -221,3 +221,60 @@ def corpus_gate_dedup(docs: DataFrame, min_score: float = 0.8,
         .dropDuplicatesWithinWatermark(["content_hash"])
         .drop("ingest_time")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream-stream interval join: attribute purchases to preceding clicks
+# ---------------------------------------------------------------------------
+
+def click_purchase_attribution(clicks: DataFrame, purchases: DataFrame,
+                               watermark: str = "2 hours",
+                               attribution_window: str = "30 minutes",
+                               ) -> DataFrame:
+    """Stream-stream interval join — the attribution shape: each purchase
+    joins the click(s) by the same user in the preceding
+    `attribution_window`.
+
+    Both sides carry a watermark; the time-interval predicate bounds the
+    join state on BOTH sides (the engine evicts a buffered click once the
+    purchase-side watermark passes click_time + window, and vice versa) —
+    without the interval bound, stream-stream join state grows forever.
+    Output rows appear once both watermarks pass; append mode.
+
+    Scale posture: state is shuffled on user_id (same key both sides, one
+    co-partitioned stateful join), size bounded by events-per-watermark
+    horizon, not stream length.
+    """
+    c = (
+        with_event_time(clicks)
+        .withWatermark("event_time", watermark)
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("event_time").alias("click_time"),
+        )
+    )
+    p = (
+        with_event_time(purchases)
+        .withWatermark("event_time", watermark)
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("event_time").alias("purchase_time"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"""
+            c_user_id = p_user_id AND
+            purchase_time >= click_time AND
+            purchase_time <= click_time + INTERVAL {attribution_window}
+            """
+        ),
+    ).select(
+        F.col("c_user_id").alias("user_id"),
+        "click_id", "purchase_id", "click_time", "purchase_time",
+        "purchase_value",
+    )
