@@ -354,6 +354,13 @@ def build_benches(spark, sf_dir: str):
             # set's distinct n-grams, one groupBy on doc_id
             return _force(_decon(spark, sf_dir))
 
+        @bench("dedup_semdedup")
+        def _semdedup():
+            # cluster-bounded embedding near-dup: broadcast-centroid
+            # assignment + one cluster_id-keyed self-join (SemDeDup shape)
+            from vervectordb_spark.queries_dedup import dedup_semdedup
+            return _force(dedup_semdedup(spark, sf_dir), limit=20)
+
         @bench("tpch_q9_profit")
         def _tpch9():
             # heaviest new TPC-H shape: lineitem ⋈ orders fact-fact join

@@ -333,3 +333,32 @@ def test_chunking_rejects_bad_overlap(spark):
 
     with _p.raises(ValueError):
         chunk_documents(docs, chunk_tokens=20, overlap=20)
+
+
+def test_semdedup_prunes_cross_cluster_pairs(spark):
+    from pyspark.sql import functions as F
+
+    from vervectordb_spark.operators.dedup import semdedup_pairs
+
+    # two well-separated clusters: axis-aligned groups in 4-d
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.95, 0.05, 0.0, 0.0]),
+        (10, [0.0, 0.0, 1.0, 0.0]), (11, [0.0, 0.0, 0.9, 0.1]),
+        (12, [0.0, 0.0, 0.95, 0.05]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0])],
+        "cluster_id int, centroid array<double>",
+    )
+    pairs = semdedup_pairs(df, cent).collect()
+    # within-cluster pairs only: C(3,2) per cluster = 6 total, never the
+    # 15 all-pairs — cross-cluster pairs are pruned by construction
+    assert len(pairs) == 6
+    assert all(
+        (r["src_id"] < 10) == (r["dst_id"] < 10) for r in pairs
+    )
+    # high threshold keeps only the near-identical pairs
+    thr = semdedup_pairs(df, cent, threshold=0.998).collect()
+    assert 0 < len(thr) < 6

@@ -401,3 +401,18 @@ def test_tpch_q9_prefilters_part_before_fact_join(spark):
     # lineitem before the fact-fact join with orders)
     A.assert_pushed_filter(plan, "p_name")
     A.assert_operator(plan, "BroadcastHashJoin")
+
+
+def test_semdedup_single_cluster_shuffle_broadcast_centroids(spark):
+    from vervectordb_spark.operators.dedup import semdedup_pairs
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("cluster_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    plan = A.physical_plan(semdedup_pairs(emb, cent))
+    # centroids ride a broadcast; the only data-volume shuffle keys the
+    # self-join sides on cluster_id (window partitioning reuses it)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    A.assert_not_operator(plan, "CartesianProduct")

@@ -839,3 +839,51 @@ def drop_near_dups(
         F.col("node").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    centroids_df: DataFrame,
+    threshold: float | None = None,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster-bounded embedding near-dup — the SemDeDup shape (Abbas et
+    al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): assign every row to its nearest centroid,
+    then compare pairs ONLY within a cluster.
+
+    Candidate volume drops from N² to Σ|cluster|² ≈ N²/k for balanced
+    clusters — with k sized ~N/target_occupancy this is linear in N, the
+    same occupancy argument as the LSH band caps. The centroid table rides
+    the IVF build (operators/ivf.IVFIndex) or any small sample-KMeans.
+
+    Plan shape: broadcast-centroid assignment (corpus never shuffles for
+    it) → ONE shuffle keying both self-join sides on cluster_id → pairs
+    scored with the bit-exact cosine fold. Returns (cluster_id, src_id,
+    dst_id, sim), src_id < dst_id, optionally thresholded.
+    """
+    from vervectordb_spark.functions.similarity import cosine_expr
+    from vervectordb_spark.operators.ivf import assign_by_centroids
+
+    assigned = assign_by_centroids(df, centroids_df, id_col=id_col,
+                                   emb_col=emb_col)
+    a = assigned.select(
+        "cluster_id",
+        F.col(id_col).alias("src_id"),
+        F.col(emb_col).alias("_src_emb"),
+    )
+    b = assigned.select(
+        "cluster_id",
+        F.col(id_col).alias("dst_id"),
+        F.col(emb_col).alias("_dst_emb"),
+    )
+    pairs = (
+        a.join(b, on="cluster_id")
+        .filter(F.col("src_id") < F.col("dst_id"))
+        .withColumn("sim", cosine_expr(F.col("_src_emb"), F.col("_dst_emb")))
+        .select("cluster_id", "src_id", "dst_id", "sim")
+    )
+    if threshold is not None:
+        pairs = pairs.filter(F.col("sim") >= float(threshold))
+    return pairs

@@ -732,3 +732,63 @@ def simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hamming")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — cluster-bounded embedding near-dup (the published scale path)
+# ---------------------------------------------------------------------------
+
+from vervectordb_spark.queries import _cos as _COS_SQL  # noqa: E402
+
+
+@query(
+    "dedup_semdedup",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id::INTEGER AS cluster_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cluster_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_COS_SQL('e.embedding::DOUBLE[]', 'c.cv')} DESC,
+                    c.cluster_id
+         ) AS rk
+  FROM embeddings e CROSS JOIN cent c
+),
+a2 AS (SELECT vec_id, embedding, cluster_id FROM assign WHERE rk = 1),
+pairs AS (
+  SELECT a.cluster_id, a.vec_id AS src_id, b.vec_id AS dst_id,
+         {_COS_SQL('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')} AS sim
+  FROM a2 a JOIN a2 b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+)
+SELECT cluster_id, src_id, dst_id, ROUND(sim, 6) AS sim
+FROM (SELECT * FROM pairs ORDER BY sim DESC, src_id, dst_id LIMIT 20)
+""",
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped embedding dedup (operators/dedup.semdedup_pairs):
+    nearest-centroid assignment (8 fixture rows as centroids, matching the
+    ivf_cluster_stats convention) bounds the candidate pairs to
+    within-cluster — Σ|cluster|² ≈ N²/k work instead of the all-pairs N²
+    that `dedup_embedding_cosine`'s exact kNN baseline pays. Top-20 pairs
+    by cosine; at production thresholds pass `threshold=` and drop the
+    top-k. One cluster_id-keyed shuffle; centroids broadcast."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").cast("int").alias("cluster_id"),
+            F.transform(F.col("embedding"),
+                        lambda x: x.cast("double")).alias("centroid"),
+        )
+    )
+    pairs = D.semdedup_pairs(emb, cent)
+    return (
+        pairs.orderBy(F.desc("sim"), F.asc("src_id"), F.asc("dst_id"))
+        .limit(20)
+        .select("cluster_id", "src_id", "dst_id",
+                F.round("sim", 6).alias("sim"))
+    )
