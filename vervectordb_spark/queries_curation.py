@@ -218,3 +218,93 @@ def events_scrub_numeric_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_n").cast("long").alias("n_scrubbed"),
         F.countDistinct("_shape").alias("n_distinct_shapes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curation pipeline e2e — the round-5 stages composed as ONE lazy plan
+# ---------------------------------------------------------------------------
+
+@query(
+    "curation_pipeline_e2e",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, n_chars, text, {_TOKS} AS toks
+           FROM documents WHERE doc_id % 97 <> 0),
+rep AS (
+  SELECT doc_id, lang, n_chars, text, toks FROM t
+  WHERE ({_FDW}) <= 0.55 AND ({_FD3}) <= 0.05
+),
+s AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS ng
+  FROM t
+),
+bench AS (
+  SELECT DISTINCT ng FROM (
+    SELECT unnest(list_distinct(list_transform(
+             range(1, greatest(len(toks) - 2, 1) + 1),
+             i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS ng
+    FROM (SELECT {_TOKS} AS toks FROM documents WHERE doc_id % 97 = 0)
+  )
+),
+contaminated AS (SELECT DISTINCT s.doc_id FROM s JOIN bench USING (ng)),
+clean AS (
+  SELECT r.doc_id, r.lang, r.n_chars,
+         len(regexp_extract_all(r.text, '[0-9]+')) AS n_scrubbed
+  FROM rep r ANTI JOIN contaminated c ON r.doc_id = c.doc_id
+),
+tgt(lang, share) AS (VALUES
+  ('de', 0.15), ('en', 0.40), ('es', 0.15), ('fr', 0.15), ('zh', 0.15)),
+counts AS (SELECT lang, COUNT(*) AS n FROM clean GROUP BY lang),
+rates AS (
+  SELECT c.lang, least(1.0, t.share * 150.0 / c.n) AS rate
+  FROM counts c JOIN tgt t USING (lang)
+),
+kept AS (
+  SELECT d.* FROM clean d JOIN rates r USING (lang)
+  WHERE (('0x' || substr(md5('sample:42:' || d.doc_id), 1, 15))::BIGINT)::DOUBLE
+        / 1152921504606846976.0 < r.rate
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(n_scrubbed) AS BIGINT) AS n_scrubbed
+FROM kept GROUP BY lang
+""",
+)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 curation stages composed as ONE lazy plan — repetition
+    gate → benchmark decontamination (broadcast anti-join on shared
+    3-grams) → PII scrub audit → target-mix resample — reported as
+    per-lang survivor counts. The integration proof that the individually
+    oracle-checked operators compose, and that Catalyst plans the
+    composition: map-side gate + scrub, one broadcast anti-join, one
+    count aggregate for the mix rates, one final aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    gated = corpus.filter(
+        TX.repetition_gate("text", max_dup_word_frac=0.55,
+                           max_dup_3gram_frac=0.05)
+    )
+    bench_ngrams = (
+        D.shingle_table(docs.filter(F.col("doc_id") % 97 == 0), shingle_n=3)
+        .select(F.explode("shingles").alias("ng")).distinct()
+    )
+    corpus_ngrams = D.shingle_table(corpus, shingle_n=3).select(
+        "doc_id", F.explode("shingles").alias("ng")
+    )
+    contaminated = (
+        corpus_ngrams.join(F.broadcast(bench_ngrams), on="ng")
+        .select("doc_id").distinct()
+    )
+    clean = gated.join(contaminated, on="doc_id", how="left_anti").select(
+        "doc_id", "lang", "n_chars",
+        PII.match_count_expr("text", "[0-9]+").alias("_n_scrubbed"),
+    )
+    kept = mix_to_target(clean, "lang", _MIX_TARGETS, id_col="doc_id",
+                         total=150, seed=42)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("_n_scrubbed").cast("long").alias("n_scrubbed"),
+    )
