@@ -426,3 +426,21 @@ def test_chunk_ingest_end_to_end(spark):
     qv = [float(x) for x in row["embedding"]]
     res = st.brute_force_search(qv, top_k=3)
     assert res and res[0]["vector_id"] == row["vec_id"]
+
+
+def test_store_semdedup_reuses_ivf_assignment(spark):
+    from vervectordb_spark.store import VectorStore
+
+    store = VectorStore(spark, vector_dim=4)
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0], [0.999, 0.001, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0], [0.0, 0.999, 0.001, 0.0],
+        [0.0, 0.0, 1.0, 0.0], [0.5, 0.5, 0.0, 0.0],
+    ]
+    store.batch_insert(vecs)
+    pairs = store.semdedup(threshold=0.99, n_clusters=3).collect()
+    # near-identical pairs surface; every pair is within one cluster
+    assert len(pairs) >= 2
+    assert all(r["sim"] >= 0.99 for r in pairs)
+    # and the fitted index is the one the pair stage used
+    assert store._ivf is not None

@@ -863,26 +863,41 @@ def semdedup_pairs(
     scored with the bit-exact cosine fold. Returns (cluster_id, src_id,
     dst_id, sim), src_id < dst_id, optionally thresholded.
     """
-    from vervectordb_spark.functions.similarity import cosine_expr
     from vervectordb_spark.operators.ivf import assign_by_centroids
 
     assigned = assign_by_centroids(df, centroids_df, id_col=id_col,
                                    emb_col=emb_col)
+    return within_cluster_pairs(assigned, threshold=threshold,
+                                emb_col=emb_col, id_col=id_col)
+
+
+def within_cluster_pairs(
+    assigned: DataFrame,
+    threshold: float | None = None,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """The pair stage of semdedup_pairs over an ALREADY-assigned table
+    (e.g. a fitted IVFIndex.assigned layout — no second assignment pass).
+    One shuffle keying both self-join sides on the cluster id."""
+    from vervectordb_spark.functions.similarity import cosine_expr
+
     a = assigned.select(
-        "cluster_id",
+        cluster_col,
         F.col(id_col).alias("src_id"),
         F.col(emb_col).alias("_src_emb"),
     )
     b = assigned.select(
-        "cluster_id",
+        cluster_col,
         F.col(id_col).alias("dst_id"),
         F.col(emb_col).alias("_dst_emb"),
     )
     pairs = (
-        a.join(b, on="cluster_id")
+        a.join(b, on=cluster_col)
         .filter(F.col("src_id") < F.col("dst_id"))
         .withColumn("sim", cosine_expr(F.col("_src_emb"), F.col("_dst_emb")))
-        .select("cluster_id", "src_id", "dst_id", "sim")
+        .select(cluster_col, "src_id", "dst_id", "sim")
     )
     if threshold is not None:
         pairs = pairs.filter(F.col("sim") >= float(threshold))

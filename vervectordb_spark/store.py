@@ -422,6 +422,20 @@ class VectorStore:
             for r in out.collect()
         ]
 
+    def semdedup(self, threshold: float = 0.95,
+                 n_clusters: int = 16) -> DataFrame:
+        """Cluster-bounded semantic near-dup pairs over the store — the
+        SemDeDup shape riding the store's OWN IVF layout: the fitted
+        index's cluster assignment is reused directly (no second
+        assignment pass), so dedup cost is Σ|cluster|² ≈ N²/k, and the
+        clusters are the same ones search probes. Returns (cluster_id,
+        src_id, dst_id, sim) with sim >= threshold, src_id < dst_id."""
+        from vervectordb_spark.operators.dedup import within_cluster_pairs
+
+        if self._ivf is None:
+            self.build_ivf_index(n_clusters=n_clusters)
+        return within_cluster_pairs(self._ivf.assigned, threshold=threshold)
+
     def compress(self) -> DataFrame:
         """C4: adds pq_code ARRAY<TINYINT>; storage-only codec, like the
         reference (search never reads codes, vervectordb/__init__.py:344)."""
