@@ -308,3 +308,53 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("sum_chars"),
         F.sum("_n_scrubbed").cast("long").alias("n_scrubbed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# decontamination, hashed variant — the wire-size-optimized 100 TB shape
+# ---------------------------------------------------------------------------
+
+@query(
+    "decontaminate_ngrams_hashed",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' '))))), 1, 15)
+         )::BIGINT AS ngh
+  FROM t
+),
+bench AS (SELECT DISTINCT ngh FROM s WHERE doc_id % 97 = 0)
+SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+FROM s JOIN bench USING (ngh)
+WHERE s.doc_id % 97 <> 0
+GROUP BY s.doc_id
+ORDER BY n_shared_ngrams DESC, s.doc_id
+""",
+)
+def decontaminate_ngrams_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`decontaminate_ngrams` with the n-grams replaced by their 60-bit
+    md5 hashes BEFORE anything moves — the wire-size optimization the
+    string variant's docstring promises for 100 TB: the broadcast eval-set
+    becomes fixed-width longs (8 bytes vs arbitrary-length shingle text)
+    and the join compares integers. Same output contract; a false positive
+    needs an md5-60 collision (~2⁻⁶⁰ per pair). The md5 family keeps it
+    oracle-checkable (functions/hashing.py)."""
+    from vervectordb_spark.functions.hashing import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        D.shingle_table(docs, shingle_n=3)
+        .select("doc_id", F.explode("shingles").alias("_ng"))
+        .select("doc_id", md5_long(F.col("_ng")).alias("ngh"))
+    )
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select("ngh").distinct()
+    return (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), on="ngh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+        .orderBy(F.desc("n_shared_ngrams"), "doc_id")
+    )
