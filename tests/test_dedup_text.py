@@ -362,3 +362,22 @@ def test_semdedup_prunes_cross_cluster_pairs(spark):
     # high threshold keeps only the near-identical pairs
     thr = semdedup_pairs(df, cent, threshold=0.998).collect()
     assert 0 < len(thr) < 6
+
+
+def test_semdedup_gemm_kernel_matches_fold(spark):
+    from pyspark.sql import functions as F
+
+    from vervectordb_spark.operators.dedup import within_cluster_pairs
+    from vervectordb_spark.operators.ivf import IVFIndex
+    from vervectordb_spark.schema import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = IVFIndex.build(emb, n_clusters=4, seed=42)
+    fold = within_cluster_pairs(idx.assigned, threshold=0.3, kernel="fold")
+    gemm = within_cluster_pairs(idx.assigned, threshold=0.3, kernel="gemm")
+    f = {(r["src_id"], r["dst_id"]): r["sim"] for r in fold.collect()}
+    g = {(r["src_id"], r["dst_id"]): r["sim"] for r in gemm.collect()}
+    # identical pair sets (threshold boundary ties are ~impossible at 1e-15
+    # BLAS-vs-fold divergence) and sims equal to float tolerance
+    assert set(f) == set(g) and len(f) > 0
+    assert all(abs(f[k] - g[k]) < 1e-9 for k in f)

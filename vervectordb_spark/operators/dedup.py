@@ -877,10 +877,29 @@ def within_cluster_pairs(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     cluster_col: str = "cluster_id",
+    kernel: str = "fold",
 ) -> DataFrame:
     """The pair stage of semdedup_pairs over an ALREADY-assigned table
     (e.g. a fitted IVFIndex.assigned layout — no second assignment pass).
-    One shuffle keying both self-join sides on the cluster id."""
+    One shuffle keying the corpus on the cluster id.
+
+    kernel="fold": self-join + bit-exact cosine fold — the oracle path.
+    kernel="gemm": per-cluster dense BLAS scoring via applyInPandas —
+    each cluster's normalized matrix multiplies itself once (row-chunked
+    so memory stays ~chunk×|cluster| doubles), upper-triangle pairs only.
+    ~100× the fold path on real cluster sizes; sims are BLAS float64
+    (not bit-exact to the fold — use it with a threshold, as SemDeDup
+    does, not for hash-gated output).
+
+    SIZE K FOR OCCUPANCY, NOT AS A CONSTANT: pair volume is Σ|cluster|²,
+    so a fixed k turns 10× rows into 100× pairs (the measured r5 trap —
+    same law as the LSH bits="auto" fix). k ≈ N/target_occupancy keeps
+    |cluster| and therefore per-row work constant at any scale.
+    """
+    if kernel == "gemm":
+        return _within_cluster_pairs_gemm(
+            assigned, threshold, emb_col, id_col, cluster_col
+        )
     from vervectordb_spark.functions.similarity import cosine_expr
 
     a = assigned.select(
@@ -902,3 +921,68 @@ def within_cluster_pairs(
     if threshold is not None:
         pairs = pairs.filter(F.col("sim") >= float(threshold))
     return pairs
+
+
+def _within_cluster_pairs_gemm(
+    assigned: DataFrame,
+    threshold: float | None,
+    emb_col: str,
+    id_col: str,
+    cluster_col: str,
+    chunk_rows: int = 4096,
+) -> DataFrame:
+    """Per-cluster blocked GEMM pair scorer (see within_cluster_pairs)."""
+    import pandas as pd  # noqa: F401  (applyInPandas dependency)
+    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import DoubleType
+
+    id_field = assigned.schema[id_col].dataType
+    cl_field = assigned.schema[cluster_col].dataType
+    out_schema = StructType([
+        StructField(cluster_col, cl_field),
+        StructField("src_id", id_field),
+        StructField("dst_id", id_field),
+        StructField("sim", DoubleType()),
+    ])
+    thr = None if threshold is None else float(threshold)
+
+    def kern(pdf):
+        import numpy as np
+        import pandas as pd
+
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {cluster_col: [], "src_id": [], "dst_id": [], "sim": []}
+            )
+        M = np.asarray([list(v) for v in pdf[emb_col]], dtype=np.float64)
+        norms = np.linalg.norm(M, axis=1)
+        safe = np.where(norms == 0.0, 1.0, norms)
+        N = M / safe[:, None]  # zero-norm rows stay all-zero -> sim 0
+        ids = pdf[id_col].to_numpy()
+        cl = pdf[cluster_col].iloc[0]
+        outs = []
+        for lo in range(0, m, chunk_rows):
+            hi = min(lo + chunk_rows, m)
+            S = N[lo:hi] @ N.T  # (chunk, m)
+            # upper triangle only: global col index > global row index
+            r, c = np.nonzero(
+                np.arange(m)[None, :] > np.arange(lo, hi)[:, None]
+            )
+            sims = S[r, c]
+            if thr is not None:
+                keep = sims >= thr
+                r, c, sims = r[keep], c[keep], sims[keep]
+            a, b = ids[r + lo], ids[c]
+            # src_id < dst_id contract regardless of row order
+            src = np.minimum(a, b)
+            dst = np.maximum(a, b)
+            outs.append(pd.DataFrame({
+                cluster_col: np.repeat(cl, len(sims)),
+                "src_id": src, "dst_id": dst, "sim": sims,
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    return assigned.select(cluster_col, id_col, emb_col).groupBy(
+        cluster_col
+    ).applyInPandas(kern, out_schema)
