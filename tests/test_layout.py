@@ -1,0 +1,104 @@
+"""Z-order clustering + per-file stats skipping (sources/layout.py)."""
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from vervectordb_spark.schema import load_events
+from vervectordb_spark.sources import layout as L
+
+
+def test_interleave_is_monotone_in_each_dim(spark):
+    # morton codes of (x, 0) are ordered like x; same for (0, y)
+    df = spark.createDataFrame([(i,) for i in range(16)], "x long")
+    z_x = [
+        r["z"] for r in df.select(
+            L.interleave_expr([F.col("x"), F.lit(0).cast("long")], 4).alias("z")
+        ).orderBy("x").collect()
+    ]
+    assert z_x == sorted(z_x)
+
+
+def test_bucket_expr_clamps_and_spans(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (50.0,), (100.0,), (250.0,)], "v double"
+    )
+    got = [r["b"] for r in df.select(
+        L.bucket_expr("v", 0.0, 100.0, 4).alias("b")).collect()]
+    assert got[0] == 0          # below lo clamps to 0
+    assert got[-1] == 15        # above hi clamps to 2^bits - 1
+    assert all(0 <= b <= 15 for b in got)
+
+
+@pytest.fixture(scope="module")
+def zordered_events(spark, tmp_path_factory):
+    ev = load_events(spark, SF_DIR).select("event_id", "user_id", "value")
+    path = str(tmp_path_factory.mktemp("layout") / "events_z")
+    L.write_zordered(ev, path, ["user_id", "value"], n_files=16, bits=8)
+    return ev, path
+
+
+def test_stats_file_covers_every_parquet_file(zordered_events):
+    _, path = zordered_events
+    with open(os.path.join(path, L.STATS_FILE)) as f:
+        meta = json.load(f)
+    on_disk = glob.glob(f"{path}/*.parquet")
+    assert len(meta["files"]) == len(on_disk) > 1
+    for s in meta["files"]:
+        assert s["min_user_id"] <= s["max_user_id"]
+
+
+def test_pruned_scan_is_exact_and_skips_files(spark, zordered_events):
+    ev, path = zordered_events
+    lo_u, hi_u = 10, 30
+    lo_v, hi_v = 1.0, 3.0
+    pruned = L.pruned_scan(
+        spark, path, {"user_id": (lo_u, hi_u), "value": (lo_v, hi_v)}
+    )
+    want = sorted(
+        r["event_id"] for r in ev.filter(
+            F.col("user_id").between(lo_u, hi_u)
+            & F.col("value").between(lo_v, hi_v)
+        ).collect()
+    )
+    got = sorted(r["event_id"] for r in pruned.collect())
+    assert got == want and len(got) > 0     # no false drops, no extras
+
+    with open(os.path.join(path, L.STATS_FILE)) as f:
+        n_total = len(json.load(f)["files"])
+    n_read = pruned.select(F.input_file_name()).distinct().count()
+    assert n_read < n_total                 # files actually skipped
+
+
+def test_zorder_skips_in_both_dims_vs_single_sort(spark, tmp_path):
+    """The point of Z-ORDER vs a plain sort: a single-column sort gives
+    tight file envelopes in THAT column only; the Morton layout prunes on
+    either dimension."""
+    ev = load_events(spark, SF_DIR).select("event_id", "user_id", "value")
+    zpath = str(tmp_path / "z")
+    spath = str(tmp_path / "s")
+    L.write_zordered(ev, zpath, ["user_id", "value"], n_files=16, bits=8)
+    # single-column layout: range-partition + sort by user_id only
+    (
+        ev.repartitionByRange(16, "user_id").sortWithinPartitions("user_id")
+        .write.mode("overwrite").parquet(spath)
+    )
+    L.collect_file_stats(spark, spath, ["user_id", "value"])
+
+    # a selective predicate on the SECOND dimension only
+    pred = {"value": (1.0, 1.5)}
+    n_z = (
+        L.pruned_scan(spark, zpath, pred)
+        .select(F.input_file_name()).distinct().count()
+    )
+    n_s = (
+        L.pruned_scan(spark, spath, pred)
+        .select(F.input_file_name()).distinct().count()
+    )
+    # the user_id-sorted layout can't skip on value (every file spans the
+    # whole value range); the z-ordered one must do strictly better
+    assert n_z < n_s
