@@ -84,7 +84,7 @@ def test_interrupted_commit_invisible_and_vacuumable(spark, table):
     """A writer that dies after writing data but before publishing leaves
     the table exactly as it was; vacuum removes the orphan."""
     table.append(_df(spark, 0, 5))
-    rel, _ = table._write_data(_df(spark, 5, 50))  # crash before _commit
+    rel, _, _ = table._write_data(_df(spark, 5, 50))  # crash before _commit
     assert table.read().count() == 5  # orphan invisible to readers
     removed = table.vacuum()
     assert rel in removed
@@ -141,3 +141,57 @@ def test_concurrent_appends_all_land(spark, table):
     assert table.read().count() == 40
     parents = [m["parent"] for m in table.history()]
     assert parents == [3, 2, 1, 0, None]  # linear chain, no forks
+
+
+def test_manifest_stats_prune_skips_dirs(spark, tmp_path):
+    """Iceberg-style data skipping: appends carrying min/max stats let
+    read_pruned skip whole data dirs off metadata alone."""
+    from pyspark.sql import functions as F
+
+    from vervectordb_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable.create(spark, str(tmp_path / "stats_table"))
+    # three appends with disjoint id ranges (e.g. daily ingests)
+    for lo in (0, 100, 200):
+        df = spark.range(lo, lo + 50).select(
+            F.col("id"), (F.col("id") % 7).alias("k")
+        )
+        t.append(df, stats_cols=["id"])
+    man = t.manifest()
+    assert len(man["files"]) == 3
+    assert all(f in man["stats"] for f in man["files"])
+
+    pruned = t.read_pruned({"id": (110, 130)})
+    got = sorted(r["id"] for r in pruned.collect())
+    assert got == list(range(110, 131))          # exact result
+    n_dirs = (
+        pruned.select(F.input_file_name()).distinct().count()
+    )
+    # only the middle append's files are touched
+    full = t.read().select(F.input_file_name()).distinct().count()
+    assert n_dirs < full
+
+    # a predicate outside every envelope reads nothing
+    assert t.read_pruned({"id": (10_000, 20_000)}).count() == 0
+
+    # rollback keeps the stats usable
+    t.append(spark.range(500, 550).select(
+        F.col("id"), (F.col("id") % 7).alias("k")), stats_cols=["id"])
+    t.rollback(man["version"])
+    assert sorted(
+        r["id"] for r in t.read_pruned({"id": (110, 130)}).collect()
+    ) == list(range(110, 131))
+
+
+def test_stats_less_appends_stay_readable(spark, tmp_path):
+    """Dirs committed WITHOUT stats are conservatively kept by
+    read_pruned (no false drops when mixing old and new writers)."""
+    from pyspark.sql import functions as F
+
+    from vervectordb_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable.create(spark, str(tmp_path / "mixed_table"))
+    t.append(spark.range(0, 10).select("id"))                    # no stats
+    t.append(spark.range(100, 110).select("id"), stats_cols=["id"])
+    got = sorted(r["id"] for r in t.read_pruned({"id": (0, 5)}).collect())
+    assert got == [0, 1, 2, 3, 4, 5]

@@ -116,7 +116,8 @@ class VersionedTable:
 
     # ------------------------------------------------------------ commit
     def _publish(self, version: int, files: list[str], op: str,
-                 parent: int | None, n_rows: int) -> dict:
+                 parent: int | None, n_rows: int,
+                 stats: dict | None = None) -> dict:
         """Exclusive-publish manifest v{version}. Raises CommitConflict if
         that version already exists (racing writer won)."""
         man = {
@@ -125,6 +126,7 @@ class VersionedTable:
             "op": op,
             "files": sorted(files),
             "n_rows": n_rows,
+            "stats": stats or {},
             "ts": time.time(),
         }
         final = _manifest_path(self.path, version)
@@ -144,13 +146,25 @@ class VersionedTable:
             os.unlink(tmp)
         return man
 
-    def _write_data(self, df: DataFrame) -> tuple[str, int]:
-        """Write df into a fresh immutable data dir; returns (relpath, rows)."""
+    def _write_data(self, df: DataFrame,
+                    stats_cols: list[str] | None = None
+                    ) -> tuple[str, int, dict]:
+        """Write df into a fresh immutable data dir; returns (relpath,
+        rows, {col: [min, max]} stats over stats_cols — the Iceberg-style
+        manifest entry that lets read_pruned skip the whole dir)."""
+        from pyspark.sql import functions as F
+
         rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
         full = os.path.join(self.path, rel)
         df.write.mode("errorifexists").parquet(full)
-        n = self.spark.read.parquet(full).count()
-        return rel, n
+        written = self.spark.read.parquet(full)
+        aggs = [F.count("*").alias("_n")]
+        for c in stats_cols or []:
+            aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+        row = written.agg(*aggs).collect()[0]
+        stats = {c: [row[f"_lo_{c}"], row[f"_hi_{c}"]]
+                 for c in stats_cols or []}
+        return rel, row["_n"], stats
 
     def _commit(self, build, op: str, max_retries: int = 5) -> dict:
         """Publish against the current head, retrying on version races.
@@ -166,11 +180,12 @@ class VersionedTable:
         for _ in range(max_retries):
             head = self.latest_version()
             head_man = self.manifest(head) if head is not None else None
-            files, n_rows = build(head_man)
+            files, n_rows, stats = build(head_man)
             try:
                 return self._publish(
                     (head if head is not None else -1) + 1,
                     files=files, op=op, parent=head, n_rows=n_rows,
+                    stats=stats,
                 )
             except CommitConflict:
                 continue
@@ -179,32 +194,39 @@ class VersionedTable:
         )
 
     # ------------------------------------------------------------ writes
-    def append(self, df: DataFrame) -> dict:
+    def append(self, df: DataFrame,
+               stats_cols: list[str] | None = None) -> dict:
         """Add rows: new data dir + manifest carrying parent files + it.
         The data write happens BEFORE the commit race — a loser retries
         with its already-written files, never rewrites data — and the
-        parent file list is re-read per attempt (see _commit)."""
-        rel, n = self._write_data(df)
+        parent file list is re-read per attempt (see _commit). With
+        stats_cols, the manifest also records the new dir's min/max per
+        column (merged with the parent's entries) for read_pruned."""
+        rel, n, st = self._write_data(df, stats_cols)
         return self._commit(
             lambda head: (
                 (head["files"] if head else []) + [rel],
                 (head["n_rows"] if head else 0) + n,
+                {**(head.get("stats", {}) if head else {}), rel: st},
             ),
             op="append",
         )
 
-    def overwrite(self, df: DataFrame) -> dict:
+    def overwrite(self, df: DataFrame,
+                  stats_cols: list[str] | None = None) -> dict:
         """Replace the table contents (full copy-on-write: old versions
         remain readable until vacuumed)."""
-        rel, n = self._write_data(df)
-        return self._commit(lambda head: ([rel], n), op="overwrite")
+        rel, n, st = self._write_data(df, stats_cols)
+        return self._commit(lambda head: ([rel], n, {rel: st}),
+                            op="overwrite")
 
     def rollback(self, version: int) -> dict:
         """Re-publish an old version's file list as a NEW version (the log
         stays append-only — no history is destroyed)."""
         old = self.manifest(version)
         return self._commit(
-            lambda head: (list(old["files"]), old["n_rows"]),
+            lambda head: (list(old["files"]), old["n_rows"],
+                          dict(old.get("stats", {}))),
             op=f"rollback:{version}",
         )
 
@@ -218,6 +240,39 @@ class VersionedTable:
             return self.spark.range(0).drop("id")
         paths = [os.path.join(self.path, f) for f in man["files"]]
         return self.spark.read.parquet(*paths)
+
+    def read_pruned(self, predicates: dict, version: int | None = None
+                    ) -> DataFrame:
+        """Snapshot read that SKIPS data dirs whose manifest stats
+        envelope misses any [lo, hi] predicate — file skipping off
+        metadata alone, before Spark lists a row (the Iceberg
+        manifest-stats design; the per-file variant for a single parquet
+        dir is sources/layout.py). Dirs without stats for a predicate
+        column are conservatively kept; the residual filter still runs."""
+        from pyspark.sql import functions as F
+
+        man = self.manifest(version)
+        stats = man.get("stats", {})
+        keep = []
+        for rel in man["files"]:
+            st = stats.get(rel, {})
+            ok = True
+            for c, (lo, hi) in predicates.items():
+                if c in st and st[c][0] is not None:
+                    if st[c][1] < lo or st[c][0] > hi:
+                        ok = False
+                        break
+            if ok:
+                keep.append(rel)
+        if not keep:
+            return self.read(version).limit(0).filter(F.lit(False))
+        df = self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in keep]
+        )
+        cond = F.lit(True)
+        for c, (lo, hi) in predicates.items():
+            cond = cond & F.col(c).between(lo, hi)
+        return df.filter(cond)
 
     # ------------------------------------------------------------ maintenance
     def vacuum(self) -> list[str]:
