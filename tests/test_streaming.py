@@ -368,3 +368,22 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
     # overwhelming majority materialized)
     assert got <= want
     assert len(got) >= 0.9 * len(want)
+
+
+def test_streaming_repetition_gate_matches_batch(spark, docs_dir):
+    """The round-5 repetition gate is a pure map-side expression, so it
+    applies to readStream unchanged — batch/stream parity for the newest
+    curation stage (same proof as the quality gate above)."""
+    from vervectordb_spark.operators.text import repetition_gate
+    from vervectordb_spark.schema import load_table
+
+    stream = SI.stream_documents(spark, docs_dir)
+    out = stream.filter(repetition_gate("text")).select("doc_id")
+    _run_to_memory(out, "rep_gate_stream", mode="append")
+    got = {r["doc_id"] for r in spark.sql("SELECT * FROM rep_gate_stream").collect()}
+    want = {
+        r["doc_id"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .filter(repetition_gate("text")).select("doc_id").collect()
+    }
+    assert got == want and 0 < len(want)
