@@ -243,6 +243,12 @@ def build_benches(spark, sf_dir: str):
         @bench("text_embed")
         def _embed():
             return _force(embed_documents(docs, dim=32))
+
+        @bench("text_embed_arrow")
+        def _embed_arrow():
+            # bulk-ingest kernel: bit-identical vectors, one NumPy pass
+            # per Arrow batch instead of dim interpreted scans per row
+            return _force(embed_documents(docs, dim=32, kernel="arrow"))
     except ImportError:
         pass
 

@@ -64,3 +64,17 @@ def test_model_embedding_stubbed(spark):
     docs = load_table(spark, SF_DIR, "documents").limit(2)
     with pytest.raises(NotImplementedError, match="sentence-transformers"):
         E.model_embedding(docs)
+
+
+def test_embed_kernels_bit_identical(spark):
+    from vervectordb_spark.operators.embed import embed_documents
+    from vervectordb_spark.schema import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    key = lambda r: r["vec_id"]  # noqa: E731
+    e = sorted(embed_documents(docs, dim=32, kernel="expr").collect(), key=key)
+    a = sorted(embed_documents(docs, dim=32, kernel="arrow").collect(), key=key)
+    assert len(e) == len(a) > 0
+    for re_, ra in zip(e, a):
+        assert re_["vec_id"] == ra["vec_id"]
+        assert re_["embedding"] == ra["embedding"]  # bit-exact float32

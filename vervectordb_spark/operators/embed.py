@@ -52,8 +52,65 @@ def _count_eq(i: int):
     return lambda b: b == i  # closure, not default-arg capture
 
 
+def _embed_arrow(docs: DataFrame, dim: int, text_col: str, id_col: str,
+                 cjk_aware: bool) -> DataFrame:
+    """Arrow-batched hashed-BoW kernel — same values as the expr path
+    (pytest-pinned bit-identical): tokens come from the JVM (single owner
+    of the tokenization), one hashlib-md5 per token (== md5_long), counts
+    via np.bincount, the norm accumulated left-to-right over the counts
+    array so every IEEE operation matches the expr fold exactly. The expr
+    path pays dim interpreted array scans per row (one size∘filter per
+    bucket); this is one NumPy pass — prefer it for dim ≳ 32 or bulk
+    ingest."""
+    import hashlib
+
+    from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
+
+    id_type = docs.schema[id_col].dataType
+    out_schema = StructType([
+        StructField("vec_id", id_type),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        bucket_of: dict[str, int] = {}  # token vocab is Zipfian — memoize
+
+        def bucket(t: str) -> int:
+            b = bucket_of.get(t)
+            if b is None:
+                h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                b = bucket_of[t] = h % dim
+            return b
+
+        for pdf in batches:
+            ids, vecs = [], []
+            for rid, toks in zip(pdf[id_col], pdf["_toks"]):
+                toks = list(toks) if toks is not None else []
+                counts = np.zeros(dim, dtype=np.float64)
+                for t in toks:
+                    counts[bucket(t)] += 1.0
+                acc = 0.0
+                for c in counts:          # fold order == expr aggregate
+                    acc += c * c
+                norm = acc ** 0.5
+                if norm != 0.0:
+                    counts = counts / norm
+                ids.append(rid)
+                vecs.append(np.asarray(counts, dtype=np.float32).tolist())
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    toks = mixed_tokens_expr(text_col) if cjk_aware else tokens_expr(text_col)
+    return docs.select(F.col(id_col), toks.alias("_toks")).mapInPandas(
+        kern, out_schema
+    )
+
+
 def embed_documents(docs: DataFrame, dim: int = 32, text_col: str = "text",
-                    id_col: str = "doc_id", cjk_aware: bool = True) -> DataFrame:
+                    id_col: str = "doc_id", cjk_aware: bool = True,
+                    kernel: str = "expr") -> DataFrame:
     """The S6 ingest: (doc_id, embedding) ready for the vector store —
     `VectorStore.ingest(embed_documents(docs))` is the full reference
     pipeline text → vectors → searchable.
@@ -64,7 +121,13 @@ def embed_documents(docs: DataFrame, dim: int = 32, text_col: str = "text",
     projections: a single nested expression would re-tokenize + re-hash
     once per count bucket (dim×; measured 8× slower at dim=32 —
     CollapseProject keeps non-cheap multi-referenced exprs staged, nested
-    whens don't get subexpression elimination)."""
+    whens don't get subexpression elimination).
+
+    kernel="expr" (default) is the DuckDB-oracle-checkable spec;
+    kernel="arrow" computes bit-identical vectors in one NumPy pass per
+    Arrow batch (pytest parity) — the bulk-ingest path."""
+    if kernel == "arrow":
+        return _embed_arrow(docs, dim, text_col, id_col, cjk_aware)
     toks = mixed_tokens_expr(text_col) if cjk_aware else tokens_expr(text_col)
     staged = (
         docs.select(F.col(id_col), toks.alias("_toks"))
