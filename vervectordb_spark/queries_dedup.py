@@ -775,7 +775,13 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cluster — Σ|cluster|² ≈ N²/k work instead of the all-pairs N²
     that `dedup_embedding_cosine`'s exact kNN baseline pays. Top-20 pairs
     by cosine; at production thresholds pass `threshold=` and drop the
-    top-k. One cluster_id-keyed shuffle; centroids broadcast."""
+    top-k. One cluster_id-keyed shuffle; centroids broadcast.
+
+    This fold variant with a FIXED k is the bit-exact oracle spec only:
+    the production path sizes k for constant occupancy (k ≈ N/256 — a
+    constant k makes pair volume quadratic, SCALE.md round-5 finding) and
+    scores each cluster with the blocked-GEMM kernel
+    (within_cluster_pairs(kernel="gemm"), what bench.py measures)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cent = (
         emb.filter(F.col("vec_id") < 8)
