@@ -381,3 +381,75 @@ def test_semdedup_gemm_kernel_matches_fold(spark):
     # BLAS-vs-fold divergence) and sims equal to float tolerance
     assert set(f) == set(g) and len(f) > 0
     assert all(abs(f[k] - g[k]) < 1e-9 for k in f)
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_arrow_expr_kernels_identical(spark):
+    """Arrow sliding-window-min kernel == interpreted expr spec, exploded
+    (doc_id, fp) compared exceptAll both ways over the real fixture."""
+    from tests.conftest import SF_DIR
+    from vervectordb_spark.schema import load_table
+
+    real = load_table(spark, SF_DIR, "documents")
+    a = D.winnow_table(real, kernel="arrow")
+    e = D.winnow_table(real, kernel="expr")
+    assert a.exceptAll(e).count() == 0
+    assert e.exceptAll(a).count() == 0
+
+
+def test_winnow_edge_docs(docs):
+    """Empty / CJK / short docs fingerprint without error on both kernels
+    and produce at least one fingerprint each (short-doc single window)."""
+    for kernel in ("arrow", "expr"):
+        out = D.winnow_table(docs, kernel=kernel).groupBy("doc_id").count()
+        got = {r["doc_id"]: r["count"] for r in out.collect()}
+        assert set(got) == {1, 2, 3, 4, 5, 6}
+        assert all(v >= 1 for v in got.values())
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """The winnowing guarantee: two docs sharing a run of w+k-1 = 6
+    consecutive tokens share at least one fingerprint — even when the
+    shared passage sits at different positions in each doc."""
+    shared = "alpha bravo charlie delta echo foxtrot"
+    rows = [
+        (1, "intro words here " + shared + " trailing stuff"),
+        (2, shared + " entirely different ending material now"),
+        (3, "no overlap with anything else at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = D.winnow_table(df, kernel="arrow")
+    pairs = D.winnow_overlap_pairs(fps, min_shared=1).collect()
+    got = {(r["src_id"], r["dst_id"]) for r in pairs}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def test_winnow_permutation_robust_vs_rolling_fingerprint(spark):
+    """Winnowing vs fingerprint_expr contrast: a doc with a PREFIX added
+    keeps (almost all) winnow fingerprints but changes the order-sensitive
+    rolling-hash fingerprint."""
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [(1, base), (2, "shifted prefix " + base)], "doc_id long, text string"
+    )
+    fp = df.select("doc_id", TX.fingerprint_expr("text").alias("f")).collect()
+    assert fp[0]["f"] != fp[1]["f"]  # rolling hash: any shift changes it
+    fps = D.winnow_table(df, kernel="arrow")
+    pairs = D.winnow_overlap_pairs(fps, min_shared=2).collect()
+    assert {(r["src_id"], r["dst_id"]) for r in pairs} == {(1, 2)}
+
+
+def test_winnow_stop_fingerprint_cap(boilerplate):
+    """Fingerprints shared by > max_bucket_size docs are dropped before
+    pairing: the 300-copy boilerplate bucket emits ZERO pairs at cap=100
+    instead of 44850, while distinct docs are unaffected."""
+    fps = D.winnow_table(boilerplate, kernel="arrow")
+    capped = D.winnow_overlap_pairs(fps, min_shared=1, max_bucket_size=100)
+    assert capped.count() == 0  # all shared fps are 300-doc boilerplate
+    uncapped = D.winnow_overlap_pairs(fps, min_shared=1, max_bucket_size=1000)
+    assert uncapped.count() == 300 * 299 // 2

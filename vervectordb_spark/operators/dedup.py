@@ -986,3 +986,155 @@ def _within_cluster_pairs_gemm(
     return assigned.select(cluster_col, id_col, emb_col).groupBy(
         cluster_col
     ).applyInPandas(kern, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS — Schleimer/Wilkerson/Aiken, SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+#: word k-grams hashed; windows of w consecutive hashes; min per window.
+DEFAULT_WINNOW_K = 3
+DEFAULT_WINNOW_W = 4
+
+
+def positional_shingles_expr(text_col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles IN POSITION ORDER, duplicates kept — winnowing
+    consumes the positional hash sequence, unlike the set-semantics
+    `shingles_expr`. Short docs (< n tokens) yield one whole-text shingle,
+    matching shingles_expr's short-doc rule."""
+    toks = tokens_expr(text_col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def winnow_fingerprints_expr(
+    text_col: Column | str,
+    k: int = DEFAULT_WINNOW_K,
+    w: int = DEFAULT_WINNOW_W,
+) -> Column:
+    """Winnowed fingerprint SET of a document (sorted array<long>).
+
+    hashes  h[1..n] = md5_60 of the positional word k-gram shingles;
+    windows j = 1 .. max(n-w+1, 1) of w consecutive hashes
+    (short docs: one window over everything — slice clamps);
+    fingerprints = DISTINCT window minima.
+
+    Selecting by VALUE makes the set independent of any tie-break rule
+    (the original algorithm's rightmost-min rule only changes which
+    *position* is recorded, never the value set). Guarantee: two docs
+    sharing any run of w+k-1 consecutive tokens share >= 1 fingerprint;
+    expected density 2/(w+1). This is the bit-exact oracle SPEC — the
+    per-window slice/array_min lambdas run on Spark's interpreted
+    evaluator (SCALE.md finding: higher-order exprs don't codegen);
+    `winnow_table(kernel="arrow")` is the production path, pinned
+    value-identical by pytest.
+
+    Unlike the reference's set-similarity sketches (MinHash over
+    /root/reference/vervectordb-style corpora), winnowing is
+    order-sensitive locally but robust to global reordering/insertion —
+    the standard fingerprint for contiguous-passage overlap."""
+    hs = F.transform(positional_shingles_expr(text_col, k), md5_long)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(hs) - (w - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(hs, j, w)),
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
+def winnow_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_WINNOW_K,
+    w: int = DEFAULT_WINNOW_W,
+    kernel: str = "arrow",
+) -> DataFrame:
+    """(id, fp) — exploded winnowed fingerprints, one row per distinct
+    fingerprint per document (~2·n_shingles/(w+1) rows/doc). Map-only:
+    fingerprinting never shuffles; only downstream overlap joins do.
+
+    kernel="arrow": JVM tokens → one mapInPandas pass doing k-gram join,
+    md5-60, and a vectorized sliding-window min (np.minimum.reduce over w
+    shifted views — O(n·w) C ops, no Python loop per window). Values are
+    pinned identical to the expr spec by tests/test_dedup_text.py."""
+    if kernel != "arrow":
+        fps = df.select(
+            F.col(id_col), winnow_fingerprints_expr(text_col, k, w).alias("_fps")
+        )
+        return fps.select(F.col(id_col), F.explode("_fps").alias("fp"))
+
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    toked = df.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+    out_schema = StructType(
+        [toked.schema[id_col], StructField("_fps", ArrayType(LongType()), False)]
+    )
+
+    def kern(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            fps_out = []
+            for toks in pdf["_toks"]:
+                toks = list(toks) if toks is not None else []
+                m = max(len(toks) - (k - 1), 1)
+                grams = [" ".join(toks[i : i + k]) for i in range(m)]
+                hs = np.array(
+                    [
+                        int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                        for g in grams
+                    ],
+                    dtype=np.int64,
+                )
+                n = len(hs)
+                if n <= w:
+                    mins = hs.min(keepdims=True)
+                else:
+                    # min over w shifted views == per-window minima
+                    mins = np.minimum.reduce(
+                        [hs[j : n - w + 1 + j] for j in range(w)]
+                    )
+                fps_out.append(np.unique(mins).tolist())
+            yield pd.DataFrame({pdf.columns[0]: pdf.iloc[:, 0], "_fps": fps_out})
+
+    fps = toked.mapInPandas(kern, out_schema)
+    return fps.select(F.col(id_col), F.explode("_fps").alias("fp"))
+
+
+def winnow_overlap_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """(src_id, dst_id, n_shared) — document pairs sharing >= min_shared
+    winnowed fingerprints, the MOSS overlap report.
+
+    Shape: ONE shuffle on fp sizes the buckets (window count), the
+    self-join reuses that partitioning, then a (src,dst) shuffle
+    aggregates shared counts. Fingerprints shared by more than
+    max_bucket_size documents are DROPPED before pairing (boilerplate
+    stop-fingerprints — license headers, cookie banners; at web scale such
+    a bucket is 10^5+ docs and contributes quadratic pairs while carrying
+    no discriminative signal). Unlike `_capped_band_candidates`'s hub-star
+    (where components recover clusters), overlap SCORES must not be
+    diluted by fake hub links, so the cap here is an explicit drop —
+    mirrored in the oracle SQL via QUALIFY."""
+    from pyspark.sql import Window
+
+    sized = fps.withColumn(
+        "_bsize", F.count("*").over(Window.partitionBy("fp"))
+    ).filter(F.col("_bsize") <= max_bucket_size)
+    left = sized.select(F.col("fp"), F.col(id_col).alias("src_id"))
+    right = sized.select(F.col("fp"), F.col(id_col).alias("dst_id"))
+    pairs = left.join(right, on="fp").filter(F.col("src_id") < F.col("dst_id"))
+    return (
+        pairs.groupBy("src_id", "dst_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

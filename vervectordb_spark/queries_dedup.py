@@ -798,3 +798,120 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster_id", "src_id", "dst_id",
                 F.round("sim", 6).alias("sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS) — positional k-gram hashes, min per sliding
+# window, distinct. k=3 words, w=4 windows (expected density 2/(w+1)=0.4).
+# The oracle rebuilds the identical pipeline in DuckDB list functions.
+# ---------------------------------------------------------------------------
+
+_WK = D.DEFAULT_WINNOW_K  # 3
+_WW = D.DEFAULT_WINNOW_W  # 4
+
+#: positional word k-grams — like _SHINGLES but ORDER KEPT, dupes kept
+_PSHINGLES = (
+    "list_transform("
+    f"range(1, greatest(len(toks) - {_WK - 1}, 1) + 1), "
+    f"i -> array_to_string(list_slice(toks, i, i + {_WK - 1}), ' '))"
+)
+
+#: window minima over the hash sequence hs (clamped slice = short-doc rule)
+_WMINS = (
+    "list_transform("
+    f"range(1, greatest(len(hs) - {_WW - 1}, 1) + 1), "
+    f"j -> list_min(list_slice(hs, j, j + {_WW - 1})))"
+)
+
+
+@query(
+    "winnow_fingerprint_profile",
+    oracle=f"""
+WITH toked AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+hashed AS (
+  SELECT doc_id,
+         list_transform({_PSHINGLES}, s -> {_md5_sql('s')}) AS hs
+  FROM toked
+),
+fps AS (
+  SELECT doc_id, list_sort(list_distinct({_WMINS})) AS fps FROM hashed
+)
+SELECT doc_id,
+       len(fps)::BIGINT AS n_fps,
+       fps[1] AS fp_min,
+       fps[len(fps)] AS fp_max
+FROM fps
+""",
+)
+def winnow_fingerprint_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowed fingerprint profile via the Arrow kernel
+    (the production path — the oracle gate thereby pins kernel == spec
+    == DuckDB on the full corpus every round)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = D.winnow_table(docs, k=_WK, w=_WW, kernel="arrow")
+    return fps.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fps"),
+        F.min("fp").alias("fp_min"),
+        F.max("fp").alias("fp_max"),
+    )
+
+
+@query(
+    "winnow_overlap",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 30000 AS doc_id,
+         'planted preamble boilerplate ' || text AS text
+  FROM documents WHERE doc_id < 20
+),
+toked AS (SELECT doc_id, {_TOKS} AS toks FROM base),
+hashed AS (
+  SELECT doc_id,
+         list_transform({_PSHINGLES}, s -> {_md5_sql('s')}) AS hs
+  FROM toked
+),
+fpe AS (
+  SELECT doc_id, unnest(list_distinct({_WMINS})) AS fp FROM hashed
+),
+sized AS (
+  SELECT * FROM fpe
+  QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 1000
+),
+pairs AS (
+  SELECT a.doc_id AS src_id, b.doc_id AS dst_id
+  FROM sized a JOIN sized b USING (fp)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT src_id, dst_id, COUNT(*)::BIGINT AS n_shared
+FROM pairs
+GROUP BY src_id, dst_id
+HAVING COUNT(*) >= 2
+ORDER BY n_shared DESC, src_id, dst_id
+LIMIT 50
+""",
+)
+def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style contiguous-passage overlap: pairs sharing >= 2 winnowed
+    fingerprints, top-50 by shared count. 20 planted copies carry a
+    3-word prefix — a pure position SHIFT plus novel leading k-grams —
+    and must still surface: winnowing fingerprints by value, not
+    position, so every surviving window minimum of the original text
+    reappears in the planted copy. Prefix-planting (vs dedup_exact's
+    byte copies) is what separates this from exact/MinHash dedup in the
+    test matrix. Fingerprints shared by > 1000 docs are dropped on BOTH
+    engines (stop-fingerprint cap, operators/dedup.winnow_overlap_pairs)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 30000).alias("doc_id"),
+        F.concat(F.lit("planted preamble boilerplate "), F.col("text")).alias(
+            "text"
+        ),
+    )
+    base = docs.unionByName(planted)
+    fps = D.winnow_table(base, k=_WK, w=_WW, kernel="arrow")
+    pairs = D.winnow_overlap_pairs(fps, min_shared=2, max_bucket_size=1000)
+    return pairs.orderBy(
+        F.desc("n_shared"), F.asc("src_id"), F.asc("dst_id")
+    ).limit(50)
