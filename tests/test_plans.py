@@ -416,3 +416,22 @@ def test_semdedup_single_cluster_shuffle_broadcast_centroids(spark):
     # self-join sides on cluster_id (window partitioning reuses it)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     A.assert_not_operator(plan, "CartesianProduct")
+
+
+def test_bloom_prune_filter_sits_below_join_exchange(spark):
+    """bloom_prune_join's fact side: the Bloom membership predicate
+    (element_at over the broadcast word array) must evaluate in the scan
+    stage — BEFORE any Exchange — so only candidate rows shuffle."""
+    from vervectordb_spark.queries_relational import bloom_prune_join
+
+    plan = A.physical_plan(bloom_prune_join(spark, SF_DIR))
+    assert "element_at" in plan
+    # the detailed section order follows the tree bottom-up per branch:
+    # the bloom Filter's section must directly follow the lineitem scan's
+    # section with no Exchange between them (filter feeds on the scan).
+    scan_at = plan.index("lineitem.parquet")
+    probe_at = plan.index("element_at", scan_at)
+    between = plan[scan_at:probe_at]
+    assert "Exchange" not in between, between
+    # and the probe is over the fact join key
+    assert "l_orderkey" in plan[probe_at : probe_at + 1200]

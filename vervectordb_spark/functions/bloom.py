@@ -1,0 +1,171 @@
+"""Broadcast Bloom-filter semi-join pruning — the 100 TB join reducer.
+
+A selective dim-side predicate usually kills most fact rows, but a plain
+`fact JOIN dim` still SHUFFLES the whole fact table before the join drops
+them. The classic fix is a semi-join reduction: build a compact membership
+sketch of the surviving dim keys, broadcast it, and filter the fact table
+MAP-SIDE before any exchange — at 100 TB that converts "shuffle 100 TB,
+keep 1%" into "shuffle 1 TB".
+
+Spark ships this as runtime filtering (`spark.sql.optimizer.runtime.
+bloomFilter.enabled` injects a BloomFilterAggregate + might_contain around
+shuffle joins). This module is the EXPLICIT, inspectable version of the
+same idea, built on the repo's portable md5-60 + affine hash family
+(functions/hashing.py) so behavior is deterministic, oracle-replayable,
+and available on any join shape (the optimizer rule only fires on shuffle
+joins that pass its cost heuristics):
+
+  build:  one distributed pass — k positions per key, position → (word,
+          bit), `bit_or` partial-aggregated per 64-bit word, the ≤
+          num_bits/64 non-zero words collected (a 2^17-bit filter is 2 048
+          longs = 16 KB — driver/broadcast cost is O(num_bits), a
+          CONSTANT, never O(keys)).
+  prune:  a map-side filter: k md5/affine probes per fact row, all inside
+          whole-stage codegen (array-literal `element_at` + shiftleft —
+          no UDF, no shuffle, no driver loop).
+
+No false negatives ever (every inserted key probes 1-bits only); false
+positives at rate ≈ (1 − e^{−k·n/m})^k pass the pruned filter and are
+eliminated by the exact join that follows — so `bloom_prune` + exact join
+is RESULT-IDENTICAL to the plain join (the oracle for `bloom_prune_join`
+is therefore the plain-join SQL).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+from math import ceil, exp, log
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vervectordb_spark.functions.hashing import affine_hash, md5_long
+
+__all__ = [
+    "BloomFilter",
+    "bloom_build",
+    "bloom_prune",
+    "bloom_size_for",
+    "DEFAULT_NUM_BITS",
+    "DEFAULT_NUM_HASHES",
+]
+
+#: 2^17 bits = 16 KB — ~1% fpp at 13k keys, ~4.5% at 26k. Size with
+#: bloom_size_for() when the key count is known.
+DEFAULT_NUM_BITS = 1 << 17
+DEFAULT_NUM_HASHES = 4
+
+
+@dataclass(frozen=True)
+class BloomFilter:
+    """Immutable built filter: `words[i]` holds bits [64·i, 64·i+63]."""
+
+    words: tuple[int, ...]
+    num_bits: int
+    num_hashes: int
+    n_inserted: int  # rows hashed in (with multiplicity — pre-distinct)
+
+    def fpp_estimate(self) -> float:
+        """(1 − e^{−k·n/m})^k with n = rows inserted (an upper bound when
+        keys repeat — repeated keys set no new bits)."""
+        k, n, m = self.num_hashes, self.n_inserted, self.num_bits
+        return (1.0 - exp(-k * n / m)) ** k
+
+    def might_contain(self, key: str) -> bool:
+        """Driver-side probe (tests / spot checks) — same arithmetic as
+        the distributed prune path."""
+        import hashlib
+
+        from vervectordb_spark.functions.hashing import AFFINE_MOD, affine_params
+
+        h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+        for i in range(self.num_hashes):
+            a, b = affine_params(i)
+            p = (a * (h % AFFINE_MOD) + b) % AFFINE_MOD % self.num_bits
+            if not (self.words[p >> 6] >> (p & 63)) & 1:
+                return False
+        return True
+
+
+def bloom_size_for(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
+    """(num_bits, num_hashes) for a target false-positive rate:
+    m = −n·ln(p)/ln(2)², k = (m/n)·ln(2); m rounded up to whole words."""
+    m = ceil(-n_keys * log(fpp) / (log(2) ** 2))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / max(n_keys, 1) * log(2)))
+    return m, k
+
+
+def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    """k probe positions in [0, num_bits): affine family over ONE md5 of
+    the stringified key — md5 cost paid once per row regardless of k."""
+    h = md5_long(key.cast("string"))
+    return [affine_hash(h, i) % F.lit(num_bits) for i in range(num_hashes)]
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> BloomFilter:
+    """Build a BloomFilter over df[key_col] in ONE distributed job.
+
+    explode(k positions/row) → (word = p>>6, mask = 1<<(p&63)) →
+    groupBy(word).bit_or(mask) — the bit_or partial-aggregates map-side,
+    so the shuffle carries at most num_bits/64 rows per input partition
+    no matter how many keys flow in. The collect is ≤ num_bits/64 rows
+    (bounded by the CONSTANT filter size, not the data)."""
+    if num_bits % 64 != 0:
+        raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
+    pos = F.array(*_positions(F.col(key_col), num_bits, num_hashes))
+    ex = df.select(F.explode(pos).alias("_p"))
+    agg = (
+        ex.select(
+            F.expr("shiftright(_p, 6)").alias("_w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST((_p & 63) AS INT))"
+            ).alias("_m"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_m").alias("_bits"), F.count("*").alias("_n"))
+        .collect()
+    )
+    words = [0] * (num_bits // 64)
+    total = 0
+    for r in agg:
+        words[r["_w"]] = r["_bits"]
+        total += r["_n"]
+    return BloomFilter(
+        words=tuple(words),
+        num_bits=num_bits,
+        num_hashes=num_hashes,
+        n_inserted=total // num_hashes,
+    )
+
+
+def bloom_prune(df: DataFrame, key_col: str, bf: BloomFilter) -> DataFrame:
+    """Map-side Bloom pre-filter: keep rows whose key probes all-1 bits.
+
+    Superset guarantee: every row whose key was inserted at build time
+    survives (no false negatives); expected extra rows = fpp_estimate() of
+    the non-matching rows. The whole predicate is JVM column arithmetic
+    over a 16 KB array literal — whole-stage codegen, zero Python, zero
+    shuffle, evaluated at the scan so Parquet row groups stream straight
+    into the filter."""
+    probes = _positions(F.col(key_col), bf.num_bits, bf.num_hashes)
+    out = df.withColumn("_bloom_words", F.lit(list(bf.words)))
+    conds = []
+    for i, p in enumerate(probes):
+        out = out.withColumn(f"_bp{i}", p)
+        conds.append(
+            F.expr(
+                f"(element_at(_bloom_words, CAST(shiftright(_bp{i}, 6) AS INT)"
+                f" + 1) & shiftleft(CAST(1 AS BIGINT), CAST((_bp{i} & 63)"
+                " AS INT))) <> 0"
+            )
+        )
+    pred = reduce(lambda a, b: a & b, conds)
+    drop = ["_bloom_words"] + [f"_bp{i}" for i in range(bf.num_hashes)]
+    return out.filter(pred).drop(*drop)

@@ -907,3 +907,68 @@ def events_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("lo"),
         F.round(F.max("value"), 6).alias("hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning (functions/bloom.py) — the fact table is
+# map-side pre-filtered by a broadcast Bloom filter of the surviving dim
+# keys BEFORE any shuffle. Superset + exact join ⇒ result-identical to the
+# plain join, so the oracle IS the plain join — what the gate certifies is
+# "pruning never loses a row"; pytest covers that it actually prunes.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bloom_prune_join",
+    oracle="""
+SELECT o.o_orderpriority,
+       COUNT(*)::BIGINT AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice >= 450000
+GROUP BY o.o_orderpriority
+""",
+)
+def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of line items belonging to high-value orders (~10% of
+    orders survive the dim predicate), with the fact side Bloom-pruned
+    before the join shuffle.
+
+    100 TB shape: a plain join shuffles ALL of lineitem to drop ~90% of
+    it at the join; here a ~O(keys·10 bits) filter built in one dim-side
+    job is broadcast as a constant and evaluated AT THE SCAN, so only
+    candidate rows (matches + ~1% false positives) enter the exchange.
+    The filter is sized from a dim-side count (bloom_size_for, 1% fpp) —
+    the same count a runtime-stats optimizer would have for free."""
+    from vervectordb_spark.functions.bloom import (
+        bloom_build,
+        bloom_prune,
+        bloom_size_for,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 450000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    n_keys = orders.count()
+    num_bits, num_hashes = bloom_size_for(max(n_keys, 1), fpp=0.01)
+    bf = bloom_build(orders, "o_orderkey", num_bits, num_hashes)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        one - F.col("l_discount").cast("decimal(18,2)")
+    )
+    pruned = bloom_prune(li, "l_orderkey", bf)
+    joined = pruned.join(
+        orders, pruned.l_orderkey == orders.o_orderkey
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
