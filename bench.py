@@ -453,6 +453,28 @@ def build_benches(spark, sf_dir: str):
     except ImportError:
         pass
 
+    try:
+        from vervectordb_spark.operators.dedup import (
+            winnow_overlap_pairs,
+            winnow_table,
+        )
+        from vervectordb_spark.queries_relational import bloom_prune_join
+
+        @bench("winnow_overlap")
+        def _winnow():
+            # MOSS fingerprint overlap: Arrow sliding-window-min kernel,
+            # fp-bucket join with the stop-fingerprint drop
+            fps = winnow_table(docs, kernel="arrow")
+            return _force(winnow_overlap_pairs(fps, min_shared=2))
+
+        @bench("bloom_prune_join")
+        def _bloom():
+            # semi-join reduction: dim-side bloom build (one job) + a
+            # map-side codegen probe at the fact scan, then exact join
+            return _force(bloom_prune_join(spark, sf_dir))
+    except ImportError:
+        pass
+
     return benches
 
 

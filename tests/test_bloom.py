@@ -50,16 +50,35 @@ def test_prune_then_join_equals_plain_join(spark, built):
     assert plain.exceptAll(pruned).count() == 0
 
 
-def test_driver_probe_matches_distributed(spark, built):
-    """BloomFilter.might_contain (pure-Python) and bloom_prune (Spark
-    exprs) implement the same arithmetic."""
-    dim, bf = built
+def test_driver_probe_matches_distributed_md5_family(spark):
+    """BloomFilter.might_contain (pure-Python md5/affine) and bloom_prune
+    (Spark exprs) implement the same arithmetic — md5 family only; the
+    default xxhash family raises on driver probes (no Python twin)."""
+    dim = spark.range(0, 2000).select((F.col("id") * 3).alias("k"))
+    bf = bloom_build(dim, "k", num_bits=1 << 15, num_hashes=4,
+                     hash_family="md5")
     sample = spark.range(0, 200).select(F.col("id").alias("k"))
-    spark_keep = {
-        r["k"] for r in bloom_prune(sample, "k", bf).collect()
-    }
+    spark_keep = {r["k"] for r in bloom_prune(sample, "k", bf).collect()}
     py_keep = {k for k in range(200) if bf.might_contain(str(k))}
     assert spark_keep == py_keep
+    xx = bloom_build(dim, "k", num_bits=1 << 15, num_hashes=4)
+    with pytest.raises(ValueError, match="md5"):
+        xx.might_contain("3")
+
+
+def test_md5_and_xxhash_families_agree_on_semantics(spark, built):
+    """Same superset law for both families: identical pruned-join results
+    even though the bit patterns differ."""
+    dim, bf_xx = built
+    bf_md5 = bloom_build(dim, "k", num_bits=1 << 15, num_hashes=4,
+                         hash_family="md5")
+    fact = spark.range(0, 20000).select(
+        (F.col("id") % 7000).alias("k"), F.col("id").alias("v")
+    )
+    a = bloom_prune(fact, "k", bf_xx).join(dim, on="k")
+    b = bloom_prune(fact, "k", bf_md5).join(dim, on="k")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
 
 
 def test_size_for_math():

