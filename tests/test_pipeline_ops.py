@@ -244,3 +244,71 @@ def test_normalize_text_semantics(spark):
     low = {r["doc_id"]: r["n"] for r in df.select(
         "doc_id", normalize_text_expr("text", lowercase=True).alias("n")).collect()}
     assert low[4] == "upper case"
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (Efraimidis–Spirakis A-ES top-k)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    """Two weight classes, 10:1 — the heavy class must win a clear
+    majority of sample slots (expected share 10/11 ≈ 0.91; deterministic
+    given the fixed seed)."""
+    from vervectordb_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 10.0 if i < 500 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = weighted_sample(df, "id", "w", k=200, seed=7).collect()
+    assert len(got) == 200
+    heavy = sum(1 for r in got if r["id"] < 500)
+    assert heavy > 160, f"heavy rows got only {heavy}/200 slots"
+
+
+def test_weighted_sample_deterministic_under_repartition(spark):
+    from vervectordb_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(1 + i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    a = {r["id"] for r in weighted_sample(df, "id", "w", k=50).collect()}
+    b = {r["id"] for r in
+         weighted_sample(df.repartition(13), "id", "w", k=50).collect()}
+    assert a == b
+
+
+def test_weighted_sample_excludes_nonpositive_and_null_weights(spark):
+    from vervectordb_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -2.0), (4, None), (5, 5.0)],
+        "id long, w double",
+    )
+    got = {r["id"] for r in weighted_sample(df, "id", "w", k=10).collect()}
+    assert got == {1, 5}
+
+
+def test_weighted_sample_per_stratum(spark):
+    from vervectordb_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b", 1.0 + i % 3) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, s string, w double")
+    got = weighted_sample(df, "id", "w", k=10, strata_col="s").collect()
+    from collections import Counter
+
+    c = Counter(r["s"] for r in got)
+    assert c == {"a": 10, "b": 10}
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    """Global k must compile to TakeOrderedAndProject, not a full sort."""
+    from vervectordb_spark.operators.sampling import weighted_sample
+    from vervectordb_spark.plans import audit as A
+    from vervectordb_spark.schema import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = A.physical_plan(
+        weighted_sample(docs.filter(F.col("n_chars") > 0),
+                        "doc_id", "n_chars", k=50)
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]

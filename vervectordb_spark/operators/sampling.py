@@ -117,3 +117,51 @@ def mix_to_target(df: DataFrame, strata_col: str, targets: dict[str, float],
         .filter(hash_uniform_expr(id_col, seed) < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def weighted_sample_key_expr(id_col: Column | str, weight_col: Column | str,
+                             seed: int = 42) -> Column:
+    """Efraimidis–Spirakis (2006) A-ES sampling key: ln(u)/w with the
+    deterministic hash draw u ∈ (0, 1] (the +1 keeps ln finite at the
+    2^-60 corner). Taking the k LARGEST keys is a weighted random sample
+    without replacement — P(row drawn next) ∝ w among the remaining —
+    but as a pure row function it is distributed-friendly: a global
+    top-k (TakeOrderedAndProject) or a per-stratum window rank, no
+    sequential reservoir state.
+
+    Float caveat (same as BM25's, operators/hybrid.py): ln() is not
+    bit-portable across libm implementations, so callers that cross the
+    oracle gate ROUND the key (9 dp) and tie-break on id — order is
+    preserved wherever keys differ meaningfully, and sub-rounding ties
+    collapse to the deterministic id order on both engines."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = md5_long(F.concat(F.lit(f"sample:{seed}:"), c.cast("string")))
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(_HASH_SPACE)
+    return F.log(u) / w.cast("double")
+
+
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str, k: int,
+                    seed: int = 42, strata_col: str | None = None,
+                    key_col: str = "skey") -> DataFrame:
+    """Top-k weighted sample: global (orderBy().limit() →
+    TakeOrderedAndProject, never a full sort) or per-stratum (window
+    rank over the stratum key — parallel across strata). Weights must be
+    > 0; rows with NULL/non-positive weight are excluded (a zero weight
+    means "never sample")."""
+    w = F.col(weight_col).cast("double")
+    keyed = df.filter(w.isNotNull() & (w > 0.0)).withColumn(
+        key_col, weighted_sample_key_expr(id_col, weight_col, seed)
+    )
+    if strata_col is None:
+        return keyed.orderBy(F.desc(key_col), F.asc(id_col)).limit(k)
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(strata_col).orderBy(
+        F.desc(key_col), F.asc(id_col)
+    )
+    return (
+        keyed.withColumn("_rk", F.row_number().over(win))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -485,3 +485,59 @@ def pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fill_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling — Efraimidis–Spirakis A-ES as a deterministic top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_weighted",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         round(ln(((('0x' || substr(md5('sample:{_SAMPLE_SEED}:' || doc_id), 1, 15))::BIGINT)::DOUBLE + 1.0)
+                  / 1152921504606846976.0) / n_chars::DOUBLE, 9) AS skey
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight, skey
+FROM keyed
+ORDER BY skey DESC, doc_id
+LIMIT 50
+""",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted random sample of 50 documents WITHOUT replacement
+    (weight = n_chars — inclusion odds ∝ document length, the standard
+    token-budget-aware curation draw). A-ES key ln(u)/w over the
+    deterministic hash draw; global top-k runs as
+    TakeOrderedAndProject, so the 100 TB cost is one scan + per-partition
+    heaps — no global sort, no reservoir state, reproducible under any
+    partitioning (operators/sampling.weighted_sample). Key rounded to
+    9 dp for the cross-engine gate (ln() libm drift; see
+    weighted_sample_key_expr docstring)."""
+    from vervectordb_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_key_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    keyed = docs.filter(F.col("n_chars") > 0).withColumn(
+        "skey",
+        F.round(
+            weighted_sample_key_expr("doc_id", "n_chars", seed=_SAMPLE_SEED), 9
+        ),
+    )
+    return (
+        keyed.orderBy(F.desc("skey"), F.asc("doc_id"))
+        .limit(50)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("weight"),
+            "skey",
+        )
+    )
