@@ -427,11 +427,13 @@ def test_bloom_prune_filter_sits_below_join_exchange(spark):
     plan = A.physical_plan(bloom_prune_join(spark, SF_DIR))
     assert "element_at" in plan
     # the detailed section order follows the tree bottom-up per branch:
-    # the bloom Filter's section must directly follow the lineitem scan's
-    # section with no Exchange between them (filter feeds on the scan).
+    # between the lineitem scan's section and the bloom probe there may
+    # be the 1-row words BroadcastExchange (how the filter array ships —
+    # see bloom_prune docstring) but never a SHUFFLE of the fact rows.
     scan_at = plan.index("lineitem.parquet")
     probe_at = plan.index("element_at", scan_at)
     between = plan[scan_at:probe_at]
-    assert "Exchange" not in between, between
+    assert "hashpartitioning" not in between, between
+    assert "ShuffleExchange" not in between, between
     # and the probe is over the fact join key
     assert "l_orderkey" in plan[probe_at : probe_at + 1200]

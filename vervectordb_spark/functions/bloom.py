@@ -186,12 +186,24 @@ def bloom_prune(df: DataFrame, key_col: str, bf: BloomFilter) -> DataFrame:
 
     Superset guarantee: every row whose key was inserted at build time
     survives (no false negatives); expected extra rows = fpp_estimate() of
-    the non-matching rows. The whole predicate is JVM column arithmetic
-    over a 16 KB array literal — whole-stage codegen, zero Python, zero
-    shuffle, evaluated at the scan so Parquet row groups stream straight
-    into the filter."""
+    the non-matching rows. The predicate is pure JVM column arithmetic —
+    whole-stage codegen, zero Python, zero shuffle — applied in the scan
+    stage before any exchange.
+
+    The word array rides a BROADCAST 1-row DataFrame (BroadcastNestedLoop
+    join against one row), NOT a column literal: projection collapse
+    inlines a literal alias into every AND conjunct, so a k-hash probe
+    over an m-bit filter would serialize k copies of m/64 longs into the
+    task binary — measured 7.2 MiB tasks at a 1.4 M-bit filter. As a
+    broadcast attribute the array ships once via the broadcast exchange
+    (the same transport Spark's own runtime bloom filter uses) and each
+    conjunct reads the shared reference."""
+    spark = df.sparkSession
+    words_df = spark.createDataFrame(
+        [(list(bf.words),)], "_bloom_words: array<long>"
+    )
+    out = df.crossJoin(F.broadcast(words_df))
     probes = _positions(F.col(key_col), bf.num_bits, bf.num_hashes, bf.hash_family)
-    out = df.withColumn("_bloom_words", F.lit(list(bf.words)))
     conds = []
     for i, p in enumerate(probes):
         out = out.withColumn(f"_bp{i}", p)
