@@ -358,3 +358,90 @@ def decontaminate_ngrams_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared_ngrams"))
         .orderBy(F.desc("n_shared_ngrams"), "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter decontamination — constant-size eval-set membership.
+# The broadcast-set variants (decontaminate_ngrams[_hashed]) ship the eval
+# suite's n-grams verbatim; at a 100 TB corpus vs a many-benchmark eval
+# union (10^7+ n-grams) the practical filter is a CONSTANT-size Bloom:
+# over-removal at the fpp rate is the conservative, accepted error mode
+# (a contaminated doc is never missed — no false negatives).
+#
+# Oracle trick: a bloom bit being set ⇔ its position being in the bench
+# position set, so DuckDB replays the md5-family filter EXACTLY as a
+# distinct-position semi-join (no 1<<63 bit packing, which DuckDB's
+# shift-overflow check rejects) while Spark runs the real packed-bits
+# probe (functions/bloom.bloom_prune) — bit-identical pass/fail per
+# n-gram, hence identical per-doc counts.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 15  # fixed so the oracle SQL is a literal; prod sizes by count
+_BLOOM_K = 4
+
+from vervectordb_spark.functions.hashing import affine_hash_sql as _aff  # noqa: E402
+
+_NG_H = "(('0x' || substr(md5(ng), 1, 15))::BIGINT)"
+_POS_LIST = "[" + ", ".join(
+    f"({_aff(_NG_H, i)} % {_BLOOM_M})" for i in range(_BLOOM_K)
+) + "]"
+
+
+@query(
+    "decontaminate_bloom",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS ng
+  FROM t
+),
+bpos AS (
+  SELECT DISTINCT unnest({_POS_LIST}) AS p
+  FROM (SELECT DISTINCT ng FROM s WHERE doc_id % 97 = 0)
+),
+cp AS (
+  SELECT doc_id, ng, unnest({_POS_LIST}) AS p
+  FROM s WHERE doc_id % 97 <> 0
+),
+pass AS (
+  SELECT cp.doc_id, cp.ng
+  FROM cp JOIN bpos USING (p)
+  GROUP BY cp.doc_id, cp.ng
+  HAVING COUNT(*) = {_BLOOM_K}
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_suspected
+FROM pass GROUP BY doc_id
+ORDER BY n_suspected DESC, doc_id
+""",
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document count of n-grams flagged by a Bloom filter of the
+    eval suite's n-grams (docs with doc_id % 97 == 0 stand in). Compared
+    with `decontaminate_ngrams`' exact broadcast set this is the
+    constant-memory form: the filter is {_BLOOM_M} bits REGARDLESS of
+    eval-suite size, counts can only over-state (no false negatives —
+    every truly shared n-gram is flagged), and the gate's sf1 replay
+    exercises the saturated-filter regime where false positives are
+    plentiful — both engines must agree bit-for-bit there too.
+
+    Scale posture: bench side = one bounded build job; corpus side =
+    map-side probe at the scan + one groupBy(doc_id) — the corpus
+    n-grams that fail the probe never shuffle."""
+    from vervectordb_spark.functions.bloom import bloom_build, bloom_prune
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_table(docs, shingle_n=3).select(
+        "doc_id", F.explode("shingles").alias("ng")
+    )
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select("ng").distinct()
+    bf = bloom_build(bench, "ng", num_bits=_BLOOM_M, num_hashes=_BLOOM_K,
+                     hash_family="md5")
+    return (
+        bloom_prune(sh.filter(F.col("doc_id") % 97 != 0), "ng", bf)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_suspected"))
+        .orderBy(F.desc("n_suspected"), "doc_id")
+    )
