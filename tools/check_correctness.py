@@ -61,9 +61,11 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -102,7 +104,8 @@ def main() -> int:
         else:
             print(f"OK    {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} checked OK")
+    print(f"\n{checked - len(failures)}/{checked} checked OK"
+          + (f"  (subset of {len(qs)})" if only else ""))
     return 1 if failures else 0
 
 
