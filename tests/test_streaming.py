@@ -387,3 +387,68 @@ def test_streaming_repetition_gate_matches_batch(spark, docs_dir):
         .filter(repetition_gate("text")).select("doc_id").collect()
     }
     assert got == want and 0 < len(want)
+
+
+def test_streaming_bloom_decontamination_matches_batch(spark, docs_dir):
+    """bloom_prune is a stateless per-row filter (the words ride a
+    broadcast), so the SAME BloomFilter applies to a readStream unchanged
+    — the streaming form of constant-size decontamination: build the
+    eval-set filter once, screen the crawl as it arrives. Landed n-gram
+    set must equal the batch run's exactly."""
+    from vervectordb_spark.functions.bloom import bloom_build, bloom_prune
+    from vervectordb_spark.operators import dedup as D
+    from vervectordb_spark.schema import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sh_batch = D.shingle_table(docs, shingle_n=3).select(
+        "doc_id", F.explode("shingles").alias("ng")
+    )
+    bench = sh_batch.filter(F.col("doc_id") % 97 == 0).select("ng").distinct()
+    bf = bloom_build(bench, "ng", num_bits=1 << 15, num_hashes=4)
+
+    stream = SI.stream_documents(spark, docs_dir, max_files_per_trigger=1)
+    sh_stream = D.shingle_table(
+        stream.select("doc_id", "text"), shingle_n=3, kernel="expr"
+    ).select("doc_id", F.explode("shingles").alias("ng"))
+    flagged = bloom_prune(sh_stream.filter(F.col("doc_id") % 97 != 0), "ng", bf)
+    assert flagged.isStreaming
+    _run_to_memory(flagged, "stream_bloom_flags", mode="append")
+    got = {
+        (r["doc_id"], r["ng"])
+        for r in spark.sql("SELECT doc_id, ng FROM stream_bloom_flags").collect()
+    }
+    want = {
+        (r["doc_id"], r["ng"])
+        for r in bloom_prune(
+            sh_batch.filter(F.col("doc_id") % 97 != 0), "ng", bf
+        ).collect()
+    }
+    assert got == want
+
+
+def test_streaming_winnow_fingerprints_match_batch(spark, docs_dir):
+    """winnow_table is a stateless map (JVM tokens → Arrow kernel), so
+    streamed documents fingerprint identically to batch — the streaming
+    half of incremental overlap detection (new docs' fingerprints join
+    the historical fingerprint table)."""
+    from vervectordb_spark.operators import dedup as D
+    from vervectordb_spark.schema import load_table
+
+    stream = SI.stream_documents(spark, docs_dir, max_files_per_trigger=1)
+    fps = D.winnow_table(
+        stream.select("doc_id", "text").filter(F.col("doc_id") < 100),
+        kernel="arrow",
+    )
+    assert fps.isStreaming
+    _run_to_memory(fps, "stream_winnow_fps", mode="append")
+    got = {
+        (r["doc_id"], r["fp"])
+        for r in spark.sql("SELECT doc_id, fp FROM stream_winnow_fps").collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 100)
+    want = {
+        (r["doc_id"], r["fp"])
+        for r in D.winnow_table(docs.select("doc_id", "text"),
+                                kernel="arrow").collect()
+    }
+    assert got == want
