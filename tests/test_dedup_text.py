@@ -453,3 +453,45 @@ def test_winnow_stop_fingerprint_cap(boilerplate):
     assert capped.count() == 0  # all shared fps are 300-doc boilerplate
     uncapped = D.winnow_overlap_pairs(fps, min_shared=1, max_bucket_size=1000)
     assert uncapped.count() == 300 * 299 // 2
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup (new batch vs history)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_never_pairs_history_with_itself(spark):
+    """Two identical docs both in HISTORY must produce no pair; the same
+    doc arriving in the NEW batch must pair with both."""
+    hist = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "entirely unrelated text about columnar storage")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "fresh novel content never seen before anywhere")],
+        "doc_id long, text string",
+    )
+    got = D.incremental_near_dup_pairs(new, hist, threshold=0.5).collect()
+    pairs = {(r["new_id"], r["hist_id"]) for r in got}
+    assert pairs == {(100, 1), (100, 2)}
+
+
+def test_incremental_hot_history_bucket_dropped(boilerplate):
+    """A history band bucket above the cap (300 boilerplate copies) is a
+    stop-bucket: a new boilerplate doc matches NOTHING through it at
+    cap=100, everything at cap=1000."""
+    new = boilerplate.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 9000).alias("doc_id"), "text"
+    )
+    hist = boilerplate.filter(F.col("doc_id") < 5000)
+    few = D.incremental_near_dup_pairs(
+        new, hist, threshold=0.5, max_bucket_size=100
+    ).count()
+    assert few == 0
+    many = D.incremental_near_dup_pairs(
+        new, hist, threshold=0.5, max_bucket_size=1000
+    ).count()
+    assert many == 300

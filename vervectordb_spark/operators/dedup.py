@@ -1138,3 +1138,68 @@ def winnow_overlap_pairs(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def incremental_near_dup_pairs(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """(new_id, hist_id, jaccard) — new-batch documents near-duplicating
+    the HISTORICAL corpus: the daily-crawl dedup shape.
+
+    The new batch's band entries join the history's band entries on
+    (band, band_key); history×history pairs are NEVER generated, so each
+    increment costs |new|·occupancy, not |corpus|² — dedup of a 100 TB
+    corpus amortizes into per-batch joins against a persisted band table
+    (a real pipeline computes the history side ONCE and appends each
+    batch's bands to it; both sides are sketched here for
+    self-containment). History band buckets larger than max_bucket_size
+    are dropped before pairing (boilerplate stop-buckets, same rationale
+    as winnow_overlap_pairs' cap: a 10^5-doc bucket contributes
+    |new_bucket|·10^5 candidate rows and no discriminative signal).
+    Candidates are Jaccard-verified over the shingle sets, so the output
+    has no false positives; pairs are (new, hist) directed — a new doc
+    with ANY surviving pair is the one your pipeline drops or routes to
+    review."""
+    sk_new = minhash_signatures(new_df, text_col, id_col, num_hashes, shingle_n)
+    sk_hist = minhash_signatures(
+        history_df, text_col, id_col, num_hashes, shingle_n
+    )
+    be_new = minhash_band_entries(sk_new, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("new_id"), "band", "band_key"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_key")
+    be_hist = (
+        minhash_band_entries(sk_hist, id_col, num_hashes, bands)
+        .select(F.col(id_col).alias("hist_id"), "band", "band_key")
+        .withColumn("_bsize", F.count("*").over(w))
+        .filter(F.col("_bsize") <= max_bucket_size)
+        .drop("_bsize")
+    )
+    cand = (
+        be_new.join(be_hist, on=["band", "band_key"])
+        .select("new_id", "hist_id")
+        .distinct()
+    )
+    sh_new = sk_new.select(
+        F.col(id_col).alias("new_id"), F.col("shingles").alias("new_sh")
+    )
+    sh_hist = sk_hist.select(
+        F.col(id_col).alias("hist_id"), F.col("shingles").alias("hist_sh")
+    )
+    return (
+        cand.join(sh_new, on="new_id")
+        .join(sh_hist, on="hist_id")
+        .withColumn("jaccard", jaccard_expr(F.col("new_sh"), F.col("hist_sh")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "hist_id", "jaccard")
+    )

@@ -915,3 +915,64 @@ def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(
         F.desc("n_shared"), F.asc("src_id"), F.asc("dst_id")
     ).limit(50)
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup — new batch vs historical corpus (the daily-crawl
+# dedup shape: history×history pairs are never generated). History =
+# doc_id < 400; new batch = the rest plus 10 planted copies of history
+# docs (doc_id+40000) that MUST be flagged.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 40000 AS doc_id, text FROM documents WHERE doc_id < 10
+),
+t AS (SELECT doc_id, {_TOKS} AS toks FROM base),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
+hb AS (SELECT doc_id, s, list_transform(s, t -> {_md5_sql('t')}) AS hs FROM sh),
+sig AS (SELECT doc_id, s, [{_SIG_MINS}] AS sig FROM hb),
+bands AS ({_BAND_KEYS}),
+hist AS (
+  SELECT doc_id, band, band_key FROM bands WHERE doc_id < 400
+  QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= 1000
+),
+newb AS (SELECT doc_id, band, band_key FROM bands WHERE doc_id >= 400),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+  FROM newb n JOIN hist h ON n.band = h.band AND n.band_key = h.band_key
+),
+verified AS (
+  SELECT c.new_id, c.hist_id, {_jaccard_sql('x.s', 'y.s')} AS jacc
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.new_id
+  JOIN sh y ON y.doc_id = c.hist_id
+)
+SELECT new_id, hist_id, ROUND(jacc, 6) AS jaccard
+FROM verified WHERE jacc >= 0.3
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup: which NEW documents near-duplicate the
+    history (operators/dedup.incremental_near_dup_pairs — |new|·occupancy
+    cost, never |corpus|²). The 10 planted history copies in the new
+    batch are guaranteed catches; organic new-vs-history collisions ride
+    along at the same 0.3 threshold as dedup_minhash."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") < 400)
+    planted = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 40000).alias("doc_id"), "text"
+    )
+    new = docs.filter(F.col("doc_id") >= 400).unionByName(planted)
+    pairs = D.incremental_near_dup_pairs(
+        new, hist, num_hashes=_NUM_HASHES, bands=_BANDS,
+        shingle_n=3, threshold=0.3,
+    )
+    return pairs.select(
+        "new_id", "hist_id", F.round("jaccard", 6).alias("jaccard")
+    )
