@@ -1058,7 +1058,12 @@ def winnow_table(
     kernel="arrow": JVM tokens → one mapInPandas pass doing k-gram join,
     md5-60, and a vectorized sliding-window min (np.minimum.reduce over w
     shifted views — O(n·w) C ops, no Python loop per window). Values are
-    pinned identical to the expr spec by tests/test_dedup_text.py."""
+    pinned identical to the expr spec by tests/test_dedup_text.py.
+
+    Measured non-win: a per-batch gram→hash memo (the embed kernel's
+    token-memoization trick) ran 1.7× SLOWER at sf10 (7.2 → 12.3 s) —
+    word 3-grams are nearly unique within a batch, so the memo is pure
+    dict churn. Memoize single-token hash families, not shingles."""
     if kernel != "arrow":
         fps = df.select(
             F.col(id_col), winnow_fingerprints_expr(text_col, k, w).alias("_fps")
