@@ -972,3 +972,80 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_items"),
         F.sum(rev).cast("double").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series gap fill — dense hourly spine + zero-fill + forward fill.
+# The fixture really is sparse (~5-7% of hours missing per event type).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_gap_fill",
+    oracle=f"""
+WITH hourly AS (
+  SELECT epoch_us(ts) // {_US_PER_HOUR} AS hour_bucket, event_type,
+         COUNT(*) AS n,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sv
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT MIN(hour_bucket) AS lo, MAX(hour_bucket) AS hi FROM hourly),
+spine AS (
+  SELECT t.event_type, unnest(generate_series(b.lo, b.hi)) AS hour_bucket
+  FROM (SELECT DISTINCT event_type FROM hourly) t, b
+),
+j AS (
+  SELECT s.event_type, s.hour_bucket, h.n, h.sv
+  FROM spine s LEFT JOIN hourly h USING (event_type, hour_bucket)
+)
+SELECT event_type, hour_bucket,
+       COALESCE(n, 0)::BIGINT AS n_events,
+       sv AS sum_value,
+       last_value(sv IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY hour_bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       (n IS NULL) AS is_gap
+FROM j
+""",
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type: missing hours materialized
+    from an exploded sequence spine, counts zero-filled, the value
+    forward-filled (last non-null — the standard sensor/metrics repair).
+
+    Scale posture: the spine bounds come from a 1-row agg crossJoin (no
+    driver collect); spine size = types × hours — a function of TIME
+    RANGE and key cardinality, not event volume, so the left join's
+    right side is the pre-aggregated hourly table (one shuffle) and the
+    forward-fill window partitions by event_type over bounded per-type
+    row counts. 100 TB of raw events still yields the same few-thousand-
+    row spine."""
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.expr(f"ts div {_NS_PER_HOUR}").alias("hour_bucket"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(_dec_sum("value").cast("double"), 6).alias("sv"),
+    )
+    bounds = hourly.agg(
+        F.min("hour_bucket").alias("lo"), F.max("hour_bucket").alias("hi")
+    )
+    types = hourly.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hour_bucket"),
+    )
+    j = spine.join(hourly, ["event_type", "hour_bucket"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "event_type",
+        "hour_bucket",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.col("sv").alias("sum_value"),
+        F.last("sv", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("n").isNull().alias("is_gap"),
+    )
