@@ -263,3 +263,32 @@ def test_term_tf_matches_python_count(spark, texts, terms):
         toks = [x for x in t.lower().split() if x]
         want = sum(toks.count(term.lower()) for term in terms)
         assert got[i] == want
+
+
+WORD = st.text(alphabet="abcdefgh", min_size=1, max_size=3)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    run=st.lists(WORD, min_size=6, max_size=6),      # w+k-1 = 4+3-1 tokens
+    pre=st.lists(WORD, min_size=0, max_size=8),
+    post=st.lists(WORD, min_size=0, max_size=8),
+)
+def test_winnow_guarantee_on_fuzzed_token_runs(spark, run, pre, post):
+    """Schleimer et al.'s winnowing guarantee, fuzzed: ANY two documents
+    sharing a contiguous run of w+k-1 tokens share at least one
+    fingerprint — the shared run contains a full hash window in both
+    docs, and that window's minimum is selected in both regardless of
+    the surrounding text."""
+    from vervectordb_spark.operators import dedup as D
+
+    doc_a = " ".join(pre + run)
+    doc_b = " ".join(run + post)
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b)], "doc_id long, text string"
+    )
+    fps = D.winnow_table(df, kernel="arrow").collect()
+    a = {r["fp"] for r in fps if r["doc_id"] == 1}
+    b = {r["fp"] for r in fps if r["doc_id"] == 2}
+    assert a & b, f"no shared fingerprint for run={run!r}"

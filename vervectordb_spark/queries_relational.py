@@ -1049,3 +1049,84 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("sv", ignorenulls=True).over(w).alias("filled_value"),
         F.col("n").isNull().alias("is_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling z-score anomaly flags — exact-integer window statistics.
+# Float portability: the window sums are INTEGER (event counts), so mean
+# and variance are exact until two final double divisions; sqrt is
+# IEEE-correctly-rounded on every engine. No float accumulation order
+# ever matters — the trap a naive rolling mean of doubles would hit
+# (DuckDB's sliding-window aggregation associates differently than
+# Spark's running frame).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_rolling_zscore",
+    oracle=f"""
+WITH hourly AS (
+  SELECT epoch_us(ts) // {_US_PER_HOUR} AS hour_bucket, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, hour_bucket, n,
+         SUM(n) OVER w AS s,
+         SUM(n * n) OVER w AS sq,
+         COUNT(*) OVER w AS cnt
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, hour_bucket, n::BIGINT AS n_events,
+       ROUND(s::DOUBLE / cnt, 6) AS mean24,
+       ROUND(CASE WHEN sq * cnt = s * s THEN 0.0
+             ELSE (n::DOUBLE - s::DOUBLE / cnt)
+                  / sqrt((sq::DOUBLE * cnt - s::DOUBLE * s) / (cnt::DOUBLE * cnt))
+             END, 6) AS zscore,
+       (CASE WHEN sq * cnt = s * s THEN 0.0
+        ELSE abs((n::DOUBLE - s::DOUBLE / cnt)
+             / sqrt((sq::DOUBLE * cnt - s::DOUBLE * s) / (cnt::DOUBLE * cnt)))
+        END) > 2.0 AS is_anomaly
+FROM win
+""",
+)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly event counts scored against their trailing 24-hour
+    window: z = (x − mean)/σ over exact integer sums (population σ of
+    the frame), |z| > 2 flagged. Sums/sumsq stay int64 (counts are
+    small); the only floats are two divisions and one sqrt — all
+    bit-portable, so the anomaly FLAGS cross the oracle gate, not just
+    the rounded scores.
+
+    Scale posture: the window runs over the pre-aggregated hourly table
+    (rows = types × hours, independent of event volume), partitioned by
+    event_type — never a global window."""
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.expr(f"ts div {_NS_PER_HOUR}").alias("hour_bucket"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_bucket")
+        .rowsBetween(-23, 0)
+    )
+    s = F.sum("n").over(w)
+    sq = F.sum(F.col("n") * F.col("n")).over(w)
+    cnt = F.count("*").over(w)
+    mean = s.cast("double") / cnt
+    var = (sq.cast("double") * cnt - s.cast("double") * s) / (
+        cnt.cast("double") * cnt
+    )
+    z = F.when(sq * cnt == s * s, F.lit(0.0)).otherwise(
+        (F.col("n").cast("double") - mean) / F.sqrt(var)
+    )
+    return hourly.select(
+        "event_type",
+        "hour_bucket",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(mean, 6).alias("mean24"),
+        F.round(z, 6).alias("zscore"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
