@@ -114,7 +114,7 @@ def bloom_size_for(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
     """(num_bits, num_hashes) for a target false-positive rate:
     m = −n·ln(p)/ln(2)², k = (m/n)·ln(2); m rounded up to whole words."""
     m = ceil(-n_keys * log(fpp) / (log(2) ** 2))
-    m = ((m + 63) // 64) * 64
+    m = max(((m + 63) // 64) * 64, 64)  # n_keys=0 must not size a 0-bit filter
     k = max(1, round(m / max(n_keys, 1) * log(2)))
     return m, k
 
@@ -150,8 +150,10 @@ def bloom_build(
     so the shuffle carries at most num_bits/64 rows per input partition
     no matter how many keys flow in. The collect is ≤ num_bits/64 rows
     (bounded by the CONSTANT filter size, not the data)."""
-    if num_bits % 64 != 0:
-        raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
+    if num_bits <= 0 or num_bits % 64 != 0:
+        raise ValueError(
+            f"num_bits must be a positive multiple of 64, got {num_bits}"
+        )
     pos = F.array(*_positions(F.col(key_col), num_bits, num_hashes, hash_family))
     # NULL keys join nothing — exclude them explicitly (xxhash64 would
     # otherwise hash just the seed and insert a phantom position).

@@ -49,16 +49,14 @@ def tokens_expr(text_col: Column | str) -> Column:
 
 
 def shingles_expr(text_col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string>: ["a b c", "b c d", ...].
+    """Word n-gram shingles as an array<string>: ["a b c", "b c d", ...],
+    first-occurrence distinct (set semantics for Jaccard/MinHash).
 
-    A doc with fewer than n tokens yields its whole token string as the
-    single shingle (so short docs still participate)."""
-    toks = tokens_expr(text_col)
-    joined = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    return F.array_distinct(joined)
+    Defined as array_distinct over `positional_shingles_expr`, which is
+    the single owner of the n-gram join and the short-doc rule (a doc
+    with fewer than n tokens yields its whole token string as the single
+    shingle, so short docs still participate)."""
+    return F.array_distinct(positional_shingles_expr(text_col, n))
 
 
 # ---------------------------------------------------------------------------
@@ -377,6 +375,23 @@ def _capped_band_candidates(
         dense = dense.filter(pair_pred(dense))
         star = star.filter(pair_pred(star))
     return dense.unionByName(star).dropDuplicates(["src_id", "dst_id"])
+
+
+def _drop_oversized_buckets(df, partition_cols: list, cap: int):
+    """Drop every row belonging to a bucket with more than `cap` members
+    (one window pass). This is the STOP-BUCKET form of capping — used
+    where pair SCORES must not be diluted by fake links (winnow overlap
+    counts, incremental dedup evidence) — as opposed to
+    `_capped_band_candidates`' hub-star degradation, which preserves
+    connectivity for components at the price of unscored hub links."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*partition_cols)
+    return (
+        df.withColumn("_bsize", F.count("*").over(w))
+        .filter(F.col("_bsize") <= cap)
+        .drop("_bsize")
+    )
 
 
 def band_bucket_stats(
@@ -999,9 +1014,9 @@ DEFAULT_WINNOW_W = 4
 
 def positional_shingles_expr(text_col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles IN POSITION ORDER, duplicates kept — winnowing
-    consumes the positional hash sequence, unlike the set-semantics
-    `shingles_expr`. Short docs (< n tokens) yield one whole-text shingle,
-    matching shingles_expr's short-doc rule."""
+    consumes the positional hash sequence; `shingles_expr` is its
+    array_distinct (this function owns the n-gram join and the short-doc
+    rule: < n tokens yields one whole-text shingle)."""
     toks = tokens_expr(text_col)
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
@@ -1130,11 +1145,7 @@ def winnow_overlap_pairs(
     (where components recover clusters), overlap SCORES must not be
     diluted by fake hub links, so the cap here is an explicit drop —
     mirrored in the oracle SQL via QUALIFY."""
-    from pyspark.sql import Window
-
-    sized = fps.withColumn(
-        "_bsize", F.count("*").over(Window.partitionBy("fp"))
-    ).filter(F.col("_bsize") <= max_bucket_size)
+    sized = _drop_oversized_buckets(fps, ["fp"], max_bucket_size)
     left = sized.select(F.col("fp"), F.col(id_col).alias("src_id"))
     right = sized.select(F.col("fp"), F.col(id_col).alias("dst_id"))
     pairs = left.join(right, on="fp").filter(F.col("src_id") < F.col("dst_id"))
@@ -1180,15 +1191,12 @@ def incremental_near_dup_pairs(
     be_new = minhash_band_entries(sk_new, id_col, num_hashes, bands).select(
         F.col(id_col).alias("new_id"), "band", "band_key"
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band", "band_key")
-    be_hist = (
-        minhash_band_entries(sk_hist, id_col, num_hashes, bands)
-        .select(F.col(id_col).alias("hist_id"), "band", "band_key")
-        .withColumn("_bsize", F.count("*").over(w))
-        .filter(F.col("_bsize") <= max_bucket_size)
-        .drop("_bsize")
+    be_hist = _drop_oversized_buckets(
+        minhash_band_entries(sk_hist, id_col, num_hashes, bands).select(
+            F.col(id_col).alias("hist_id"), "band", "band_key"
+        ),
+        ["band", "band_key"],
+        max_bucket_size,
     )
     cand = (
         be_new.join(be_hist, on=["band", "band_key"])

@@ -421,7 +421,7 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document count of n-grams flagged by a Bloom filter of the
     eval suite's n-grams (docs with doc_id % 97 == 0 stand in). Compared
     with `decontaminate_ngrams`' exact broadcast set this is the
-    constant-memory form: the filter is {_BLOOM_M} bits REGARDLESS of
+    constant-memory form: the filter is 32768 bits (2^15) REGARDLESS of
     eval-suite size, counts can only over-state (no false negatives —
     every truly shared n-gram is flagged), and the gate's sf1 replay
     exercises the saturated-filter regime where false positives are

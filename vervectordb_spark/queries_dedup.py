@@ -862,7 +862,7 @@ def winnow_fingerprint_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH base AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 30000 AS doc_id,
+  SELECT -(doc_id + 1) AS doc_id,
          'planted preamble boilerplate ' || text AS text
   FROM documents WHERE doc_id < 20
 ),
@@ -898,13 +898,16 @@ def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-word prefix — a pure position SHIFT plus novel leading k-grams —
     and must still surface: winnowing fingerprints by value, not
     position, so every surviving window minimum of the original text
-    reappears in the planted copy. Prefix-planting (vs dedup_exact's
+    reappears in the planted copy. Planted ids are NEGATIVE (-(id+1)) so
+    they can never collide with an organic doc_id at any scale factor
+    (a fixed +30000 offset conflated documents at sf1+).
+    Prefix-planting (vs dedup_exact's
     byte copies) is what separates this from exact/MinHash dedup in the
     test matrix. Fingerprints shared by > 1000 docs are dropped on BOTH
     engines (stop-fingerprint cap, operators/dedup.winnow_overlap_pairs)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     planted = docs.filter(F.col("doc_id") < 20).select(
-        (F.col("doc_id") + 30000).alias("doc_id"),
+        (-(F.col("doc_id") + 1)).alias("doc_id"),
         F.concat(F.lit("planted preamble boilerplate "), F.col("text")).alias(
             "text"
         ),
@@ -921,7 +924,7 @@ def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # incremental near-dup — new batch vs historical corpus (the daily-crawl
 # dedup shape: history×history pairs are never generated). History =
 # doc_id < 400; new batch = the rest plus 10 planted copies of history
-# docs (doc_id+40000) that MUST be flagged.
+# docs (negative ids, collision-proof at any scale) that MUST be flagged.
 # ---------------------------------------------------------------------------
 
 
@@ -931,7 +934,7 @@ def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH base AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 40000 AS doc_id, text FROM documents WHERE doc_id < 10
+  SELECT -(doc_id + 1) AS doc_id, text FROM documents WHERE doc_id < 10
 ),
 t AS (SELECT doc_id, {_TOKS} AS toks FROM base),
 sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
@@ -939,10 +942,12 @@ hb AS (SELECT doc_id, s, list_transform(s, t -> {_md5_sql('t')}) AS hs FROM sh),
 sig AS (SELECT doc_id, s, [{_SIG_MINS}] AS sig FROM hb),
 bands AS ({_BAND_KEYS}),
 hist AS (
-  SELECT doc_id, band, band_key FROM bands WHERE doc_id < 400
+  SELECT doc_id, band, band_key FROM bands
+  WHERE doc_id >= 0 AND doc_id < 400
   QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= 1000
 ),
-newb AS (SELECT doc_id, band, band_key FROM bands WHERE doc_id >= 400),
+newb AS (SELECT doc_id, band, band_key FROM bands
+         WHERE doc_id >= 400 OR doc_id < 0),
 cand AS (
   SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
   FROM newb n JOIN hist h ON n.band = h.band AND n.band_key = h.band_key
@@ -961,12 +966,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl dedup: which NEW documents near-duplicate the
     history (operators/dedup.incremental_near_dup_pairs — |new|·occupancy
     cost, never |corpus|²). The 10 planted history copies in the new
-    batch are guaranteed catches; organic new-vs-history collisions ride
+    batch carry NEGATIVE ids (-(id+1) — collision-proof at any scale
+    factor, unlike a fixed offset) and are guaranteed catches; organic new-vs-history collisions ride
     along at the same 0.3 threshold as dedup_minhash."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     hist = docs.filter(F.col("doc_id") < 400)
     planted = docs.filter(F.col("doc_id") < 10).select(
-        (F.col("doc_id") + 40000).alias("doc_id"), "text"
+        (-(F.col("doc_id") + 1)).alias("doc_id"), "text"
     )
     new = docs.filter(F.col("doc_id") >= 400).unionByName(planted)
     pairs = D.incremental_near_dup_pairs(

@@ -953,9 +953,16 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") >= 450000)
         .select("o_orderkey", "o_orderpriority")
     )
-    n_keys = orders.count()
-    num_bits, num_hashes = bloom_size_for(max(n_keys, 1), fpp=0.01)
-    bf = bloom_build(orders, "o_orderkey", num_bits, num_hashes)
+    # the sizing count and the build are two actions over the same small
+    # dim projection — cache across them, release before the main query
+    # (which re-reads the dim once as the join build side)
+    orders.persist()
+    try:
+        n_keys = orders.count()
+        num_bits, num_hashes = bloom_size_for(max(n_keys, 1), fpp=0.01)
+        bf = bloom_build(orders, "o_orderkey", num_bits, num_hashes)
+    finally:
+        orders.unpersist()
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
@@ -1077,7 +1084,7 @@ win AS (
          COUNT(*) OVER w AS cnt
   FROM hourly
   WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
-               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+               RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
 )
 SELECT event_type, hour_bucket, n::BIGINT AS n_events,
        ROUND(s::DOUBLE / cnt, 6) AS mean24,
@@ -1095,7 +1102,11 @@ FROM win
 def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type hourly event counts scored against their trailing 24-hour
     window: z = (x − mean)/σ over exact integer sums (population σ of
-    the frame), |z| > 2 flagged. Sums/sumsq stay int64 (counts are
+    the frame), |z| > 2 flagged. The frame is a RANGE over the integer
+    hour bucket — a true 24-wall-clock-hour window whose count is the
+    hours actually observed; a ROWS frame would silently stretch past an
+    outage and score anomalies against a stale baseline exactly when
+    detection matters most (the fixture is ~5-7% gappy). Sums/sumsq stay int64 (counts are
     small); the only floats are two divisions and one sqrt — all
     bit-portable, so the anomaly FLAGS cross the oracle gate, not just
     the rounded scores.
@@ -1110,7 +1121,7 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         Window.partitionBy("event_type")
         .orderBy("hour_bucket")
-        .rowsBetween(-23, 0)
+        .rangeBetween(-23, 0)
     )
     s = F.sum("n").over(w)
     sq = F.sum(F.col("n") * F.col("n")).over(w)
