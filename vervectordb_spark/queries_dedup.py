@@ -50,7 +50,8 @@ def _jaccard_sql(a: str, b: str) -> str:
 
 # ---------------------------------------------------------------------------
 # exact dedup — the fixture has no byte dups, so the query plants 20
-# deterministic copies (doc_id+10000) and must find exactly those groups.
+# deterministic copies (negative ids — collision-proof at any scale
+# factor, unlike a fixed offset) and must find exactly those groups.
 # ---------------------------------------------------------------------------
 
 @query(
@@ -59,7 +60,7 @@ def _jaccard_sql(a: str, b: str) -> str:
 WITH base AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 20
+  SELECT -(doc_id + 1) AS doc_id, text FROM documents WHERE doc_id < 20
 )
 SELECT {_md5_sql('text')} AS content_hash,
        COUNT(*) AS n_dups,
@@ -70,7 +71,7 @@ FROM base GROUP BY 1 HAVING COUNT(*) >= 2
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     planted = docs.filter(F.col("doc_id") < 20).select(
-        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        (-(F.col("doc_id") + 1)).alias("doc_id"), "text"
     )
     groups = D.exact_dup_groups(docs.unionByName(planted))
     return groups.select(
@@ -162,7 +163,7 @@ WITH RECURSIVE
 base AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 10
+  SELECT -(doc_id + 1) AS doc_id, text FROM documents WHERE doc_id < 10
 ),
 t AS (SELECT doc_id, {_TOKS} AS toks FROM base),
 sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
@@ -205,7 +206,7 @@ FROM comp GROUP BY component
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     planted = docs.filter(F.col("doc_id") < 10).select(
-        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        (-(F.col("doc_id") + 1)).alias("doc_id"), "text"
     )
     base = docs.unionByName(planted)
     pairs = D.minhash_near_dup_pairs(
@@ -387,7 +388,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH base AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 20
+  SELECT -(doc_id + 1) AS doc_id, text FROM documents WHERE doc_id < 20
 ),
 g AS (
   SELECT {_md5_sql('text')} AS h, MIN(doc_id) AS keeper
@@ -401,7 +402,7 @@ def dedup_drop_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives), the corpus state is verified as an aggregate."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     planted = docs.filter(F.col("doc_id") < 20).select(
-        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        (-(F.col("doc_id") + 1)).alias("doc_id"), "text"
     )
     survivors = D.drop_exact_dups(docs.unionByName(planted))
     return survivors.agg(
