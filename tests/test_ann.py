@@ -240,3 +240,64 @@ def test_multiprobe_recall_at_least_single(emb):
         assert r4 >= r1
         gain += r4 - r1
     assert gain > 0.0  # strictly better somewhere on this fixture
+
+
+def test_wide_hash_save_uses_prefix_partitioning(spark, emb, tmp_path):
+    """bits > MAX_PARTITION_BITS must NOT partition by raw bucket_0 (a
+    2^bits-directory layout — 16.7M dirs at bits=24); the prefix layout
+    caps fan-out, loads back with the shift, and probes return the same
+    candidates as the in-memory index."""
+    import glob
+
+    idx = SignLSHIndex.build(emb, n_tables=2, bits=16)
+    qv = _qv(emb)
+    before = {r["vec_id"] for r in idx.search(qv, top_k=5).collect()}
+    path = str(tmp_path / "wide")
+    idx.save(path)
+    assert glob.glob(f"{path}/signed/bucket_p0=*")
+    assert not glob.glob(f"{path}/signed/bucket_0=*")
+    assert len(glob.glob(f"{path}/signed/bucket_p0=*")) <= 4096
+    loaded = SignLSHIndex.load(spark, path)
+    assert loaded.prefix_shift == 4
+    after = {r["vec_id"] for r in loaded.search(qv, top_k=5).collect()}
+    assert after == before
+    # the probe predicate carries the prunable prefix conjunct
+    plan = loaded.candidates(qv)._jdf.queryExecution().toString()
+    assert "bucket_p0" in plan
+
+
+def test_narrow_hash_save_layout_unchanged(spark, emb, tmp_path):
+    """bits <= 12 keeps the plain bucket_0 layout (and old artifacts
+    without prefix_shift still load — covered by the meta fallback)."""
+    import glob
+
+    idx = SignLSHIndex.build(emb, n_tables=2, bits=4)
+    path = str(tmp_path / "narrow")
+    idx.save(path)
+    assert glob.glob(f"{path}/signed/bucket_0=*")
+    assert SignLSHIndex.load(spark, path).prefix_shift == 0
+
+
+def test_batch_search_string_query_ids(spark, emb):
+    """FIXTURES.md: uuid string keys are supported — the batch path must
+    carry string query ids end-to-end (it used to int64-cast and crash)."""
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.concat(F.lit("q-"), F.col("vec_id").cast("string")).alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    idx = SignLSHIndex.build(emb, n_tables=2, bits=4)
+    got = idx.batch_search(queries, top_k=3).collect()
+    qids = {r["query_id"] for r in got}
+    assert qids == {"q-0", "q-1", "q-2"}
+
+
+def test_batch_search_empty_schema_matches_nonempty(spark, emb):
+    idx = SignLSHIndex.build(emb, n_tables=2, bits=4)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    nonempty = idx.batch_search(queries, top_k=2)
+    empty = idx.batch_search(queries.filter(F.lit(False)), top_k=2)
+    assert [f.name for f in empty.schema.fields] == \
+        [f.name for f in nonempty.schema.fields]

@@ -172,3 +172,41 @@ def test_batch_search_adaptive_matches_per_query_probes(ivf, emb):
             for r in ivf.search(qv, top_k=5, nprobe="adaptive").collect()
         }
         assert by_q[vid] == serial
+
+
+def test_from_centroids_rejects_noncontiguous_ids(spark, emb):
+    """Probe paths return POSITIONS into the centroid array; a 1-based or
+    sparse cluster_id table would silently probe the wrong clusters, so
+    from_centroids must reject it loudly."""
+    import pytest as _pytest
+
+    cent = emb.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + 1).cast("int").alias("cluster_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    with _pytest.raises(ValueError, match="cluster_id values must be"):
+        IVFIndex.from_centroids(emb, cent)
+
+
+def test_batch_search_string_query_ids(spark, emb):
+    ivf = IVFIndex.build(emb, n_clusters=4, seed=42)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.concat(F.lit("u-"), F.col("vec_id").cast("string")).alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    got = ivf.batch_search(queries, top_k=3, nprobe=2).collect()
+    assert {r["query_id"] for r in got} == {"u-0", "u-1"}
+
+
+def test_batch_search_empty_schema_matches_nonempty(spark, emb):
+    """The old empty-path schema had a phantom cluster_id column and a
+    different column order — schema must now be identical."""
+    ivf = IVFIndex.build(emb, n_clusters=4, seed=42)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    nonempty = ivf.batch_search(queries, top_k=2, nprobe=2)
+    empty = ivf.batch_search(queries.filter(F.lit(False)), top_k=2, nprobe=2)
+    assert [(f.name, f.dataType) for f in empty.schema.fields] == \
+        [(f.name, f.dataType) for f in nonempty.schema.fields]

@@ -371,3 +371,37 @@ def test_batch_rerank_factor_widens_candidate_pool(spark):
     ).collect()
     assert recall(wide) >= recall(narrow)
     assert all(len({r["vec_id"] for r in rows}) <= 15 for rows in (narrow, wide))
+
+
+def test_fit_rejects_codebook_size_over_256(spark, emb):
+    """tinyint c-128 storage is bijective only for k <= 256 — larger
+    codebooks silently wrapped via int8 overflow before the guard."""
+    with pytest.raises(ValueError, match="codebook_size"):
+        PQCodec.fit(emb, dim=64, n_subquantizers=4, codebook_size=512)
+
+
+def test_batch_adc_unprobed_cluster_rows_masked_not_crash(spark, emb):
+    """probe_sets + an UNFILTERED codes table: rows in clusters above the
+    inferred n_clusters must be masked out, not raise IndexError in the
+    executor kernel (the caller-side pre-filter is an optimization, not a
+    correctness requirement)."""
+    from vervectordb_spark.operators.ivf import IVFIndex
+
+    ivf = IVFIndex.build(emb, n_clusters=4, seed=42)
+    codec = PQCodec.fit(emb, dim=64, n_subquantizers=4, codebook_size=16)
+    encoded = codec.encode(ivf.assigned).select("vec_id", "cluster_id", "pq_code")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    # probe only clusters {0}: inferred n_clusters=1, but the scanned
+    # table holds clusters 0..3 — rows in 1..3 must simply lose
+    probe_sets = {0: [0], 1: [0]}
+    got = codec.batch_adc_search(
+        encoded, queries, top_k=3, probe_sets=probe_sets
+    )
+    rows = got.collect()
+    assert rows, "expected hits from cluster 0"
+    in_c0 = {r["vec_id"] for r in ivf.assigned.filter(
+        F.col("cluster_id") == 0).select("vec_id").collect()}
+    assert all(r["vec_id"] in in_c0 for r in rows)

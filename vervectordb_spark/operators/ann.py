@@ -105,15 +105,26 @@ def _sign_gemm(df: DataFrame, planes: Sequence[Sequence[float]],
 class SignLSHIndex:
     """Multi-table sign-LSH: `signed` carries bucket_<t> int columns."""
 
+    #: max partition-directory fan-out for the persisted layout: beyond
+    #: 2^12 = 4096 directories the partitionBy itself becomes the scale
+    #: bug (bits="auto" can reach 24 → 16.7M dirs would kill any
+    #: filesystem/metastore listing) — wider hashes partition by a
+    #: bucket_0 PREFIX instead.
+    MAX_PARTITION_BITS = 12
+
     def __init__(self, signed: DataFrame, planes: list[list[float]],
                  n_tables: int, bits: int,
-                 id_col: str = "vec_id", emb_col: str = "embedding"):
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 prefix_shift: int = 0):
         self.signed = signed
         self.planes = planes
         self.n_tables = n_tables
         self.bits = bits
         self.id_col = id_col
         self.emb_col = emb_col
+        #: loaded prefix layouts carry bucket_p0 = bucket_0 >> prefix_shift
+        #: as their partition column; 0 = plain bucket_0 layout
+        self.prefix_shift = prefix_shift
 
     @classmethod
     def build(cls, df: DataFrame, n_tables: int = 8, bits: int | str = 8,
@@ -190,7 +201,12 @@ class SignLSHIndex:
         qb = self.query_buckets(query_vec)
         pred = F.lit(False)
         for t, b in enumerate(qb):
-            pred = pred | (F.col(f"bucket_{t}") == b)
+            term = F.col(f"bucket_{t}") == b
+            if t == 0 and self.prefix_shift:
+                # redundant conjunct (prefix is determined by the bucket)
+                # that the scan CAN prune on for the prefix layout
+                term = term & (F.col("bucket_p0") == (b >> self.prefix_shift))
+            pred = pred | term
         return self.signed.filter(pred)
 
     def query_buckets_multiprobe(self, query_vec: Sequence[float],
@@ -237,7 +253,12 @@ class SignLSHIndex:
         probes = self.query_buckets_multiprobe(query_vec, n_probes)
         pred = F.lit(False)
         for t, bl in enumerate(probes):
-            pred = pred | F.col(f"bucket_{t}").isin(bl)
+            term = F.col(f"bucket_{t}").isin(bl)
+            if t == 0 and self.prefix_shift:
+                term = term & F.col("bucket_p0").isin(
+                    sorted({b >> self.prefix_shift for b in bl})
+                )
+            pred = pred | term
         return self.signed.filter(pred)
 
     def search(self, query_vec: Sequence[float], top_k: int = 5,
@@ -297,9 +318,12 @@ class SignLSHIndex:
                 "corpus-scale query sets use operators.topk.gemm_topk "
                 "(blocked broadcast) or knn_self_join"
             )
+        qid_type = queries.schema[query_id].dataType.simpleString()
+        vid_type = self.signed.schema[self.id_col].dataType.simpleString()
         if not qrows:
             return spark.createDataFrame(
-                [], f"{query_id} long, {self.id_col} long, rank int, sim double")
+                [], f"{query_id} {qid_type}, {self.id_col} {vid_type}, "
+                    "sim double, rank int")
         probe_rows = []
         for r in qrows:
             qv = [float(x) for x in r[1]]
@@ -308,7 +332,7 @@ class SignLSHIndex:
                 probe_rows.append((r[0], t, b, qb, qv))
         probes = spark.createDataFrame(
             probe_rows,
-            f"{query_id} long, _tbl int, _bkt long, _qb array<long>, "
+            f"{query_id} {qid_type}, _tbl int, _bkt long, _qb array<long>, "
             "_qv array<double>",
         )
         entries = self.signed.select(
@@ -457,15 +481,28 @@ class SignLSHIndex:
         1× default."""
         from vervectordb_spark.sources.atomic import atomic_save
 
+        shift = max(self.bits - self.MAX_PARTITION_BITS, 0)
         with atomic_save(path) as tmp:
-            self.signed.write.mode("overwrite").partitionBy("bucket_0").parquet(
-                f"{tmp}/signed"
-            )
+            if shift == 0:
+                self.signed.write.mode("overwrite").partitionBy(
+                    "bucket_0"
+                ).parquet(f"{tmp}/signed")
+            else:
+                # wide hashes: at most 2^MAX_PARTITION_BITS directories,
+                # keyed by the bucket_0 prefix; bucket_0 stays a data
+                # column and probes add the prefix conjunct for pruning
+                self.signed.withColumn(
+                    "bucket_p0", F.expr(f"shiftright(bucket_0, {shift})")
+                ).write.mode("overwrite").partitionBy("bucket_p0").parquet(
+                    f"{tmp}/signed"
+                )
             spark = self.signed.sparkSession
             dim = len(self.planes[0]) if self.planes else 0
             meta = spark.createDataFrame(
-                [(self.n_tables, self.bits, dim, self.id_col, self.emb_col)],
-                "n_tables int, bits int, dim int, id_col string, emb_col string",
+                [(self.n_tables, self.bits, dim, self.id_col, self.emb_col,
+                  shift)],
+                "n_tables int, bits int, dim int, id_col string, "
+                "emb_col string, prefix_shift int",
             )
             meta.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/meta")
 
@@ -478,12 +515,21 @@ class SignLSHIndex:
                 "rebuild or delete the directory"
             )
         m = rows[0]
-        signed = spark.read.parquet(f"{path}/signed").withColumn(
-            "bucket_0", F.col("bucket_0").cast("long")  # partition col reads as int
-        )
+        # older artifacts (pre prefix-layout) have no prefix_shift column
+        shift = m["prefix_shift"] if "prefix_shift" in m.__fields__ else 0
+        signed = spark.read.parquet(f"{path}/signed")
+        if shift == 0:
+            signed = signed.withColumn(
+                "bucket_0", F.col("bucket_0").cast("long")  # partition col reads as int
+            )
+        else:
+            signed = signed.withColumn(
+                "bucket_p0", F.col("bucket_p0").cast("long")
+            )
         planes = rademacher_planes(m["n_tables"] * m["bits"], m["dim"])
         return cls(signed, planes, m["n_tables"], m["bits"],
-                   id_col=m["id_col"], emb_col=m["emb_col"])
+                   id_col=m["id_col"], emb_col=m["emb_col"],
+                   prefix_shift=shift)
 
 
 class LSHAnnIndex:

@@ -213,9 +213,16 @@ class IVFIndex:
                 "corpus-scale query sets use operators.topk.gemm_topk "
                 "(blocked broadcast) or knn_self_join"
             )
+        qid_type = queries.schema[query_id].dataType.simpleString()
+        vid_type = self.assigned.schema[self.id_col].dataType.simpleString()
         if not qrows:
+            # schema matches the non-empty paths exactly (both kernels
+            # return (query_id, id, sim, rank) — the old empty schema had a
+            # phantom cluster_id column that broke schema-sensitive callers
+            # only at the empty boundary)
             return spark.createDataFrame(
-                [], f"{query_id} long, {self.id_col} long, cluster_id int, rank int, sim double")
+                [], f"{query_id} {qid_type}, {self.id_col} {vid_type}, "
+                    "sim double, rank int")
         if adaptive:
             probe_sets = {
                 r[0]: self.probe_clusters_adaptive([float(x) for x in r[1]])
@@ -235,14 +242,14 @@ class IVFIndex:
                 for r in qrows for c in probe_sets[r[0]]
             ]
             probes = spark.createDataFrame(
-                probe_rows, f"{query_id} long, cluster_id int, _qv array<double>"
+                probe_rows,
+                f"{query_id} {qid_type}, cluster_id int, _qv array<double>",
             )
             scored = self.assigned.join(
                 F.broadcast(probes), on="cluster_id"
             ).select(
                 query_id,
                 self.id_col,
-                "cluster_id",
                 cosine_expr(F.col(self.emb_col), F.col("_qv")).alias("sim"),
             )
             w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(self.id_col))
@@ -253,7 +260,8 @@ class IVFIndex:
         # GEMM kernel with probe masking
         from vervectordb_spark.operators.topk import _normalize_rows
 
-        qids = np.array([r[0] for r in qrows], dtype=np.int64)
+        # dtype=object keeps string query ids intact (uuid keys supported)
+        qids = np.array([r[0] for r in qrows], dtype=object)
         qmat = _normalize_rows(
             np.array([list(r[1]) for r in qrows], dtype=np.float64)
         )
@@ -265,8 +273,7 @@ class IVFIndex:
         # on the persisted layout)
         probed_union = sorted({c for s in probe_sets.values() for c in s})
         src = self.assigned.filter(F.col("cluster_id").isin(probed_union))
-        vid_type = self.assigned.schema[self.id_col].dataType.simpleString()
-        out_schema = f"{query_id} long, {self.id_col} {vid_type}, sim double"
+        out_schema = f"{query_id} {qid_type}, {self.id_col} {vid_type}, sim double"
         id_col, emb_col = self.id_col, self.emb_col
 
         def score(batches):
@@ -496,6 +503,15 @@ class IVFIndex:
         """
         assigned = assign_by_centroids(df, centroids_df, id_col=id_col, emb_col=emb_col)
         rows = centroids_df.orderBy("cluster_id").collect()
+        ids = [int(r["cluster_id"]) for r in rows]
+        if ids != list(range(len(ids))):
+            # every probe path returns POSITIONS into the centroid array
+            # and filters cluster_id.isin(positions) — non-contiguous or
+            # non-zero-based ids would silently probe the wrong clusters
+            raise ValueError(
+                "centroids_df cluster_id values must be exactly "
+                f"0..{len(ids) - 1} (got {ids[:8]}{'...' if len(ids) > 8 else ''})"
+            )
         centroids = np.array([list(r["centroid"]) for r in rows], dtype=np.float64)
         return cls(assigned, centroids, id_col=id_col, emb_col=emb_col)
 
@@ -508,10 +524,7 @@ class IVFIndex:
 
         nprobe = min(nprobe or self.default_nprobe(), self.n_clusters)
         spark = self.assigned.sparkSession
-        cent = spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
-            "cluster_id int, centroid array<double>",
-        )
+        cent = self.centroids_df()
         ranked = cent.select(
             "cluster_id", cosine_expr(F.col("centroid"), list(query_vec)).alias("sim")
         ).orderBy(F.desc("sim"), F.asc("cluster_id")).limit(nprobe)
@@ -528,11 +541,7 @@ class IVFIndex:
             self.assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
                 f"{tmp}/vectors_by_cluster"
             )
-            spark = self.assigned.sparkSession
-            cent = spark.createDataFrame(
-                [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
-                "cluster_id int, centroid array<double>",
-            )
+            cent = self.centroids_df()
             cent.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/centroids")
 
     @classmethod

@@ -141,10 +141,23 @@ class PQCodec:
                 f"vector dim {dim} must be divisible by n_subquantizers "
                 f"{n_subquantizers}"  # reference raise, vervectordb/__init__.py:163-164
             )
+        if not 2 <= codebook_size <= 256:
+            raise ValueError(
+                f"codebook_size must be in [2, 256] (codes are stored as "
+                f"tinyint c-128, bijective only for k <= 256), got "
+                f"{codebook_size}"
+            )
         sub_dim = dim // n_subquantizers
-        n = df.count()
+        # Bounded-sample fit: probe whether the table exceeds the cap with
+        # limit(cap+1) (reads at most cap+1 rows — no count at all on the
+        # common under-cap path, the reasoning of IVFIndex.build's clamp).
+        # Only an over-cap corpus pays a count, and that one is a
+        # single-column projection (column-pruned scan) amortized into the
+        # one-time fit cost.
         sample = df.select(emb_col)
-        if n > sample_size:
+        over_cap = sample.limit(sample_size + 1).count() > sample_size
+        if over_cap:
+            n = sample.count()
             sample = sample.sample(fraction=min(1.0, 1.2 * sample_size / n), seed=seed)
             sample = sample.limit(sample_size)
         # The sample is DRIVER-SIZED BY CONSTRUCTION (cap 10k rows × dim
@@ -501,12 +514,19 @@ class PQCodec:
         else:
             qrows = _qrows
         vid_type = encoded.schema[id_col].dataType.simpleString()
+        qid_type = (
+            queries.schema[query_id].dataType.simpleString()
+            if queries is not None
+            else ("string" if qrows and isinstance(qrows[0][0], str) else "long")
+        )
         if not qrows:
             return spark.createDataFrame(
-                [], f"{query_id} long, {id_col} {vid_type}, rank int, sim double"
+                [], f"{query_id} {qid_type}, {id_col} {vid_type}, sim double, rank int"
             )
         m, sub_dim, k = self.n_subquantizers, self.sub_dim, self.codebook_size
-        qids = np.array([r[0] for r in qrows], dtype=np.int64)
+        # dtype=object keeps string query ids intact (FIXTURES.md: uuid
+        # string keys are supported; int64 casting crashed on them)
+        qids = np.array([r[0] for r in qrows], dtype=object)
         qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
         nq = len(qids)
         # ‖q‖ per query: sequential fold over dim, vectorized across queries
@@ -536,7 +556,7 @@ class PQCodec:
                 mask[i, list(probe_sets[qid])] = True
         bc = spark.sparkContext.broadcast((qids, lut_dot, lut_norm, qn, mask))
         fetch = rerank_factor * top_k if rerank is not None else top_k
-        out_schema = f"{query_id} long, {id_col} {vid_type}, sim double"
+        out_schema = f"{query_id} {qid_type}, {id_col} {vid_type}, sim double"
         cols = [id_col, code_col] + ([cluster_col] if mask is not None else [])
 
         def score(batches):
@@ -557,8 +577,14 @@ class PQCodec:
                 with np.errstate(divide="ignore", invalid="ignore"):
                     sims = np.where(denom == 0.0, 0.0, dots / denom)
                 if b_mask is not None:
+                    # rows in clusters no query probed (possible when the
+                    # caller scans an unfiltered codes table with explicit
+                    # probe_sets) must MASK OUT, not index out of bounds
+                    cids = pdf[cluster_col].to_numpy()
+                    in_range = (cids >= 0) & (cids < b_mask.shape[1])
+                    safe = np.where(in_range, cids, 0)
                     sims = np.where(
-                        b_mask[:, pdf[cluster_col].to_numpy()], sims, -2.0
+                        b_mask[:, safe] & in_range[None, :], sims, -2.0
                     )
                 vids = pdf[id_col].to_numpy()
                 kk = min(fetch, nr)
@@ -588,8 +614,8 @@ class PQCodec:
         from vervectordb_spark.functions.similarity import cosine_expr
 
         probes = spark.createDataFrame(
-            [(int(r[0]), [float(x) for x in r[1]]) for r in qrows],
-            f"{query_id} long, _qv array<double>",
+            [(r[0], [float(x) for x in r[1]]) for r in qrows],
+            f"{query_id} {qid_type}, _qv array<double>",
         )
         exact = (
             rerank.join(pool.select(query_id, id_col), on=id_col)
@@ -621,9 +647,9 @@ class PQCodec:
         stays fused) broadcast once; one scan of the probed-cluster union
         scores every query per Arrow batch.
 
-        LUT memory is Q × |probed union| × m × k doubles — the caller's
-        max_q guard bounds it (32 queries × 16 clusters × 8 × 256 ≈ 8 MB;
-        at k_clusters=4096 pass tighter probe sets).
+        LUT memory is Q × max_probes × m × k doubles (slot-compressed —
+        each query stores LUTs only for clusters it probes), with a hard
+        2 GiB guard; 32 queries × nprobe 8 × 8 × 256 ≈ 4 MB.
 
         Numerics contract: identical to `adc_search_residual` — per-code
         fold over sub_dim (vectorized across the queries probing a
@@ -634,13 +660,16 @@ class PQCodec:
 
         spark = encoded.sparkSession
         vid_type = encoded.schema[id_col].dataType.simpleString()
+        qid_type = (
+            "string" if qrows and isinstance(qrows[0][0], str) else "long"
+        )
         if not qrows:
             return spark.createDataFrame(
-                [], f"{query_id} long, {id_col} {vid_type}, rank int, sim double"
+                [], f"{query_id} {qid_type}, {id_col} {vid_type}, sim double, rank int"
             )
         cents = np.asarray(centroids, dtype=np.float64)
         m, sub_dim, k = self.n_subquantizers, self.sub_dim, self.codebook_size
-        qids = np.array([r[0] for r in qrows], dtype=np.int64)
+        qids = np.array([r[0] for r in qrows], dtype=object)
         qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
         nq = len(qids)
         acc = np.zeros(nq)
@@ -653,7 +682,25 @@ class PQCodec:
         mask = np.zeros((nq, n_clusters), dtype=bool)
         for qi, qid in enumerate(qids):
             mask[qi, list(probe_sets[qid])] = True
-        lut_dot = np.zeros((nq, len(union), m, k))
+        # SLOT-COMPRESSED fused LUT: (nq, max_probes, m, k) instead of the
+        # dense (nq, |union|, m, k) — a query stores LUTs only for the
+        # clusters IT probes (slot = smap[q, union_index]). At nprobe=8
+        # over a 64-cluster union the dense form was 8× larger and mostly
+        # zeros; at max_q=4096 that dense worst case reached ~4 GB on the
+        # driver, defeating the guard's intent.
+        max_probes = max(len(s) for s in probe_sets.values())
+        lut_bytes = nq * max_probes * m * k * 8
+        if lut_bytes > 2 << 30:
+            raise ValueError(
+                f"residual LUT would need {lut_bytes >> 20} MiB "
+                f"({nq} queries x {max_probes} probes x {m} x {k}); "
+                "lower the query batch size or pass tighter probe_sets"
+            )
+        smap = np.zeros((nq, len(union)), dtype=np.int32)
+        for qi, qid in enumerate(qids):
+            for slot, cl in enumerate(sorted(probe_sets[qid])):
+                smap[qi, uidx[cl]] = slot
+        lut_dot = np.zeros((nq, max_probes, m, k))
         lut_norm = np.empty((len(union), m, k))
         for ui, cl in enumerate(union):
             cj = cents[cl]
@@ -665,30 +712,32 @@ class PQCodec:
                     rv = self.codebooks[s, :, i] + cj[s * sub_dim + i]  # (k,)
                     d += rv[None, :] * qmat[qsel, s * sub_dim + i][:, None]
                     n += rv * rv
-                lut_dot[qsel, ui, s] = d
+                lut_dot[qsel, smap[qsel, ui], s] = d
                 lut_norm[ui, s] = n
         bc = spark.sparkContext.broadcast(
-            (qids, uidx, lut_dot, lut_norm, qn, mask)
+            (qids, uidx, smap, lut_dot, lut_norm, qn, mask)
         )
         fetch = rerank_factor * top_k if rerank is not None else top_k
-        out_schema = f"{query_id} long, {id_col} {vid_type}, sim double"
+        out_schema = f"{query_id} {qid_type}, {id_col} {vid_type}, sim double"
 
         def score(batches):
             import pandas as pd
 
-            b_qids, b_uidx, b_dot, b_norm, b_qn, b_mask = bc.value
+            b_qids, b_uidx, b_smap, b_dot, b_norm, b_qn, b_mask = bc.value
             n_sub = b_norm.shape[1]
+            qix = np.arange(len(b_qids))[:, None]
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 codes = np.asarray(pdf[code_col].tolist(), dtype=np.int16) + 128
                 cl = pdf[cluster_col].to_numpy()
                 uv = np.array([b_uidx[c] for c in cl], dtype=np.int64)
+                sl = b_smap[:, uv]  # (nq, nr) per-query LUT slot per row
                 nr = len(codes)
                 dots = np.zeros((len(b_qids), nr))
                 norms_sq = np.zeros(nr)
                 for s in range(n_sub):  # subspace order (fold)
-                    dots += b_dot[:, uv, s, codes[:, s]]
+                    dots += b_dot[qix, sl, s, codes[None, :, s]]
                     norms_sq += b_norm[uv, s, codes[:, s]]
                 denom = np.sqrt(norms_sq)[None, :] * b_qn[:, None]
                 with np.errstate(divide="ignore", invalid="ignore"):
@@ -723,8 +772,8 @@ class PQCodec:
         from vervectordb_spark.functions.similarity import cosine_expr
 
         probes = spark.createDataFrame(
-            [(int(r[0]), [float(x) for x in r[1]]) for r in qrows],
-            f"{query_id} long, _qv array<double>",
+            [(r[0], [float(x) for x in r[1]]) for r in qrows],
+            f"{query_id} {qid_type}, _qv array<double>",
         )
         exact = (
             rerank.join(pool.select(query_id, id_col), on=id_col)

@@ -142,7 +142,10 @@ def gemm_topk(
     # fast path probe: one collect bounded at block_size + 1 rows
     probe = q_slim.limit(block_size + 1).collect()
     if not probe:
-        schema = f"{query_id} long, {id_col} long, rank int, sim double"
+        # reuse the derived id types: the hardcoded longs returned a
+        # mismatched schema for string-keyed corpora on the empty branch
+        schema = (f"{query_id} {qid_type}, {id_col} {vid_type}, "
+                  "sim double, rank int")
         return spark.createDataFrame([], schema)
     if len(probe) <= block_size:
         cand = score_block(probe)
