@@ -135,6 +135,8 @@ def build_benches(spark, sf_dir: str):
         # one batched job for all 32 queries (a per-query driver loop pays
         # ~300ms Spark job overhead each — the loop, not the scan, is the
         # bottleneck; IVFIndex.batch_search amortizes it away)
+        if not _ivf_holder:  # BENCH_ONLY runs without ivf_build
+            _ivf_holder.append(IVFIndex.build(emb, n_clusters=16, seed=42))
         idx = _ivf_holder[0]
         queries = emb.filter(F.col("vec_id") < 32).select(
             F.col("vec_id").alias("query_id"),
@@ -407,6 +409,8 @@ def build_benches(spark, sf_dir: str):
             # probed clusters -> top-k. Codec fit + encode are one-time
             # index-build costs (first repeat only; the median reads the
             # steady-state search repeats).
+            if not _ivf_holder:  # BENCH_ONLY runs without ivf_build
+                _ivf_holder.append(IVFIndex.build(emb, n_clusters=16, seed=42))
             if not _ivfpq_holder:
                 codec = PQCodec.fit(emb, dim=len(qv), n_subquantizers=8,
                                     codebook_size=16, seed=42)
@@ -435,6 +439,8 @@ def build_benches(spark, sf_dir: str):
             # residual IVF-PQ serving latency: probe -> fused-LUT ADC over
             # residual codes -> top-k. Fit + encode are one-time build
             # costs (first repeat only, like ivfpq_adc_8q).
+            if not _ivf_holder:  # BENCH_ONLY runs without ivf_build
+                _ivf_holder.append(IVFIndex.build(emb, n_clusters=16, seed=42))
             idx = _ivf_holder[0]
             if not _res_holder:
                 codec = idx.fit_residual_codec(
