@@ -38,3 +38,18 @@ def test_salted_agg_spreads_partials(spark):
 
     salted = df.withColumn("_salt", _row_salt(df, 8, "v"))
     assert salted.select("k", "_salt").distinct().count() > 8
+
+
+def test_salted_join_rejects_small_side_preserving_modes(spark):
+    """'right'/'full' would emit every unmatched small-side row n_salts
+    times (the small side is replicated) — must raise, not corrupt."""
+    import pytest
+
+    from vervectordb_spark.functions.skew import salted_join
+
+    big = spark.range(10).select(F.col("id").alias("k"))
+    small = spark.range(3).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    for how in ("right", "full", "outer", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, on="k", n_salts=4, how=how)
+    assert salted_join(big, small, on="k", n_salts=4, how="left").count() == 10

@@ -444,3 +444,46 @@ def test_store_semdedup_reuses_ivf_assignment(spark):
     assert all(r["sim"] >= 0.99 for r in pairs)
     # and the fitted index is the one the pair stage used
     assert store._ivf is not None
+
+
+def _small_store(spark, db_path=None):
+    st = VectorStore(spark, vector_dim=4, db_path=db_path)
+    st.batch_insert(
+        [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+         [0.9, 0.1, 0.0, 0.0], [0.2, 0.8, 0.0, 0.0]],
+    )
+    return st
+
+
+def test_insert_after_compress_and_double_checkpoint(spark, tmp_path):
+    """compress() adds pq_code; later inserts must still union (NULL
+    codes), and checkpoint() must be repeatable (the second call
+    overwrites the path the plan reads — requires the lineage break)."""
+    store = _small_store(spark, db_path=str(tmp_path / "s1"))
+    store.train_pq(n_subquantizers=2, n_bits=2, sample_size=4)
+    store.compress()
+    ids = store.batch_insert([[0.5, 0.5, 0.5, 0.5]])
+    assert store.get_by_id(ids[0]) is not None
+    store.checkpoint()
+    store.batch_insert([[0.1, 0.2, 0.3, 0.4]])
+    store.checkpoint()  # second compaction over the same path
+    assert store.df.count() >= 6
+
+
+def test_save_refuses_versioned_path(spark, tmp_path):
+    """save()'s atomic swap would delete a nested _versions log — the
+    durable history; it must refuse instead."""
+    store = _small_store(spark, db_path=str(tmp_path / "s2"))
+    store.checkpoint(versioned=True)
+    with pytest.raises(ValueError, match="_versions"):
+        store.save()
+
+
+def test_build_ivf_clears_stale_residual_codec(spark):
+    """A rebuilt IVF must not be combined with a residual codec fitted
+    against the previous centroids."""
+    store = _small_store(spark)
+    store.train_residual_pq(n_subquantizers=2, n_bits=2, sample_size=4)
+    assert store._pq_res is not None
+    store.build_ivf_index(n_clusters=2)
+    assert store._pq_res is None and store._res_encoded is None

@@ -452,3 +452,33 @@ def test_streaming_winnow_fingerprints_match_batch(spark, docs_dir):
                                 kernel="arrow").collect()
     }
     assert got == want
+
+
+def test_incremental_ann_wide_bits_matches_prefix_layout(spark, tmp_path):
+    """ann_bits > MAX_PARTITION_BITS: the rebuild saves a bucket_p0 prefix
+    layout; incremental appends must land in the SAME layout or the
+    directory mixes partition schemes and the next load fails."""
+    from vervectordb_spark.operators.ann import SignLSHIndex
+    from vervectordb_spark.schema import load_table
+    from vervectordb_spark.streaming.refresh import ingest_with_index_refresh
+
+    src = str(tmp_path / "vec_stream_wide")
+    store = str(tmp_path / "store_wide")
+    ckpt = str(tmp_path / "wide_ckpt")
+    emb = load_table(spark, SF_DIR, "embeddings").limit(120)
+    emb.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = ingest_with_index_refresh(
+        stream, store, ckpt, refresh_every=3, n_clusters=4, dim=64,
+        ann_tables=2, ann_bits=16,
+    )
+    q.awaitTermination(180)
+    assert q._refresh_state["ann_incremental_appends"] == 1
+    idx = SignLSHIndex.load(spark, f"{store}/ann")  # loads = layout intact
+    assert idx.prefix_shift == 4
+    ingested = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    indexed = {r["vec_id"] for r in idx.signed.select("vec_id").collect()}
+    assert indexed == ingested

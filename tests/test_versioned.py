@@ -86,7 +86,10 @@ def test_interrupted_commit_invisible_and_vacuumable(spark, table):
     table.append(_df(spark, 0, 5))
     rel, _, _ = table._write_data(_df(spark, 5, 50))  # crash before _commit
     assert table.read().count() == 5  # orphan invisible to readers
-    removed = table.vacuum()
+    # default retention treats the fresh orphan as a possible in-flight
+    # writer (Delta-style safety window); explicit 0 reclaims it now
+    assert table.vacuum() == []
+    removed = table.vacuum(min_age_seconds=0)
     assert rel in removed
     assert not os.path.exists(os.path.join(table.path, rel))
     assert table.read().count() == 5
@@ -95,7 +98,7 @@ def test_interrupted_commit_invisible_and_vacuumable(spark, table):
 def test_vacuum_keeps_all_referenced(spark, table):
     table.append(_df(spark, 0, 5))
     table.overwrite(_df(spark, 0, 2))
-    assert table.vacuum() == []  # v1's files still referenced by history
+    assert table.vacuum(min_age_seconds=0) == []  # v1 still referenced
     assert table.read(version=1).count() == 5
 
 
@@ -104,7 +107,7 @@ def test_expire_then_vacuum_reclaims(spark, table):
     table.overwrite(_df(spark, 0, 2))    # v2
     dropped = table.expire_versions(keep_last=1)
     assert dropped == [0, 1]
-    removed = table.vacuum()
+    removed = table.vacuum(min_age_seconds=0)
     assert len(removed) == 1             # v1's now-unreferenced data dir
     assert table.read().count() == 2
     with pytest.raises(FileNotFoundError):

@@ -65,7 +65,20 @@ def salted_join(
     (explode over the salt range), big side salted by row hash; join on
     (key, salt) spreads each hot key over n_salts reducers. Use ONLY when
     `small` is too big to broadcast but n_salts× small still fits shuffle
-    budget."""
+    budget.
+
+    Only join modes that never EMIT unmatched small-side rows are legal:
+    the small side is replicated n_salts×, so an outer mode preserving it
+    ('right'/'full') would emit every unmatched small row n_salts times —
+    silent row duplication. 'left'/'left_anti' are fine (the big side is
+    salted, not replicated)."""
+    allowed = {"inner", "left", "leftouter", "leftsemi", "leftanti", "cross"}
+    if how.replace("_", "").lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated "
+            "small side would emit unmatched rows n_salts times "
+            "(supported: inner/left/left_semi/left_anti)"
+        )
     small_rep = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

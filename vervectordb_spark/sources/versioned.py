@@ -275,22 +275,39 @@ class VersionedTable:
         return df.filter(cond)
 
     # ------------------------------------------------------------ maintenance
-    def vacuum(self) -> list[str]:
+    def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
         """Remove data dirs referenced by NO manifest (crash orphans and
         data dropped by overwrite after its versions were vacuumed) plus
-        stale temp manifests. Returns removed relpaths."""
+        stale temp manifests. Returns removed relpaths.
+
+        `min_age_seconds` is the safety window every table format needs
+        (Delta's VACUUM retention): a CONCURRENT writer that has written
+        its data dir but not yet published its manifest is indistinguishable
+        from a crash orphan -- deleting it would corrupt the version it is
+        about to publish. Only dirs older than the window (mtime) are
+        eligible; pass 0 ONLY when no writer can be in flight."""
         import shutil
+        import time as _time
 
         referenced: set[str] = set()
         for man in self.history():
             referenced.update(man["files"])
         removed = []
+        now = _time.time()
         ddir = os.path.join(self.path, _DATA_DIR)
         for d in os.listdir(ddir):
             rel = os.path.join(_DATA_DIR, d)
-            if rel not in referenced:
-                shutil.rmtree(os.path.join(ddir, d), ignore_errors=True)
-                removed.append(rel)
+            full = os.path.join(ddir, d)
+            if rel in referenced:
+                continue
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue  # racing publisher/vacuum -- leave it
+            if age < min_age_seconds:
+                continue  # possible in-flight writer
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(rel)
         mdir = os.path.join(self.path, _MANIFEST_DIR)
         for f in os.listdir(mdir):
             if f.endswith(".tmp"):

@@ -106,7 +106,9 @@ class VectorStore:
             for i, v, m in zip(ids, vectors, metas)
         ]
         new = self.spark.createDataFrame(rows, _ROW_SCHEMA)
-        self.df = self.df.unionByName(new)
+        # allowMissingColumns: after compress() the store carries pq_code;
+        # new rows land with NULL codes (encode again to fill them)
+        self.df = self.df.unionByName(new, allowMissingColumns=True)
         self._invalidate()
         return ids
 
@@ -119,7 +121,13 @@ class VectorStore:
         cols = [F.col(c) for c in ("vec_id", "embedding", "metadata") if c in df.columns]
         base = df.select(*cols)
         if "vec_id" not in df.columns:
-            base = base.withColumn("vec_id", F.expr("uuid()"))
+            # uuid() is nondeterministic: a task retry or AQE re-plan
+            # between two actions would re-draw every id, so ids handed
+            # out by one query could vanish from the next. localCheckpoint
+            # (lazy) pins the batch at its first materialization.
+            base = base.withColumn("vec_id", F.expr("uuid()")).localCheckpoint(
+                eager=False
+            )
         if "metadata" not in df.columns:
             base = base.withColumn(
                 "metadata", F.lit(None).cast("map<string,string>")
@@ -129,7 +137,8 @@ class VectorStore:
                 F.col("vec_id").cast("string"),
                 F.col("embedding").cast("array<float>").alias("embedding"),
                 "metadata",
-            )
+            ),
+            allowMissingColumns=True,
         )
         self._invalidate()
 
@@ -162,7 +171,9 @@ class VectorStore:
         vec = [float(x) for x in (new_vector if new_vector is not None else old["vector"])]
         meta = {str(k): str(v) for k, v in (new_metadata if new_metadata is not None else old["metadata"]).items()}
         replacement = self.spark.createDataFrame([(vec_id, vec, meta)], _ROW_SCHEMA)
-        self.df = self.df.filter(F.col("vec_id") != vec_id).unionByName(replacement)
+        self.df = self.df.filter(F.col("vec_id") != vec_id).unionByName(
+            replacement, allowMissingColumns=True
+        )
         self._invalidate()
 
     def delete(self, vec_id: str) -> None:
@@ -334,6 +345,10 @@ class VectorStore:
 
         self._ivf = IVFIndex.build(self.df, n_clusters=n_clusters, seed=seed)
         self._ivf_from_disk = False
+        # the residual codec is fitted against the PREVIOUS centroids --
+        # combining it with a rebuilt IVF silently mis-scores ADC
+        self._pq_res = None
+        self._res_encoded = None
         return self._ivf
 
     def ivf_search(self, query_vector, top_k: int = 5, nprobe: int | None = None,
@@ -478,6 +493,9 @@ class VectorStore:
         path = path or (self.db_path and f"{self.db_path}/_checkpoint")
         if not path:
             raise ValueError("no db_path for checkpoint")
+        # a SECOND checkpoint reads the very path it overwrites -- Spark
+        # rejects overwrite-while-reading, so break the lineage first
+        self.df = self.df.localCheckpoint(eager=True)
         self.df.write.mode("overwrite").parquet(path)
         self.df = self.spark.read.parquet(path)
 
@@ -518,7 +536,21 @@ class VectorStore:
         path = path or self.db_path
         if not path:
             raise ValueError("no db_path")
-        same = self._loaded_from == path
+        import os as _os
+
+        if _os.path.isdir(f"{path}/_versions"):
+            # the atomic swap would DELETE the versioned log nested under
+            # this path -- that history is the durable store; refuse loudly
+            raise ValueError(
+                f"{path} holds a versioned checkpoint log (_versions); "
+                "use checkpoint(versioned=True) for persistence there, or "
+                "save() to a different path"
+            )
+        # materialize whenever the target is this store's own directory:
+        # the swap retires _checkpoint files the current plan may read
+        # (the old loaded_from==path guard missed the
+        # fresh-store-then-checkpoint() case)
+        same = self._loaded_from == path or path == self.db_path
         if same:
             self.df = self.df.localCheckpoint(eager=True)
             if self._ivf is not None:

@@ -114,8 +114,13 @@ def _session_fn(key, pdf_iter, state):
         start_us = last_us = None
         n, total = 0, 0.0
 
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values("ts")
+    # a group's micro-batch spans MULTIPLE Arrow chunks with no global
+    # order; sorting each chunk independently lets a later chunk carry
+    # earlier timestamps (negative gaps, regressed last_us, wrong session
+    # starts) -- concatenate first, sort once
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
         for ts_ns, value in zip(pdf["ts"], pdf["value"]):
             ts_us = int(ts_ns) // 1000
             if last_us is not None and ts_us - last_us > _GAP_US:

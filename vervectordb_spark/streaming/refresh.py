@@ -107,7 +107,12 @@ def ingest_with_index_refresh(
             if pq_subquantizers is not None:
                 from vervectordb_spark.operators.pq import PQCodec
 
-                d = dim or full.select(F.size("embedding").alias("d")).first()["d"]
+                drow = None if dim is not None else (
+                    full.select(F.size("embedding").alias("d")).first()
+                )
+                d = dim if dim is not None else (drow and drow["d"])
+                if d is None:
+                    return  # nothing ingested yet -- no codebooks to fit
                 codec = PQCodec.fit(
                     full, dim=d, n_subquantizers=pq_subquantizers,
                     codebook_size=pq_codebook_size, seed=seed,
@@ -143,17 +148,41 @@ def ingest_with_index_refresh(
                 state["pq_incremental_appends"] += 1
         if incremental and state["ann_ready"] and ann_tables is not None:
             from vervectordb_spark.operators.ann import (
+                SignLSHIndex,
                 _sign_gemm,
                 rademacher_planes,
             )
 
-            d = dim or out.select(F.size("embedding").alias("d")).first()["d"]
-            planes = rademacher_planes(ann_tables * ann_bits, d)
+            d = dim or state.get("dim")
+            if d is None:
+                # probe once and cache; an EMPTY micro-batch (restart
+                # replay, or every row dropped by the dim filter) has no
+                # first() row -- skip instead of subscripting None
+                row = out.select(F.size("embedding").alias("d")).first()
+                if row is None:
+                    return
+                d = row["d"]
+            state["dim"] = d
+            planes = state.get("planes")
+            if planes is None:
+                planes = rademacher_planes(ann_tables * ann_bits, d)
+                state["planes"] = planes  # md5 derivation once, not per batch
             signed = _sign_gemm(out, planes, ann_tables, ann_bits,
                                 "embedding", d)
-            signed.write.mode("append").partitionBy("bucket_0").parquet(
-                f"{store_path}/ann/signed"
-            )
+            # append in the SAME layout the rebuild saved: wide hashes
+            # partition by the bucket_0 prefix (SignLSHIndex.save) -- a
+            # bucket_0 append into a bucket_p0 tree corrupts the directory
+            shift = max(ann_bits - SignLSHIndex.MAX_PARTITION_BITS, 0)
+            if shift == 0:
+                signed.write.mode("append").partitionBy("bucket_0").parquet(
+                    f"{store_path}/ann/signed"
+                )
+            else:
+                signed.withColumn(
+                    "bucket_p0", F.expr(f"shiftright(bucket_0, {shift})")
+                ).write.mode("append").partitionBy("bucket_p0").parquet(
+                    f"{store_path}/ann/signed"
+                )
             state["ann_incremental_appends"] += 1
 
     q = (
