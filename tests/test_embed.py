@@ -78,3 +78,18 @@ def test_embed_kernels_bit_identical(spark):
     for re_, ra in zip(e, a):
         assert re_["vec_id"] == ra["vec_id"]
         assert re_["embedding"] == ra["embedding"]  # bit-exact float32
+
+
+def test_expr_kernel_null_text_matches_arrow_zero_vector(spark):
+    """NULL text must embed to the ZERO vector on BOTH kernels (the expr
+    path used to emit an all-NULL-element array, breaking the non-null
+    store schema and cosine)."""
+    from vervectordb_spark.operators.embed import embed_documents
+
+    df = spark.createDataFrame([(1, None), (2, "hello world")],
+                               "doc_id long, text string")
+    for kernel in ("expr", "arrow"):
+        rows = {r["vec_id"]: list(r["embedding"])
+                for r in embed_documents(df, dim=8, kernel=kernel).collect()}
+        assert rows[1] == [0.0] * 8, kernel
+        assert all(x is not None for x in rows[2]), kernel

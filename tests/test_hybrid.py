@@ -65,7 +65,7 @@ def test_keyword_topk_is_integer_and_positive(spark, docs):
 
 def test_rrf_single_modality_docs_still_rank(spark, docs):
     """A doc present in only one candidate list gets exactly that side's
-    1/(k+rank) and -1 sentinels for the other side."""
+    1/(k+rank) and -1 rank / -2.0 sim sentinels for the other side."""
     emb = load_table(spark, SF_DIR, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
     qv = [float(x) for x in qrow[0][0]]
@@ -80,7 +80,7 @@ def test_rrf_single_modality_docs_still_rank(spark, docs):
         if r.vec_rank != -1:
             terms.append(1.0 / (60 + r.vec_rank))
         else:
-            assert r.sim == -1.0
+            assert r.sim == -2.0
         assert terms, "doc in neither candidate list leaked into the fusion"
         assert r.rrf_score == pytest.approx(sum(terms), abs=0.0)
 
@@ -193,3 +193,16 @@ def test_rerank_scored_fake_orders_by_density(spark, docs):
     scores = [r.ce_score for r in out]
     assert scores == sorted(scores, reverse=True)
     assert out[0].ce_score > 0
+
+
+def test_keyword_batch_lowercases_terms(spark):
+    """User-cased batch terms must match the lower-cased token stream,
+    same as the single-query path."""
+    from vervectordb_spark.operators.hybrid import keyword_topk_batch
+
+    docs = spark.createDataFrame([(1, "Spark is Great")],
+                                 "doc_id long, text string")
+    terms = spark.createDataFrame([(0, "Spark"), (0, "GREAT")],
+                                  "query_id long, term string")
+    got = keyword_topk_batch(docs, terms).collect()
+    assert len(got) == 1 and got[0]["kw_score"] == 2

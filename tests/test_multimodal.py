@@ -86,3 +86,35 @@ def test_real_decode_is_stubbed():
         pass
     with pytest.raises(NotImplementedError, match="codec"):
         MM.decode_image(b"\x89PNG")
+
+
+def test_attach_fake_media_null_text_payload(spark):
+    """NULL text must land as an EMPTY payload (schema forbids null), and
+    the feature kernel must process it."""
+    from vervectordb_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_features,
+    )
+
+    df = spark.createDataFrame([(0, None), (1, "abc")],
+                               "doc_id long, text string")
+    media = attach_fake_media(df)
+    assert media.filter(F.col("payload").isNull()).count() == 0
+    feats = extract_features(media).collect()
+    assert len(feats) == 2
+
+
+def test_fake_false_raises_honest_stub_error(spark):
+    """fake=False is an env-guarded stub: it must raise NotImplementedError
+    up front (the old empty-bytes probe crashed inside PIL when the lib
+    WAS installed, then computed fake features anyway)."""
+    from vervectordb_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_features,
+    )
+
+    media = attach_fake_media(
+        spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    )
+    with pytest.raises(NotImplementedError, match="fake=True"):
+        extract_features(media, fake=False)

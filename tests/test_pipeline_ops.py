@@ -312,3 +312,63 @@ def test_weighted_sample_plan_is_take_ordered(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_top_ngrams_counts_occurrences_for_bigrams(spark):
+    """n>1 must count OCCURRENCES, not document frequency: one doc
+    repeating a bigram beats many docs containing it once."""
+    rows = [(1, "foo bar " * 10)] + [(i, "baz qux etc") for i in range(2, 6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = top_ngrams(df, text_col="text", n=2, top_k=1).collect()
+    assert out[0]["ngram"] == "foo bar"
+    assert out[0]["n_occurrences"] == 10
+
+
+def test_pack_tiebreak_makes_tied_order_deterministic(spark):
+    """Equal order_col values: the layout must not depend on shuffle
+    order once a tiebreak column is supplied."""
+    from vervectordb_spark.operators.packing import pack_by_token_offset
+
+    rows = [(i, 30, 7) for i in range(40)]  # ALL order values tie
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long, ord long")
+    a = {r["doc_id"]: r["bin_id"] for r in pack_by_token_offset(
+        df, "n_tok", 100, "ord", tiebreak_col="doc_id").collect()}
+    b = {r["doc_id"]: r["bin_id"] for r in pack_by_token_offset(
+        df.repartition(7), "n_tok", 100, "ord",
+        tiebreak_col="doc_id").collect()}
+    assert a == b
+    assert a[0] == 0 and a[39] == (39 * 30) // 100
+
+
+def test_hash_sample_fraction_one_keeps_everything(spark):
+    from vervectordb_spark.operators.sampling import hash_sample
+
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    assert hash_sample(df, "k", 1.0).count() == 1000
+
+
+def test_split_full_coverage_last_band_closed(spark):
+    """Widths summing to 1.0 must assign EVERY row (the top ~128 hash
+    values round to u == 1.0; an open last band would leave them NULL)."""
+    from vervectordb_spark.operators.sampling import train_eval_split
+
+    df = spark.range(2000).select(F.col("id").cast("string").alias("k"))
+    out = train_eval_split(df, "k", {"a": 0.5, "b": 0.5})
+    assert out.filter(F.col("split").isNull()).count() == 0
+
+
+def test_apply_changes_duplicate_version_deterministic(spark):
+    """Two change rows with the same (key, version) but different
+    payloads (replayed CDC feed) must resolve to the SAME winner under
+    any partitioning."""
+    from vervectordb_spark.operators.merge import apply_changes
+
+    target = spark.createDataFrame([(1, "old")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(1, "payload-a", 5, False), (1, "payload-b", 5, False)],
+        "k long, v string, version long, is_delete boolean",
+    )
+    a = apply_changes(target, changes, "k").collect()
+    b = apply_changes(target, changes.repartition(5), "k").collect()
+    assert len(a) == len(b) == 1
+    assert a[0]["v"] == b[0]["v"]

@@ -129,6 +129,11 @@ def embed_documents(docs: DataFrame, dim: int = 32, text_col: str = "text",
     if kernel == "arrow":
         return _embed_arrow(docs, dim, text_col, id_col, cjk_aware)
     toks = mixed_tokens_expr(text_col) if cjk_aware else tokens_expr(text_col)
+    # NULL text tokenizes to NULL; without the coalesce every count bucket
+    # (and thus every embedding element) is NULL — the arrow kernel emits
+    # a zero vector for the same row, and the store schema forbids null
+    # elements. Empty array -> all-zero counts -> zero vector, matching.
+    toks = F.coalesce(toks, F.array().cast("array<string>"))
     staged = (
         docs.select(F.col(id_col), toks.alias("_toks"))
         .withColumn("_bks", F.transform("_toks", lambda t: md5_long(t) % dim))
@@ -176,7 +181,8 @@ def model_embedding(docs: DataFrame, model_name: str = "thenlper/gte-base-zh",
             "use hashed_bow_embedding for the deterministic pipeline"
         ) from e
 
-    out_schema = f"vec_id long, embedding array<float>"
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"vec_id {id_type}, embedding array<float>"
 
     def embed(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd

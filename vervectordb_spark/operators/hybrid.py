@@ -140,7 +140,9 @@ def rrf_fuse(
 ) -> DataFrame:
     """Fuse the two ranked candidate lists: full outer join on id, then
     RRF(d) = 1/(k+kw_rank) + 1/(k+vec_rank), absent modality contributing
-    0. Missing ranks/scores surface as -1 sentinels (not NULL) so the
+    0. Missing ranks surface as -1 sentinels and a missing dense score
+    as -2.0 (outside cosine's [-1, 1] range — a -1.0 sentinel collided
+    with a legitimate antipodal similarity), not NULL, so the
     result is engine-portable without nullable-int coercion drift.
 
     The float arithmetic is two IEEE divisions and one addition in a fixed
@@ -165,7 +167,7 @@ def rrf_fuse(
             F.coalesce(F.col(id_col), F.col("_vid")).alias(id_col),
             F.coalesce(F.col("kw_score"), F.lit(-1).cast("long")).alias("kw_score"),
             F.coalesce(F.col("kw_rank"), F.lit(-1).cast("long")).alias("kw_rank"),
-            F.coalesce(F.round("sim", 6), F.lit(-1.0)).alias("sim"),
+            F.coalesce(F.round("sim", 6), F.lit(-2.0)).alias("sim"),
             F.coalesce(F.col("vec_rank"), F.lit(-1).cast("long")).alias("vec_rank"),
             rrf.alias("rrf_score"),
         )
@@ -227,7 +229,10 @@ def keyword_topk_batch(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("_term")
     )
     terms = term_table.select(
-        F.col(query_id), F.col("term").alias("_term")
+        # tokens are lower-cased (tokens_expr); terms must match — the
+        # single-query path lowercases, so user-cased batch terms were
+        # silently matching nothing
+        F.col(query_id), F.lower(F.col("term")).alias("_term")
     )
     hits = tok.join(F.broadcast(terms), on="_term")
     kw = hits.groupBy(query_id, id_col).agg(
@@ -294,7 +299,7 @@ def hybrid_search_batch(
         F.coalesce(F.col(doc_id_col), F.col("_vid")).alias(doc_id_col),
         F.coalesce(F.col("kw_score"), F.lit(-1).cast("long")).alias("kw_score"),
         F.coalesce(F.col("kw_rank"), F.lit(-1).cast("long")).alias("kw_rank"),
-        F.coalesce(F.round("sim", 6), F.lit(-1.0)).alias("sim"),
+        F.coalesce(F.round("sim", 6), F.lit(-2.0)).alias("sim"),
         F.coalesce(F.col("vec_rank"), F.lit(-1).cast("long")).alias("vec_rank"),
         rrf.alias("rrf_score"),
     )

@@ -48,8 +48,9 @@ def apply_changes(target: DataFrame, changes: DataFrame,
     """Apply a CDC batch: `changes` carries the target's columns plus
     `version_col` (monotone per key) and optionally `delete_col`
     (tombstone flag). The target counts as version -infinity. Keeps the
-    single highest-version row per key (ties broken toward the CHANGE
-    side, then by version), then drops tombstones.
+    single highest-version row per key (any change beats the target;
+    equal-version duplicates resolve deterministically: tombstones first,
+    then payload hash), then drops tombstones.
 
     One window shuffle on the key. Returns the target's columns."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
@@ -66,8 +67,17 @@ def apply_changes(target: DataFrame, changes: DataFrame,
         (F.col(delete_col) if delete_col and delete_col in changes.columns
          else F.lit(False)).alias("_del"),
     )
-    # nulls_first on desc puts the target row LAST: any change beats it
-    w = Window.partitionBy(*keys).orderBy(F.desc_nulls_last("_v"))
+    # desc_nulls_last puts the NULL-version target row LAST: any change
+    # beats it. The payload-hash tiebreak makes equal (key, version)
+    # DUPLICATE change rows (a replayed CDC feed) resolve to the same
+    # winner on every run/partitioning — bare desc left row_number's
+    # choice to shuffle order.
+    payload = [c for c in cols if c not in keys]
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc_nulls_last("_v"),
+        F.desc("_del"),
+        *([F.asc(F.xxhash64(*payload))] if payload else []),
+    )
     merged = (
         t.unionByName(c)
         .withColumn("_rk", F.row_number().over(w))

@@ -62,7 +62,11 @@ def attach_fake_media(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(
         F.col(id_col).alias("media_id"),
         kind.alias("kind"),
-        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        # NULL text must not become a NULL payload (MEDIA_SCHEMA forbids
+        # it and bytes(None) crashes the feature kernels)
+        F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8").alias(
+            "payload"
+        ),
         F.struct(
             F.concat(F.lit("x-fake/"), kind).alias("mime"),
             (F.col(id_col) % 640 + 32).cast("int").alias("width"),
@@ -75,6 +79,19 @@ def attach_fake_media(docs: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 # decode stages — real codecs stubbed, deterministic fakes for the plumbing
 # ---------------------------------------------------------------------------
+
+
+def _require_real_codec() -> None:
+    """fake=False gate: the real-codec kernels are NOT implemented in this
+    environment — raise the honest error instead of probing
+    decode_image(b"") (which crashed with UnidentifiedImageError when PIL
+    WAS installed, and the batch loop would have computed the fake
+    features regardless)."""
+    raise NotImplementedError(
+        "real media decoding is an env-guarded stub (no codecs in this "
+        "container); use fake=True for the deterministic byte-level "
+        "stand-in, or implement the codec kernel behind decode_image"
+    )
 
 
 def decode_image(payload: bytes):
@@ -111,7 +128,7 @@ def extract_features(media: DataFrame, dim: int = 64, fake: bool = True,
     float array (byte-histogram under `fake`; a real model's embedding in
     production — identical schema/batch shape either way)."""
     if not fake:
-        decode_image(b"")  # raises NotImplementedError without a codec
+        _require_real_codec()
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in media.schema)
     out_schema = f"{fields}, features array<float>"
 
@@ -140,7 +157,7 @@ def resize_images(media: DataFrame, h: int = 8, w: int = 8,
     exercises the full batch/schema contract; the real path plugs a codec
     into the same loop."""
     if not fake:
-        decode_image(b"")
+        _require_real_codec()
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in media.schema)
     out_schema = f"{fields}, resized binary, resized_h int, resized_w int"
 
@@ -166,7 +183,7 @@ def sample_frames(media: DataFrame, every_n: int = 4, frame_size: int = 16,
     frames and keeps every n-th — the real ffmpeg loop has the identical
     row-explosion shape."""
     if not fake:
-        decode_image(b"")
+        _require_real_codec()
     out_schema = "media_id long, frame_no int, frame binary"
 
     def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821

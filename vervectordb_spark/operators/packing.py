@@ -30,16 +30,24 @@ from pyspark.sql import functions as F
 
 def pack_by_token_offset(df: DataFrame, token_col: str, budget: int,
                          order_col: str, stream_col: str | None = None,
-                         bin_col: str = "bin_id") -> DataFrame:
+                         bin_col: str = "bin_id",
+                         tiebreak_col: str | None = None) -> DataFrame:
     """Add `bin_col`: the document's bin in an end-to-end token layout cut
     every `budget` tokens, streamed per `stream_col` (or one global
-    stream) in `order_col` order."""
+    stream) in `order_col` order.
+
+    Determinism: a running sum over a non-unique order is
+    shuffle-order-dependent at the ties, so equal `order_col` values can
+    swap bins between runs. Pass `tiebreak_col` (any unique id) when
+    `order_col` can tie; with a unique order column the layout is
+    reproducible as-is."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    order = [order_col] + ([tiebreak_col] if tiebreak_col else [])
     w = (
         Window.partitionBy(stream_col) if stream_col is not None
         else Window.partitionBy(F.lit(0))
-    ).orderBy(order_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ).orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     start = F.sum(token_col).over(w) - F.col(token_col)
     return df.withColumn(
         bin_col, F.floor(start.cast("double") / F.lit(float(budget))).cast("long")

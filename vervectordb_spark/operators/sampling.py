@@ -25,8 +25,11 @@ from pyspark.sql import functions as F
 
 from vervectordb_spark.functions.hashing import HASH_BITS, md5_long
 
-#: 2^60 as an exact double (60-bit hash / 2^60 is an exact binary fraction,
-#: so the division result — and every threshold comparison — is bit-stable)
+#: 2^60 as an exact double. NB: a 60-bit hash exceeds double's 53-bit
+#: mantissa, so h/2^60 is the correctly-ROUNDED draw (identical rounding
+#: on every IEEE engine — still bit-stable cross-engine) and can round up
+#: to exactly 1.0 for the top ~128 hash values; the split/sample
+#: operators treat the unit interval as closed above for that corner.
 _HASH_SPACE = float(1 << HASH_BITS)
 
 
@@ -39,7 +42,13 @@ def hash_uniform_expr(id_col: Column | str, seed: int = 42) -> Column:
 
 def hash_sample(df: DataFrame, id_col: str, fraction: float,
                 seed: int = 42) -> DataFrame:
-    """Keep ~fraction of rows, chosen by the row's own hash draw."""
+    """Keep ~fraction of rows, chosen by the row's own hash draw.
+
+    fraction >= 1.0 keeps EVERYTHING: the double cast of a 60-bit hash
+    rounds the top ~128 values up to exactly 1.0 (53-bit mantissa), so a
+    strict `u < 1.0` filter would drop ~1e-16 of rows."""
+    if fraction >= 1.0:
+        return df
     return df.filter(hash_uniform_expr(id_col, seed) < float(fraction))
 
 
@@ -65,9 +74,15 @@ def split_column_expr(id_col: Column | str, splits: dict[str, float],
     u = hash_uniform_expr(id_col, seed)
     expr = F.lit(None).cast("string")
     lo = 0.0
-    for name, width in sorted(splits.items()):
+    names = sorted(splits.items())
+    for i, (name, width) in enumerate(names):
         hi = lo + float(width)
-        expr = F.when((u >= lo) & (u < hi), F.lit(name)).otherwise(expr)
+        # when the bands cover the whole unit interval, the LAST band is
+        # closed above: u can be exactly 1.0 (60-bit hash rounded up in
+        # the double cast), and [lo, 1.0) would leave those rows NULL
+        closed = i == len(names) - 1 and hi >= 1.0 - 1e-12
+        upper = (u <= hi) if closed else (u < hi)
+        expr = F.when((u >= lo) & upper, F.lit(name)).otherwise(expr)
         lo = hi
     if lo > 1.0 + 1e-9:
         raise ValueError(f"split widths sum to {lo} > 1")

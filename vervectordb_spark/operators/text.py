@@ -237,12 +237,18 @@ def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 1,
     partition — the global-window cliff. Bucketing is internal: any
     bucket's local top-k is a superset of its members in the true top-k,
     so the result is exact for every hash. n=1 uses the whitespace
-    tokens; n>1 uses distinct word shingles (dedup.shingles_expr)."""
+    tokens; n>1 uses POSITIONAL word shingles (duplicates kept) so
+    n_occurrences counts occurrences for every n — the earlier
+    set-semantics shingles silently turned n>1 counts into document
+    frequency (a doc repeating a bigram 100x counted once)."""
     from pyspark.sql import Window
 
-    from vervectordb_spark.operators.dedup import shingles_expr
+    from vervectordb_spark.operators.dedup import positional_shingles_expr
 
-    grams = tokens_expr(text_col) if n == 1 else shingles_expr(text_col, n)
+    grams = (
+        tokens_expr(text_col) if n == 1
+        else positional_shingles_expr(text_col, n)
+    )
     keys = [by_col] if by_col else []
     counts = (
         df.select(*keys, F.explode(grams).alias("ngram"))
@@ -288,7 +294,8 @@ def tokenize_zh(df, text_col: str = "text", id_col: str = "doc_id",
             F.col(id_col), mixed_tokens_expr(text_col).alias(out_col)
         )
 
-    out_schema = f"{id_col} long, {out_col} array<string>"
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, {out_col} array<string>"
 
     def seg(batches):
         import jieba

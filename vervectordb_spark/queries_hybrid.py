@@ -58,7 +58,7 @@ vec_r AS (
 SELECT COALESCE(k.doc_id, v.vec_id) AS doc_id,
   COALESCE(k.kw_score, CAST(-1 AS BIGINT)) AS kw_score,
   COALESCE(k.kw_rank, CAST(-1 AS BIGINT)) AS kw_rank,
-  COALESCE(ROUND(v.sim, 6), CAST(-1 AS DOUBLE)) AS sim,
+  COALESCE(ROUND(v.sim, 6), CAST(-2 AS DOUBLE)) AS sim,
   COALESCE(v.vec_rank, CAST(-1 AS BIGINT)) AS vec_rank,
   COALESCE(CAST(1 AS DOUBLE) / (60 + k.kw_rank), CAST(0 AS DOUBLE))
     + COALESCE(CAST(1 AS DOUBLE) / (60 + v.vec_rank), CAST(0 AS DOUBLE))
@@ -157,7 +157,7 @@ fused AS (
     COALESCE(k.doc_id, v.vec_id) AS doc_id,
     COALESCE(k.kw_score, CAST(-1 AS BIGINT)) AS kw_score,
     COALESCE(k.kw_rank, CAST(-1 AS BIGINT)) AS kw_rank,
-    COALESCE(ROUND(v.sim, 6), CAST(-1 AS DOUBLE)) AS sim,
+    COALESCE(ROUND(v.sim, 6), CAST(-2 AS DOUBLE)) AS sim,
     COALESCE(v.vec_rank, CAST(-1 AS BIGINT)) AS vec_rank,
     COALESCE(CAST(1 AS DOUBLE) / (60 + k.kw_rank), CAST(0 AS DOUBLE))
       + COALESCE(CAST(1 AS DOUBLE) / (60 + v.vec_rank), CAST(0 AS DOUBLE))
@@ -246,7 +246,7 @@ vec_r AS (
 )
 SELECT COALESCE(k.doc_id, v.vec_id) AS doc_id,
   COALESCE(k.kw_rank, CAST(-1 AS BIGINT)) AS kw_rank,
-  COALESCE(ROUND(v.sim, 6), CAST(-1 AS DOUBLE)) AS sim,
+  COALESCE(ROUND(v.sim, 6), CAST(-2 AS DOUBLE)) AS sim,
   COALESCE(v.vec_rank, CAST(-1 AS BIGINT)) AS vec_rank,
   COALESCE(CAST(1 AS DOUBLE) / (60 + k.kw_rank), CAST(0 AS DOUBLE))
     + COALESCE(CAST(1 AS DOUBLE) / (60 + v.vec_rank), CAST(0 AS DOUBLE))

@@ -418,7 +418,7 @@ WITH u AS (SELECT doc_id, lang, {_U_SQL} AS u FROM documents)
 SELECT lang,
   CASE WHEN u >= 0.0 AND u < 0.125 THEN 'eval'
        WHEN u >= 0.125 AND u < 0.25 THEN 'test'
-       WHEN u >= 0.25 AND u < 1.0 THEN 'train'
+       WHEN u >= 0.25 AND u <= 1.0 THEN 'train'
   END AS split,
   COUNT(*) AS n_docs
 FROM u GROUP BY lang, split
