@@ -156,3 +156,96 @@ def test_time_partitioned_layout_prunes_days(spark, tmp_path):
         F.expr("ts div 86400000000000") == one_day
     ).count()
     assert q.count() == want
+
+
+def test_atomic_save_preserves_old_on_empty_body(tmp_path):
+    """A body that writes nothing must leave the live artifact untouched
+    (the old flow renamed it away first, stranding it at __old__)."""
+    import os
+
+    import pytest as _pytest
+
+    from vervectordb_spark.sources.atomic import atomic_save
+
+    path = str(tmp_path / "art")
+    os.makedirs(path)
+    open(f"{path}/data.txt", "w").write("v1")
+    with _pytest.raises(ValueError, match="no artifact"):
+        with atomic_save(path) as tmp:
+            pass  # wrote nothing
+    assert open(f"{path}/data.txt").read() == "v1"
+    assert not os.path.exists(path + ".__old__")
+
+
+def test_atomic_save_recovers_stranded_old_on_entry(tmp_path):
+    """A save that died between its two renames leaves the ONLY copy at
+    __old__; the next atomic_save must RESTORE it, never delete it."""
+    import os
+
+    from vervectordb_spark.sources.atomic import atomic_save
+
+    path = str(tmp_path / "art2")
+    os.makedirs(path + ".__old__")
+    open(path + ".__old__/data.txt", "w").write("survivor")
+    with atomic_save(path) as tmp:
+        os.makedirs(tmp, exist_ok=True)
+        open(f"{tmp}/data.txt", "w").write("v2")
+    assert open(f"{path}/data.txt").read() == "v2"
+    # and if the retry body FAILS, the recovered artifact must survive
+    os.makedirs(path + ".__old__", exist_ok=True)  # simulate again
+    open(path + ".__old__/data.txt", "w").write("survivor2")
+    import shutil
+
+    shutil.rmtree(path)
+    try:
+        with atomic_save(path) as tmp:
+            raise RuntimeError("writer died")
+    except RuntimeError:
+        pass
+    assert open(f"{path}/data.txt").read() == "survivor2"
+
+
+def test_pruned_scan_reads_post_stats_appends(spark, tmp_path):
+    """Files appended AFTER collect_file_stats have no stats entry — they
+    must be scanned unpruned, not silently dropped."""
+    from vervectordb_spark.sources.layout import pruned_scan, write_zordered
+
+    path = str(tmp_path / "z")
+    df = spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+    )
+    write_zordered(df, path, ["a", "b"], n_files=4)
+    extra = spark.createDataFrame([(1000, 2000)], "a long, b long")
+    extra.coalesce(1).write.mode("append").parquet(path)
+    got = pruned_scan(spark, path, {"a": (900, 1100)}).collect()
+    assert len(got) == 1 and got[0]["a"] == 1000
+
+
+def test_zorder_empty_input_clear_error(spark, tmp_path):
+    import pytest as _pytest
+
+    from vervectordb_spark.sources.layout import write_zordered
+
+    empty = spark.range(0).select(F.col("id").alias("a"))
+    with _pytest.raises(ValueError, match="ranges"):
+        write_zordered(empty, str(tmp_path / "ze"), ["a"])
+
+
+def test_time_partition_floor_division_pre_epoch(spark, tmp_path):
+    """Pre-epoch timestamps must land in day -1, not get merged into day
+    0 by truncating division."""
+    import glob
+
+    from vervectordb_spark.sources.tables import write_time_partitioned
+
+    ns_day = 24 * 3_600_000_000_000
+    df = spark.createDataFrame(
+        [(-1,), (0,), (ns_day - 1,), (ns_day,)], "ts long"
+    )
+    path = str(tmp_path / "days")
+    write_time_partitioned(df, path)
+    days = sorted(
+        int(d.rsplit("=", 1)[1])
+        for d in glob.glob(f"{path}/event_day=*")
+    )
+    assert days == [-1, 0, 1]

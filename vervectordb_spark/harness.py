@@ -33,8 +33,14 @@ def recall_df(results: DataFrame, truth: DataFrame,
               query_id: str = "query_id", id_col: str = "vec_id") -> DataFrame:
     """H1 distributed: per-query recall of `results` against `truth`
     (both (query_id, id_col) relations). One join + one aggregation."""
-    hits = results.join(truth, on=[query_id, id_col]).groupBy(query_id).agg(
-        F.count("*").alias("n_hit")
+    # duplicate (query, id) result rows (multi-probe unions) must count
+    # once — without the distinct, per-query recall could exceed 1.0 and
+    # inflate the acceptance gate's mean
+    hits = (
+        results.select(query_id, id_col).distinct()
+        .join(truth.select(query_id, id_col).distinct(), on=[query_id, id_col])
+        .groupBy(query_id)
+        .agg(F.count("*").alias("n_hit"))
     )
     sizes = truth.groupBy(query_id).agg(F.count("*").alias("n_truth"))
     return sizes.join(hits, on=query_id, how="left").select(

@@ -43,26 +43,55 @@ def assert_not_operator(plan: str, op: str) -> None:
 
 def assert_pushed_filter(plan: str, column: str) -> None:
     """The parquet scan carries a pushed filter on `column` (predicate
-    reached the data source — row-group/page skipping applies)."""
+    reached the data source — row-group/page skipping applies).
+    Word-bounded match: a filter on `vec_id` must NOT satisfy an
+    assertion about `id` (substring matching green-lit regressions)."""
     lists = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
-    assert any(column in l for l in lists), (
+    pat = re.compile(r"(?<![A-Za-z0-9_])" + re.escape(column) + r"(?![A-Za-z0-9_])")
+    assert any(pat.search(l) for l in lists), (
         f"no pushed filter on {column!r} in any scan; PushedFilters="
         f"{lists or 'MISSING'}"
     )
 
 
-def assert_read_schema_only(plan: str, columns: set[str], table_hint: str | None = None) -> None:
+def _schema_top_cols(s: str) -> set[str] | None:
+    """Top-level column names of a ReadSchema struct body, splitting on
+    commas at bracket depth 0 (naive split mangles nested map/struct/array
+    types). Returns None when Spark truncated the schema ("... N more
+    fields") — an unverifiable scan, not a mismatch."""
+    if "..." in s:
+        return None
+    cols, depth, cur = set(), 0, []
+    for ch in s:
+        if ch == "," and depth == 0:
+            frag = "".join(cur)
+            if frag:
+                cols.add(frag.split(":", 1)[0].strip())
+            cur = []
+            continue
+        if ch in "<([":
+            depth += 1
+        elif ch in ">)]":
+            depth -= 1
+        cur.append(ch)
+    frag = "".join(cur)
+    if frag:
+        cols.add(frag.split(":", 1)[0].strip())
+    return cols
+
+
+def assert_read_schema_only(plan: str, columns: set[str]) -> None:
     """Column pruning: some scan reads exactly `columns` (a scan that reads
     all columns for a narrow projection is wrong at any scale)."""
-    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    schemas = re.findall(r"ReadSchema: struct<(.*?)>(?=$|\n)", plan, re.M)
     assert schemas, f"no ReadSchema in plan:\n{plan[:2000]}"
-    for s in schemas:
-        cols = {c.split(":")[0] for c in s.split(",") if c}
-        if cols == columns:
+    parsed = [_schema_top_cols(s) for s in schemas]
+    for cols in parsed:
+        if cols is not None and cols == columns:
             return
     raise AssertionError(
         f"no scan reads exactly {sorted(columns)}; saw "
-        f"{[sorted({c.split(':')[0] for c in s.split(',') if c}) for s in schemas]}"
+        f"{[sorted(c) if c is not None else 'TRUNCATED' for c in parsed]}"
     )
 
 

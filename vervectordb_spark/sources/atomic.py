@@ -33,12 +33,24 @@ def atomic_save(path: str):
     tmp = path + ".__tmp__"
     old = path + ".__old__"
     shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+    # a prior save that died between its two renames left the ONLY copy of
+    # the artifact at __old__ — restore it, never delete it (rmtree here
+    # would lose the previous artifact if THIS save also fails)
+    recover_old(path)
+    shutil.rmtree(old, ignore_errors=True)  # only reached if path exists too
     try:
         yield tmp
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+    if not os.path.isdir(tmp) or not os.listdir(tmp):
+        # the body wrote nothing into the temp tree: renaming the live
+        # artifact away first would strand it at __old__ with path missing
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise ValueError(
+            f"atomic_save body produced no artifact under {tmp}; "
+            f"{path} left untouched"
+        )
     parent = os.path.dirname(os.path.abspath(path))
     os.makedirs(parent, exist_ok=True)
     if os.path.exists(path):

@@ -75,6 +75,12 @@ def zorder_expr(df: DataFrame, cols: Sequence[str], bits: int = 8,
     if ranges is None:
         row = df.agg(*[f(c) for c in cols
                        for f in (F.min, F.max)]).collect()[0]
+        if any(row[i] is None for i in range(2 * len(cols))):
+            bad = [c for i, c in enumerate(cols) if row[2 * i] is None]
+            raise ValueError(
+                f"cannot derive z-order ranges: columns {bad} have no "
+                "non-null values (empty input?); pass explicit ranges="
+            )
         ranges = {c: (float(row[2 * i]), float(row[2 * i + 1]))
                   for i, c in enumerate(cols)}
     buckets = [bucket_expr(c, *ranges[c], bits) for c in cols]
@@ -119,6 +125,11 @@ def collect_file_stats(spark: SparkSession, path: str,
     return stats
 
 
+def _basename(p: str) -> str:
+    # stats record fully-qualified file: URIs; globs give local paths
+    return p.rsplit("/", 1)[-1]
+
+
 def pruned_scan(spark: SparkSession, path: str,
                 predicates: dict[str, tuple[float, float]]) -> DataFrame:
     """Scan `path` reading ONLY files whose stats envelope intersects
@@ -139,6 +150,15 @@ def pruned_scan(spark: SparkSession, path: str,
                     break
         if ok:
             keep.append(s["file"])
+    # files written AFTER collect_file_stats (a plain append) have no
+    # stats entry — they must be scanned unpruned, not silently dropped
+    # (skipping is only safe for files whose envelope PROVES a miss)
+    known = {_basename(f) for s in meta["files"] for f in [s["file"]]}
+    import glob as _glob
+
+    for f in _glob.glob(os.path.join(path, "*.parquet")):
+        if _basename(f) not in known:
+            keep.append(f)
     if not keep:
         df = spark.read.parquet(path).limit(0)
     else:

@@ -200,11 +200,19 @@ def write_time_partitioned(events: DataFrame, path: str,
     day bucket) — the time-series twin of the IVF cluster layout: a
     time-range predicate on `event_day` prunes whole directories at plan
     time, so a one-day query over a year of data reads 1/365th of the
-    files. Day is derived with exact integer division (the same
-    epoch-ns contract as schema.load_events)."""
+    files. Day is FLOOR division of epoch-ns (the same epoch-ns contract
+    as schema.load_events): `div` truncates toward zero, which would
+    merge the last pre-epoch partial day into day 0; floor keeps every
+    bucket a true calendar day. Column expression, not an f-string SQL
+    fragment, so quoted/odd column names work."""
     ns_per_day = 24 * 3_600_000_000_000
+    # exact int64 floor division: `div` truncates toward zero, so shift
+    # the quotient down by one when the remainder is negative (a double
+    # round-trip would lose low bits at epoch-ns magnitudes > 2^53)
+    q = F.expr(f"`{ts_col}` div {ns_per_day}")
+    r = F.expr(f"`{ts_col}` % {ns_per_day}")
     with_day = events.withColumn(
-        "event_day", F.expr(f"{ts_col} div {ns_per_day}")
+        "event_day", F.when(r < 0, q - 1).otherwise(q).cast("long")
     )
     with_day.write.mode(mode).partitionBy("event_day").parquet(path)
 
