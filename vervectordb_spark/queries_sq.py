@@ -1,0 +1,162 @@
+"""SQ8 scalar-quantization query registrations (operators/sq.py) — the
+second compression family next to PQ (reference codec surface C1-C5,
+vervectordb/__init__.py:152-218; SQ itself is beyond the reference, the
+FAISS-ScalarQuantizer/Milvus-SQ8 counterpart).
+
+Oracle pattern: unlike PQ (whose MLlib-fit codebooks need FREEZING to
+replay), SQ8's entire training state is a per-dimension min/max aggregate
+— DuckDB recomputes it from the same corpus, so fit + encode + decode +
+quantized-domain search replay bit-exactly end to end with NO frozen
+inputs. All arithmetic is double in the written order; rounding is
+floor(z + 0.5) in both engines (round() half-conventions differ).
+
+  sq8_encode_roundtrip   codes + reconstruction + the |err| <= scale/2
+                         bound as a gated boolean
+  sq8_search_adc         asymmetric search: full-precision query scored
+                         against reconstructions, exact top-k rerank
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vervectordb_spark.queries import _cos, _query_vec, query
+from vervectordb_spark.schema import load_table
+
+_DIM = 64
+
+#: DuckDB twin of operators.sq.fit_sq_stats (0-based pos)
+_STATS_SQL = f"""
+  SELECT t.pos::INT AS pos,
+         MIN((e.embedding::DOUBLE[])[t.pos + 1]) AS mn,
+         MAX((e.embedding::DOUBLE[])[t.pos + 1]) AS mx
+  FROM embeddings e CROSS JOIN range({_DIM}) t(pos)
+  GROUP BY 1
+"""
+
+#: DuckDB twin of operators.sq.encode_expr / decode_expr, per element
+_CODED_SQL = """
+  SELECT e.vec_id, s.pos, s.mn, s.mx,
+         (e.embedding::DOUBLE[])[s.pos + 1] AS x,
+         CASE WHEN s.mx = s.mn THEN 0.0
+              ELSE (s.mx - s.mn) / 255.0 END AS scale,
+         CASE WHEN s.mx = s.mn THEN 0
+              ELSE CAST(GREATEST(0.0, LEAST(255.0,
+                   FLOOR(((e.embedding::DOUBLE[])[s.pos + 1] - s.mn)
+                         / ((s.mx - s.mn) / 255.0) + 0.5))) AS INT)
+         END AS code
+  FROM embeddings e CROSS JOIN stats s
+"""
+
+_RECON_SQL = """
+  SELECT vec_id, pos, x, code, scale,
+         mn + code * scale AS xr
+  FROM coded
+"""
+
+
+@query(
+    "sq8_encode_roundtrip",
+    oracle=f"""
+WITH stats AS ({_STATS_SQL}),
+coded AS ({_CODED_SQL}),
+recon AS ({_RECON_SQL})
+SELECT vec_id,
+       CAST(SUM(code) AS BIGINT) AS code_sum,
+       CAST(MAX(CASE WHEN pos = 0 THEN code END) AS INT) AS c0,
+       ROUND(MAX(CASE WHEN pos = 0 THEN xr END), 6) AS r0,
+       BOOL_AND(ABS(x - xr) <= scale * 0.5 + 1e-12) AS within_half_step
+FROM recon
+GROUP BY vec_id
+""",
+)
+def sq8_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 fit -> encode -> decode over the whole embeddings fixture, with
+    the codec's defining guarantee — per-dimension reconstruction error at
+    most half a quantization step — asserted as a gated boolean (a false
+    anywhere breaks the hash match). `code_sum`/`c0`/`r0` pin the actual
+    codes and reconstructions, not just the bound."""
+    from vervectordb_spark.operators import sq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = sq.fit_sq_stats(emb)
+    coded = sq.with_codes(emb, stats)
+    recon = sq.with_reconstruction(coded, stats)
+    # per-dim |x - xr| <= scale/2: three aligned arrays folded into one bool
+    scales = F.zip_with(
+        F.col("mns"), F.col("mxs"),
+        lambda mn, mx: F.when(mx == mn, F.lit(0.0)).otherwise(
+            (mx - mn) / 255.0
+        ),
+    )
+    errs = F.zip_with(
+        F.col("embedding").cast("array<double>"), F.col("sq_recon"),
+        lambda x, r: F.abs(x - r),
+    )
+    ok = F.forall(
+        F.zip_with(errs, scales, lambda e, s: e <= s * 0.5 + 1e-12),
+        lambda b: b,
+    )
+    return (
+        recon.crossJoin(F.broadcast(sq.stats_row(stats)))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.col("sq_code"), F.lit(0).cast("bigint"),
+                lambda acc, c: acc + c.cast("bigint"),
+            ).alias("code_sum"),
+            F.element_at("sq_code", 1).cast("int").alias("c0"),
+            F.round(F.element_at("sq_recon", 1), 6).alias("r0"),
+            ok.alias("within_half_step"),
+        )
+    )
+
+
+@query(
+    "sq8_search_adc",
+    oracle=f"""
+WITH stats AS ({_STATS_SQL}),
+coded AS ({_CODED_SQL}),
+recon AS ({_RECON_SQL}),
+rvec AS (
+  SELECT vec_id, list(xr ORDER BY pos) AS rv FROM recon GROUP BY vec_id
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT r.vec_id, {_cos('r.rv', 'q.qv')} AS sim_q
+  FROM rvec r CROSS JOIN q
+),
+cand AS (SELECT vec_id FROM scored ORDER BY sim_q DESC, vec_id LIMIT 30)
+SELECT e.vec_id, ROUND({_cos('e.embedding::DOUBLE[]', 'q.qv')}, 6) AS sim
+FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+ORDER BY sim DESC, e.vec_id LIMIT 10
+""",
+)
+def sq8_search_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric SQ8 search: the query keeps full precision, the corpus
+    is scanned as uint8 codes reconstructed inside the scoring fold (1/4
+    the bytes of the raw scan), top-30 by quantized-domain cosine via
+    TakeOrderedAndProject, then the exact rerank re-scores ONLY those 30
+    against raw vectors. Same probe->rerank shape as IVF-PQ ADC
+    (operators/ivf.py) with a one-aggregate codec behind it."""
+    from vervectordb_spark.functions.similarity import cosine_expr
+    from vervectordb_spark.operators import sq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    stats = sq.fit_sq_stats(emb)
+    coded = sq.with_codes(emb, stats).select("vec_id", "sq_code")
+    recon = sq.with_reconstruction(coded, stats)
+    cand = (
+        recon.select("vec_id", cosine_expr(F.col("sq_recon"), qv).alias("sim_q"))
+        .orderBy(F.desc("sim_q"), "vec_id")
+        .limit(30)
+        .select("vec_id")
+    )
+    return (
+        emb.join(cand, on="vec_id")
+        .select("vec_id", F.round(cosine_expr("embedding", qv), 6).alias("sim"))
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(10)
+    )

@@ -74,6 +74,11 @@ class VectorStore:
         # together with the IVF index; the encoded table is a cache.
         self._pq_res = None
         self._res_encoded = None
+        # SQ8 scalar-quantization stats: per-dimension min/max, dim rows of
+        # driver state (centroid-class). A codec like PQ — kept across
+        # mutations; rows ingested outside the fitted range CLAMP to it
+        # (standard SQ behavior; refit to re-tighten).
+        self._sq_stats_pdf = None
         # provenance for same-path save-after-load (see save())
         self._loaded_from: str | None = None
         self._ivf_from_disk = False
@@ -396,6 +401,61 @@ class VectorStore:
         )
         return self._pq
 
+    def train_sq(self):
+        """SQ8 scalar-quantization codec (operators/sq.py) — the 4x
+        storage/scan reducer next to PQ's 32x: ONE distributed min/max
+        aggregate, stats pinned driver-side at fit time so later
+        mutations can't silently shift the code mapping."""
+        from vervectordb_spark.operators import sq
+
+        stats_pdf = sq.fit_sq_stats(self.df).toPandas()
+        if len(stats_pdf) == 0:
+            raise ValueError("train_sq on an empty store")
+        self._sq_stats_pdf = stats_pdf
+        return self._sq_stats_pdf
+
+    def _sq_stats(self) -> DataFrame:
+        if self._sq_stats_pdf is None:
+            self.train_sq()
+        return self.spark.createDataFrame(self._sq_stats_pdf)
+
+    def sq_compress(self) -> DataFrame:
+        """Adds sq_code ARRAY<SMALLINT> (uint8 values, 4x over float32).
+        Storage-only like compress(); sq_search reads the codes."""
+        from vervectordb_spark.operators import sq
+
+        self.df = sq.with_codes(self.df, self._sq_stats())
+        return self.df
+
+    def sq_search(self, query_vector: Sequence[float], top_k: int = 5,
+                  rerank_factor: int = 3) -> list[dict]:
+        """Asymmetric SQ8 search: full-precision query scored against
+        uint8-code reconstructions (1/4 the scan bytes), top
+        rerank_factor*top_k via TakeOrderedAndProject, exact cosine rerank
+        on the raw vectors of those candidates only (the 3x over-fetch
+        ratio shared with the LSH rerank, SURVEY.md §2.5)."""
+        from vervectordb_spark.functions.similarity import cosine_expr
+        from vervectordb_spark.operators import sq
+
+        stats = self._sq_stats()
+        base = self.df
+        coded = base if "sq_code" in base.columns else sq.with_codes(base, stats)
+        cand = (
+            sq.with_reconstruction(coded, stats)
+            .select("vec_id",
+                    cosine_expr(F.col("sq_recon"), query_vector).alias("_sq"))
+            .orderBy(F.desc("_sq"), "vec_id")
+            .limit(rerank_factor * top_k)
+            .select("vec_id")
+        )
+        out = (
+            base.join(cand, on="vec_id")
+            .select("vec_id", cosine_expr("embedding", query_vector).alias("sim"))
+            .orderBy(F.desc("sim"), "vec_id")
+            .limit(top_k)
+        )
+        return [{"vector_id": r["vec_id"], "similarity": r["sim"]} for r in out.collect()]
+
     def train_residual_pq(self, n_subquantizers: int = 8, n_bits: int = 8,
                           sample_size: int = 10_000, seed: int = 42):
         """Residual IVF-PQ codec (FAISS-style; beyond the reference's
@@ -559,6 +619,10 @@ class VectorStore:
             self.df.write.mode("overwrite").parquet(f"{tmp}/vectors")
             if self._pq is not None:
                 self._pq.save(f"{tmp}/pq", self.spark)
+            if self._sq_stats_pdf is not None:
+                self.spark.createDataFrame(self._sq_stats_pdf).coalesce(
+                    1
+                ).write.parquet(f"{tmp}/sq")
             if self._pq_res is not None and self._ivf is not None:
                 # valid only with the centroids it was fitted against — the
                 # IVF artifacts saved below carry them
@@ -593,6 +657,10 @@ class VectorStore:
             import warnings
 
             warnings.warn(f"ignoring corrupt PQ artifacts: {e}")
+        try:
+            store._sq_stats_pdf = spark.read.parquet(f"{path}/sq").toPandas()
+        except AnalysisException:
+            pass  # no SQ stats saved
         from vervectordb_spark.operators.ivf import IVFIndex
 
         try:
