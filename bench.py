@@ -460,6 +460,70 @@ def build_benches(spark, sf_dir: str):
         pass
 
     try:
+        from vervectordb_spark.functions.similarity import cosine_expr
+        from vervectordb_spark.operators import sq
+        from vervectordb_spark.operators.rerank import mmr_rerank
+
+        _sq_holder: list = []
+
+        def _sq_stats():
+            if not _sq_holder:
+                _sq_holder.append(sq.fit_sq_stats(emb).toPandas())
+            return _sq_holder[0]
+
+        @bench("sq8_encode")
+        def _sq_encode():
+            # fit (one min/max aggregate) + Arrow-kernel encode of the
+            # whole corpus to uint8 codes (the 4x storage/scan reducer)
+            stats_pdf = _sq_stats()
+            fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                               for f in emb.schema.fields)
+            out = emb.mapInPandas(sq.encode_batches(stats_pdf),
+                                  schema=f"{fields}, sq_code array<smallint>")
+            return _force(out.select("vec_id", "sq_code"))
+
+        _sq_coded_holder: list = []
+
+        @bench("sq8_search_1q")
+        def _sq_search():
+            # steady-state asymmetric serving: the uint8 codes table is the
+            # persisted artifact (encode is a one-time build cost, cached on
+            # the first repeat); per query = Arrow ADC scan over codes ->
+            # top-30 TakeOrderedAndProject -> exact rerank of 30 rows
+            stats_pdf = _sq_stats()
+            if not _sq_coded_holder:
+                fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                                   for f in emb.schema.fields)
+                coded = emb.mapInPandas(
+                    sq.encode_batches(stats_pdf),
+                    schema=f"{fields}, sq_code array<smallint>",
+                ).select("vec_id", "sq_code").cache()
+                coded.count()
+                _sq_coded_holder.append(coded)
+            coded = _sq_coded_holder[0]
+            cand = (coded.mapInPandas(
+                        sq.adc_scores_batch(qv, stats_pdf),
+                        schema="vec_id long, sq_code array<smallint>, sim double")
+                    .orderBy(F.desc("sim"), "vec_id").limit(30)
+                    .select("vec_id"))
+            out = (emb.join(cand, "vec_id")
+                   .select("vec_id", cosine_expr("embedding", qv).alias("sim"))
+                   .orderBy(F.desc("sim"), "vec_id").limit(10))
+            return _force(out, limit=10)
+
+        @bench("mmr_rerank_64")
+        def _mmr():
+            # diversify exact top-64 down to 10 (greedy is per-query over
+            # the bounded pool; the corpus scan is the candidate fetch)
+            cand = (emb.select("vec_id", cosine_expr("embedding", qv).alias("rel"),
+                               "embedding")
+                    .orderBy(F.desc("rel"), "vec_id").limit(64)
+                    .withColumn("query_id", F.lit(0)))
+            return _force(mmr_rerank(cand, k=10, lam=0.7), limit=10)
+    except ImportError:
+        pass
+
+    try:
         from vervectordb_spark.operators.dedup import (
             winnow_overlap_pairs,
             winnow_table,

@@ -111,6 +111,34 @@ def test_quantized_search_recall(spark, emb):
     assert len(set(exact) & set(got)) >= 9
 
 
+def test_adc_kernel_matches_expr_scores(spark, emb, stats):
+    """The Arrow ADC scorer tracks the expr-path (decode + cosine fold)
+    scores to BLAS-vs-fold rounding (~1e-12) and picks the same top-30."""
+    from vervectordb_spark.functions.similarity import cosine_expr
+
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0)
+          .select("embedding").first()["embedding"]]
+    coded = sq.with_codes(emb, stats).select("vec_id", "sq_code")
+    via_expr = {
+        r["vec_id"]: r["s"]
+        for r in sq.with_reconstruction(coded, stats)
+        .select("vec_id", cosine_expr(F.col("sq_recon"), qv).alias("s"))
+        .collect()
+    }
+    via_kernel = {
+        r["vec_id"]: r["sim"]
+        for r in coded.mapInPandas(
+            sq.adc_scores_batch(qv, stats.toPandas()),
+            schema="vec_id long, sq_code array<smallint>, sim double",
+        ).collect()
+    }
+    assert set(via_expr) == set(via_kernel)
+    for vid, s in via_expr.items():
+        assert abs(s - via_kernel[vid]) < 1e-12
+    top = lambda d: [v for v, _ in sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[:30]]  # noqa: E731
+    assert top(via_expr) == top(via_kernel)
+
+
 def test_store_sq_search_and_persistence(spark, tmp_path):
     """Facade path: train_sq -> sq_compress -> sq_search matches exact
     brute force on a separable corpus, and the stats survive save/load."""

@@ -142,6 +142,41 @@ def with_reconstruction(df: DataFrame, stats: DataFrame,
     )
 
 
+def adc_scores_batch(query_vec, stats_pdf, code_col: str = "sq_code",
+                     out_col: str = "sim"):
+    """Arrow mapInPandas asymmetric scorer: reconstruct (mn + c*scale) and
+    cosine against the full-precision query in one vectorized pass per
+    batch — the throughput twin of decode_expr + cosine_expr (same math;
+    BLAS accumulation order differs from the sequential fold, so parity is
+    ~1e-15 np.allclose, not bit-exact — oracle queries stay on the expr
+    path, serving uses this). Appends `out_col` to each batch."""
+    import pandas as pd  # noqa: F401
+
+    order = np.argsort(stats_pdf["pos"].to_numpy())
+    mn = stats_pdf["mn"].to_numpy(dtype=np.float64)[order]
+    mx = stats_pdf["mx"].to_numpy(dtype=np.float64)[order]
+    scale = np.where(mx == mn, 0.0, (mx - mn) / float(N_LEVELS - 1))
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+
+    def score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = []
+                yield pdf
+                continue
+            C = np.asarray(pdf[code_col].tolist(), dtype=np.float64)
+            X = mn + C * scale
+            norms = np.linalg.norm(X, axis=1)
+            denom = norms * qn
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom == 0.0, 0.0, X @ q / denom)
+            pdf[out_col] = sims
+            yield pdf
+
+    return score
+
+
 def encode_batches(stats_pdf, emb_col: str = "embedding",
                    out_col: str = "sq_code"):
     """Arrow mapInPandas twin of `encode_expr` — value-identical by
