@@ -1,0 +1,123 @@
+"""Radius search, grouped top-k, and the cost-based filtered-search
+dispatcher (operators/search.py round-5 additions)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from vervectordb_spark.operators import search as S
+from vervectordb_spark.schema import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def qv(emb):
+    return [float(v) for v in emb.filter(F.col("vec_id") == 0)
+            .select("embedding").first()["embedding"]]
+
+
+def test_range_search_matches_filtered_bruteforce(emb, qv):
+    from vervectordb_spark.functions.similarity import cosine_expr
+
+    got = {r["vec_id"]: r["sim"]
+           for r in S.range_search(emb, qv, threshold=0.25).collect()}
+    want = {
+        r["vec_id"]: r["sim"]
+        for r in emb.select("vec_id", cosine_expr("embedding", qv).alias("sim"))
+        .filter(F.col("sim") >= 0.25).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_range_search_plan_is_maponly(emb, qv):
+    plan = S.range_search(emb, qv, threshold=0.25)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan  # scan -> project -> filter, no shuffle
+
+
+def test_topk_per_group_every_group_capped(emb, qv):
+    out = S.topk_per_group(emb, qv, group_col="label", k_per_group=2).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r["label"], []).append(r)
+    n_labels = emb.select("label").distinct().count()
+    assert len(by_label) == n_labels
+    for rows in by_label.values():
+        assert 1 <= len(rows) <= 2
+        assert sorted(r["rk"] for r in rows) == list(range(1, len(rows) + 1))
+
+
+def test_topk_per_group_best_is_global_best_of_group(emb, qv):
+    from vervectordb_spark.functions.similarity import cosine_expr
+
+    out = S.topk_per_group(emb, qv, group_col="label", k_per_group=1)
+    got = {r["label"]: r["vec_id"] for r in out.collect()}
+    for label, vid in got.items():
+        best = (
+            emb.filter(F.col("label") == label)
+            .select("vec_id", cosine_expr("embedding", qv).alias("s"))
+            .orderBy(F.desc("s"), "vec_id").first()
+        )
+        assert best["vec_id"] == vid
+
+
+def test_auto_selective_routes_to_brute(emb, qv):
+    """A 10%-selectivity filter with cutoff 0.2 takes the exact branch:
+    results equal filtered brute force, and no IVF artifacts are needed."""
+    out = S.filtered_search_auto(
+        emb, qv, top_k=3, pre_filter=F.col("label") == 7, brute_cutoff=0.2,
+    )
+    want = S.brute_force_topk(emb, qv, top_k=3,
+                              pre_filter=F.col("label") == 7)
+    assert [r["vec_id"] for r in out.collect()] == \
+           [r["vec_id"] for r in want.select("vec_id", "sim").collect()]
+
+
+def test_auto_dense_routes_through_ivf_probe(emb, qv):
+    """A dense filter goes to the index: the plan carries the probe's
+    IN-list (column pruning collapses the cluster_id alias into the
+    assignment expression, so assert the probed ids themselves), and the
+    results are exactly IVFIndex.search's."""
+    from vervectordb_spark.operators.ivf import IVFIndex
+
+    idx = IVFIndex.build(emb, n_clusters=16, seed=42)
+    out = S.filtered_search_auto(
+        idx.assigned, qv, top_k=3,
+        pre_filter=F.col("label") >= 0,  # keeps everything
+        ivf_index=idx, brute_cutoff=0.05,
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    probed = set(idx.probe_clusters(qv))
+    assert len(probed) < 16  # real pruning, not probe-everything
+    in_lists = [
+        set(int(x) for x in m.split(","))
+        for m in __import__("re").findall(r" IN \(([0-9,]+)\)", plan)
+    ]
+    assert probed in in_lists
+    want = [r["vec_id"] for r in idx.search(qv, top_k=3,
+                                            pre_filter=F.col("label") >= 0)
+            .select("vec_id").collect()]
+    assert [r["vec_id"] for r in out.collect()] == want
+
+
+def test_auto_dense_without_index_raises(emb, qv):
+    with pytest.raises(ValueError, match="ivf_index"):
+        S.filtered_search_auto(
+            emb, qv, pre_filter=F.col("label") >= 0, brute_cutoff=0.05,
+        )
+
+
+def test_auto_selectivity_override_skips_measurement(emb, qv):
+    """Passing selectivity= (the 100 TB path: column stats / fixed-seed
+    sample) must not trigger the exact COUNT scans."""
+    out = S.filtered_search_auto(
+        emb, qv, top_k=3, pre_filter=F.col("label") == 7,
+        selectivity=0.01, brute_cutoff=0.05,
+    )
+    assert out.count() == 3

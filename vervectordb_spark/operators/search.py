@@ -102,6 +102,107 @@ def filtered_search(
     )
 
 
+def range_search(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    threshold: float,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """All rows with cosine >= threshold — the FAISS `range_search`
+    counterpart (the reference exposes only top-k, vervectordb/
+    __init__.py:337-365; radius queries are the standard companion).
+
+    Plan shape: Scan → Project(sim) → Filter. Map-only — no top-k heap, no
+    shuffle, no driver state. The result size is DATA-dependent, not
+    k-bounded: at 100 TB a too-low threshold returns the corpus, so
+    serving callers should compose `.limit(cap)` or aggregate downstream;
+    unlike top-k this plan streams matches as the scan finds them."""
+    scored = df.select(
+        id_col, *extra_cols,
+        cosine_expr(F.col(emb_col), list(query_vec)).alias("sim"),
+    )
+    return scored.filter(F.col("sim") >= float(threshold))
+
+
+def topk_per_group(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    group_col: str,
+    k_per_group: int = 2,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Attribute-diversified retrieval: the best k PER GROUP (language,
+    source, shard, ...) instead of a global top-k that one dense cluster
+    can monopolize — the cheap, exact cousin of MMR (operators/rerank.py)
+    when diversity is already captured by a column.
+
+    Plan shape: map-side sim projection, then ONE window rank partitioned
+    by the group — shuffle keyed on group_col only (skew follows group
+    cardinality; salt via functions/skew.py if one group dominates)."""
+    w = Window.partitionBy(group_col).orderBy(F.desc("sim"), F.asc(id_col))
+    scored = df.select(
+        group_col, id_col,
+        cosine_expr(F.col(emb_col), list(query_vec)).alias("sim"),
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k_per_group)
+    )
+
+
+def filtered_search_auto(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    top_k: int = 5,
+    pre_filter: Column | None = None,
+    ivf_index=None,
+    brute_cutoff: float = 0.05,
+    selectivity: float | None = None,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cost-based filtered search: pick the physical strategy from the
+    filter's selectivity — the optimizer decision every vector DB with
+    metadata filters makes (and the reference hard-codes as post-filter,
+    vervectordb/__init__.py:348-363).
+
+      selective filter (fraction <= brute_cutoff): exact brute force over
+        the survivors — the filter already shrank the scan below any
+        index's candidate set, probing would only lose recall;
+      dense filter: IVF probe FIRST (cluster pruning does the heavy
+        lifting), filter applied to the probed candidates, exact rescore.
+
+    `selectivity` is the estimated surviving fraction. When None it is
+    measured with one COUNT aggregate — exact but a full predicate scan;
+    at 100 TB pass an estimate from column stats / a fixed-seed sample
+    instead (the decision needs 1 significant digit, not exactness).
+
+    The brute branch is exact; the probe branch inherits IVF recall on the
+    filtered corpus (nprobe widens it). Returns (id_col, sim)."""
+    if pre_filter is None:
+        return brute_force_topk(df, query_vec, top_k,
+                                emb_col=emb_col, id_col=id_col)
+    if selectivity is None:
+        total = df.count()
+        kept = df.filter(pre_filter).count()
+        selectivity = (kept / total) if total else 0.0
+    if selectivity <= brute_cutoff:
+        return brute_force_topk(df, query_vec, top_k, emb_col=emb_col,
+                                id_col=id_col, pre_filter=pre_filter)
+    if ivf_index is None:
+        raise ValueError(
+            f"filter keeps ~{selectivity:.0%} of rows (> brute_cutoff="
+            f"{brute_cutoff:.0%}): the probe strategy needs ivf_index= "
+            "(or raise brute_cutoff to force the exact scan)"
+        )
+    return ivf_index.search(
+        query_vec, top_k=top_k, pre_filter=pre_filter,
+    ).select(id_col, "sim")
+
+
 def batch_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -426,6 +426,91 @@ def ivf_search_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+@query(
+    "range_search_radius",
+    oracle=f"""
+WITH q AS ({_Q0})
+SELECT e.vec_id, ROUND({_cos(_E, _QV)}, 6) AS sim
+FROM embeddings e CROSS JOIN q
+WHERE {_cos(_E, _QV)} >= 0.25
+""",
+)
+def range_search_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius query (FAISS range_search counterpart; the reference is
+    top-k-only): every row with cosine >= 0.25 to query vec 0. Map-only
+    Scan → Project → Filter — no heap, no shuffle; the result cardinality
+    is data-dependent (grows with the corpus), which is exactly what the
+    oracle's row-count compare checks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    out = S.range_search(emb, qv, threshold=0.25)
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+@query(
+    "topk_per_label",
+    oracle=f"""
+WITH q AS ({_Q0}),
+scored AS (
+  SELECT e.label, e.vec_id, {_cos(_E, _QV)} AS sim
+  FROM embeddings e CROSS JOIN q
+)
+SELECT label, vec_id, ROUND(sim, 6) AS sim, rk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY label ORDER BY sim DESC, vec_id
+  ) AS rk FROM scored
+) WHERE rk <= 2
+""",
+)
+def topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-diversified retrieval: best 2 per label instead of a
+    global top-k one dense cluster can monopolize — the exact, windowed
+    cousin of MMR (operators/rerank.py). One window shuffle keyed on the
+    group column."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    out = S.topk_per_group(emb, qv, group_col="label", k_per_group=2)
+    return out.select(
+        "label", "vec_id", F.round("sim", 6).alias("sim"),
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
+@query(
+    "filtered_search_auto_selective",
+    oracle=f"""
+WITH q AS ({_Q0}),
+scored AS (
+  SELECT e.vec_id, {_cos(_E, _QV)} AS sim
+  FROM embeddings e
+  JOIN documents d ON d.doc_id = e.vec_id
+  CROSS JOIN q
+  WHERE e.label = 7 AND d.lang = 'zh'
+)
+SELECT vec_id, ROUND(sim, 6) AS sim
+FROM (SELECT * FROM scored ORDER BY sim DESC, vec_id LIMIT 5)
+""",
+)
+def filtered_search_auto_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based strategy dispatch (operators/search.filtered_search_auto):
+    label=7 AND lang='zh' keeps ~2% of rows — below the 5% cutoff, so the
+    dispatcher measures selectivity and routes to EXACT brute force over
+    the survivors (probing an index would only lose recall once the filter
+    already shrank the scan). The dense-filter branch routes through the
+    IVF probe instead — plan-asserted in tests/test_search_ops.py (it is
+    approximate, so it can't sit behind this exact-match gate)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    qv = _query_vec(spark, sf_dir)
+    joined = emb.join(docs, emb.vec_id == docs.doc_id)
+    out = S.filtered_search_auto(
+        joined, qv, top_k=5,
+        pre_filter=(F.col("label") == 7) & (F.col("lang") == "zh"),
+    )
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
 # Extension registrations (import side effect): dedup + text analysis.
 # Kept in their own modules; importing them populates QUERIES/ORACLES.
 # --------------------------------------------------------------------------
