@@ -501,14 +501,9 @@ def build_benches(spark, sf_dir: str):
                 coded.count()
                 _sq_coded_holder.append(coded)
             coded = _sq_coded_holder[0]
-            cand = (coded.mapInPandas(
-                        sq.adc_scores_batch(qv, stats_pdf),
-                        schema="vec_id long, sq_code array<smallint>, sim double")
-                    .orderBy(F.desc("sim"), "vec_id").limit(30)
-                    .select("vec_id"))
-            out = (emb.join(cand, "vec_id")
-                   .select("vec_id", cosine_expr("embedding", qv).alias("sim"))
-                   .orderBy(F.desc("sim"), "vec_id").limit(10))
+            out = sq.adc_search(coded, spark.createDataFrame(stats_pdf), qv,
+                                top_k=10, rerank_factor=3, scorer="arrow",
+                                rerank=emb)
             return _force(out, limit=10)
 
         @bench("mmr_rerank_64")

@@ -163,6 +163,23 @@ def test_store_sq_search_and_persistence(spark, tmp_path):
     assert [r["vector_id"] for r in got2] == [r["vector_id"] for r in exact]
 
 
+def test_rows_ingested_after_compress_are_searchable(spark):
+    """Post-compress inserts union in with NULL sq_code — adc_search must
+    encode them on the fly, not silently drop them (NULL sim sorts last)."""
+    from vervectordb_spark.store import VectorStore
+
+    st = VectorStore(spark, vector_dim=4)
+    st.batch_insert(
+        [[0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]], [{}, {}]
+    )
+    st.train_sq()
+    st.sq_compress()
+    vid = st.insert([1.0, 0.0, 0.0, 0.0], {})  # exact query match, no code
+    got = st.sq_search([1.0, 0.0, 0.0, 0.0], top_k=1)
+    assert got[0]["vector_id"] == vid
+    assert got[0]["similarity"] == pytest.approx(1.0)
+
+
 def test_compression_ratio_accounting():
     """float32 dim=64 -> 256 B raw; uint8 codes -> 64 B: 4x."""
     raw = 64 * 4

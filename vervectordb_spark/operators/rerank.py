@@ -34,7 +34,6 @@ data.
 from __future__ import annotations
 
 import math
-from collections.abc import Iterable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: F401  (callers' convenience)

@@ -173,12 +173,18 @@ def filtered_search_auto(
         the survivors — the filter already shrank the scan below any
         index's candidate set, probing would only lose recall;
       dense filter: IVF probe FIRST (cluster pruning does the heavy
-        lifting), filter applied to the probed candidates, exact rescore.
+        lifting) — `df` is semi-joined by id to the probed clusters'
+        members, then the filter and exact rescore run on df's own rows
+        and columns. The probe prunes df even when df is a view of the
+        indexed corpus (tenant filter, join with metadata, post-delete);
+        rows of df the index has never seen are dropped like any
+        unprobed row — rebuild/refresh the index after bulk ingest.
 
     `selectivity` is the estimated surviving fraction. When None it is
-    measured with one COUNT aggregate — exact but a full predicate scan;
-    at 100 TB pass an estimate from column stats / a fixed-seed sample
-    instead (the decision needs 1 significant digit, not exactness).
+    measured with ONE aggregate (count + conditional count in the same
+    scan) — exact but a full predicate pass; at 100 TB hand in an
+    estimate from column stats / a fixed-seed sample instead (the
+    decision needs 1 significant digit, not exactness).
 
     The brute branch is exact; the probe branch inherits IVF recall on the
     filtered corpus (nprobe widens it). Returns (id_col, sim)."""
@@ -186,9 +192,11 @@ def filtered_search_auto(
         return brute_force_topk(df, query_vec, top_k,
                                 emb_col=emb_col, id_col=id_col)
     if selectivity is None:
-        total = df.count()
-        kept = df.filter(pre_filter).count()
-        selectivity = (kept / total) if total else 0.0
+        row = df.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count(F.when(pre_filter, F.lit(1))).alias("_k"),
+        ).first()
+        selectivity = (row["_k"] / row["_n"]) if row["_n"] else 0.0
     if selectivity <= brute_cutoff:
         return brute_force_topk(df, query_vec, top_k, emb_col=emb_col,
                                 id_col=id_col, pre_filter=pre_filter)
@@ -198,9 +206,14 @@ def filtered_search_auto(
             f"{brute_cutoff:.0%}): the probe strategy needs ivf_index= "
             "(or raise brute_cutoff to force the exact scan)"
         )
-    return ivf_index.search(
-        query_vec, top_k=top_k, pre_filter=pre_filter,
-    ).select(id_col, "sim")
+    probed = ivf_index.probe_clusters(query_vec)
+    members = ivf_index.assigned.filter(
+        F.col("cluster_id").isin(list(probed))
+    ).select(F.col(ivf_index.id_col).alias(id_col))
+    return brute_force_topk(
+        df.join(members, on=id_col), query_vec, top_k,
+        emb_col=emb_col, id_col=id_col, pre_filter=pre_filter,
+    )
 
 
 def batch_topk(

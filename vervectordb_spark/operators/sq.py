@@ -123,12 +123,17 @@ def decode_expr(code: Column, mns: Column, mxs: Column) -> Column:
 def with_codes(df: DataFrame, stats: DataFrame, emb_col: str = "embedding",
                out_col: str = "sq_code") -> DataFrame:
     """Append the SQ8 code column via a broadcast 1-row stats crossJoin.
-    Map-only; the stats arrays ship once per task, not once per use site."""
-    return (
-        df.crossJoin(F.broadcast(stats_row(stats)))
-        .withColumn(out_col, encode_expr(F.col(emb_col), F.col("mns"), F.col("mxs")))
-        .drop("mns", "mxs")
-    )
+    Map-only; the stats arrays ship once per task, not once per use site.
+
+    If `out_col` already exists, rows with NULL codes — rows ingested
+    AFTER a compress pass (mutations union with allowMissingColumns) —
+    are encoded from their embeddings; non-NULL codes are kept as stored.
+    Out-of-range values (the fitted min/max predates those rows) clamp to
+    the range, the standard SQ behavior."""
+    joined = df.crossJoin(F.broadcast(stats_row(stats)))
+    enc = encode_expr(F.col(emb_col), F.col("mns"), F.col("mxs"))
+    code = F.coalesce(F.col(out_col), enc) if out_col in df.columns else enc
+    return joined.withColumn(out_col, code).drop("mns", "mxs")
 
 
 def with_reconstruction(df: DataFrame, stats: DataFrame,
@@ -139,6 +144,59 @@ def with_reconstruction(df: DataFrame, stats: DataFrame,
         df.crossJoin(F.broadcast(stats_row(stats)))
         .withColumn(out_col, decode_expr(F.col(code_col), F.col("mns"), F.col("mxs")))
         .drop("mns", "mxs")
+    )
+
+
+def adc_search(df: DataFrame, stats: DataFrame, query_vec,
+               top_k: int = 5, rerank_factor: int = 3,
+               emb_col: str = "embedding", id_col: str = "vec_id",
+               code_col: str = "sq_code", scorer: str = "expr",
+               rerank: DataFrame | None = None) -> DataFrame:
+    """The ONE asymmetric SQ8 serving chain (store facade, oracle query,
+    and bench all ride this — tie-break and over-fetch semantics live
+    here, nowhere else): ensure codes (NULL codes from post-compress
+    ingests are filled) → quantized-domain cosine → top
+    rerank_factor*top_k by (score DESC, id ASC) → exact cosine rerank on
+    raw vectors of those candidates only. Returns (id_col, sim), top_k.
+
+    scorer="expr": decode+cosine as Catalyst folds — bit-exact with the
+    DuckDB oracle replay. scorer="arrow": the BLAS kernel (~10x on wide
+    corpora; accumulation order differs from the fold by ~1e-15, which the
+    exact rerank absorbs unless the over-fetch boundary lands on a
+    near-tie — serving path, not the oracle path).
+
+    `rerank` supplies raw vectors (id_col, emb_col) when `df` is a
+    codes-only table (the persisted artifact); defaults to `df`."""
+    from vervectordb_spark.functions.similarity import cosine_expr
+
+    if emb_col in df.columns:
+        coded = with_codes(df, stats, emb_col=emb_col, out_col=code_col)
+    elif code_col in df.columns:
+        coded = df
+    else:
+        raise ValueError(f"df needs {emb_col!r} or {code_col!r}")
+    if scorer == "expr":
+        scored = with_reconstruction(coded, stats, code_col=code_col) \
+            .select(id_col, cosine_expr(F.col("sq_recon"),
+                                        list(query_vec)).alias("_sq"))
+    elif scorer == "arrow":
+        id_type = coded.schema[id_col].dataType.simpleString()
+        scored = coded.select(id_col, code_col).mapInPandas(
+            adc_scores_batch(query_vec, stats.toPandas(),
+                             code_col=code_col, out_col="_sq"),
+            schema=f"{id_col} {id_type}, {code_col} array<smallint>, _sq double",
+        )
+    else:
+        raise ValueError(f"unknown scorer {scorer!r}")
+    cand = (scored.orderBy(F.desc("_sq"), F.asc(id_col))
+            .limit(rerank_factor * top_k).select(id_col))
+    base = rerank if rerank is not None else df
+    return (
+        base.join(cand, on=id_col)
+        .select(id_col,
+                cosine_expr(F.col(emb_col), list(query_vec)).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(top_k)
     )
 
 

@@ -21,7 +21,10 @@ _R = 16      # candidate pool (retriever top-R)
 _K = 3       # diversified result size
 _LAM = 0.7
 
-_MMR = f"({_LAM} * rel - (1.0 - {_LAM}) * red)"
+# 1.0 - 0.7 in DuckDB is DECIMAL arithmetic (exactly 0.3, i.e. double
+# 0.29999999999999998) — NOT the IEEE 0.30000000000000004 the kernel
+# computes and the bit-exact contract requires; force DOUBLE subtraction
+_MMR = f"({_LAM}::DOUBLE * rel - (1.0::DOUBLE - {_LAM}::DOUBLE) * red)"
 
 
 @query(
@@ -35,7 +38,8 @@ scored AS (
 ),
 cand AS (SELECT * FROM scored ORDER BY rel DESC, vec_id LIMIT {_R}),
 s1 AS (SELECT vec_id, rel, v, 0.0 AS red FROM cand
-       ORDER BY ({_LAM} * rel - (1.0 - {_LAM}) * 0.0) DESC, vec_id LIMIT 1),
+       ORDER BY ({_LAM}::DOUBLE * rel - (1.0::DOUBLE - {_LAM}::DOUBLE) * 0.0)
+           DESC, vec_id LIMIT 1),
 r2 AS (
   SELECT c.vec_id, c.rel, c.v, {_cos('c.v', 's1.v')} AS red
   FROM cand c, s1 WHERE c.vec_id <> s1.vec_id

@@ -128,9 +128,11 @@ scored AS (
   FROM rvec r CROSS JOIN q
 ),
 cand AS (SELECT vec_id FROM scored ORDER BY sim_q DESC, vec_id LIMIT 30)
-SELECT e.vec_id, ROUND({_cos('e.embedding::DOUBLE[]', 'q.qv')}, 6) AS sim
-FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
-ORDER BY sim DESC, e.vec_id LIMIT 10
+SELECT vec_id, ROUND(sim, 6) AS sim FROM (
+  SELECT e.vec_id, {_cos('e.embedding::DOUBLE[]', 'q.qv')} AS sim
+  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+  ORDER BY sim DESC, e.vec_id LIMIT 10
+)
 """,
 )
 def sq8_search_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,23 +142,11 @@ def sq8_search_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject, then the exact rerank re-scores ONLY those 30
     against raw vectors. Same probe->rerank shape as IVF-PQ ADC
     (operators/ivf.py) with a one-aggregate codec behind it."""
-    from vervectordb_spark.functions.similarity import cosine_expr
     from vervectordb_spark.operators import sq
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir, 0)
     stats = sq.fit_sq_stats(emb)
-    coded = sq.with_codes(emb, stats).select("vec_id", "sq_code")
-    recon = sq.with_reconstruction(coded, stats)
-    cand = (
-        recon.select("vec_id", cosine_expr(F.col("sq_recon"), qv).alias("sim_q"))
-        .orderBy(F.desc("sim_q"), "vec_id")
-        .limit(30)
-        .select("vec_id")
-    )
-    return (
-        emb.join(cand, on="vec_id")
-        .select("vec_id", F.round(cosine_expr("embedding", qv), 6).alias("sim"))
-        .orderBy(F.desc("sim"), "vec_id")
-        .limit(10)
-    )
+    out = sq.adc_search(emb, stats, qv, top_k=10, rerank_factor=3,
+                        scorer="expr")
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))

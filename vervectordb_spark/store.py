@@ -433,26 +433,14 @@ class VectorStore:
         uint8-code reconstructions (1/4 the scan bytes), top
         rerank_factor*top_k via TakeOrderedAndProject, exact cosine rerank
         on the raw vectors of those candidates only (the 3x over-fetch
-        ratio shared with the LSH rerank, SURVEY.md §2.5)."""
-        from vervectordb_spark.functions.similarity import cosine_expr
+        ratio shared with the LSH rerank, SURVEY.md §2.5). Rows ingested
+        after sq_compress carry NULL codes — adc_search encodes them on
+        the fly, so they are searchable immediately."""
         from vervectordb_spark.operators import sq
 
-        stats = self._sq_stats()
-        base = self.df
-        coded = base if "sq_code" in base.columns else sq.with_codes(base, stats)
-        cand = (
-            sq.with_reconstruction(coded, stats)
-            .select("vec_id",
-                    cosine_expr(F.col("sq_recon"), query_vector).alias("_sq"))
-            .orderBy(F.desc("_sq"), "vec_id")
-            .limit(rerank_factor * top_k)
-            .select("vec_id")
-        )
-        out = (
-            base.join(cand, on="vec_id")
-            .select("vec_id", cosine_expr("embedding", query_vector).alias("sim"))
-            .orderBy(F.desc("sim"), "vec_id")
-            .limit(top_k)
+        out = sq.adc_search(
+            self.df, self._sq_stats(), query_vector, top_k=top_k,
+            rerank_factor=rerank_factor, scorer="expr",
         )
         return [{"vector_id": r["vec_id"], "similarity": r["sim"]} for r in out.collect()]
 
