@@ -67,6 +67,33 @@ def test_topk_per_group_best_is_global_best_of_group(emb, qv):
         assert best["vec_id"] == vid
 
 
+def test_metric_variants_match_numpy(emb, qv):
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    q = np.asarray(qv, dtype=np.float64)
+    want_dot = [ids[i] for i in sorted(range(len(ids)),
+                key=lambda i: (-(X[i] @ q), ids[i]))[:5]]
+    want_l2 = [ids[i] for i in sorted(range(len(ids)),
+               key=lambda i: (np.linalg.norm(X[i] - q), ids[i]))[:5]]
+    got_dot = [r["vec_id"] for r in
+               S.brute_force_topk(emb, qv, 5, metric="dot").collect()]
+    got_l2 = [r["vec_id"] for r in
+              S.brute_force_topk(emb, qv, 5, metric="l2").collect()]
+    assert got_dot == want_dot
+    assert got_l2 == want_l2
+    # l2 rank 1 is the query row itself at distance 0
+    first = S.brute_force_topk(emb, qv, 1, metric="l2").first()
+    assert first["vec_id"] == 0 and first["sim"] == 0.0
+
+
+def test_metric_unknown_raises(emb, qv):
+    with pytest.raises(ValueError, match="metric"):
+        S.brute_force_topk(emb, qv, 5, metric="hamming")
+
+
 def test_auto_selective_routes_to_brute(emb, qv):
     """A 10%-selectivity filter with cutoff 0.2 takes the exact branch:
     results equal filtered brute force, and no IVF artifacts are needed."""

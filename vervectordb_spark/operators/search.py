@@ -45,19 +45,36 @@ def brute_force_topk(
     id_col: str = "vec_id",
     pre_filter: Column | None = None,
     extra_cols: Sequence[str] = (),
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Exact cosine top-k (reference Q1). Ties broken by id for determinism.
+    """Exact top-k (reference Q1). Ties broken by id for determinism.
+
+    `metric`: "cosine" (reference default) | "dot" (inner product — the
+    MIPS form, right when corpus norms carry meaning) | "l2" (Euclidean,
+    the PQ/FAISS METRIC_L2 twin — nearest first, so the `sim` column is a
+    DISTANCE and ranks ascending). All three are Catalyst fold
+    expressions from functions/similarity — same scan, same plan shape.
 
     Plan shape: Scan(pushed filter) → Project(sim expr) → TakeOrderedAndProject.
     """
+    from vervectordb_spark.functions.similarity import dot_expr, l2_expr, to_double
+
     if pre_filter is not None:
         df = df.filter(pre_filter)
-    scored = df.select(
-        id_col,
-        *extra_cols,
-        cosine_expr(F.col(emb_col), list(query_vec)).alias("sim"),
-    )
-    return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(top_k)
+    q = list(query_vec)
+    if metric == "cosine":
+        score, order = cosine_expr(F.col(emb_col), q), F.desc("sim")
+    elif metric == "dot":
+        from vervectordb_spark.functions.similarity import query_lit
+
+        score = dot_expr(to_double(F.col(emb_col)), query_lit(q))
+        order = F.desc("sim")
+    elif metric == "l2":
+        score, order = l2_expr(F.col(emb_col), q), F.asc("sim")
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    scored = df.select(id_col, *extra_cols, score.alias("sim"))
+    return scored.orderBy(order, F.asc(id_col)).limit(top_k)
 
 
 def keyword_filter(text_col: Column | str, keywords: Sequence[str]) -> Column:

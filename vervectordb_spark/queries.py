@@ -427,6 +427,55 @@ def ivf_search_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 @query(
+    "topk_dot_product",
+    oracle=f"""
+WITH q AS ({_Q0})
+SELECT vec_id, ROUND(dp, 6) AS dot FROM (
+  SELECT e.vec_id, {_dot(_E, _QV)} AS dp
+  FROM embeddings e CROSS JOIN q
+  ORDER BY dp DESC, e.vec_id LIMIT 10
+)
+""",
+)
+def topk_dot_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner-product (MIPS) top-k — the FAISS METRIC_INNER_PRODUCT twin;
+    right when corpus norms carry meaning (popularity-weighted item
+    vectors, unnormalized encoders). Same scan/fold/TakeOrdered shape as
+    cosine, one fold fewer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    out = S.brute_force_topk(emb, qv, top_k=10, metric="dot")
+    return out.select("vec_id", F.round("sim", 6).alias("dot"))
+
+
+@query(
+    "topk_l2_nearest",
+    oracle=f"""
+WITH q AS ({_Q0}),
+d AS (
+  SELECT e.vec_id,
+         list_transform(range(1, 65),
+                        i -> (e.embedding::DOUBLE[])[i] - q.qv[i]) AS diff
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, ROUND(dist, 6) AS dist FROM (
+  SELECT vec_id, sqrt(list_dot_product(diff, diff)) AS dist FROM d
+  ORDER BY dist ASC, vec_id LIMIT 10
+)
+""",
+)
+def topk_l2_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean nearest-10 — METRIC_L2, the PQ codebook-assignment
+    metric served as a query (functions/similarity.l2_expr: sequential
+    Σ(a−b)² fold == DuckDB list_dot_product(diff, diff), bit-exact).
+    `sim` is a DISTANCE here: ascending rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    out = S.brute_force_topk(emb, qv, top_k=10, metric="l2")
+    return out.select("vec_id", F.round("sim", 6).alias("dist"))
+
+
+@query(
     "range_search_radius",
     oracle=f"""
 WITH q AS ({_Q0})

@@ -214,12 +214,15 @@ class VectorStore:
         query_vector: Sequence[float],
         top_k: int = 5,
         pre_filter: Column | None = None,
+        metric: str = "cosine",
     ) -> list[dict]:
-        """Q1: exact cosine top-k. Filter runs BEFORE ranking (D1)."""
+        """Q1: exact top-k. Filter runs BEFORE ranking (D1). `metric`:
+        cosine (reference) | dot (MIPS) | l2 (nearest-first; the returned
+        `similarity` is a distance)."""
         self._check_rows([query_vector])
         out = _search.brute_force_topk(
             self.df, query_vector, top_k, pre_filter=pre_filter,
-            extra_cols=("metadata",),
+            extra_cols=("metadata",), metric=metric,
         )
         return [
             {"vector_id": r["vec_id"], "similarity": r["sim"], "metadata": dict(r["metadata"] or {})}
