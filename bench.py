@@ -499,9 +499,11 @@ def build_benches(spark, sf_dir: str):
                     schema=f"{fields}, sq_code array<smallint>",
                 ).select("vec_id", "sq_code").cache()
                 coded.count()
-                _sq_coded_holder.append(coded)
-            coded = _sq_coded_holder[0]
-            out = sq.adc_search(coded, spark.createDataFrame(stats_pdf), qv,
+                # stats as a Spark frame, built once — the timed body
+                # must measure the serving chain, not a pandas round-trip
+                _sq_coded_holder.append((coded, spark.createDataFrame(stats_pdf)))
+            coded, stats_df = _sq_coded_holder[0]
+            out = sq.adc_search(coded, stats_df, qv,
                                 top_k=10, rerank_factor=3, scorer="arrow",
                                 rerank=emb)
             return _force(out, limit=10)

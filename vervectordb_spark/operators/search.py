@@ -34,7 +34,13 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from vervectordb_spark.functions.similarity import cosine_expr, to_double
+from vervectordb_spark.functions.similarity import (
+    cosine_expr,
+    dot_expr,
+    l2_expr,
+    query_lit,
+    to_double,
+)
 
 
 def brute_force_topk(
@@ -57,20 +63,19 @@ def brute_force_topk(
 
     Plan shape: Scan(pushed filter) → Project(sim expr) → TakeOrderedAndProject.
     """
-    from vervectordb_spark.functions.similarity import dot_expr, l2_expr, to_double
-
     if pre_filter is not None:
         df = df.filter(pre_filter)
     q = list(query_vec)
     if metric == "cosine":
         score, order = cosine_expr(F.col(emb_col), q), F.desc("sim")
     elif metric == "dot":
-        from vervectordb_spark.functions.similarity import query_lit
-
         score = dot_expr(to_double(F.col(emb_col)), query_lit(q))
         order = F.desc("sim")
     elif metric == "l2":
-        score, order = l2_expr(F.col(emb_col), q), F.asc("sim")
+        # asc_nulls_last: a NULL distance (NULL/ragged embedding) must not
+        # outrank every real neighbor (asc default is NULLS FIRST; the
+        # desc paths already put NULL sims last)
+        score, order = l2_expr(F.col(emb_col), q), F.asc_nulls_last("sim")
     else:
         raise ValueError(f"unknown metric {metric!r}")
     scored = df.select(id_col, *extra_cols, score.alias("sim"))
@@ -176,6 +181,7 @@ def filtered_search_auto(
     top_k: int = 5,
     pre_filter: Column | None = None,
     ivf_index=None,
+    nprobe: int | None = None,
     brute_cutoff: float = 0.05,
     selectivity: float | None = None,
     emb_col: str = "embedding",
@@ -204,7 +210,7 @@ def filtered_search_auto(
     decision needs 1 significant digit, not exactness).
 
     The brute branch is exact; the probe branch inherits IVF recall on the
-    filtered corpus (nprobe widens it). Returns (id_col, sim)."""
+    filtered corpus (`nprobe=` widens it). Returns (id_col, sim)."""
     if pre_filter is None:
         return brute_force_topk(df, query_vec, top_k,
                                 emb_col=emb_col, id_col=id_col)
@@ -223,12 +229,14 @@ def filtered_search_auto(
             f"{brute_cutoff:.0%}): the probe strategy needs ivf_index= "
             "(or raise brute_cutoff to force the exact scan)"
         )
-    probed = ivf_index.probe_clusters(query_vec)
+    probed = ivf_index.probe_clusters(query_vec, nprobe)
     members = ivf_index.assigned.filter(
         F.col("cluster_id").isin(list(probed))
     ).select(F.col(ivf_index.id_col).alias(id_col))
+    # left_semi: membership only — a duplicated id in the assigned table
+    # must not duplicate df rows (and ranks) in the result
     return brute_force_topk(
-        df.join(members, on=id_col), query_vec, top_k,
+        df.join(members, on=id_col, how="left_semi"), query_vec, top_k,
         emb_col=emb_col, id_col=id_col, pre_filter=pre_filter,
     )
 

@@ -159,6 +159,13 @@ def adc_search(df: DataFrame, stats: DataFrame, query_vec,
     rerank_factor*top_k by (score DESC, id ASC) → exact cosine rerank on
     raw vectors of those candidates only. Returns (id_col, sim), top_k.
 
+    NULL-code fill needs the embeddings: when `df` carries `emb_col`,
+    uncoded rows are encoded on the fly (searchable immediately). A
+    codes-ONLY `df` (the persisted artifact) has nothing to encode from —
+    NULL-code rows are dropped from the candidate scan (never scored as
+    NULL, which would crash the arrow kernel / silently rank last); pass
+    the raw-vector table as `df` instead if such rows must be searchable.
+
     scorer="expr": decode+cosine as Catalyst folds — bit-exact with the
     DuckDB oracle replay. scorer="arrow": the BLAS kernel (~10x on wide
     corpora; accumulation order differs from the fold by ~1e-15, which the
@@ -172,7 +179,7 @@ def adc_search(df: DataFrame, stats: DataFrame, query_vec,
     if emb_col in df.columns:
         coded = with_codes(df, stats, emb_col=emb_col, out_col=code_col)
     elif code_col in df.columns:
-        coded = df
+        coded = df.filter(F.col(code_col).isNotNull())
     else:
         raise ValueError(f"df needs {emb_col!r} or {code_col!r}")
     if scorer == "expr":
