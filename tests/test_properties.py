@@ -292,3 +292,76 @@ def test_winnow_guarantee_on_fuzzed_token_runs(spark, run, pre, post):
     a = {r["fp"] for r in fps if r["doc_id"] == 1}
     b = {r["fp"] for r in fps if r["doc_id"] == 2}
     assert a & b, f"no shared fingerprint for run={run!r}"
+
+
+# ---------------------------------------------------------------------------
+# SQ8 codec laws (pure-arithmetic mirror of operators/sq — no Spark jobs)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=50, deadline=None)
+@given(
+    xs=st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=2, max_size=32),
+)
+def test_sq8_roundtrip_bound_fuzzed(xs):
+    """For any corpus column, every reconstruction sits within half a
+    quantization step of the original — the codec's defining guarantee,
+    checked with the exact arithmetic the Spark exprs use (one dimension;
+    per-dimension independence makes this the general case)."""
+    mn, mx = min(xs), max(xs)
+    scale = (mx - mn) / 255.0
+    for x in xs:
+        if mx == mn:
+            code, recon = 0, mn
+        else:
+            code = min(255.0, max(0.0, math.floor((x - mn) / scale + 0.5)))
+            recon = mn + code * scale
+        assert 0 <= code <= 255
+        assert abs(x - recon) <= (scale * 0.5 if mx != mn else 0.0) + 1e-9 * max(abs(mn), abs(mx), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# MMR greedy laws (pure-Python core, operators/rerank.mmr_select)
+# ---------------------------------------------------------------------------
+
+_REL = st.floats(min_value=-1.0, max_value=1.0,
+                 allow_nan=False, allow_infinity=False)
+_EMB = st.lists(st.floats(min_value=-10, max_value=10,
+                          allow_nan=False, allow_infinity=False),
+                min_size=3, max_size=3)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rels=st.lists(_REL, min_size=1, max_size=10),
+    embs=st.lists(_EMB, min_size=10, max_size=10),
+    lam=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    k=st.integers(min_value=1, max_value=10),
+)
+def test_mmr_select_laws_fuzzed(rels, embs, lam, k):
+    """Invariants of the greedy for any pool: unique picks, ranks dense
+    from 1, first pick is argmax rel (id tie-break), lam=1.0 reduces to
+    plain top-k, redundancy nonnegative and nondecreasing in rank only
+    when ... (redundancy is vs the growing selected set, so each row's
+    recorded redundancy is the max AT PICK TIME — bounded by 1 in cosine
+    terms scaled by the embeddings)."""
+    from vervectordb_spark.operators.rerank import mmr_select
+
+    n = len(rels)
+    embs = embs[:n]
+    ids = list(range(100, 100 + n))
+    out = mmr_select(ids, rels, embs, k=k, lam=lam)
+    assert len(out) == min(k, n)
+    picked = [ids[i] for _, i, *_ in out]
+    assert len(set(picked)) == len(picked)
+    assert [r for r, *_ in out] == list(range(1, len(out) + 1))
+    # first pick maximizes lam*rel (empty selected set => redundancy 0)
+    # with id tie-break; at lam=0 every first-pick score is 0 so the id
+    # tie-break alone decides — argmax-rel only holds when lam*rel
+    # actually separates candidates
+    best = min(range(n), key=lambda i: (-(lam * rels[i]), ids[i]))
+    assert out[0][1] == best
+    if lam == 1.0:
+        want = sorted(range(n), key=lambda i: (-rels[i], ids[i]))[:min(k, n)]
+        assert [i for _, i, *_ in out] == want
