@@ -482,3 +482,35 @@ def test_incremental_ann_wide_bits_matches_prefix_layout(spark, tmp_path):
     ingested = {r["vec_id"] for r in emb.select("vec_id").collect()}
     indexed = {r["vec_id"] for r in idx.signed.select("vec_id").collect()}
     assert indexed == ingested
+
+
+def test_streaming_sq8_encode_matches_batch(spark, tmp_path):
+    """SQ8 encode is a stateless map against a broadcast stats constant,
+    so streamed vectors get byte-identical codes to batch — arriving rows
+    are compressible on ingest with the codec fitted on the base corpus
+    (the streaming half of the sq_compress story; out-of-range values
+    clamp, like any post-fit row)."""
+    from vervectordb_spark.operators import sq
+    from vervectordb_spark.schema import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    stats = sq.fit_sq_stats(emb)
+    src = str(tmp_path / "vec_src")
+    emb.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    coded = sq.with_codes(stream, stats).select("vec_id", "sq_code")
+    assert coded.isStreaming
+    _run_to_memory(coded, "stream_sq_codes", mode="append")
+    got = {
+        r["vec_id"]: list(r["sq_code"])
+        for r in spark.sql("SELECT * FROM stream_sq_codes").collect()
+    }
+    want = {
+        r["vec_id"]: list(r["sq_code"])
+        for r in sq.with_codes(emb, stats).select("vec_id", "sq_code").collect()
+    }
+    assert got == want
