@@ -95,6 +95,29 @@ def test_dataframe_matches_core(spark):
         assert got[rank] == (ids[i], rel, red, score)
 
 
+def test_store_mmr_search_diversifies(spark):
+    """Facade path: near-duplicate top candidates, MMR keeps one of the
+    twins and promotes the distinct vector; plain search returns both twins."""
+    from vervectordb_spark.store import VectorStore
+
+    st = VectorStore(spark, vector_dim=3)
+    st.batch_insert(
+        [[1.0, 0.0, 0.0], [0.999, 0.02, 0.0], [0.6, 0.6, 0.0],
+         [0.0, 0.0, 1.0]],
+        [{} for _ in range(4)],
+    )
+    q = [1.0, 0.0, 0.0]
+    plain = [r["vector_id"] for r in st.brute_force_search(q, top_k=2)]
+    diverse = st.mmr_search(q, top_k=2, pool=4, lam=0.5)
+    ids = {r["vector_id"] for r in st.brute_force_search(q, top_k=4)}
+    picked = [r["vector_id"] for r in diverse]
+    assert len(picked) == 2 and set(picked) <= ids
+    # the twins dominate plain top-2; MMR's second pick is NOT the twin
+    assert picked[0] == plain[0]
+    assert picked[1] != plain[1]
+    assert diverse[0]["redundancy"] == 0.0
+
+
 def test_string_ids_supported(spark):
     cands = spark.createDataFrame(
         [(0, "b", 0.9, [1.0, 0.0]), (0, "a", 0.9, [0.0, 1.0])],

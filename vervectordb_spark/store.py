@@ -404,6 +404,27 @@ class VectorStore:
         )
         return self._pq
 
+    def mmr_search(self, query_vector: Sequence[float], top_k: int = 5,
+                   pool: int | None = None, lam: float = 0.7) -> list[dict]:
+        """Diversified search: exact top-`pool` candidates (default
+        4*top_k), then MMR greedy down to top_k (operators/rerank.py —
+        near-duplicate corpus rows stop monopolizing the result list).
+        Returns [{vector_id, similarity, redundancy, mmr}] in pick order."""
+        from vervectordb_spark.operators.rerank import mmr_rerank
+
+        self._check_rows([query_vector])
+        pool = pool if pool is not None else 4 * top_k
+        cand = _search.brute_force_topk(
+            self.df, query_vector, pool, extra_cols=("embedding",),
+        ).withColumnRenamed("sim", "rel").withColumn("_q", F.lit(0))
+        out = mmr_rerank(cand, k=top_k, lam=lam, query_col="_q",
+                         rel_col="rel").orderBy("rank")
+        return [
+            {"vector_id": r["vec_id"], "similarity": r["rel"],
+             "redundancy": r["redundancy"], "mmr": r["mmr"]}
+            for r in out.collect()
+        ]
+
     def train_sq(self):
         """SQ8 scalar-quantization codec (operators/sq.py) — the 4x
         storage/scan reducer next to PQ's 32x: ONE distributed min/max
