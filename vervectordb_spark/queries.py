@@ -577,6 +577,7 @@ from vervectordb_spark import queries_hybrid  # noqa: E402,F401  (registration)
 from vervectordb_spark import queries_curation  # noqa: E402,F401  (registration)
 from vervectordb_spark import queries_sq  # noqa: E402,F401  (registration)
 from vervectordb_spark import queries_rerank  # noqa: E402,F401  (registration)
+from vervectordb_spark import queries_bq  # noqa: E402,F401  (registration)
 
 
 @query(

@@ -79,6 +79,11 @@ class VectorStore:
         # mutations; rows ingested outside the fitted range CLAMP to it
         # (standard SQ behavior; refit to re-tighten).
         self._sq_stats_pdf = None
+        # BQ binary-quantization thresholds: per-dimension midrange, the
+        # same centroid-class driver state and clamp-free semantics (a
+        # threshold is a comparison; out-of-range rows just encode as
+        # all-0/all-1 bits on the drifted dims — refit to re-center).
+        self._bq_thr_pdf = None
         # provenance for same-path save-after-load (see save())
         self._loaded_from: str | None = None
         self._ivf_from_disk = False
@@ -468,6 +473,53 @@ class VectorStore:
         )
         return [{"vector_id": r["vec_id"], "similarity": r["sim"]} for r in out.collect()]
 
+    def train_bq(self):
+        """Binary-quantization codec (operators/bq.py) — the 16x
+        storage/scan reducer next to SQ8's 4x and PQ's 32x: one bit per
+        dimension at per-dim midrange thresholds, from the same ONE
+        min/max aggregate as SQ8. Thresholds pinned driver-side at fit
+        time (dim floats — centroid-class state)."""
+        from vervectordb_spark.operators import bq
+
+        thr_pdf = bq.fit_bq_thresholds(self.df).toPandas()
+        if len(thr_pdf) == 0:
+            raise ValueError("train_bq on an empty store")
+        self._bq_thr_pdf = thr_pdf
+        return self._bq_thr_pdf
+
+    def _bq_thresholds(self) -> DataFrame:
+        if self._bq_thr_pdf is None:
+            self.train_bq()
+        return self.spark.createDataFrame(self._bq_thr_pdf)
+
+    def bq_compress(self) -> DataFrame:
+        """Adds bq_code ARRAY<BIGINT> — ceil(dim/60) packed sign words
+        (16x over float32 at dim=64). Storage-only like compress();
+        bq_search scans the words."""
+        from vervectordb_spark.operators import bq
+
+        self.df = bq.with_codes(self.df, self._bq_thresholds(),
+                                self.vector_dim)
+        return self.df
+
+    def bq_search(self, query_vector: Sequence[float], top_k: int = 5,
+                  rerank_factor: int = 3) -> list[dict]:
+        """Hamming-candidate search: the corpus is scanned as packed sign
+        words with bit_count(xor) distances in pure integer codegen, top
+        rerank_factor*top_k by (hamming ASC, id ASC) via
+        TakeOrderedAndProject, exact cosine rerank on the raw vectors of
+        those candidates only (the shared 3x over-fetch ratio,
+        SURVEY.md §2.5). Rows ingested after bq_compress carry NULL codes
+        — hamming_search encodes them on the fly."""
+        from vervectordb_spark.operators import bq
+
+        out = bq.hamming_search(
+            self.df, self._bq_thresholds(), query_vector, top_k=top_k,
+            rerank_factor=rerank_factor,
+        )
+        return [{"vector_id": r["vec_id"], "similarity": r["sim"],
+                 "hamming": r["hamming"]} for r in out.collect()]
+
     def train_residual_pq(self, n_subquantizers: int = 8, n_bits: int = 8,
                           sample_size: int = 10_000, seed: int = 42):
         """Residual IVF-PQ codec (FAISS-style; beyond the reference's
@@ -635,6 +687,10 @@ class VectorStore:
                 self.spark.createDataFrame(self._sq_stats_pdf).coalesce(
                     1
                 ).write.parquet(f"{tmp}/sq")
+            if self._bq_thr_pdf is not None:
+                self.spark.createDataFrame(self._bq_thr_pdf).coalesce(
+                    1
+                ).write.parquet(f"{tmp}/bq")
             if self._pq_res is not None and self._ivf is not None:
                 # valid only with the centroids it was fitted against — the
                 # IVF artifacts saved below carry them
@@ -673,6 +729,10 @@ class VectorStore:
             store._sq_stats_pdf = spark.read.parquet(f"{path}/sq").toPandas()
         except AnalysisException:
             pass  # no SQ stats saved
+        try:
+            store._bq_thr_pdf = spark.read.parquet(f"{path}/bq").toPandas()
+        except AnalysisException:
+            pass  # no BQ thresholds saved
         from vervectordb_spark.operators.ivf import IVFIndex
 
         try:
