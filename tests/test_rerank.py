@@ -101,20 +101,28 @@ def test_store_mmr_search_diversifies(spark):
     from vervectordb_spark.store import VectorStore
 
     st = VectorStore(spark, vector_dim=3)
-    st.batch_insert(
-        [[1.0, 0.0, 0.0], [0.999, 0.02, 0.0], [0.6, 0.6, 0.0],
+    # NOTE the first vector must NOT be the query itself: if pick1 == q,
+    # then redundancy(c, pick1) == relevance(c) for every candidate and
+    # at lam=0.5 ALL scores tie at exactly 0 — the winner degenerates to
+    # the random-uuid tie-break (a real flake this test once had). With
+    # pick1 off the query axis, the twin's redundancy (~0.999999) exceeds
+    # its relevance (~0.99875) and the margins are ~1e-3, far above
+    # float noise.
+    ids_in = st.batch_insert(
+        [[1.0, 0.05, 0.0], [1.0, 0.0501, 0.0], [0.8, 0.6, 0.0],
          [0.0, 0.0, 1.0]],
         [{} for _ in range(4)],
     )
     q = [1.0, 0.0, 0.0]
     plain = [r["vector_id"] for r in st.brute_force_search(q, top_k=2)]
+    assert plain == ids_in[:2]  # the twins dominate plain top-2
     diverse = st.mmr_search(q, top_k=2, pool=4, lam=0.5)
-    ids = {r["vector_id"] for r in st.brute_force_search(q, top_k=4)}
     picked = [r["vector_id"] for r in diverse]
-    assert len(picked) == 2 and set(picked) <= ids
-    # the twins dominate plain top-2; MMR's second pick is NOT the twin
+    assert len(picked) == 2
+    # MMR keeps the best twin, then promotes the orthogonal vector over
+    # both the near-duplicate twin and the mid-similarity vector
     assert picked[0] == plain[0]
-    assert picked[1] != plain[1]
+    assert picked[1] == ids_in[3]
     assert diverse[0]["redundancy"] == 0.0
 
 

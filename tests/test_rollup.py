@@ -1,0 +1,118 @@
+"""Incremental materialized rollup (operators/rollup.py): the algebraic
+invariant (merge of any partition of the data == direct aggregate),
+split-shape independence, HLL sketch-merge determinism, and the
+persisted ContinuousRollup lifecycle (refresh appends, compact preserves
+results, pinned snapshots survive compaction)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from vervectordb_spark.operators import rollup
+from vervectordb_spark.schema import load_events
+
+SF_DIR = "/root/testdata/sf0.001"
+KEYS = ["hour_bucket", "event_type"]
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    return (
+        load_events(spark, SF_DIR)
+        .withColumn("hour_bucket", F.expr("ts div 3600000000000"))
+        .cache()
+    )
+
+
+def _direct(ev):
+    return rollup.partial_rollup(ev, KEYS, "value", distinct_col="user_id")
+
+
+def _final_rows(df):
+    return {
+        (r["hour_bucket"], r["event_type"]): (
+            r["n"], str(r["sum_v"]), str(r["min_v"]), str(r["max_v"]),
+            r.asDict().get("n_distinct_est"),
+        )
+        for r in rollup.finalize_rollup(df).collect()
+    }
+
+
+def test_merge_of_split_equals_direct(ev):
+    """3-way split by event_id % 3 -> partials -> merge == one direct
+    aggregate, exactly — counts, DECIMAL sums, min/max, and even the HLL
+    estimates (same rows into the same sketches => identical sketches)."""
+    parts = [
+        rollup.partial_rollup(ev.filter(F.col("event_id") % 3 == i), KEYS,
+                              "value", distinct_col="user_id")
+        for i in range(3)
+    ]
+    merged = rollup.merge_rollup(
+        parts[0].unionByName(parts[1]).unionByName(parts[2]), KEYS
+    )
+    assert _final_rows(merged) == _final_rows(_direct(ev))
+
+
+def test_split_shape_independence(ev):
+    """2-way and 5-way splits merge to the same state — the refresh
+    cadence can never change the answer."""
+    def split_merge(k):
+        parts = [
+            rollup.partial_rollup(ev.filter(F.col("event_id") % k == i),
+                                  KEYS, "value", distinct_col="user_id")
+            for i in range(k)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return rollup.merge_rollup(u, KEYS)
+
+    assert _final_rows(split_merge(2)) == _final_rows(split_merge(5))
+
+
+def test_merge_is_reentrant(ev):
+    """merge(merge(x)) == merge(x): compaction is just a merge, so
+    compacting twice (or merging already-merged state with new partials)
+    is sound."""
+    p = _direct(ev)
+    once = rollup.merge_rollup(p, KEYS)
+    twice = rollup.merge_rollup(once, KEYS)
+    assert _final_rows(once) == _final_rows(twice)
+
+
+def test_continuous_rollup_lifecycle(spark, ev, tmp_path):
+    cr = rollup.ContinuousRollup(spark, str(tmp_path / "agg"), KEYS,
+                                 "value", distinct_col="user_id")
+    for i in range(3):
+        cr.refresh(ev.filter(F.col("event_id") % 3 == i))
+    expect = _final_rows(_direct(ev))
+    assert _final_rows(merge := rollup.merge_rollup(cr.partials(), KEYS)) == expect  # noqa: F841
+    got = {
+        (r["hour_bucket"], r["event_type"]): r["n"]
+        for r in cr.read().collect()
+    }
+    assert got == {k: v[0] for k, v in expect.items()}
+
+    # partials currently hold 3 rows per group (one per refresh)
+    n_groups = cr.read().count()
+    assert cr.partials().count() > n_groups
+
+    pinned_version = cr.table.latest_version()
+    cr.compact()
+    # compaction: one partial row per group, identical read() results
+    assert cr.partials().count() == n_groups
+    assert _final_rows(rollup.merge_rollup(cr.partials(), KEYS)) == expect
+    # the pre-compaction snapshot is still readable (copy-on-write)
+    assert cr.table.read(pinned_version).count() > n_groups
+
+
+def test_refresh_then_read_reflects_new_batch(spark, ev, tmp_path):
+    cr = rollup.ContinuousRollup(spark, str(tmp_path / "agg2"), KEYS,
+                                 "value")
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    cr.refresh(half1)
+    n1 = cr.read().agg(F.sum("n")).first()[0]
+    assert n1 == half1.count()
+    cr.refresh(ev.filter(F.col("event_id") % 2 == 1))
+    n2 = cr.read().agg(F.sum("n")).first()[0]
+    assert n2 == ev.count()

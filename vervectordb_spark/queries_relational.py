@@ -1141,3 +1141,71 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("zscore"),
         (F.abs(z) > 2.0).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events: incremental materialized rollup (continuous aggregate)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_rollup_incremental",
+    oracle=f"""
+SELECT epoch_us(ts) // {_US_PER_HOUR} AS hour_bucket,
+  event_type,
+  COUNT(*) AS n_events,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_value,
+  CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+  CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        / COUNT(*), 6) AS avg_value,
+  TRUE AS users_est_ok
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate invariant as a gated query: Spark answers
+    from the MERGE of three per-batch partial rollups (events split by
+    event_id % 3 — three separate "refresh" aggregations, then the
+    associative combine, operators/rollup.py), DuckDB from one direct
+    GROUP BY over everything. Counts, DECIMAL sums, min/max, and the
+    derived avg must match exactly — order-independent partial states are
+    what make refresh-without-history-rescan sound. The HLL
+    distinct-users estimate (the one non-algebraic measure, carried as a
+    mergeable sketch) is gated through its 3·rsd bound vs the exact
+    per-group distinct, the queries_sketch.py pattern: a false anywhere
+    breaks the hash."""
+    from vervectordb_spark.operators import rollup
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "hour_bucket", F.expr(f"ts div {_NS_PER_HOUR}")
+    )
+    keys = ["hour_bucket", "event_type"]
+    parts = [
+        rollup.partial_rollup(
+            ev.filter(F.col("event_id") % 3 == i), keys, "value",
+            distinct_col="user_id",
+        )
+        for i in range(3)
+    ]
+    merged = rollup.merge_rollup(
+        parts[0].unionByName(parts[1]).unionByName(parts[2]), keys
+    )
+    fin = rollup.finalize_rollup(merged)
+    exact = ev.groupBy(*keys).agg(
+        F.countDistinct("user_id").alias("_exact_users")
+    )
+    rsd = 1.04 / (2 ** (12 / 2.0))  # lgK=12 -> ~1.6%
+    return fin.join(exact, keys).select(
+        "hour_bucket",
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(F.col("sum_v").cast("double"), 6).alias("sum_value"),
+        F.col("min_v").cast("double").alias("min_value"),
+        F.col("max_v").cast("double").alias("max_value"),
+        F.round("avg_v", 6).alias("avg_value"),
+        (
+            F.abs(F.col("n_distinct_est") - F.col("_exact_users"))
+            <= 3.0 * rsd * F.col("_exact_users") + 1.0
+        ).alias("users_est_ok"),
+    )
