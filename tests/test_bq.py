@@ -201,3 +201,35 @@ def test_streaming_encode_parity(spark, emb, thr, tmp_path):
                                                     "bq_code").collect()
     }
     assert streamed == batch
+
+
+def test_batch_matches_single_query_paths(spark, emb, thr):
+    """Batch-vs-single parity (SURVEY §5.9): the one-job batched path
+    returns row-for-row the per-query results — ids, hamming, AND sims."""
+    qrows = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    batched = bq.batch_hamming_search(emb, thr, qrows, top_k=5,
+                                      rerank_factor=3).collect()
+    by_q = {}
+    for r in batched:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["hamming"], r["sim"]))
+    for qid in range(4):
+        qv = [float(v) for v in emb.filter(F.col("vec_id") == qid)
+              .select("embedding").first()["embedding"]]
+        single = [
+            (r["vec_id"], r["hamming"], r["sim"])
+            for r in bq.hamming_search(emb, thr, qv, top_k=5,
+                                       rerank_factor=3).collect()
+        ]
+        assert by_q[qid] == single
+
+
+def test_batch_query_side_guard(spark, emb, thr):
+    """The 64k-class driver-collect guard (the ivf.py contract)."""
+    qrows = emb.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_embedding"))
+    with pytest.raises(ValueError, match="max_queries"):
+        bq.batch_hamming_search(emb, thr, qrows, top_k=2, max_queries=3)

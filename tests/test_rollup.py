@@ -116,3 +116,29 @@ def test_refresh_then_read_reflects_new_batch(spark, ev, tmp_path):
     cr.refresh(ev.filter(F.col("event_id") % 2 == 1))
     n2 = cr.read().agg(F.sum("n")).first()[0]
     assert n2 == ev.count()
+
+
+def test_streaming_refresh_matches_batch_and_is_idempotent(spark, ev, tmp_path):
+    """foreachBatch maintenance: streamed micro-batches fold to the same
+    state as one batch aggregate; a re-delivered batch_id is a no-op
+    (the transactional-sink handshake), so retries never double-count."""
+    src = str(tmp_path / "src")
+    cols = ["event_id", "hour_bucket", "event_type", "user_id", "value"]
+    ev.select(*cols).write.parquet(src)
+    cr = rollup.ContinuousRollup(spark, str(tmp_path / "agg3"), KEYS,
+                                 "value", distinct_col="user_id")
+    stream = spark.readStream.schema(
+        "event_id long, hour_bucket long, event_type string, "
+        "user_id long, value double"
+    ).parquet(src)
+    q = cr.streaming_refresh(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert _final_rows(rollup.merge_rollup(cr.partials(), KEYS)) \
+        == _final_rows(_direct(ev))
+    # re-deliver an already-committed batch id -> no new version
+    v = cr.table.latest_version()
+    cr.refresh(ev.select(*cols), batch_id=0)
+    assert cr.table.latest_version() == v
+    # a NEW batch id still commits
+    cr.refresh(ev.select(*cols).limit(10), batch_id=999)
+    assert cr.table.latest_version() == v + 1

@@ -123,6 +123,19 @@ def sweep(spark, corpus, methods: set[str]) -> list[dict]:
                        queries, top_k=TOP_K).collect())
 
     rerank_src = corpus.select("vec_id", "embedding")
+    if "bq" in methods:
+        from vervectordb_spark.operators import bq as BQ
+
+        thr = BQ.fit_bq_thresholds(corpus)
+        bq_coded = BQ.with_codes(corpus, thr, DIM).select(
+            "vec_id", "bq_code").cache()
+        bq_coded.count()
+        for rf in (3, 10, 50):
+            record(f"bq hamming rerank_f={rf}",
+                   lambda rf=rf: BQ.batch_hamming_search(
+                       bq_coded, thr, queries, top_k=TOP_K,
+                       rerank_factor=rf, rerank=rerank_src).collect())
+        bq_coded.unpersist()
     if "respq" in methods:
         codec = ivf.fit_residual_codec(n_subquantizers=8, codebook_size=256,
                                        seed=42)
@@ -170,8 +183,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     all_m = {"ivf1", "ivf2", "ivf4", "ivf8", "ivf16", "adaptive",
-             "lsh2", "lsh4", "lsh8", "respq", "pq"}
-    trimmed = {"ivf2", "ivf4", "ivf8", "adaptive", "lsh4", "respq", "pq"}
+             "lsh2", "lsh4", "lsh8", "respq", "pq", "bq"}
+    trimmed = {"ivf2", "ivf4", "ivf8", "adaptive", "lsh4", "respq", "pq",
+               "bq"}
 
     print("uniform corpus:", file=sys.stderr)
     uniform = sweep(spark, _make_corpus(spark, "uniform"), all_m)

@@ -188,6 +188,84 @@ def hamming_search(df: DataFrame, thresholds: DataFrame, query_vec,
     )
 
 
+def batch_hamming_search(df: DataFrame, thresholds: DataFrame,
+                         queries: DataFrame, top_k: int = 5,
+                         rerank_factor: int = 3,
+                         emb_col: str = "embedding", id_col: str = "vec_id",
+                         query_id_col: str = "query_id",
+                         q_emb_col: str = "q_embedding",
+                         code_col: str = "bq_code",
+                         rerank: DataFrame | None = None,
+                         max_queries: int = 65536) -> DataFrame:
+    """Genuinely batched BQ serving: ONE job for all queries. The query
+    side is collected under the house 64k guard (the ivf.py:176-189
+    contract — a corpus-sized query side belongs in knn_self_join, not
+    here), packed driver-side, and broadcast as (query_id, q_code,
+    q_emb) rows; the corpus code table is scanned ONCE with the Hamming
+    fold against every query's words, per-query top-R via a
+    query_id-partitioned window rank (never a global window), and the
+    exact cosine rerank touches raw vectors for R rows per query only.
+
+    Returns (query_id_col, id_col, hamming, sim), top_k per query,
+    ordered (sim DESC, id ASC) within each query — row-for-row the
+    per-query `hamming_search` results (batch-vs-single parity pinned in
+    tests/test_bq.py)."""
+    from pyspark.sql import Window
+
+    from vervectordb_spark.functions.similarity import cosine_expr
+
+    rows = queries.select(query_id_col, q_emb_col).limit(max_queries + 1).collect()
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"batch_hamming_search collects the query side to the driver; "
+            f"got more than max_queries={max_queries} rows — for a "
+            f"corpus-sized query side use the self-join/dedup operators"
+        )
+    thr_pdf = thresholds.toPandas()
+    dim = len(thr_pdf)
+    if emb_col in df.columns:
+        coded = with_codes(df, thresholds, dim, emb_col=emb_col,
+                           out_col=code_col)
+    elif code_col in df.columns:
+        coded = df.filter(F.col(code_col).isNotNull())
+    else:
+        raise ValueError(f"df needs {emb_col!r} or {code_col!r}")
+    spark = df.sparkSession
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    qdf = spark.createDataFrame(
+        [(r[query_id_col],
+          encode_query([float(v) for v in r[q_emb_col]], thr_pdf),
+          [float(v) for v in r[q_emb_col]]) for r in rows],
+        f"{query_id_col} {qid_type}, _q_code array<bigint>, "
+        f"_q_emb array<double>",
+    )
+    scored = coded.join(F.broadcast(qdf)).select(
+        query_id_col, id_col, "_q_emb",
+        hamming_words_expr(F.col(code_col), F.col("_q_code"))
+        .alias("hamming"),
+    )
+    wc = Window.partitionBy(query_id_col).orderBy(F.asc("hamming"),
+                                                 F.asc(id_col))
+    cand = (
+        scored.withColumn("_rk", F.row_number().over(wc))
+        .filter(F.col("_rk") <= rerank_factor * top_k)
+        .select(query_id_col, id_col, "_q_emb", "hamming")
+    )
+    base = rerank if rerank is not None else df
+    rescored = cand.join(base.select(id_col, emb_col), on=id_col).select(
+        query_id_col, id_col, "hamming",
+        cosine_expr(F.col(emb_col), F.col("_q_emb")).alias("sim"),
+    )
+    wf = Window.partitionBy(query_id_col).orderBy(F.desc("sim"),
+                                                 F.asc(id_col))
+    return (
+        rescored.withColumn("_rk", F.row_number().over(wf))
+        .filter(F.col("_rk") <= top_k)
+        .drop("_rk")
+        .orderBy(query_id_col, F.desc("sim"), F.asc(id_col))
+    )
+
+
 def encode_batches(thresholds_pdf, dim: int, emb_col: str = "embedding",
                    out_col: str = "bq_code"):
     """Arrow mapInPandas twin of `encode_expr` — bit-identical by

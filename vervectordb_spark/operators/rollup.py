@@ -117,13 +117,41 @@ class ContinuousRollup:
         self.distinct_col = distinct_col
         self.table = VersionedTable.create(spark, path)
 
-    def refresh(self, batch: DataFrame) -> dict:
+    def refresh(self, batch: DataFrame, batch_id: int | None = None) -> dict:
         """Fold one arriving batch in: one partial aggregate of the batch,
         one versioned append. The raw events are NOT retained here — the
-        rollup is the materialization, the fact table lives elsewhere."""
+        rollup is the materialization, the fact table lives elsewhere.
+
+        With `batch_id`, the commit is IDEMPOTENT: the id is recorded in
+        the manifest op and a re-delivery of an already-committed batch
+        (a foreachBatch retry after a sink-side failure) is skipped —
+        the transactional-sink handshake Structured Streaming expects
+        (the Delta/Iceberg txn-id pattern). Without it, a retried batch
+        would double-count."""
+        op = "append" if batch_id is None else f"rollup-batch:{batch_id}"
+        if batch_id is not None and any(
+            m.get("op") == op for m in self.table.history()
+        ):
+            return self.table.manifest()  # already folded in — no-op
         p = partial_rollup(batch, self.keys, self.value_col,
                            self.distinct_col)
-        return self.table.append(p)
+        return self.table.append(p, op=op)
+
+    def streaming_refresh(self, stream: DataFrame, checkpoint: str,
+                          available_now: bool = True):
+        """Continuous maintenance from a readStream: each micro-batch
+        folds in via foreachBatch -> refresh(batch, batch_id), so the
+        rollup stays current without ever rescanning history, and the
+        batch-id handshake keeps retries exactly-once. Returns the
+        started StreamingQuery (caller awaits/stops)."""
+        writer = (
+            stream.writeStream
+            .foreachBatch(lambda b, bid: self.refresh(b, batch_id=bid))
+            .option("checkpointLocation", checkpoint)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
 
     def partials(self) -> DataFrame:
         return self.table.read()

@@ -195,13 +195,17 @@ class VersionedTable:
 
     # ------------------------------------------------------------ writes
     def append(self, df: DataFrame,
-               stats_cols: list[str] | None = None) -> dict:
+               stats_cols: list[str] | None = None,
+               op: str = "append") -> dict:
         """Add rows: new data dir + manifest carrying parent files + it.
         The data write happens BEFORE the commit race — a loser retries
         with its already-written files, never rewrites data — and the
         parent file list is re-read per attempt (see _commit). With
         stats_cols, the manifest also records the new dir's min/max per
-        column (merged with the parent's entries) for read_pruned."""
+        column (merged with the parent's entries) for read_pruned.
+        `op` labels the manifest (default "append") — writers that need
+        idempotent re-delivery (streaming foreachBatch retries) encode a
+        batch id in it and check history() before committing."""
         rel, n, st = self._write_data(df, stats_cols)
         return self._commit(
             lambda head: (
@@ -209,7 +213,7 @@ class VersionedTable:
                 (head["n_rows"] if head else 0) + n,
                 {**(head.get("stats", {}) if head else {}), rel: st},
             ),
-            op="append",
+            op=op,
         )
 
     def overwrite(self, df: DataFrame,
