@@ -185,3 +185,21 @@ def test_compression_ratio_accounting():
     raw = 64 * 4
     coded = 64 * 1
     assert raw / coded == 4.0
+
+
+def test_store_ivfsq_search(spark):
+    """IVF-SQ8 facade: probes + quantized scan + rerank returns the query
+    row first; results are a subset of the probed clusters."""
+    import numpy as np
+
+    from vervectordb_spark.store import VectorStore
+
+    rng = np.random.default_rng(3)
+    store = VectorStore(spark, vector_dim=8)
+    vecs = rng.normal(size=(128, 8)).astype(np.float32)
+    ids = store.batch_insert(vecs.tolist())
+    store.build_ivf_index(n_clusters=4)
+    hits = store.ivfsq_search(vecs[7].tolist(), top_k=3, nprobe=2)
+    assert hits[0]["vector_id"] == ids[7]
+    assert hits[0]["similarity"] == pytest.approx(1.0)
+    assert len(hits) == 3

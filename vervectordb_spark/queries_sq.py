@@ -150,3 +150,78 @@ def sq8_search_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sq.adc_search(emb, stats, qv, top_k=10, rerank_factor=3,
                         scorer="expr")
     return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+_NPROBE = 8
+
+
+@query(
+    "ivfsq_search_adc",
+    oracle=f"""
+WITH stats AS ({_STATS_SQL}),
+coded AS ({_CODED_SQL}),
+recon AS ({_RECON_SQL}),
+rvec AS (
+  SELECT vec_id, list(xr ORDER BY pos) AS rv FROM recon GROUP BY vec_id
+),
+cent AS (
+  SELECT vec_id::INTEGER AS cluster_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 16
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+assign AS (
+  SELECT e.vec_id, c.cluster_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_cos('e.embedding::DOUBLE[]', 'c.cv')} DESC,
+                    c.cluster_id
+         ) AS rk
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (SELECT vec_id, cluster_id FROM assign WHERE rk = 1),
+probed AS (
+  SELECT c.cluster_id FROM cent c CROSS JOIN q
+  ORDER BY {_cos('c.cv', 'q.qv')} DESC, c.cluster_id
+  LIMIT {_NPROBE}
+),
+scored AS (
+  SELECT r.vec_id, {_cos('r.rv', 'q.qv')} AS sim_q
+  FROM rvec r
+  JOIN assigned a ON a.vec_id = r.vec_id
+  CROSS JOIN q
+  WHERE a.cluster_id IN (SELECT cluster_id FROM probed)
+),
+cand AS (SELECT vec_id FROM scored ORDER BY sim_q DESC, vec_id LIMIT 30)
+SELECT vec_id, ROUND(sim, 6) AS sim FROM (
+  SELECT e.vec_id, {_cos('e.embedding::DOUBLE[]', 'q.qv')} AS sim
+  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+  ORDER BY sim DESC, e.vec_id LIMIT 10
+)
+""",
+)
+def ivfsq_search_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 composed serving (the FAISS IVF_SQ8 index class) —
+    completing the index x codec matrix next to IVF-flat, IVF-PQ raw,
+    and IVF-PQ residual: probe nprobe=8 of 16 frozen centroids
+    (partition-prunable cluster filter), SQ8 quantized-domain cosine over
+    ONLY the probed clusters' uint8 codes (1/4 scan bytes of the probed
+    subset), top-30 via TakeOrderedAndProject, exact rerank within the
+    probed set. Both stages replay bit-exactly: the codec from the
+    min/max aggregate, the probe from the frozen-centroid fold."""
+    from vervectordb_spark.functions.similarity import to_double
+    from vervectordb_spark.operators import sq
+    from vervectordb_spark.operators.ivf import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cluster_id"),
+        to_double(F.col("embedding")).alias("centroid"),
+    )
+    idx = IVFIndex.from_centroids(emb, cent)
+    stats = sq.fit_sq_stats(emb)
+    probes = idx.probe_clusters_exact(qv, nprobe=_NPROBE)
+    probed = idx.assigned.filter(F.col("cluster_id").isin(probes))
+    out = sq.adc_search(probed, stats, qv, top_k=10, rerank_factor=3,
+                        scorer="expr")
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))

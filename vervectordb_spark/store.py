@@ -473,6 +473,26 @@ class VectorStore:
         )
         return [{"vector_id": r["vec_id"], "similarity": r["sim"]} for r in out.collect()]
 
+    def ivfsq_search(self, query_vector: Sequence[float], top_k: int = 5,
+                     nprobe: int | None = None,
+                     rerank_factor: int = 3) -> list[dict]:
+        """IVF-SQ8 composed serving (FAISS IVF_SQ8): probe the IVF
+        clusters (building the index if absent), then the asymmetric SQ8
+        scan + exact rerank over ONLY the probed clusters — the
+        partition-pruned 1/4-byte scan. Completes the index x codec
+        matrix next to ivf_search (flat), ivfpq / ivfpq_residual."""
+        from vervectordb_spark.operators import sq
+
+        if self._ivf is None:
+            self.build_ivf_index()
+        probes = self._ivf.probe_clusters(query_vector, nprobe)
+        probed = self._ivf.assigned.filter(F.col("cluster_id").isin(probes))
+        out = sq.adc_search(probed, self._sq_stats(), query_vector,
+                            top_k=top_k, rerank_factor=rerank_factor,
+                            scorer="expr")
+        return [{"vector_id": r["vec_id"], "similarity": r["sim"]}
+                for r in out.collect()]
+
     def train_bq(self):
         """Binary-quantization codec (operators/bq.py) — the 16x
         storage/scan reducer next to SQ8's 4x and PQ's 32x: one bit per
