@@ -148,3 +148,38 @@ def test_auto_selectivity_override_skips_measurement(emb, qv):
         selectivity=0.01, brute_cutoff=0.05,
     )
     assert out.count() == 3
+
+
+def test_prefix_topk_degenerates_to_exact_at_full_dim(spark):
+    """prefix_dim == dim makes the candidate stage the exact scan: the
+    result equals brute_force_topk row-for-row (prefix_sim == sim)."""
+    from vervectordb_spark.operators.search import brute_force_topk, prefix_topk
+    from vervectordb_spark.schema import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0)
+          .select("embedding").first()["embedding"]]
+    exact = [(r["vec_id"], r["sim"])
+             for r in brute_force_topk(emb, qv, top_k=10).collect()]
+    via_prefix = prefix_topk(emb, qv, top_k=10, prefix_dim=64,
+                             rerank_factor=3).collect()
+    assert [(r["vec_id"], r["sim"]) for r in via_prefix] == exact
+    for r in via_prefix:
+        assert r["prefix_sim"] == pytest.approx(r["sim"], abs=1e-12)
+
+
+def test_prefix_topk_recall_with_pool(spark):
+    """A 16-of-64 prefix with a generous rerank pool recovers most of the
+    exact top-10 and always finds the query row itself first."""
+    from vervectordb_spark.operators.search import brute_force_topk, prefix_topk
+    from vervectordb_spark.schema import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0)
+          .select("embedding").first()["embedding"]]
+    exact = {r["vec_id"] for r in brute_force_topk(emb, qv, top_k=10).collect()}
+    got = prefix_topk(emb, qv, top_k=10, prefix_dim=16,
+                      rerank_factor=10).collect()
+    assert got[0]["vec_id"] == 0
+    assert got[0]["sim"] == pytest.approx(1.0)
+    assert len({r["vec_id"] for r in got} & exact) >= 5

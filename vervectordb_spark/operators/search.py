@@ -148,6 +148,52 @@ def range_search(
     return scored.filter(F.col("sim") >= float(threshold))
 
 
+def prefix_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    top_k: int = 5,
+    prefix_dim: int = 16,
+    rerank_factor: int = 3,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka (MRL) adaptive retrieval: candidates are scored by
+    cosine over only the FIRST `prefix_dim` dimensions (Kusupati et al.,
+    Matryoshka Representation Learning — MRL-trained embeddings
+    front-load information, the serving trick behind OpenAI/Google
+    dimension-truncatable embeddings), then the exact full-dimension
+    cosine reranks the top rerank_factor*top_k. Candidate-scan compute
+    drops ∝ prefix_dim/dim with NO auxiliary index or codec state at all
+    — the prefix IS the coarse representation.
+
+    On non-MRL embeddings (the fixtures) the prefix is an unbiased
+    random-projection-like proxy — recall comes from the rerank pool,
+    same contract as BQ/SQ8. prefix_dim >= dim degenerates to exact
+    search (pytest-pinned).
+
+    Plan shape: Scan → Project(slice fold) → TakeOrderedAndProject →
+    broadcast-semi candidate join → exact rerank. Returns
+    (id_col, prefix_sim, sim), top_k by (sim DESC, id ASC)."""
+    q = list(query_vec)
+    qp = q[:prefix_dim]
+    pre = F.slice(to_double(F.col(emb_col)), 1, prefix_dim)
+    cand = (
+        df.select(
+            id_col,
+            cosine_expr(pre, qp).alias("prefix_sim"),
+        )
+        .orderBy(F.desc("prefix_sim"), F.asc(id_col))
+        .limit(rerank_factor * top_k)
+    )
+    return (
+        df.join(cand, on=id_col)
+        .select(id_col, "prefix_sim",
+                cosine_expr(F.col(emb_col), q).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(top_k)
+    )
+
+
 def topk_per_group(
     df: DataFrame,
     query_vec: Sequence[float],

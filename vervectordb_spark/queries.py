@@ -476,6 +476,44 @@ def topk_l2_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "topk_prefix_mrl",
+    oracle=f"""
+WITH q AS ({_Q0}),
+p AS (
+  SELECT e.vec_id,
+         list_slice(e.embedding::DOUBLE[], 1, 16) AS pe,
+         list_slice(q.qv, 1, 16) AS pq
+  FROM embeddings e CROSS JOIN q
+),
+cand AS (
+  SELECT vec_id, {_cos('pe', 'pq')} AS prefix_sim
+  FROM p ORDER BY prefix_sim DESC, vec_id LIMIT 30
+)
+SELECT vec_id, ROUND(prefix_sim, 6) AS prefix_sim, ROUND(sim, 6) AS sim
+FROM (
+  SELECT e.vec_id, c.prefix_sim, {_cos(_E, _QV)} AS sim
+  FROM embeddings e JOIN cand c USING (vec_id) CROSS JOIN q
+  ORDER BY sim DESC, e.vec_id LIMIT 10
+)
+""",
+)
+def topk_prefix_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka adaptive retrieval (operators/search.prefix_topk):
+    candidates by cosine over the FIRST 16 of 64 dimensions (1/4 the
+    candidate-scan arithmetic, zero index state — MRL-trained embeddings
+    front-load information; on these fixtures the prefix is a
+    random-projection-like proxy and the rerank pool supplies recall),
+    exact full-dimension rerank of the top-30. Both the prefix sims and
+    the final sims cross the hash gate — slice folds are the same
+    sequential double arithmetic on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    out = S.prefix_topk(emb, qv, top_k=10, prefix_dim=16, rerank_factor=3)
+    return out.select("vec_id", F.round("prefix_sim", 6).alias("prefix_sim"),
+                      F.round("sim", 6).alias("sim"))
+
+
+@query(
     "range_search_radius",
     oracle=f"""
 WITH q AS ({_Q0})
