@@ -25,6 +25,15 @@ keys shifted by a per-replica stride (max_key+1), so:
 Fully distributed: one crossJoin(range(factor)) + column exprs per table,
 no driver-side data. Deterministic: no RNG — perturbations are
 xxhash64-derived.
+
+IMPORTANT: generate every scale in ONE step from the driver base
+(--factor 100 for sf10), never by chaining upscales (sf0.1 -> sf1 ->
+sf10). The "replica 1 = exact copy" rule composes under chaining: a
+two-step sf10 gives each source doc a 4-clique of exact copies (orig,
+step-1 copy, step-2 copies of both) — 6 dup pairs per source instead of
+1 — which inflates every pair-emitting dedup/winnow query ~6x with a
+fixture artifact, not engine load (measured: winnow_overlap 8.5 s ->
+58 s at sf10 from exactly this).
 """
 
 from __future__ import annotations
