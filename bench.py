@@ -583,6 +583,38 @@ def build_benches(spark, sf_dir: str):
                     .orderBy(F.desc("rel"), "vec_id").limit(64)
                     .withColumn("query_id", F.lit(0)))
             return _force(mmr_rerank(cand, k=10, lam=0.7), limit=10)
+
+        from vervectordb_spark.operators.ivf import IVFIndex
+        from vervectordb_spark.operators.search import prefix_topk
+
+        @bench("mrl_search_1q")
+        def _mrl():
+            # Matryoshka prefix retrieval: candidate scan scores only the
+            # first 16 of 64 dims (1/4 arithmetic, zero index state), exact
+            # full-dim rerank of 30
+            return _force(
+                prefix_topk(emb, qv, top_k=10, prefix_dim=16, rerank_factor=3),
+                limit=10,
+            )
+
+        _ivfsq_holder: list = []
+
+        @bench("ivfsq_search_1q")
+        def _ivfsq():
+            # composed IVF-SQ8 serving (FAISS IVF_SQ8): probe 8/16 clusters
+            # -> SQ8 quantized-domain scan over probed partitions only ->
+            # exact rerank. Index build + encode are one-time costs cached
+            # on the first repeat.
+            if not _ivfsq_holder:
+                idx = IVFIndex.build(emb, n_clusters=16, seed=42)
+                stats_pdf = _sq_stats()
+                _ivfsq_holder.append((idx, spark.createDataFrame(stats_pdf)))
+            idx, stats_df = _ivfsq_holder[0]
+            probes = idx.probe_clusters_exact(qv, nprobe=8)
+            probed = idx.assigned.filter(F.col("cluster_id").isin(probes))
+            out = sq.adc_search(probed, stats_df, qv, top_k=10,
+                                rerank_factor=3, scorer="expr")
+            return _force(out, limit=10)
     except ImportError:
         pass
 
