@@ -1,0 +1,128 @@
+"""HD structured rotation (operators/rotation.py): the butterfly
+association contract across all three kernels (expr / Arrow / driver
+numpy), orthonormality, determinism, the sign-balance effect the
+rotation exists for, and the rotated-BQ serving chain."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from vervectordb_spark.operators import rotation as R
+from vervectordb_spark.schema import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+def _scalar_rotate(x, signs):
+    """Scalar reference of the association contract — independent of
+    every production kernel."""
+    d = len(x)
+    h = [float(x[i]) * signs[i] for i in range(d)]
+    b = 1
+    while b < d:
+        nh = [0.0] * d
+        for i in range(d):
+            if (i & b) == 0:
+                nh[i] = h[i] + h[i | b]
+            else:
+                nh[i] = h[i ^ b] - h[i]
+        h = nh
+        b <<= 1
+    s = 1.0 / np.sqrt(d)
+    return [v * s for v in h]
+
+
+def test_signs_deterministic_pm1():
+    s1, s2 = R.hd_signs(DIM), R.hd_signs(DIM)
+    assert s1 == s2
+    assert set(s1) == {-1, 1}
+    assert R.hd_signs(DIM, seed=7) != s1  # seed actually enters the hash
+
+
+def test_numpy_matches_scalar_contract():
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(8, DIM))
+    signs = R.hd_signs(DIM)
+    Y = R.rotate_np(X, signs)
+    for r in range(len(X)):
+        ref = _scalar_rotate(X[r], signs)
+        assert all(Y[r][i] == ref[i] for i in range(DIM)), r
+
+
+def test_expr_arrow_query_kernels_bit_identical(emb):
+    a = (R.with_rotation(emb, DIM, kernel="expr")
+         .select("vec_id", "emb_rot").orderBy("vec_id").limit(100).collect())
+    b = (R.with_rotation(emb, DIM, kernel="arrow")
+         .select("vec_id", "emb_rot").orderBy("vec_id").limit(100).collect())
+    assert [r.emb_rot for r in a] == [r.emb_rot for r in b]
+    # the driver-side query rotation is the same bits as the column kernel
+    signs = R.hd_signs(DIM)
+    row0 = emb.orderBy("vec_id").first()
+    q = R.rotate_query([float(v) for v in row0.embedding], signs)
+    assert q == [float(v) for v in a[0].emb_rot]
+
+
+def test_orthonormal_norms_and_cosines_preserved():
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(32, DIM))
+    Y = R.rotate_np(X, R.hd_signs(DIM))
+    n_x = np.linalg.norm(X, axis=1)
+    n_y = np.linalg.norm(Y, axis=1)
+    assert np.allclose(n_x, n_y, rtol=1e-12)
+    cx = (X[:16] * X[16:]).sum(axis=1) / (n_x[:16] * n_x[16:])
+    cy = (Y[:16] * Y[16:]).sum(axis=1) / (n_y[:16] * n_y[16:])
+    assert np.allclose(cx, cy, atol=1e-12)
+
+
+def test_hadamard_alone_is_an_involution():
+    # signs=+1 leaves pure normalized H, which is symmetric orthogonal:
+    # H(Hx) == x up to float rounding
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(4, DIM))
+    ones = [1] * DIM
+    back = R.rotate_np(R.rotate_np(X, ones), ones)
+    assert np.allclose(back, X, rtol=1e-12, atol=1e-12)
+
+
+def test_non_power_of_two_dim_rejected():
+    with pytest.raises(ValueError, match="power-of-two"):
+        R.hd_signs(48)
+    rng = np.random.default_rng(1)
+    with pytest.raises(ValueError, match="power-of-two"):
+        R.rotate_np(rng.normal(size=(2, 48)), [1] * 48)
+
+
+def test_rotation_balances_sign_bits():
+    """The reason the operator exists: midrange-threshold bits on heavily
+    skewed per-dimension distributions are unbalanced (midrange sits far
+    from the mass); rotated coordinates are +-weighted sums of all dims,
+    so their distributions symmetrize and bit rates move toward 1/2."""
+    rng = np.random.default_rng(19)
+    X = np.exp(rng.normal(size=(4096, DIM)))  # log-normal: skew ~ e^sigma
+    Y = R.rotate_np(X, R.hd_signs(DIM))
+
+    def imbalance(M):
+        thr = (M.min(axis=0) + M.max(axis=0)) / 2.0
+        rates = (M > thr).mean(axis=0)
+        return np.abs(rates - 0.5).mean()
+
+    assert imbalance(Y) < imbalance(X) / 2
+
+
+def test_rotated_bq_search_contract(spark, emb):
+    row0 = emb.orderBy("vec_id").first()
+    qv = [float(v) for v in row0.embedding]
+    out = R.rotated_bq_search(emb, qv, DIM, top_k=5).collect()
+    assert len(out) == 5
+    assert out[0].vec_id == row0.vec_id  # self wins: hamming 0, cosine 1
+    assert out[0].hamming == 0
+    assert abs(out[0].sim - 1.0) < 1e-9
+    sims = [r.sim for r in out]
+    assert sims == sorted(sims, reverse=True)

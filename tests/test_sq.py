@@ -34,6 +34,17 @@ def test_fit_stats_match_numpy(emb, stats):
         assert got[i] == (X[:, i].min(), X[:, i].max())
 
 
+def test_wide_fit_bit_identical_to_explode_fit(emb, stats):
+    """fit_sq_stats_wide (the Generate-free fit for computed columns)
+    must produce the exact same (pos, mn, mx) rows as the posexplode
+    fit — same comparisons over the same doubles, different plan."""
+    wide = sq.fit_sq_stats_wide(emb, "embedding", 64).collect()
+    base = {r["pos"]: (r["mn"], r["mx"]) for r in stats.collect()}
+    assert len(wide) == len(base)
+    for r in wide:
+        assert (r["mn"], r["mx"]) == base[r["pos"]], r["pos"]
+
+
 def test_codes_in_uint8_range_and_reconstruction_bound(emb, stats):
     coded = sq.with_codes(emb, stats)
     recon = sq.with_reconstruction(coded, stats)

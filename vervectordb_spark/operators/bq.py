@@ -47,7 +47,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from vervectordb_spark.operators.sq import fit_sq_stats
+from vervectordb_spark.operators.sq import fit_sq_stats, fit_sq_stats_wide
 
 BITS_PER_WORD = 60
 
@@ -56,11 +56,18 @@ def n_words(dim: int) -> int:
     return (dim + BITS_PER_WORD - 1) // BITS_PER_WORD
 
 
-def fit_bq_thresholds(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
-    """Per-dimension (pos, thr) with thr = midrange — ONE posexplode
-    min/max aggregate (sq.fit_sq_stats), order-independent and therefore
-    oracle-replayable."""
-    return fit_sq_stats(df, emb_col).select(
+def fit_bq_thresholds(df: DataFrame, emb_col: str = "embedding",
+                      dim: int | None = None) -> DataFrame:
+    """Per-dimension (pos, thr) with thr = midrange — ONE min/max
+    aggregate, order-independent and therefore oracle-replayable.
+
+    Pass dim when emb_col is a COMPUTED column (e.g. the HD rotation):
+    that routes through the Generate-free wide fit (sq.fit_sq_stats_wide)
+    instead of the posexplode fit, dodging the InferFiltersFromGenerate
+    chain-substitution blowup. Stats are bit-identical either way."""
+    stats = (fit_sq_stats_wide(df, emb_col, dim) if dim is not None
+             else fit_sq_stats(df, emb_col))
+    return stats.select(
         "pos", ((F.col("mn") + F.col("mx")) / 2.0).alias("thr")
     )
 

@@ -1,0 +1,236 @@
+"""Structured random rotation (HD pre-transform): y = (1/sqrt(d)) * H_d * D * x
+with H_d the Walsh-Hadamard matrix and D a deterministic diagonal of +-1
+signs — the fast-JL / FAISS "random rotation" pre-transform (Ailon &
+Chazelle, SICOMP 2009; FAISS IndexPreTransform + RandomRotationMatrix;
+QuickADC). The codec-family composer: a rotation spreads per-dimension
+energy, so downstream per-dimension codecs (BQ sign bits, SQ8 ranges, PQ
+subspaces) see balanced coordinates regardless of how anisotropic the raw
+embedding space is. This is the cheap, deterministic stand-in for learned
+OPQ: no training, no matrix state — the whole transform is (dim, seed).
+
+Reference scope: beyond nev8rz/VerVectorDB (no codec pre-transform
+exists there, vervectordb/__init__.py:152-218); included because every
+production vector store pairs binary/scalar codecs with a rotation.
+
+Why Hadamard (not a dense learned R):
+  - O(d log d) butterflies instead of O(d^2) matmul — at 100 TB the
+    rotate is 6 fused map-side projection stages for d=64, entirely
+    inside whole-stage codegen, zero shuffle, zero Python.
+  - Exactly replayable: H entries are +-1 and the normalization 1/sqrt(d)
+    is an exact power of two for power-of-two d, so the only inexact ops
+    are the butterfly adds themselves — and those are IEEE float64 adds
+    in a FIXED association that DuckDB replays verbatim (chained
+    list_transform stages, see queries_rotation.py). A learned rotation
+    would need a 4096-literal matrix in the oracle SQL and an
+    order-sensitive dot product per output dim.
+  - Orthonormal: norms and cosines are preserved (up to rounding), so
+    EXACT search on rotated vectors equals exact search on raw vectors —
+    only the codec approximation changes.
+
+Sign diagonal D: s_i in {-1, +1} from the md5-60 hash family
+(functions/hashing.py) over "hd:{seed}:{i}" — deterministic, engine-free
+(computed driver-side in Python, shipped as a dim-length literal to both
+Spark and the DuckDB oracle; KB-class state like IVF centroids).
+
+Association contract (shared by the expr kernel, the Arrow kernel, the
+driver-side query rotation, and the DuckDB oracle): with h := s * x,
+for b in (1, 2, 4, ..., d/2), in increasing order:
+    h'[i] = h[i] + h[i | b]     when (i & b) == 0
+    h'[i] = h[i ^ b] - h[i]     when (i & b) != 0
+then y = h * (1/d)^0.5 (exact for power-of-two d). Every kernel performs
+these EXACT float64 ops in this EXACT order — bit-identical outputs are
+pytest-pinned and oracle-gated.
+
+dim must be a power of two (the fixtures' 64 is). Pad-to-pow2 is the
+standard extension; not implemented until a fixture needs it — we raise
+instead of silently changing the output dimension.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _check_dim(dim: int) -> None:
+    if dim <= 0 or (dim & (dim - 1)) != 0:
+        raise ValueError(
+            f"HD rotation needs a power-of-two dim, got {dim}; "
+            "zero-pad the embedding column to the next power of two first"
+        )
+
+
+def hd_signs(dim: int, seed: int = 42) -> list[int]:
+    """Deterministic +-1 diagonal: sign i flips on the low bit of
+    md5("hd:{seed}:{i}") — stable across engines, platforms, and runs
+    (same rationale as the md5-60 ids in functions/hashing.py)."""
+    _check_dim(dim)
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"hd:{seed}:{i}".encode()).digest()
+        out.append(1 if (h[-1] & 1) == 0 else -1)
+    return out
+
+
+def rotate_np(x: "np.ndarray", signs: Sequence[int]) -> "np.ndarray":
+    """The association-contract butterflies on a (n, d) float64 matrix.
+    Shared by the Arrow kernel and the driver-side query rotation so a
+    rotated query is bit-identical to a rotated corpus row."""
+    d = x.shape[-1]
+    _check_dim(d)
+    h = x.astype(np.float64) * np.asarray(signs, dtype=np.float64)
+    b = 1
+    while b < d:
+        lo = (np.arange(d) & b) == 0
+        out = np.empty_like(h)
+        # contract: h[i] + h[i|b] on the low half, h[i^b] - h[i] on high
+        out[..., lo] = h[..., lo] + h[..., ~lo]
+        out[..., ~lo] = h[..., lo] - h[..., ~lo]
+        h = out
+        b <<= 1
+    return h * (1.0 / np.sqrt(d))
+
+
+def rotate_query(query_vec: Sequence[float], signs: Sequence[int]) -> list[float]:
+    return [float(v) for v in rotate_np(np.asarray(query_vec, dtype=np.float64),
+                                        signs)]
+
+
+def _stage_expr(prev: str, dim: int, b: int) -> Column:
+    """One butterfly stage over the NAMED previous column. Referencing an
+    attribute (not a sub-expression) keeps CollapseProject from inlining
+    the stage into its consumer — each stage stays a separate projection
+    the whole-stage codegen fuses WITHOUT duplicating work (the
+    projection-collapse duplication hazard measured on the bloom literal,
+    functions/bloom.py).
+
+    DO NOT put a Generate (explode/posexplode) directly over the rotated
+    column: InferFiltersFromGenerate adds a size(child) > 0 predicate
+    under the Generate, and PushPredicateThroughNonJoin substitutes the
+    FULL stage chain into it — with transform stages the substituted
+    element_at(<inlined transform>, i) re-evaluates the whole inner chain
+    per element (measured: a 500-row fit ran minutes instead of ms);
+    rebuilding the stages as CreateArrays instead OOMs the driver at plan
+    time (each of the 128 refs per stage inlines the entire previous
+    array: ~128^log2(d) nodes before simplification). Aggregate over
+    element_at(col, i) instead — bq.fit_bq_thresholds(dim=...) is the
+    Generate-free fit shaped for computed columns like this one."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.when(
+            i.bitwiseAND(F.lit(b)) == 0,
+            F.element_at(prev, i + 1)
+            + F.element_at(prev, i.bitwiseOR(F.lit(b)) + 1),
+        ).otherwise(
+            F.element_at(prev, i.bitwiseXOR(F.lit(b)) + 1)
+            - F.element_at(prev, i + 1)
+        ),
+    )
+
+
+def with_rotation(
+    df: DataFrame,
+    dim: int,
+    seed: int = 42,
+    emb_col: str = "embedding",
+    out_col: str = "emb_rot",
+    kernel: str = "expr",
+) -> DataFrame:
+    """Append the rotated column. kernel="expr": sign flip + log2(d)
+    butterfly projections + exact 1/sqrt(d) scale, all Catalyst exprs in
+    codegen (the production path — map-only, no Python). kernel="arrow":
+    the same contract through one mapInPandas numpy pass (pytest-pinned
+    bit-identical; the batch path when many columns rotate at once)."""
+    _check_dim(dim)
+    signs = hd_signs(dim, seed)
+    if kernel == "arrow":
+        import pandas as pd  # noqa: F401
+
+        fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in df.schema.fields)
+
+        def rot(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            for pdf in batches:
+                mat = np.array([np.asarray(v, dtype=np.float64)
+                                for v in pdf[emb_col]])
+                if len(mat) == 0:
+                    pdf[out_col] = pdf[emb_col]
+                    yield pdf
+                    continue
+                rot_rows = rotate_np(mat, signs)
+                pdf = pdf.copy()
+                pdf[out_col] = [r.tolist() for r in rot_rows]
+                yield pdf
+
+        return df.mapInPandas(rot, schema=f"{fields}, {out_col} array<double>")
+    if kernel != "expr":
+        raise ValueError(f"unknown rotation kernel {kernel!r}")
+
+    signs_lit = F.array(*[F.lit(float(s)) for s in signs])
+    tmp = f"__{out_col}_h"
+    out = df.withColumn(
+        tmp,
+        F.zip_with(F.col(emb_col).cast("array<double>"), signs_lit,
+                   lambda v, s: v * s),
+    )
+    b = 1
+    while b < dim:
+        out = out.withColumn(tmp, _stage_expr(tmp, dim, b))
+        b <<= 1
+    scale = 1.0 / float(np.sqrt(dim))  # exact power of two for pow2 dim
+    return out.withColumn(
+        out_col, F.transform(F.col(tmp), lambda v: v * F.lit(scale))
+    ).drop(tmp)
+
+
+def rotated_bq_search(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    dim: int,
+    top_k: int = 5,
+    rerank_factor: int = 3,
+    seed: int = 42,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """BQ serving behind the rotation: rotate corpus + query with the
+    SAME (dim, seed), fit midrange thresholds on the ROTATED coordinates,
+    Hamming-rank rotated codes, exact-cosine rerank on the RAW vectors
+    (rotation preserves cosine, so the final metric is unchanged — only
+    the candidate generator moved to the balanced coordinate system).
+
+    100 TB posture: identical to bq.hamming_search (fit is one
+    dim-keyed aggregate, encode+rotate are map-only codegen, the scan is
+    integer bit_count words) — the rotation adds log2(d) fused projection
+    stages to the one-time encode and nothing to the serving scan."""
+    from vervectordb_spark.functions.similarity import cosine_expr
+    from vervectordb_spark.operators import bq
+
+    signs = hd_signs(dim, seed)
+    rotated = with_rotation(df, dim, seed, emb_col=emb_col)
+    thr = bq.fit_bq_thresholds(rotated, emb_col="emb_rot", dim=dim)
+    thr_pdf = thr.toPandas()
+    q_rot = rotate_query(query_vec, signs)
+    coded = bq.with_codes(rotated, thr, dim, emb_col="emb_rot")
+    qwords = bq.encode_query(q_rot, thr_pdf)
+    qcol = F.array(*[F.lit(w).cast("bigint") for w in qwords])
+    cand = (
+        coded.select(
+            id_col,
+            bq.hamming_words_expr(F.col("bq_code"), qcol).alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .limit(rerank_factor * top_k)
+    )
+    return (
+        df.select(id_col, emb_col).join(cand, on=id_col)
+        .select(id_col, "hamming",
+                cosine_expr(F.col(emb_col), list(query_vec)).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(top_k)
+    )

@@ -70,6 +70,37 @@ def fit_sq_stats(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
     )
 
 
+def fit_sq_stats_wide(df: DataFrame, emb_col: str, dim: int) -> DataFrame:
+    """Generate-free fit_sq_stats: per-dimension (pos, mn, mx) as ONE
+    aggregate of 2*dim min/max expressions over element_at(col, i),
+    unpivoted to the dim-row shape AFTER the aggregate (the explode then
+    runs on one dim-array row, not the corpus).
+
+    Use this instead of fit_sq_stats whenever emb_col is a COMPUTED
+    column (e.g. the HD rotation's chained butterfly projections):
+    posexplode over a computed chain trips InferFiltersFromGenerate +
+    PushPredicateThroughNonJoin into substituting the whole chain into an
+    inferred size(...) > 0 predicate, which re-evaluates the chain per
+    element (see operators/rotation._stage_expr). Same reduction shape as
+    fit_sq_stats at scale: map-side partials reduce each task to 2*dim
+    scalars before the exchange, and min/max see the same doubles, so the
+    stats are bit-identical."""
+    aggs = []
+    for j in range(dim):
+        e = F.element_at(F.col(emb_col), j + 1).cast("double")
+        aggs.append(F.min(e).alias(f"_mn{j}"))
+        aggs.append(F.max(e).alias(f"_mx{j}"))
+    row = df.agg(*aggs)
+    packed = F.array(*[
+        F.struct(F.lit(j).cast("int").alias("pos"),
+                 F.col(f"_mn{j}").alias("mn"),
+                 F.col(f"_mx{j}").alias("mx"))
+        for j in range(dim)
+    ])
+    return (row.select(F.explode(packed).alias("_s"))
+            .select("_s.pos", "_s.mn", "_s.mx"))
+
+
 def stats_row(stats: DataFrame) -> DataFrame:
     """Fold the dim-row stats table into ONE row of (mns, mxs) arrays,
     ordered by pos — the broadcastable plan constant encode/decode
