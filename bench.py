@@ -374,6 +374,17 @@ def build_benches(spark, sf_dir: str):
         def _rep():
             # Gopher-style dup-word/dup-3gram rates: map-only array exprs
             return _force(TX.repetition_profile(docs))
+
+        from vervectordb_spark.operators.bpe import train_bpe
+
+        @bench("bpe_train_3merges")
+        def _bpe():
+            # tokenizer training: ONE corpus word-count job, then 3
+            # pair-count/argmax/fold rounds on the distinct-word table
+            # (corpus-size-independent iterations)
+            merges, vocab = train_bpe(docs, n_merges=3)
+            vocab.unpersist()
+            return len(merges)
     except ImportError:
         pass
 

@@ -1,0 +1,119 @@
+"""Distributed BPE training (operators/bpe.py): the merge-fold contract
+against an independent scalar reference, deterministic argmax
+tie-breaks, overlap greediness (runs of the same symbol), end-to-end
+training parity with a pure-Python BPE, and the corpus-size-independent
+shape (iterations never rescan the corpus table)."""
+
+import collections
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from vervectordb_spark.operators import bpe
+from vervectordb_spark.schema import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_train(texts, k):
+    """Independent reference BPE (no shared code with the operator)."""
+    wc = collections.Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t.lower()):
+            if w and re.fullmatch(r"[a-z]+", w):
+                wc[w] += 1
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    for step in range(1, k + 1):
+        pc = collections.Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        if not pc:
+            break
+        bestcnt = max(pc.values())
+        a, b = sorted(p for p, c in pc.items() if c == bestcnt)[0]
+        merges.append((step, a, b, bestcnt))
+        for w, syms in vocab.items():
+            out, pending = [], None
+            for x in syms:
+                if pending == a and x == b:
+                    out.append(a + b)
+                    pending = None
+                elif pending is None:
+                    pending = x
+                else:
+                    out.append(pending)
+                    pending = x
+            if pending is not None:
+                out.append(pending)
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_merge_fold_matches_scalar_reference(spark):
+    cases = [
+        (["a", "b", "a", "b"], "a", "b", ["ab", "ab"]),
+        (["a", "a", "a"], "a", "a", ["aa", "a"]),          # greedy run
+        (["a", "a", "a", "a"], "a", "a", ["aa", "aa"]),
+        (["x"], "a", "b", ["x"]),
+        ([], "a", "b", []),
+        (["a", "b", "c", "a", "b"], "a", "b", ["ab", "c", "ab"]),
+        (["b", "a", "b", "b"], "a", "b", ["b", "ab", "b"]),
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, *_r) in enumerate(cases)],
+                               "i int, syms array<string>")
+    for i, (s, a, b, want) in enumerate(cases):
+        got = (df.filter(F.col("i") == i)
+               .select(bpe.merge_fold_expr(F.col("syms"), a, b).alias("m"))
+               .collect()[0]["m"])
+        assert got == want, (s, a, b, got)
+        assert bpe.segment_word("".join(s), [bpe.Merge(1, a, b, 0)]) == want \
+            if s and all(len(c) == 1 for c in s) else True
+
+
+def test_train_matches_python_reference(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    want_merges, want_vocab = _py_train(texts, 4)
+    merges, vocab = bpe.train_bpe(docs, n_merges=4)
+    got = [(m.step, m.left, m.right, m.count) for m in merges]
+    assert got == want_merges
+    got_syms = {r["word"]: r["symbols"]
+                for r in vocab.select("word", "symbols").collect()}
+    assert got_syms == {w: s for w, s in want_vocab.items()}
+
+
+def test_segment_word_applies_merges_in_order():
+    merges = [bpe.Merge(1, "e", "r", 0), bpe.Merge(2, "er", "s", 0)]
+    assert bpe.segment_word("servers", merges) == ["s", "er", "v", "ers"]
+    assert bpe.segment_word("x", merges) == ["x"]
+    assert bpe.segment_word("", merges) == []
+
+
+def test_word_counts_scope_filter(spark):
+    df = spark.createDataFrame(
+        [("Foo foo BAR2 文档 baz baz baz",)], "text string")
+    got = {r["word"]: r["n"] for r in bpe.word_counts(df).collect()}
+    assert got == {"foo": 2, "baz": 3}  # bar2 and 文档 excluded by pattern
+    got_all = {r["word"]: r["n"]
+               for r in bpe.word_counts(df, word_pattern=None).collect()}
+    assert got_all["bar2"] == 1 and got_all["文档"] == 1
+
+
+def test_train_stops_when_no_pairs(spark):
+    df = spark.createDataFrame([("a b c",)], "text string")
+    merges, vocab = bpe.train_bpe(df, n_merges=5)
+    assert merges == []  # all words are single symbols: no pairs at all
+    assert vocab.count() == 3
+
+
+def test_pair_counts_overlapping_runs(spark):
+    # 'aaaa' (count 1): pairs (a,a) at 3 positions — overlapping counted
+    df = spark.createDataFrame([("aaaa",)], "text string")
+    vocab = bpe.with_symbols(bpe.word_counts(df))
+    rows = bpe.pair_counts(vocab).collect()
+    assert len(rows) == 1
+    assert (rows[0]["left"], rows[0]["right"], rows[0]["cnt"]) == ("a", "a", 3)
