@@ -233,3 +233,25 @@ def test_batch_query_side_guard(spark, emb, thr):
                        F.col("embedding").alias("q_embedding"))
     with pytest.raises(ValueError, match="max_queries"):
         bq.batch_hamming_search(emb, thr, qrows, top_k=2, max_queries=3)
+
+
+def test_store_ivfbq_search(spark):
+    """IVF-BQ facade: probe + packed-word Hamming scan + exact rerank
+    returns the query row first (hamming 0, cosine 1); results bounded
+    by top_k and ordered by similarity."""
+    import numpy as np
+
+    from vervectordb_spark.store import VectorStore
+
+    rng = np.random.default_rng(9)
+    store = VectorStore(spark, vector_dim=8)
+    vecs = rng.normal(size=(128, 8)).astype(np.float32)
+    ids = store.batch_insert(vecs.tolist())
+    store.build_ivf_index(n_clusters=4)
+    hits = store.ivfbq_search(vecs[11].tolist(), top_k=3, nprobe=2)
+    assert hits[0]["vector_id"] == ids[11]
+    assert hits[0]["similarity"] == pytest.approx(1.0)
+    assert hits[0]["hamming"] == 0
+    assert len(hits) == 3
+    sims = [h["similarity"] for h in hits]
+    assert sims == sorted(sims, reverse=True)

@@ -119,3 +119,77 @@ def bq_search_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = bq.fit_bq_thresholds(emb)
     out = bq.hamming_search(emb, thr, qv, top_k=10, rerank_factor=3)
     return out.select("vec_id", "hamming", F.round("sim", 6).alias("sim"))
+
+
+_NPROBE = 8
+
+
+@query(
+    "ivfbq_search_hamming",
+    oracle=f"""
+WITH thr AS ({_THR_SQL}),
+words AS ({_WORDS_SQL}),
+cent AS (
+  SELECT vec_id::INTEGER AS cluster_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 16
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+assign AS (
+  SELECT e.vec_id, c.cluster_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_cos('e.embedding::DOUBLE[]', 'c.cv')} DESC,
+                    c.cluster_id
+         ) AS rk
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (SELECT vec_id, cluster_id FROM assign WHERE rk = 1),
+probed AS (
+  SELECT c.cluster_id FROM cent c CROSS JOIN q
+  ORDER BY {_cos('c.cv', 'q.qv')} DESC, c.cluster_id
+  LIMIT {_NPROBE}
+),
+qwords AS (SELECT w, word FROM words WHERE vec_id = 0),
+ham AS (
+  SELECT wo.vec_id,
+         CAST(SUM(bit_count(xor(wo.word, qw.word))) AS BIGINT) AS hamming
+  FROM words wo JOIN qwords qw USING (w)
+  JOIN assigned a ON a.vec_id = wo.vec_id
+  WHERE a.cluster_id IN (SELECT cluster_id FROM probed)
+  GROUP BY wo.vec_id
+),
+cand AS (SELECT vec_id, hamming FROM ham ORDER BY hamming, vec_id LIMIT 30)
+SELECT vec_id, hamming, ROUND(sim, 6) AS sim FROM (
+  SELECT e.vec_id, c.hamming,
+         {_cos('e.embedding::DOUBLE[]', 'q.qv')} AS sim
+  FROM embeddings e JOIN cand c USING (vec_id) CROSS JOIN q
+  ORDER BY sim DESC, e.vec_id LIMIT 10
+)
+""",
+)
+def ivfbq_search_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-BQ composed serving — the last cell of the index x codec
+    matrix (next to IVF-flat, IVF-PQ raw/residual, IVF-SQ8, flat-SQ8,
+    flat-BQ): probe nprobe=8 of 16 frozen centroids (partition-prunable
+    cluster filter), integer bit_count(xor) Hamming scan over ONLY the
+    probed clusters' packed sign words (2 BIGINTs/row on 1/2 the
+    corpus), top-30 via TakeOrderedAndProject, exact cosine rerank
+    within the probed set. Thresholds fit on the FULL corpus (codec
+    state is probe-independent, so one codec serves every probe set);
+    probe, Hamming distances, and final sims all replay bit-exactly."""
+    from vervectordb_spark.functions.similarity import to_double
+    from vervectordb_spark.operators import bq
+    from vervectordb_spark.operators.ivf import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cluster_id"),
+        to_double(F.col("embedding")).alias("centroid"),
+    )
+    idx = IVFIndex.from_centroids(emb, cent)
+    thr = bq.fit_bq_thresholds(emb)
+    probes = idx.probe_clusters_exact(qv, nprobe=_NPROBE)
+    probed = idx.assigned.filter(F.col("cluster_id").isin(probes))
+    out = bq.hamming_search(probed, thr, qv, top_k=10, rerank_factor=3)
+    return out.select("vec_id", "hamming", F.round("sim", 6).alias("sim"))

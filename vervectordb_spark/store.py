@@ -493,6 +493,25 @@ class VectorStore:
         return [{"vector_id": r["vec_id"], "similarity": r["sim"]}
                 for r in out.collect()]
 
+    def ivfbq_search(self, query_vector: Sequence[float], top_k: int = 5,
+                     nprobe: int | None = None,
+                     rerank_factor: int = 3) -> list[dict]:
+        """IVF-BQ composed serving — the last cell of the index x codec
+        matrix: probe the IVF clusters (building the index if absent),
+        then the integer Hamming scan + exact rerank over ONLY the
+        probed clusters' packed sign words. Thresholds come from the
+        full-corpus fit (codec state is probe-independent)."""
+        from vervectordb_spark.operators import bq
+
+        if self._ivf is None:
+            self.build_ivf_index()
+        probes = self._ivf.probe_clusters(query_vector, nprobe)
+        probed = self._ivf.assigned.filter(F.col("cluster_id").isin(probes))
+        out = bq.hamming_search(probed, self._bq_thresholds(), query_vector,
+                                top_k=top_k, rerank_factor=rerank_factor)
+        return [{"vector_id": r["vec_id"], "similarity": r["sim"],
+                 "hamming": r["hamming"]} for r in out.collect()]
+
     def train_bq(self):
         """Binary-quantization codec (operators/bq.py) — the 16x
         storage/scan reducer next to SQ8's 4x and PQ's 32x: one bit per
