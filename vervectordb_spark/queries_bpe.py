@@ -32,7 +32,13 @@ from vervectordb_spark.schema import load_table
 
 _STEPS = 3
 
-_SPLIT = "regexp_split_to_array(trim(s, '<>'), '><')"
+def _split_of(col: str) -> str:
+    """Token string '<a><bc>' -> VARCHAR[] ['a','bc'] (symbols never
+    contain '<' or '>', so trim + split is exact)."""
+    return f"regexp_split_to_array(trim({col}, '<>'), '><')"
+
+
+_SPLIT = _split_of("s")
 _PAIRS = """
   SELECT pr.lft AS lft, pr.rgt AS rgt, SUM(n)::BIGINT AS cnt FROM (
     SELECT n, unnest(list_transform(range(1, len(syms)),
@@ -42,7 +48,10 @@ _PAIRS = """
 """
 
 
-def _bpe_oracle(steps: int) -> str:
+def _bpe_ctes(steps: int) -> str:
+    """The training replay: w0 word counts, s0..s{steps} per-word token
+    strings after each merge (word is carried through so consumers can
+    join segmentations back to documents)."""
     parts = [
         """w0 AS (
   SELECT word, COUNT(*)::BIGINT AS n
@@ -51,22 +60,27 @@ def _bpe_oracle(steps: int) -> str:
   WHERE word <> '' AND regexp_matches(word, '^[a-z]+$')
   GROUP BY word
 )""",
-        "s0 AS (SELECT n, '<' || array_to_string("
+        "s0 AS (SELECT word, n, '<' || array_to_string("
         "regexp_split_to_array(word, ''), '><') || '>' AS s FROM w0)",
     ]
-    finals = []
     for k in range(1, steps + 1):
         parts.append(f"p{k} AS ({_PAIRS.format(prev=k - 1, split=_SPLIT)})")
         parts.append(f"m{k} AS (SELECT lft, rgt, cnt FROM p{k} "
                      f"ORDER BY cnt DESC, lft, rgt LIMIT 1)")
         parts.append(
-            f"s{k} AS (SELECT n, replace(s, '<' || m.lft || '><' || m.rgt "
-            f"|| '>', '<' || m.lft || m.rgt || '>') AS s FROM s{k - 1}, m{k} m)"
+            f"s{k} AS (SELECT word, n, replace(s, '<' || m.lft || '><' || "
+            f"m.rgt || '>', '<' || m.lft || m.rgt || '>') AS s "
+            f"FROM s{k - 1}, m{k} m)"
         )
-        finals.append(f"SELECT {k} AS step, lft, rgt, cnt FROM m{k}")
+    return ",\n".join(parts)
+
+
+def _bpe_oracle(steps: int) -> str:
+    finals = [f"SELECT {k} AS step, lft, rgt, cnt FROM m{k}"
+              for k in range(1, steps + 1)]
     finals.append(f"SELECT 0 AS step, '' AS lft, '' AS rgt, "
                   f"SUM(len({_SPLIT}))::BIGINT AS cnt FROM s{steps}")
-    return ("WITH " + ",\n".join(parts) + "\n"
+    return ("WITH " + _bpe_ctes(steps) + "\n"
             + "\nUNION ALL ".join(finals))
 
 
@@ -87,4 +101,48 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.append((0, "", "", int(total)))
     return spark.createDataFrame(
         rows, schema="step int, lft string, rgt string, cnt bigint"
+    )
+
+
+@query(
+    "bpe_token_counts",
+    oracle=f"""
+WITH {_bpe_ctes(_STEPS)},
+doc_words AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+    FROM documents
+  ) WHERE word <> '' AND regexp_matches(word, '^[a-z]+$')
+)
+SELECT d.doc_id,
+       COUNT(*)::BIGINT AS n_words,
+       SUM(len({_split_of('v.s')}))::BIGINT AS n_tokens
+FROM doc_words d JOIN (SELECT word, s FROM s{_STEPS}) v USING (word)
+GROUP BY d.doc_id
+""",
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts under the trained tokenizer — the number every
+    packing/cost estimate downstream actually needs. Segmentation is a
+    BROADCAST join of the corpus words against the trained vocabulary's
+    merged symbol sequences (the vocab IS the segmentation table for
+    in-vocabulary words — no per-document re-folding, no Python), then
+    one groupBy(doc_id) aggregate. Words outside the oracle scope filter
+    (non-ascii-lowercase) are excluded from BOTH counts by the inner
+    join. 100 TB posture: corpus-sized explode + map-side broadcast
+    lookup + one key shuffle."""
+    from vervectordb_spark.operators.bpe import train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, vocab = train_bpe(docs, n_merges=_STEPS)
+    seg = vocab.select("word", F.size("symbols").alias("_wtoks"))
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"),
+    ).filter((F.col("word") != "") & F.col("word").rlike("^[a-z]+$"))
+    return (
+        words.join(F.broadcast(seg), on="word")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_words"),
+             F.sum("_wtoks").cast("bigint").alias("n_tokens"))
     )
