@@ -210,3 +210,34 @@ def test_batch_search_empty_schema_matches_nonempty(spark, emb):
     empty = ivf.batch_search(queries.filter(F.lit(False)), top_k=2, nprobe=2)
     assert [(f.name, f.dataType) for f in empty.schema.fields] == \
         [(f.name, f.dataType) for f in nonempty.schema.fields]
+
+
+def test_cluster_outliers_planted(spark):
+    """A vector pointing AWAY from every centroid must surface as the
+    most-negative-z outlier of whatever cluster it lands in; cluster
+    members near their centroid must not outrank it."""
+    import numpy as np
+
+    from vervectordb_spark.functions.similarity import to_double
+    from vervectordb_spark.operators.ivf import cluster_outliers
+
+    rng = np.random.default_rng(7)
+    c0 = np.array([1.0] + [0.0] * 7)
+    c1 = np.array([0.0] * 7 + [1.0])
+    rows = []
+    for i in range(40):
+        base = c0 if i % 2 == 0 else c1
+        rows.append((i, (base + rng.normal(0, 0.05, 8)).tolist()))
+    rows.append((99, (-c0 + rng.normal(0, 0.01, 8)).tolist()))  # planted
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cent = spark.createDataFrame(
+        [(0, c0.tolist()), (1, c1.tolist())],
+        "cluster_id int, centroid array<double>",
+    )
+    out = cluster_outliers(df, cent, worst_k=3).collect()
+    assert len(out) == 6  # 3 per cluster
+    worst = min(out, key=lambda r: r["z"])
+    assert worst["vec_id"] == 99
+    assert worst["z"] < -2.0
+    for r in out:
+        assert r["sim_c"] <= 1.0 and r["n"] > 0

@@ -71,6 +71,58 @@ def assign_by_centroids(df: DataFrame, centroids_df: DataFrame,
     )
 
 
+def cluster_outliers(df: DataFrame, centroids_df: DataFrame,
+                     worst_k: int = 3, id_col: str = "vec_id",
+                     emb_col: str = "embedding") -> DataFrame:
+    """Embedding-quality audit: the worst_k WORST-FITTING rows per
+    cluster, scored as a z-score of the cosine to the assigned centroid
+    against that cluster's own (mean, std) — the mislabeled/corrupt-
+    vector detector an embedding pipeline runs before index quality
+    degrades silently.
+
+    Shape: one broadcast assignment (assign_by_centroids' fold), ONE
+    per-cluster aggregate for the moment sums, a broadcast join of the
+    k-row stats back, and a per-cluster window rank — two small shuffles
+    regardless of corpus size.
+
+    Cross-engine float contract: sims are rounded to 6 then summed as
+    DECIMALs (exact, order-independent), and the mean/var/std/z chain is
+    a FIXED sequence of double ops both engines replay verbatim:
+    mean = s1/n; ex2 = s2/n; var = ex2 - mean*mean; z = (sim-mean)/sqrt.
+    Degenerate clusters (var <= 0) produce no rows."""
+    from pyspark.sql import Window
+    from vervectordb_spark.functions.similarity import cosine_expr
+
+    scored = df.crossJoin(F.broadcast(centroids_df)).withColumn(
+        "_csim", cosine_expr(F.col(emb_col), F.col("centroid"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cluster_id"))
+    a = (scored.withColumn("_rk", F.row_number().over(w))
+         .filter(F.col("_rk") == 1)
+         .select(id_col, "cluster_id",
+                 F.round("_csim", 6).alias("sim_c")))
+    d = F.col("sim_c").cast("decimal(8,6)")
+    stats = a.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(d).alias("_s1"),
+        F.sum(d * d).alias("_s2"),
+    ).select(
+        "cluster_id", "n",
+        (F.col("_s1").cast("double") / F.col("n")).alias("_mean"),
+        (F.col("_s2").cast("double") / F.col("n")).alias("_ex2"),
+    ).withColumn("_var", F.col("_ex2") - F.col("_mean") * F.col("_mean"))
+    wz = Window.partitionBy("cluster_id").orderBy(F.asc("sim_c"),
+                                                  F.asc(id_col))
+    return (
+        a.join(F.broadcast(stats.filter(F.col("_var") > 0)), on="cluster_id")
+        .withColumn("z", F.round((F.col("sim_c") - F.col("_mean"))
+                                 / F.sqrt(F.col("_var")), 4))
+        .withColumn("_wrk", F.row_number().over(wz))
+        .filter(F.col("_wrk") <= worst_k)
+        .select("cluster_id", id_col, "n", "sim_c", "z")
+    )
+
+
 class IVFIndex:
     """cluster-assigned DataFrame + centroid matrix (driver state)."""
 

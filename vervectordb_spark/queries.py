@@ -659,6 +659,64 @@ def ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.cluster_stats()
 
 
+@query(
+    "embedding_outliers",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id::INTEGER AS cluster_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 16
+),
+sc AS (
+  SELECT e.vec_id, c.cluster_id,
+         {_cos('e.embedding::DOUBLE[]', 'c.cv')} AS csim
+  FROM embeddings e CROSS JOIN cent c
+),
+a AS (
+  SELECT vec_id, cluster_id, ROUND(csim, 6) AS sim_c FROM (
+    SELECT vec_id, cluster_id, csim,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cluster_id) AS rk
+    FROM sc
+  ) WHERE rk = 1
+),
+stats AS (
+  SELECT cluster_id, COUNT(*)::BIGINT AS n,
+         SUM(sim_c::DECIMAL(8,6)) AS s1,
+         SUM(sim_c::DECIMAL(8,6) * sim_c::DECIMAL(8,6)) AS s2
+  FROM a GROUP BY 1
+),
+st AS (
+  SELECT cluster_id, n, mean, ex2 - mean * mean AS vr FROM (
+    SELECT cluster_id, n, s1::DOUBLE / n AS mean, s2::DOUBLE / n AS ex2
+    FROM stats
+  )
+)
+SELECT cluster_id, vec_id, n, sim_c, z FROM (
+  SELECT a.cluster_id, a.vec_id, s.n, a.sim_c,
+         ROUND((a.sim_c - s.mean) / sqrt(s.vr), 4) AS z,
+         row_number() OVER (PARTITION BY a.cluster_id
+                            ORDER BY a.sim_c, a.vec_id) AS wrk
+  FROM a JOIN st s USING (cluster_id) WHERE s.vr > 0
+) WHERE wrk <= 3
+""",
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality audit (operators/ivf.cluster_outliers): the 3
+    worst-fitting rows per cluster, z-scored against the cluster's own
+    cosine-to-centroid distribution — the mislabeled/corrupt-vector
+    detector. Moment sums are exact decimals; the mean/var/z chain is a
+    fixed double-op sequence both engines replay verbatim, so sims AND
+    z-scores cross the hash gate."""
+    from vervectordb_spark.operators.ivf import cluster_outliers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cluster_id"),
+        to_double(F.col("embedding")).alias("centroid"),
+    )
+    return cluster_outliers(emb, cent, worst_k=3)
+
+
 # --------------------------------------------------------------------------
 # store health audit — the data-quality face of S-ops: dim violations,
 # zero-norm rows (the kernel's guard case), norm envelope. Counts and
