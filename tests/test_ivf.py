@@ -241,3 +241,25 @@ def test_cluster_outliers_planted(spark):
     assert worst["z"] < -2.0
     for r in out:
         assert r["sim_c"] <= 1.0 and r["n"] > 0
+
+
+def test_centroid_drift_zero_and_shifted(spark):
+    """Members identical to their centroid -> drift 0; members uniformly
+    offset by delta -> drift == |delta| (within the round-6 contract)."""
+    import numpy as np
+
+    from vervectordb_spark.operators.ivf import centroid_drift
+
+    dim = 8
+    c0 = [1.0] + [0.0] * (dim - 1)
+    c1 = [0.0] * (dim - 1) + [1.0]
+    shift = 0.125  # exact binary fraction: survives the round-6 contract
+    rows = [(i, c0) for i in range(10)]
+    rows += [(100 + i, [x + shift for x in c1]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cent = spark.createDataFrame(
+        [(0, c0), (1, c1)], "cluster_id int, centroid array<double>")
+    got = {r["cluster_id"]: r for r in centroid_drift(df, cent, dim).collect()}
+    assert got[0]["drift"] == 0.0 and got[0]["n"] == 10
+    import math
+    assert abs(got[1]["drift"] - shift * math.sqrt(dim)) < 1e-6

@@ -123,6 +123,48 @@ def cluster_outliers(df: DataFrame, centroids_df: DataFrame,
     )
 
 
+def centroid_drift(df: DataFrame, centroids_df: DataFrame, dim: int,
+                   id_col: str = "vec_id",
+                   emb_col: str = "embedding") -> DataFrame:
+    """Index-maintenance trigger metric: per cluster, the L2 distance
+    between the FROZEN centroid and the CURRENT member mean — the number
+    streaming/refresh.py's rebuild cadence should watch (drift ~ 0 means
+    the periodic re-fit is wasted work; drift >> typical intra-cluster
+    spread means probes are landing in the wrong lists).
+
+    ONE aggregate: per-dimension element sums as 2*dim wide agg
+    expressions over element_at (the Generate-free shape of
+    sq.fit_sq_stats_wide — no explode, no per-row blowup of the
+    assignment chain), means by single double divisions, and the drift
+    as a FIXED left-fold sum of squared per-dim deltas — every float op
+    replays verbatim in the DuckDB oracle. Elements are rounded to 6 and
+    summed as exact DECIMALs (order-independent across partitions)."""
+    from pyspark.sql import Window
+    from vervectordb_spark.functions.similarity import cosine_expr
+
+    scored = df.crossJoin(F.broadcast(centroids_df)).withColumn(
+        "_csim", cosine_expr(F.col(emb_col), F.col("centroid"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cluster_id"))
+    a = (scored.withColumn("_rk", F.row_number().over(w))
+         .filter(F.col("_rk") == 1)
+         .select(id_col, "cluster_id", emb_col))
+    aggs = [F.count("*").cast("bigint").alias("n")]
+    for j in range(dim):
+        e = F.round(F.element_at(F.col(emb_col), j + 1).cast("double"), 6)
+        aggs.append(F.sum(e.cast("decimal(24,6)")).alias(f"_s{j}"))
+    stats = a.groupBy("cluster_id").agg(*aggs)
+    joined = stats.join(F.broadcast(centroids_df), on="cluster_id")
+    drift_sq = F.lit(0.0)
+    for j in range(dim):
+        d = (F.col(f"_s{j}").cast("double") / F.col("n")
+             - F.element_at(F.col("centroid"), j + 1))
+        drift_sq = drift_sq + d * d
+    return (joined.select("cluster_id", "n",
+                          F.round(F.sqrt(drift_sq), 6).alias("drift"))
+            .orderBy("cluster_id"))
+
+
 class IVFIndex:
     """cluster-assigned DataFrame + centroid matrix (driver state)."""
 

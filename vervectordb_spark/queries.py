@@ -659,6 +659,63 @@ def ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.cluster_stats()
 
 
+_DRIFT_SUMS = ",\n         ".join(
+    f"SUM(ROUND((e.embedding::DOUBLE[])[{j + 1}], 6)::DECIMAL(24,6)) AS s{j}"
+    for j in range(64)
+)
+_DRIFT_FOLD = " + ".join(
+    f"(s{j}::DOUBLE / n - (c.cv)[{j + 1}]) * (s{j}::DOUBLE / n - (c.cv)[{j + 1}])"
+    for j in range(64)
+)
+
+
+@query(
+    "centroid_drift",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id::INTEGER AS cluster_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 16
+),
+sc AS (
+  SELECT e.vec_id, c.cluster_id,
+         {_cos('e.embedding::DOUBLE[]', 'c.cv')} AS csim
+  FROM embeddings e CROSS JOIN cent c
+),
+a AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cluster_id) AS rk
+    FROM sc
+  ) WHERE rk = 1
+),
+stats AS (
+  SELECT a.cluster_id, COUNT(*)::BIGINT AS n,
+         {_DRIFT_SUMS}
+  FROM a JOIN embeddings e USING (vec_id)
+  GROUP BY 1
+)
+SELECT s.cluster_id, s.n, ROUND(sqrt(0.0 + {_DRIFT_FOLD}), 6) AS drift
+FROM stats s JOIN cent c ON c.cluster_id = s.cluster_id
+""",
+)
+def centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-maintenance trigger (operators/ivf.centroid_drift): per
+    cluster, the L2 distance between the frozen centroid and the current
+    member mean — the drift streaming/refresh.py's rebuild cadence
+    should watch. One wide aggregate (Generate-free per-dim decimal
+    sums), means by single divisions, drift as a fixed left-fold of
+    squared deltas — bit-replayed end-to-end."""
+    from vervectordb_spark.operators.ivf import centroid_drift as drift_op
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cluster_id"),
+        to_double(F.col("embedding")).alias("centroid"),
+    )
+    return drift_op(emb, cent, dim=64)
+
+
 @query(
     "embedding_outliers",
     oracle=f"""
