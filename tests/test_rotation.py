@@ -126,3 +126,39 @@ def test_rotated_bq_search_contract(spark, emb):
     assert abs(out[0].sim - 1.0) < 1e-9
     sims = [r.sim for r in out]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_pad_to_pow2_rotation(spark):
+    """Non-power-of-two dims via pad=True: output has next_pow2(dim)
+    elements, expr and Arrow kernels stay bit-identical, and norms
+    relative to the RAW vectors are preserved (pad is exact zeros)."""
+    rng = np.random.default_rng(23)
+    rows = [(i, rng.normal(size=48).tolist()) for i in range(32)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    a = (R.with_rotation(df, 48, kernel="expr", pad=True)
+         .select("vec_id", "emb_rot").orderBy("vec_id").collect())
+    b = (R.with_rotation(df, 48, kernel="arrow", pad=True)
+         .select("vec_id", "emb_rot").orderBy("vec_id").collect())
+    assert [r.emb_rot for r in a] == [r.emb_rot for r in b]
+    assert all(len(r.emb_rot) == 64 for r in a)
+    raw = {i: np.asarray(v) for i, v in rows}
+    for r in a:
+        assert abs(np.linalg.norm(r.emb_rot)
+                   - np.linalg.norm(raw[r.vec_id])) < 1e-9
+
+
+def test_pad_rejected_without_flag():
+    with pytest.raises(ValueError, match="power-of-two"):
+        R.hd_signs(48)
+    assert R.next_pow2(48) == 64 and R.next_pow2(64) == 64
+    assert R.next_pow2(1) == 1
+
+
+def test_rotated_bq_search_non_pow2(spark):
+    rng = np.random.default_rng(31)
+    rows = [(i, rng.normal(size=24).tolist()) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    qv = rows[5][1]
+    out = R.rotated_bq_search(df, qv, 24, top_k=3).collect()
+    assert out[0].vec_id == 5 and out[0].hamming == 0
+    assert abs(out[0].sim - 1.0) < 1e-9

@@ -65,6 +65,24 @@ def _check_dim(dim: int) -> None:
         )
 
 
+def next_pow2(n: int) -> int:
+    """Smallest power of two >= n (the padded rotation dimension)."""
+    if n <= 0:
+        raise ValueError(f"dim must be positive, got {n}")
+    return 1 << (n - 1).bit_length()
+
+
+def pad_np(x: "np.ndarray", d2: int) -> "np.ndarray":
+    """Zero-pad the last axis to d2. Padding with exact zeros keeps the
+    padded vector's norm equal to the raw norm, so the rotation stays
+    norm/cosine-preserving relative to the ORIGINAL space."""
+    d = x.shape[-1]
+    if d == d2:
+        return np.asarray(x, dtype=np.float64)
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, d2 - d)]
+    return np.pad(np.asarray(x, dtype=np.float64), pad)
+
+
 def hd_signs(dim: int, seed: int = 42) -> list[int]:
     """Deterministic +-1 diagonal: sign i flips on the low bit of
     md5("hd:{seed}:{i}") — stable across engines, platforms, and runs
@@ -140,14 +158,24 @@ def with_rotation(
     emb_col: str = "embedding",
     out_col: str = "emb_rot",
     kernel: str = "expr",
+    pad: bool = False,
 ) -> DataFrame:
     """Append the rotated column. kernel="expr": sign flip + log2(d)
     butterfly projections + exact 1/sqrt(d) scale, all Catalyst exprs in
     codegen (the production path — map-only, no Python). kernel="arrow":
     the same contract through one mapInPandas numpy pass (pytest-pinned
-    bit-identical; the batch path when many columns rotate at once)."""
-    _check_dim(dim)
-    signs = hd_signs(dim, seed)
+    bit-identical; the batch path when many columns rotate at once).
+
+    pad=True accepts non-power-of-two dims by zero-padding to the next
+    power of two first (the standard extension): the output column has
+    next_pow2(dim) elements, norms/cosines relative to the RAW vectors
+    are still preserved because the pad is exact zeros."""
+    if pad:
+        d2 = next_pow2(dim)
+    else:
+        _check_dim(dim)
+        d2 = dim
+    signs = hd_signs(d2, seed)
     if kernel == "arrow":
         import pandas as pd  # noqa: F401
 
@@ -162,7 +190,7 @@ def with_rotation(
                     pdf[out_col] = pdf[emb_col]
                     yield pdf
                     continue
-                rot_rows = rotate_np(mat, signs)
+                rot_rows = rotate_np(pad_np(mat, d2), signs)
                 pdf = pdf.copy()
                 pdf[out_col] = [r.tolist() for r in rot_rows]
                 yield pdf
@@ -172,17 +200,16 @@ def with_rotation(
         raise ValueError(f"unknown rotation kernel {kernel!r}")
 
     signs_lit = F.array(*[F.lit(float(s)) for s in signs])
+    raw = F.col(emb_col).cast("array<double>")
+    if d2 != dim:
+        raw = F.concat(raw, F.array_repeat(F.lit(0.0), d2 - dim))
     tmp = f"__{out_col}_h"
-    out = df.withColumn(
-        tmp,
-        F.zip_with(F.col(emb_col).cast("array<double>"), signs_lit,
-                   lambda v, s: v * s),
-    )
+    out = df.withColumn(tmp, F.zip_with(raw, signs_lit, lambda v, s: v * s))
     b = 1
-    while b < dim:
-        out = out.withColumn(tmp, _stage_expr(tmp, dim, b))
+    while b < d2:
+        out = out.withColumn(tmp, _stage_expr(tmp, d2, b))
         b <<= 1
-    scale = 1.0 / float(np.sqrt(dim))  # exact power of two for pow2 dim
+    scale = 1.0 / float(np.sqrt(d2))  # exact power of two for pow2 d2
     return out.withColumn(
         out_col, F.transform(F.col(tmp), lambda v: v * F.lit(scale))
     ).drop(tmp)
@@ -211,12 +238,14 @@ def rotated_bq_search(
     from vervectordb_spark.functions.similarity import cosine_expr
     from vervectordb_spark.operators import bq
 
-    signs = hd_signs(dim, seed)
-    rotated = with_rotation(df, dim, seed, emb_col=emb_col)
-    thr = bq.fit_bq_thresholds(rotated, emb_col="emb_rot", dim=dim)
+    d2 = next_pow2(dim)
+    signs = hd_signs(d2, seed)
+    rotated = with_rotation(df, dim, seed, emb_col=emb_col, pad=d2 != dim)
+    thr = bq.fit_bq_thresholds(rotated, emb_col="emb_rot", dim=d2)
     thr_pdf = thr.toPandas()
-    q_rot = rotate_query(query_vec, signs)
-    coded = bq.with_codes(rotated, thr, dim, emb_col="emb_rot")
+    q_rot = rotate_query(
+        pad_np(np.asarray(query_vec, dtype=np.float64), d2), signs)
+    coded = bq.with_codes(rotated, thr, d2, emb_col="emb_rot")
     qwords = bq.encode_query(q_rot, thr_pdf)
     qcol = F.array(*[F.lit(w).cast("bigint") for w in qwords])
     cand = (
