@@ -150,3 +150,25 @@ def test_repetition_kernels_agree(spark):
     a = sorted(TX.repetition_profile(df, kernel="arrow").collect(), key=key)
     e = sorted(TX.repetition_profile(df, kernel="expr").collect(), key=key)
     assert [tuple(r) for r in a] == [tuple(r) for r in e]
+
+
+def test_unigram_surprisal_separates_gibberish(spark):
+    """Rare-word soup must score more bits/word than head-word
+    boilerplate under the corpus's own unigram model; a doc whose words
+    all share one frequency scores exactly -log2(cnt/total)."""
+    from vervectordb_spark.operators.text import unigram_surprisal
+
+    common = "the " * 50
+    docs = [
+        (0, common + "the the"),
+        (1, "zyx qwv kjh"),          # singletons: rarest possible
+        (2, common),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in unigram_surprisal(df).collect()}
+    assert got[1]["bits_per_word"] > got[0]["bits_per_word"]
+    assert got[1]["n_words"] == 3
+    import math
+    total = 102 + 3  # 'the' x102 + 3 singletons
+    want = round(round(-math.log2(1.0 / total), 9), 6)
+    assert abs(got[1]["bits_per_word"] - want) < 1e-6

@@ -576,6 +576,45 @@ def repetition_profile(df: DataFrame, text_col: str = "text",
     )
 
 
+def unigram_surprisal(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      word_pattern: str = "^[a-z]+$") -> DataFrame:
+    """Per-document mean unigram surprisal in bits/word against the
+    corpus's OWN unigram distribution — the CCNet/RedPajama-style cheap
+    LM proxy: word salad drawn from the corpus distribution scores near
+    the corpus entropy, gibberish (rare-word soup) scores high, boiler-
+    plate (head-word soup) scores low.
+
+    Shape: one corpus word-count aggregate (the same distinct-word
+    reduction as bpe.word_counts), a 1-row total crossJoin, a broadcast
+    join of exploded doc words against the KB..MB unigram table, one
+    groupBy(doc_id). Float contract: p = cnt/total single division,
+    surprisal term rounded to 9dp (ln libm drift — the
+    queries_pipeline.py precedent) then summed as exact DECIMALs;
+    bits/word = one final division, rounded at the end."""
+    words = df.select(
+        id_col,
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
+    ).filter((F.col("word") != "") & F.col("word").rlike(word_pattern))
+    counts = words.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("bigint").alias("total"))
+    uni = counts.crossJoin(F.broadcast(total)).select(
+        "word",
+        F.round(-F.log2(F.col("cnt").cast("double") / F.col("total")), 9)
+        .cast("decimal(24,9)").alias("_bits"),
+    )
+    return (
+        words.join(F.broadcast(uni), on="word")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_words"),
+             F.sum("_bits").alias("_sb"))
+        .select(id_col, "n_words",
+                F.round(F.col("_sb").cast("double") / F.col("n_words"), 6)
+                .alias("bits_per_word"))
+    )
+
+
 def repetition_gate(text_col: str = "text",
                     max_dup_word_frac: float = 0.55,
                     max_dup_3gram_frac: float = 0.05) -> Column:

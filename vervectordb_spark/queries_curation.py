@@ -445,3 +445,41 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_suspected"))
         .orderBy(F.desc("n_suspected"), "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram surprisal — CCNet-style cheap LM quality proxy
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_unigram_surprisal",
+    oracle="""
+WITH dw AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+    FROM documents
+  ) WHERE word <> '' AND regexp_matches(word, '^[a-z]+$')
+),
+counts AS (SELECT word, COUNT(*)::BIGINT AS cnt FROM dw GROUP BY word),
+tot AS (SELECT SUM(cnt)::BIGINT AS total FROM counts),
+uni AS (
+  SELECT word,
+         ROUND(-log2(cnt::DOUBLE / t.total), 9)::DECIMAL(24,9) AS bits
+  FROM counts CROSS JOIN tot t
+)
+SELECT d.doc_id,
+       COUNT(*)::BIGINT AS n_words,
+       ROUND(SUM(u.bits)::DOUBLE / COUNT(*), 6) AS bits_per_word
+FROM dw d JOIN uni u USING (word)
+GROUP BY d.doc_id
+""",
+)
+def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap LM quality proxy (operators/text.unigram_surprisal): mean
+    bits/word of each document under the corpus's own unigram model —
+    the gibberish/boilerplate separator CCNet-class pipelines gate on.
+    One corpus aggregate + broadcast unigram join + one groupBy; the
+    surprisal terms round to 9dp before exact decimal summation (the ln
+    libm-drift contract from the weighted-sampling oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.unigram_surprisal(docs)
