@@ -162,3 +162,36 @@ def test_rotated_bq_search_non_pow2(spark):
     out = R.rotated_bq_search(df, qv, 24, top_k=3).collect()
     assert out[0].vec_id == 5 and out[0].hamming == 0
     assert abs(out[0].sim - 1.0) < 1e-9
+
+
+def test_rotated_batch_matches_single(spark, emb):
+    """batch_hamming_search with the rotation q_pretransform must return
+    row-for-row what rotated_bq_search returns per query."""
+    from pyspark.sql import functions as F
+
+    from vervectordb_spark.operators import bq
+
+    signs = R.hd_signs(DIM)
+    rotated = R.with_rotation(emb, DIM)
+    thr = bq.fit_bq_thresholds(rotated, emb_col="emb_rot", dim=DIM)
+    coded = bq.with_codes(rotated, thr, DIM, emb_col="emb_rot").select(
+        "vec_id", "bq_code")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    batch = bq.batch_hamming_search(
+        coded, thr, queries, top_k=5, rerank_factor=3,
+        rerank=emb.select("vec_id", "embedding"),
+        q_pretransform=lambda v: R.rotate_query(v, signs),
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["hamming"], round(r["sim"], 9)))
+    qrows = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in emb.filter(F.col("vec_id") < 3).collect()}
+    for qid, qv in qrows.items():
+        single = [(r["vec_id"], r["hamming"], round(r["sim"], 9))
+                  for r in R.rotated_bq_search(emb, qv, DIM, top_k=5).collect()]
+        assert by_q[qid] == single, qid

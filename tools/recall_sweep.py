@@ -136,6 +136,25 @@ def sweep(spark, corpus, methods: set[str]) -> list[dict]:
                        bq_coded, thr, queries, top_k=TOP_K,
                        rerank_factor=rf, rerank=rerank_src).collect())
         bq_coded.unpersist()
+    if "rotbq" in methods:
+        from vervectordb_spark.operators import bq as BQ
+        from vervectordb_spark.operators import rotation as HD
+
+        signs = HD.hd_signs(DIM)
+        rotated = HD.with_rotation(corpus, DIM)
+        thr_rot = BQ.fit_bq_thresholds(rotated, emb_col="emb_rot", dim=DIM)
+        rot_coded = BQ.with_codes(rotated, thr_rot, DIM,
+                                  emb_col="emb_rot").select(
+            "vec_id", "bq_code").cache()
+        rot_coded.count()
+        for rf in (3, 10, 50):
+            record(f"bq-rotated hamming rerank_f={rf}",
+                   lambda rf=rf: BQ.batch_hamming_search(
+                       rot_coded, thr_rot, queries, top_k=TOP_K,
+                       rerank_factor=rf, rerank=rerank_src,
+                       q_pretransform=lambda v: HD.rotate_query(v, signs),
+                   ).collect())
+        rot_coded.unpersist()
     if "respq" in methods:
         codec = ivf.fit_residual_codec(n_subquantizers=8, codebook_size=256,
                                        seed=42)
@@ -183,9 +202,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     all_m = {"ivf1", "ivf2", "ivf4", "ivf8", "ivf16", "adaptive",
-             "lsh2", "lsh4", "lsh8", "respq", "pq", "bq"}
+             "lsh2", "lsh4", "lsh8", "respq", "pq", "bq", "rotbq"}
     trimmed = {"ivf2", "ivf4", "ivf8", "adaptive", "lsh4", "respq", "pq",
-               "bq"}
+               "bq", "rotbq"}
 
     print("uniform corpus:", file=sys.stderr)
     uniform = sweep(spark, _make_corpus(spark, "uniform"), all_m)

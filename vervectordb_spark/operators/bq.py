@@ -203,7 +203,8 @@ def batch_hamming_search(df: DataFrame, thresholds: DataFrame,
                          q_emb_col: str = "q_embedding",
                          code_col: str = "bq_code",
                          rerank: DataFrame | None = None,
-                         max_queries: int = 65536) -> DataFrame:
+                         max_queries: int = 65536,
+                         q_pretransform=None) -> DataFrame:
     """Genuinely batched BQ serving: ONE job for all queries. The query
     side is collected under the house 64k guard (the ivf.py:176-189
     contract — a corpus-sized query side belongs in knn_self_join, not
@@ -216,7 +217,13 @@ def batch_hamming_search(df: DataFrame, thresholds: DataFrame,
     Returns (query_id_col, id_col, hamming, sim), top_k per query,
     ordered (sim DESC, id ASC) within each query — row-for-row the
     per-query `hamming_search` results (batch-vs-single parity pinned in
-    tests/test_bq.py)."""
+    tests/test_bq.py).
+
+    q_pretransform (driver-side vec -> vec, e.g. the HD rotation) is
+    applied to each query BEFORE packing against `thresholds` — for
+    codecs fit in a transformed coordinate system — while the exact
+    rerank still scores the RAW query embedding (the transform is
+    metric-preserving by contract, rotation.py)."""
     from pyspark.sql import Window
 
     from vervectordb_spark.functions.similarity import cosine_expr
@@ -241,7 +248,10 @@ def batch_hamming_search(df: DataFrame, thresholds: DataFrame,
     qid_type = queries.schema[query_id_col].dataType.simpleString()
     qdf = spark.createDataFrame(
         [(r[query_id_col],
-          encode_query([float(v) for v in r[q_emb_col]], thr_pdf),
+          encode_query(
+              q_pretransform([float(v) for v in r[q_emb_col]])
+              if q_pretransform is not None
+              else [float(v) for v in r[q_emb_col]], thr_pdf),
           [float(v) for v in r[q_emb_col]]) for r in rows],
         f"{query_id_col} {qid_type}, _q_code array<bigint>, "
         f"_q_emb array<double>",
