@@ -116,7 +116,7 @@ def cluster_outliers(df: DataFrame, centroids_df: DataFrame,
     return (
         a.join(F.broadcast(stats.filter(F.col("_var") > 0)), on="cluster_id")
         .withColumn("z", F.round((F.col("sim_c") - F.col("_mean"))
-                                 / F.sqrt(F.col("_var")), 4))
+                                 / F.sqrt(F.col("_var")), 4) + 0.0)
         .withColumn("_wrk", F.row_number().over(wz))
         .filter(F.col("_wrk") <= worst_k)
         .select("cluster_id", id_col, "n", "sim_c", "z")

@@ -15,7 +15,12 @@ is derived from arithmetic that is bit-identical across engines:
     list_dot_product(x::DOUBLE[], y::DOUBLE[]) — verified bit-exact;
   * money aggregates: DECIMAL sums (exact, order-independent), cast to
     double and rounded only at the end;
-  * ratios: single int/int divisions.
+  * ratios: single int/int divisions;
+  * SIGNED near-zero outputs (z-scores, rotated coordinates): append
+    `+ 0.0` after the final ROUND on BOTH sides — duckdb's ROUND of a
+    tiny negative yields -0.0 where Spark's yields +0.0, the hash gate
+    compares reprs, and IEEE guarantees -0.0 + 0.0 == +0.0 everywhere
+    (first hit by hd_rotate_profile at the 20k-row sf1 fixture).
 
 Registration is via the @query decorator; `vervectordb_spark.queries.QUERIES`
 and `.ORACLES` feed `__spark_entry__.py` directly.
@@ -750,7 +755,7 @@ st AS (
 )
 SELECT cluster_id, vec_id, n, sim_c, z FROM (
   SELECT a.cluster_id, a.vec_id, s.n, a.sim_c,
-         ROUND((a.sim_c - s.mean) / sqrt(s.vr), 4) AS z,
+         ROUND((a.sim_c - s.mean) / sqrt(s.vr), 4) + 0.0 AS z,
          row_number() OVER (PARTITION BY a.cluster_id
                             ORDER BY a.sim_c, a.vec_id) AS wrk
   FROM a JOIN st s USING (cluster_id) WHERE s.vr > 0

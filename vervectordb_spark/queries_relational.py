@@ -1091,7 +1091,7 @@ SELECT event_type, hour_bucket, n::BIGINT AS n_events,
        ROUND(CASE WHEN sq * cnt = s * s THEN 0.0
              ELSE (n::DOUBLE - s::DOUBLE / cnt)
                   / sqrt((sq::DOUBLE * cnt - s::DOUBLE * s) / (cnt::DOUBLE * cnt))
-             END, 6) AS zscore,
+             END, 6) + 0.0 AS zscore,
        (CASE WHEN sq * cnt = s * s THEN 0.0
         ELSE abs((n::DOUBLE - s::DOUBLE / cnt)
              / sqrt((sq::DOUBLE * cnt - s::DOUBLE * s) / (cnt::DOUBLE * cnt)))
@@ -1138,7 +1138,7 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour_bucket",
         F.col("n").cast("long").alias("n_events"),
         F.round(mean, 6).alias("mean24"),
-        F.round(z, 6).alias("zscore"),
+        (F.round(z, 6) + 0.0).alias("zscore"),  # -0.0 canonicalized (queries_rotation.py note)
         (F.abs(z) > 2.0).alias("is_anomaly"),
     )
 

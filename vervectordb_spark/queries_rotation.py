@@ -67,9 +67,9 @@ def _rotate_ctes(src: str = "embeddings", emb: str = "embedding") -> str:
     oracle=f"""
 WITH {_rotate_ctes()}
 SELECT vec_id,
-       ROUND(h[1], 6) AS r0,
-       ROUND(h[32], 6) AS r31,
-       ROUND(h[64], 6) AS r63,
+       ROUND(h[1], 6) + 0.0 AS r0,
+       ROUND(h[32], 6) + 0.0 AS r31,
+       ROUND(h[64], 6) + 0.0 AS r63,
        ROUND(sqrt(list_dot_product(h, h)), 6) AS nrm
 FROM rot
 """,
@@ -86,11 +86,15 @@ def hd_rotate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     rot = with_rotation(emb, _DIM, kernel="expr")
     h = F.col("emb_rot")
+    # + 0.0 canonicalizes the rounded coordinates' zero sign: duckdb's
+    # ROUND of a tiny negative yields -0.0 where Spark's yields +0.0, and
+    # the hash gate compares reprs (IEEE: -0.0 + 0.0 == +0.0 in both).
+    # Applies to any rounded SIGNED near-zero output column.
     return rot.select(
         "vec_id",
-        F.round(F.element_at(h, 1), 6).alias("r0"),
-        F.round(F.element_at(h, 32), 6).alias("r31"),
-        F.round(F.element_at(h, 64), 6).alias("r63"),
+        (F.round(F.element_at(h, 1), 6) + 0.0).alias("r0"),
+        (F.round(F.element_at(h, 32), 6) + 0.0).alias("r31"),
+        (F.round(F.element_at(h, 64), 6) + 0.0).alias("r63"),
         F.round(F.sqrt(dot_expr(h, h)), 6).alias("nrm"),
     )
 
