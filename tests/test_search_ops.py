@@ -183,3 +183,31 @@ def test_prefix_topk_recall_with_pool(spark):
     assert got[0]["vec_id"] == 0
     assert got[0]["sim"] == pytest.approx(1.0)
     assert len({r["vec_id"] for r in got} & exact) >= 5
+
+
+def test_hard_negatives_excludes_self_and_dups(spark):
+    """The anchor and its near-duplicates (sim >= threshold) must never
+    appear; the returned rows are the best remaining sims in order."""
+    import numpy as np
+
+    from vervectordb_spark.operators.search import hard_negatives
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=16)
+    rows = [(0, base.tolist()),
+            (1, (base + rng.normal(0, 0.001, 16)).tolist()),   # near-dup
+            (2, (base + rng.normal(0, 1.0, 16)).tolist()),     # hard neg
+                                                # sigma 1.0: cos ~ 0.7 —
+                                                # clearly under the 0.95 gate
+            (3, (-base).tolist()),                             # far
+            (4, rng.normal(size=16).tolist())]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = df.filter("vec_id = 0").selectExpr(
+        "vec_id as query_id", "embedding as q_embedding")
+    out = hard_negatives(df, queries, top_k=3, dup_threshold=0.95).collect()
+    ids = [r["vec_id"] for r in out]
+    assert 0 not in ids and 1 not in ids          # self + near-dup gated
+    assert ids[0] == 2                            # hardest negative first
+    sims = [r["sim"] for r in out]
+    assert sims == sorted(sims, reverse=True)
+    assert all(s < 0.95 for s in sims)

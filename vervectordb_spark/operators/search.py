@@ -328,6 +328,41 @@ def batch_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    top_k: int = 5,
+    dup_threshold: float = 0.95,
+    corpus_emb: str = "embedding",
+    query_emb: str = "q_embedding",
+    query_id: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data: per query, the
+    top_k MOST similar corpus rows that are NOT the anchor itself and NOT
+    near-duplicates of it (sim >= dup_threshold is a positive/duplicate,
+    excluded) — the highest-value negatives an embedding-model trainer
+    can ask this store for. Returns (query_id, vec_id, rank, sim).
+
+    Shape: the bit-exact batch fold (broadcast query side, one corpus
+    scan, per-query window rank). The dup gate is a pre-rank filter, so
+    excluded rows never enter the window. For corpus-sized query sides
+    ride the blocked-GEMM path (operators/topk.gemm_topk) with the same
+    post-filter instead."""
+    from vervectordb_spark.functions.similarity import cosine_expr
+
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        query_id, id_col,
+        cosine_expr(F.col(corpus_emb), F.col(query_emb)).alias("sim"),
+    ).filter((F.col("sim") < dup_threshold)
+             & (F.col(id_col) != F.col(query_id)))
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
 def knn_self_join(
     df: DataFrame,
     top_k: int = 3,

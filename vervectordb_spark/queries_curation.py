@@ -483,3 +483,54 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     libm-drift contract from the weighted-sampling oracle)."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.unigram_surprisal(docs)
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining — contrastive-training data from the vector store
+# ---------------------------------------------------------------------------
+
+@query(
+    "hard_negatives_topk",
+    oracle="""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 4
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         (CASE WHEN list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0
+                 OR list_dot_product(q.qv, q.qv) = 0 THEN 0.0
+          ELSE list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))) END) AS sim
+  FROM embeddings e CROSS JOIN qs q
+),
+gated AS (
+  SELECT * FROM scored WHERE sim < 0.95 AND vec_id <> query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, vec_id) AS rk
+  FROM gated
+)
+SELECT query_id, vec_id, rk::INTEGER AS rank, ROUND(sim, 6) AS sim
+FROM ranked WHERE rk <= 5
+""",
+)
+def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/search.hard_negatives): per anchor,
+    the 5 most-similar non-duplicate corpus rows (sim < 0.95, self
+    excluded) — contrastive training pairs straight off the store. The
+    dup gate runs before the per-query rank so positives never displace
+    negatives in the window."""
+    from vervectordb_spark.operators.search import hard_negatives
+    from vervectordb_spark.schema import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    out = hard_negatives(emb, queries, top_k=5, dup_threshold=0.95)
+    return out.select("query_id", "vec_id", "rank",
+                      F.round("sim", 6).alias("sim"))
