@@ -301,3 +301,28 @@ def test_batch_search_empty_schema_matches_nonempty(spark, emb):
     empty = idx.batch_search(queries.filter(F.lit(False)), top_k=2)
     assert [f.name for f in empty.schema.fields] == \
         [f.name for f in nonempty.schema.fields]
+
+
+def test_signlsh_batch_multiprobe_matches_per_query(emb):
+    """n_probes>1 batch == per-query search(n_probes) row-for-row, and
+    multi-probe recall dominates single-probe on the same index."""
+    idx = SignLSHIndex.build(emb, n_tables=2, bits=8)
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    batched = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["sim"], 9))
+        for r in idx.batch_search(queries, top_k=5, n_probes=4).collect()
+    }
+    for q in range(6):
+        qv = _qv(emb, q)
+        rows = idx.search(qv, top_k=5, n_probes=4).collect()
+        for rank, r in enumerate(rows, 1):
+            assert batched[(q, rank)] == (r["vec_id"], round(r["sim"], 9))
+    # recall: multi-probe candidates are a superset per construction
+    q0 = _qv(emb, 0)
+    single = {r["vec_id"] for r in idx.candidates(q0).select("vec_id").collect()}
+    multi = {r["vec_id"]
+             for r in idx.candidates_multiprobe(q0, 4).select("vec_id").collect()}
+    assert single <= multi and len(multi) >= len(single)

@@ -121,6 +121,12 @@ def sweep(spark, corpus, methods: set[str]) -> list[dict]:
             record(f"signlsh tables={tables}",
                    lambda idx=idx: idx.batch_search(
                        queries, top_k=TOP_K).collect())
+            if tables <= 4:
+                # multi-probe: recall from probing low-margin neighbor
+                # buckets instead of from more tables (same index bytes)
+                record(f"signlsh tables={tables} probes=4",
+                       lambda idx=idx: idx.batch_search(
+                           queries, top_k=TOP_K, n_probes=4).collect())
 
     rerank_src = corpus.select("vec_id", "embedding")
     if "bq" in methods:
@@ -254,6 +260,36 @@ def main() -> None:
         "0.26 → 0.87 (m=8) while still scanning only codes + 500 raw rows.",
         "",
         *table(clustered),
+        "",
+        "## Reading the multi-probe rows",
+        "",
+        "Multi-probe LSH (probes=4: each query also probes the 3",
+        "lowest-hyperplane-margin neighbor buckets per table) buys recall",
+        "from the SAME index bytes instead of from more tables — on the",
+        "uniform corpus tables=2 probes=4 out-recalls tables=4 single-probe",
+        "and tables=4 probes=4 out-recalls tables=8, at comparable or lower",
+        "candidate volume per unit recall. When index storage or build time",
+        "is the constraint, raise probes before tables.",
+        "",
+        "## Reading the rotated-BQ rows",
+        "",
+        "The HD rotation (operators/rotation.py) splits cleanly by corpus:",
+        "",
+        "- clustered (realistic): rotation wins at every rerank budget at",
+        "  the same ms/query — per-dim mixtures have midranges off the",
+        "  mass; rotated coordinates symmetrize, so the sign bits carry",
+        "  more between-cluster signal.",
+        "- uniform (adversarial anchor): rotation loses — raw uniform dims",
+        "  already have midrange ≈ median (every bit maximally",
+        "  informative), and rotating concentrates the corpus's common",
+        "  mean into a subset of output dims whose bits then agree across",
+        "  most vectors (dead bits). Rotation is a fix for skewed or",
+        "  structured coordinates, not a free win; it is opt-in state",
+        "  ((dim, seed)) for exactly that reason.",
+        "",
+        "Timing caveat: ms/query columns are comparable WITHIN one sweep",
+        "run; cross-run deltas of ±2× reflect shared-host load, the recall",
+        "columns are load-independent.",
         "",
         "Regenerate: `python tools/recall_sweep.py`.",
         "",

@@ -282,7 +282,8 @@ class SignLSHIndex:
 
     def batch_search(self, queries: DataFrame, top_k: int = 5,
                      query_id: str = "query_id",
-                     query_emb: str = "q_embedding") -> DataFrame:
+                     query_emb: str = "q_embedding",
+                     n_probes: int = 1) -> DataFrame:
         """Many-query ANN in ONE job (a per-query driver loop pays ~300 ms
         Spark scheduling per query — the loop, not the scan, dominates).
 
@@ -298,6 +299,15 @@ class SignLSHIndex:
         per-query window ever shuffles. Returns (query_id, vec_id, rank,
         sim) with the exact fold-kernel rescore (bit-exact with the
         per-query search path).
+
+        n_probes > 1 = batched multi-probe (Lv et al. VLDB'07): each
+        query probes its n_probes likeliest buckets PER TABLE (lowest
+        hyperplane margins, query_buckets_multiprobe). Within one table a
+        row matches at most one probe (probes are distinct bucket ids),
+        so dedup still only needs the earlier-TABLE exclusion — now a
+        NOT array_contains against that table's probe list. The probe
+        relation grows n_probes×, the scan and everything else is
+        unchanged; batch==single parity pinned in tests/test_ann.py.
 
         At 100 TB the unpivot multiplies scanned rows by n_tables but
         stays map-side; with the signed table persisted partitioned by
@@ -327,13 +337,17 @@ class SignLSHIndex:
         probe_rows = []
         for r in qrows:
             qv = [float(x) for x in r[1]]
-            qb = self.query_buckets(qv)
-            for t, b in enumerate(qb):
-                probe_rows.append((r[0], t, b, qb, qv))
+            if n_probes <= 1:
+                qbm = [[b] for b in self.query_buckets(qv)]
+            else:
+                qbm = self.query_buckets_multiprobe(qv, n_probes)
+            for t, bl in enumerate(qbm):
+                for b in bl:
+                    probe_rows.append((r[0], t, b, qbm, qv))
         probes = spark.createDataFrame(
             probe_rows,
-            f"{query_id} {qid_type}, _tbl int, _bkt long, _qb array<long>, "
-            "_qv array<double>",
+            f"{query_id} {qid_type}, _tbl int, _bkt long, "
+            "_qb array<array<long>>, _qv array<double>",
         )
         entries = self.signed.select(
             self.id_col,
@@ -348,12 +362,13 @@ class SignLSHIndex:
                  "_e._tbl", "_e._bkt")
         joined = entries.join(F.broadcast(probes), on=["_tbl", "_bkt"])
         # keep the pair only at its FIRST matching table: for every earlier
-        # table t', this row's bucket_t' must differ from the query's
+        # table t', this row's bucket_t' must miss ALL of that table's
+        # probed buckets (one probe per table in the single-probe case)
         first_match = F.lit(True)
         for tp in range(self.n_tables):
             first_match = first_match & (
                 (F.col("_tbl") <= tp)
-                | (F.col(f"bucket_{tp}") != F.col("_qb")[tp])
+                | ~F.array_contains(F.col("_qb")[tp], F.col(f"bucket_{tp}"))
             )
         scored = joined.filter(first_match).select(
             query_id, self.id_col,

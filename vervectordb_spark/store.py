@@ -384,12 +384,27 @@ class VectorStore:
         )
         return self._ann
 
-    def ann_search(self, query_vector, top_k: int = 5) -> list[dict]:
+    def ann_search(self, query_vector, top_k: int = 5,
+                   n_probes: int = 1) -> list[dict]:
         """Q2 intent (the reference's HNSW contract — its implementation
-        returns ≤1 row due to bug B1 and is deliberately NOT reproduced)."""
+        returns ≤1 row due to bug B1 and is deliberately NOT reproduced).
+        n_probes > 1 = multi-probe LSH: probe the n_probes lowest-margin
+        neighbor buckets per table — recall without more tables."""
         if self._ann is None:
             self.build_ann_index()
-        out = self._ann.search(query_vector, top_k=top_k)
+        if n_probes > 1:
+            # multi-probe is a sign-LSH feature; MLlib BRP-LSH has no
+            # margin-ranked neighbor buckets to probe
+            from vervectordb_spark.operators.ann import SignLSHIndex
+
+            if not isinstance(self._ann, SignLSHIndex):
+                raise ValueError(
+                    "n_probes > 1 requires the sign-LSH index "
+                    "(build_ann_index(kind='signlsh'))")
+            out = self._ann.search(query_vector, top_k=top_k,
+                                   n_probes=n_probes)
+        else:
+            out = self._ann.search(query_vector, top_k=top_k)
         return [{"vector_id": r["vec_id"], "similarity": r["sim"]} for r in out.collect()]
 
     # hnsw_search kept as an alias so reference callers can switch 1:1.
