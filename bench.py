@@ -385,6 +385,52 @@ def build_benches(spark, sf_dir: str):
             merges, vocab = train_bpe(docs, n_merges=3)
             vocab.unpersist()
             return len(merges)
+
+        from vervectordb_spark.operators.text import unigram_surprisal
+
+        @bench("unigram_surprisal")
+        def _surprisal():
+            # corpus unigram fit + broadcast join + one groupBy(doc)
+            return _force(unigram_surprisal(docs))
+    except ImportError:
+        pass
+
+    try:
+        from vervectordb_spark.operators.ivf import (
+            centroid_drift,
+            cluster_outliers,
+        )
+        from vervectordb_spark.operators.search import hard_negatives
+
+        _cent_holder: list = []
+
+        def _frozen_cent():
+            if not _cent_holder:
+                c = emb.filter(F.col("vec_id") < 16).select(
+                    F.col("vec_id").cast("int").alias("cluster_id"),
+                    F.col("embedding").cast("array<double>").alias("centroid"),
+                ).cache()
+                c.count()
+                _cent_holder.append(c)
+            return _cent_holder[0]
+
+        @bench("embedding_outliers")
+        def _outliers():
+            # broadcast assign + k-row moment stats + per-cluster window
+            return _force(cluster_outliers(emb, _frozen_cent(), worst_k=3))
+
+        @bench("centroid_drift")
+        def _drift():
+            # ONE wide aggregate of 2*dim decimal sums + k-row join
+            return _force(centroid_drift(emb, _frozen_cent(), dim=len(qv)))
+
+        @bench("hard_negatives_4q")
+        def _hardneg():
+            qs = emb.filter(F.col("vec_id") < 4).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_embedding"),
+            )
+            return _force(hard_negatives(emb, qs, top_k=5))
     except ImportError:
         pass
 
