@@ -685,26 +685,19 @@ def build_benches(spark, sf_dir: str):
             # costs cached on the first repeat; steady state is the same
             # 2-BIGINT/row Hamming scan + exact raw-cosine rerank as bq.
             if not _rotbq_holder:
-                signs = hd.hd_signs(64)
                 rotated = hd.with_rotation(emb, 64)
                 thr = bq.fit_bq_thresholds(rotated, emb_col="emb_rot", dim=64)
-                thr_pdf = thr.toPandas()
                 coded = bq.with_codes(rotated, thr, 64, emb_col="emb_rot") \
                     .select("vec_id", "bq_code").cache()
                 coded.count()
-                _rotbq_holder.append((coded, thr_pdf, signs))
-            coded, thr_pdf, signs = _rotbq_holder[0]
-            qwords = bq.encode_query(hd.rotate_query(qv, signs), thr_pdf)
-            qcol = F.array(*[F.lit(w).cast("bigint") for w in qwords])
-            cand = (coded.select(
-                        "vec_id",
-                        bq.hamming_words_expr(F.col("bq_code"), qcol)
-                        .alias("hamming"))
-                    .orderBy(F.asc("hamming"), F.asc("vec_id")).limit(30))
-            out = (emb.select("vec_id", "embedding").join(cand, on="vec_id")
-                   .select("vec_id", "hamming",
-                           cosine_expr(F.col("embedding"), qv).alias("sim"))
-                   .orderBy(F.desc("sim"), F.asc("vec_id")).limit(10))
+                _rotbq_holder.append((coded, thr))
+            coded, thr = _rotbq_holder[0]
+            # the PRODUCTION single-query serving path with the persisted
+            # artifacts (thresholds + codes) passed in — steady state is
+            # the TakeOrdered Hamming scan + exact raw-cosine rerank
+            out = hd.rotated_bq_search(emb, qv, 64, top_k=10,
+                                       rerank_factor=3,
+                                       thresholds=thr, codes=coded)
             return _force(out, limit=10)
     except ImportError:
         pass

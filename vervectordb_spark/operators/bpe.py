@@ -45,10 +45,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: oracle-scope word filter: ascii-lowercase-only words keep the
-#: per-codepoint split trivially identical across engines; the operator
-#: itself accepts any word_pattern (None = keep everything).
-ASCII_WORDS = "^[a-z]+$"
+from vervectordb_spark.functions.words import ASCII_WORDS, words
 
 
 @dataclass(frozen=True)
@@ -65,13 +62,10 @@ class Merge:
 
 def word_counts(df: DataFrame, text_col: str = "text",
                 word_pattern: str | None = ASCII_WORDS) -> DataFrame:
-    """(word, n) distinct-word counts — the one corpus-sized job."""
-    words = df.select(
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
-    ).filter(F.col("word") != "")
-    if word_pattern is not None:
-        words = words.filter(F.col("word").rlike(word_pattern))
-    return words.groupBy("word").agg(F.count("*").cast("bigint").alias("n"))
+    """(word, n) distinct-word counts — the one corpus-sized job. Word
+    extraction is the shared functions/words contract."""
+    return (words(df, text_col, word_pattern=word_pattern)
+            .groupBy("word").agg(F.count("*").cast("bigint").alias("n")))
 
 
 def with_symbols(vocab: DataFrame, word_col: str = "word",

@@ -100,7 +100,7 @@ def cluster_outliers(df: DataFrame, centroids_df: DataFrame,
     a = (scored.withColumn("_rk", F.row_number().over(w))
          .filter(F.col("_rk") == 1)
          .select(id_col, "cluster_id",
-                 F.round("_csim", 6).alias("sim_c")))
+                 (F.round("_csim", 6) + 0.0).alias("sim_c")))  # -0.0 canon
     d = F.col("sim_c").cast("decimal(8,6)")
     stats = a.groupBy("cluster_id").agg(
         F.count("*").cast("bigint").alias("n"),

@@ -224,6 +224,8 @@ def rotated_bq_search(
     seed: int = 42,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    thresholds: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """BQ serving behind the rotation: rotate corpus + query with the
     SAME (dim, seed), fit midrange thresholds on the ROTATED coordinates,
@@ -234,18 +236,28 @@ def rotated_bq_search(
     100 TB posture: identical to bq.hamming_search (fit is one
     dim-keyed aggregate, encode+rotate are map-only codegen, the scan is
     integer bit_count words) — the rotation adds log2(d) fused projection
-    stages to the one-time encode and nothing to the serving scan."""
+    stages to the one-time encode and nothing to the serving scan.
+
+    thresholds/codes: pass the persisted artifacts of a previous
+    fit/encode (thr as the (pos, thr) frame, codes as (id, bq_code)) to
+    serve steady-state without re-fitting — the shape the bench and any
+    repeated-query caller use; both default to None = fit and encode
+    in-line from df."""
     from vervectordb_spark.functions.similarity import cosine_expr
     from vervectordb_spark.operators import bq
 
     d2 = next_pow2(dim)
     signs = hd_signs(d2, seed)
-    rotated = with_rotation(df, dim, seed, emb_col=emb_col, pad=d2 != dim)
-    thr = bq.fit_bq_thresholds(rotated, emb_col="emb_rot", dim=d2)
+    if thresholds is None or codes is None:
+        rotated = with_rotation(df, dim, seed, emb_col=emb_col,
+                                pad=d2 != dim)
+    thr = (thresholds if thresholds is not None
+           else bq.fit_bq_thresholds(rotated, emb_col="emb_rot", dim=d2))
     thr_pdf = thr.toPandas()
     q_rot = rotate_query(
         pad_np(np.asarray(query_vec, dtype=np.float64), d2), signs)
-    coded = bq.with_codes(rotated, thr, d2, emb_col="emb_rot")
+    coded = (codes if codes is not None
+             else bq.with_codes(rotated, thr, d2, emb_col="emb_rot"))
     qwords = bq.encode_query(q_rot, thr_pdf)
     qcol = F.array(*[F.lit(w).cast("bigint") for w in qwords])
     cand = (

@@ -337,12 +337,21 @@ def hard_negatives(
     query_emb: str = "q_embedding",
     query_id: str = "query_id",
     id_col: str = "vec_id",
+    anchors_in_corpus: bool = True,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training data: per query, the
     top_k MOST similar corpus rows that are NOT the anchor itself and NOT
     near-duplicates of it (sim >= dup_threshold is a positive/duplicate,
     excluded) — the highest-value negatives an embedding-model trainer
     can ask this store for. Returns (query_id, vec_id, rank, sim).
+
+    anchors_in_corpus=True (default) means query ids LIVE IN the corpus
+    id space (anchors are corpus rows), so the row whose id equals the
+    query_id is excluded as the anchor itself. Pass False when mining
+    for out-of-corpus query embeddings — otherwise corpus rows that
+    merely share an id value with a query would be silently dropped.
+    (The exact self-row is excluded by the dup gate either way: its sim
+    is 1.0 >= dup_threshold.)
 
     Shape: the bit-exact batch fold (broadcast query side, one corpus
     scan, per-query window rank). The dup gate is a pre-rank filter, so
@@ -351,11 +360,13 @@ def hard_negatives(
     post-filter instead."""
     from vervectordb_spark.functions.similarity import cosine_expr
 
+    gate = F.col("sim") < dup_threshold
+    if anchors_in_corpus:
+        gate = gate & (F.col(id_col) != F.col(query_id))
     scored = corpus.crossJoin(F.broadcast(queries)).select(
         query_id, id_col,
         cosine_expr(F.col(corpus_emb), F.col(query_emb)).alias("sim"),
-    ).filter((F.col("sim") < dup_threshold)
-             & (F.col(id_col) != F.col(query_id)))
+    ).filter(gate)
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -578,7 +578,7 @@ def repetition_profile(df: DataFrame, text_col: str = "text",
 
 def unigram_surprisal(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
-                      word_pattern: str = "^[a-z]+$") -> DataFrame:
+                      word_pattern: str | None = None) -> DataFrame:
     """Per-document mean unigram surprisal in bits/word against the
     corpus's OWN unigram distribution — the CCNet/RedPajama-style cheap
     LM proxy: word salad drawn from the corpus distribution scores near
@@ -591,11 +591,13 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text",
     groupBy(doc_id). Float contract: p = cnt/total single division,
     surprisal term rounded to 9dp (ln libm drift — the
     queries_pipeline.py precedent) then summed as exact DECIMALs;
-    bits/word = one final division, rounded at the end."""
-    words = df.select(
-        id_col,
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
-    ).filter((F.col("word") != "") & F.col("word").rlike(word_pattern))
+    bits/word = one final division, rounded at the end. Word extraction
+    is the shared functions/words contract."""
+    from vervectordb_spark.functions.words import ASCII_WORDS
+    from vervectordb_spark.functions.words import words as words_of
+
+    words = words_of(df, text_col, id_col=id_col,
+                     word_pattern=word_pattern or ASCII_WORDS)
     counts = words.groupBy("word").agg(
         F.count("*").cast("bigint").alias("cnt"))
     total = counts.agg(F.sum("cnt").cast("bigint").alias("total"))

@@ -734,7 +734,7 @@ sc AS (
   FROM embeddings e CROSS JOIN cent c
 ),
 a AS (
-  SELECT vec_id, cluster_id, ROUND(csim, 6) AS sim_c FROM (
+  SELECT vec_id, cluster_id, ROUND(csim, 6) + 0.0 AS sim_c FROM (
     SELECT vec_id, cluster_id, csim,
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY csim DESC, cluster_id) AS rk

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vervectordb_spark.functions.words import words_sql
 from vervectordb_spark.queries import query
 from vervectordb_spark.schema import load_table
 
@@ -53,11 +54,9 @@ def _bpe_ctes(steps: int) -> str:
     strings after each merge (word is carried through so consumers can
     join segmentations back to documents)."""
     parts = [
-        """w0 AS (
+        f"""w0 AS (
   SELECT word, COUNT(*)::BIGINT AS n
-  FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
-        FROM documents)
-  WHERE word <> '' AND regexp_matches(word, '^[a-z]+$')
+  FROM {words_sql('documents')}
   GROUP BY word
 )""",
         "s0 AS (SELECT word, n, '<' || array_to_string("
@@ -67,10 +66,17 @@ def _bpe_ctes(steps: int) -> str:
         parts.append(f"p{k} AS ({_PAIRS.format(prev=k - 1, split=_SPLIT)})")
         parts.append(f"m{k} AS (SELECT lft, rgt, cnt FROM p{k} "
                      f"ORDER BY cnt DESC, lft, rgt LIMIT 1)")
+        # mf{k} is ALWAYS one row: when no pair is learnable at step k
+        # (m{k} empty — Spark's train_bpe breaks out of its loop there),
+        # the COALESCEd '' pair makes the replace a no-op ('<><>' can
+        # never occur: symbols are non-empty), instead of the bare cross
+        # join collapsing the whole vocabulary to zero rows.
+        parts.append(f"mf{k} AS (SELECT COALESCE(MIN(lft), '') AS lft, "
+                     f"COALESCE(MIN(rgt), '') AS rgt FROM m{k})")
         parts.append(
             f"s{k} AS (SELECT word, n, replace(s, '<' || m.lft || '><' || "
             f"m.rgt || '>', '<' || m.lft || m.rgt || '>') AS s "
-            f"FROM s{k - 1}, m{k} m)"
+            f"FROM s{k - 1}, mf{k} m)"
         )
     return ",\n".join(parts)
 
@@ -108,12 +114,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bpe_token_counts",
     oracle=f"""
 WITH {_bpe_ctes(_STEPS)},
-doc_words AS (
-  SELECT doc_id, word FROM (
-    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
-    FROM documents
-  ) WHERE word <> '' AND regexp_matches(word, '^[a-z]+$')
-)
+doc_words AS (SELECT doc_id, word FROM {words_sql('documents', id_col='doc_id')})
 SELECT d.doc_id,
        COUNT(*)::BIGINT AS n_words,
        SUM(len({_split_of('v.s')}))::BIGINT AS n_tokens

@@ -451,15 +451,13 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unigram surprisal — CCNet-style cheap LM quality proxy
 # ---------------------------------------------------------------------------
 
+from vervectordb_spark.functions.words import words_sql as _words_sql
+
+
 @query(
     "doc_unigram_surprisal",
-    oracle="""
-WITH dw AS (
-  SELECT doc_id, word FROM (
-    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
-    FROM documents
-  ) WHERE word <> '' AND regexp_matches(word, '^[a-z]+$')
-),
+    oracle=f"""
+WITH dw AS (SELECT doc_id, word FROM {_words_sql('documents', id_col='doc_id')}),
 counts AS (SELECT word, COUNT(*)::BIGINT AS cnt FROM dw GROUP BY word),
 tot AS (SELECT SUM(cnt)::BIGINT AS total FROM counts),
 uni AS (
