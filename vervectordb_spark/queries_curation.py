@@ -532,3 +532,82 @@ def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = hard_negatives(emb, queries, top_k=5, dup_threshold=0.95)
     return out.select("query_id", "vec_id", "rank",
                       F.round("sim", 6).alias("sim"))
+
+
+# ---------------------------------------------------------------------------
+# topic-balanced sampling — cluster-quota curation over the embedding space
+# ---------------------------------------------------------------------------
+
+_TB_TOTAL = 160
+_TB_K = 16
+
+
+@query(
+    "topic_balanced_sample",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id::INTEGER AS cluster_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < {_TB_K}
+),
+assigned AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY (CASE WHEN list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0
+                              OR list_dot_product(c.cv, c.cv) = 0 THEN 0.0
+                        ELSE list_dot_product(e.embedding::DOUBLE[], c.cv)
+                             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                                * sqrt(list_dot_product(c.cv, c.cv))) END) DESC,
+                      c.cluster_id
+           ) AS rk
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rk = 1
+),
+topics AS (
+  SELECT d.doc_id, CAST(a.cluster_id AS VARCHAR) AS topic
+  FROM documents d JOIN assigned a ON a.vec_id = d.doc_id
+),
+counts AS (SELECT topic, COUNT(*) AS n FROM topics GROUP BY topic),
+rates AS (
+  SELECT topic, least(1.0, ({_TB_TOTAL}.0 / {_TB_K}) / n) AS rate FROM counts
+),
+kept AS (
+  SELECT t.doc_id, t.topic FROM topics t JOIN rates r USING (topic)
+  WHERE (('0x' || substr(md5('sample:42:' || t.doc_id), 1, 15))::BIGINT)::DOUBLE
+        / 1152921504606846976.0 < r.rate
+)
+SELECT doc_id, topic FROM kept
+""",
+)
+def topic_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced curation draw: assign every document to its
+    embedding topic (frozen-centroid argmax — the oracle-replayable
+    assignment every IVF query shares), then resample to a UNIFORM
+    topic mix with per-topic quota total/k via the same deterministic
+    hash draw as domain_mix_resample — the 'balance the training mix by
+    SEMANTIC cluster, not by metadata label' recipe. Full kept
+    membership (doc_id, topic) crosses the hash gate.
+
+    Scale: broadcast assignment (k-row nested-loop + per-row window),
+    one k-row count aggregate broadcast back, map-side hash-draw filter
+    — no corpus-sized shuffle at any point."""
+    from vervectordb_spark.operators.ivf import IVFIndex
+    from vervectordb_spark.schema import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    docs = _lt(spark, sf_dir, "documents")
+    cent = emb.filter(F.col("vec_id") < _TB_K).select(
+        F.col("vec_id").cast("int").alias("cluster_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    idx = IVFIndex.from_centroids(emb, cent)
+    topics = docs.select("doc_id").join(
+        idx.assigned.select(F.col("vec_id").alias("doc_id"),
+                            F.col("cluster_id").cast("string").alias("topic")),
+        on="doc_id",
+    )
+    targets = {str(c): 1.0 / _TB_K for c in range(_TB_K)}
+    kept = mix_to_target(topics, "topic", targets, id_col="doc_id",
+                         total=_TB_TOTAL, seed=42)
+    return kept.select("doc_id", "topic")
