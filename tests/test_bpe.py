@@ -117,3 +117,9 @@ def test_pair_counts_overlapping_runs(spark):
     rows = bpe.pair_counts(vocab).collect()
     assert len(rows) == 1
     assert (rows[0]["left"], rows[0]["right"], rows[0]["cnt"]) == ("a", "a", 3)
+
+
+def test_train_empty_corpus(spark):
+    df = spark.createDataFrame([("文档 123",)], "text string")  # all filtered
+    merges, vocab = bpe.train_bpe(df, n_merges=3)
+    assert merges == [] and vocab.count() == 0

@@ -263,3 +263,40 @@ def test_centroid_drift_zero_and_shifted(spark):
     assert got[0]["drift"] == 0.0 and got[0]["n"] == 10
     import math
     assert abs(got[1]["drift"] - shift * math.sqrt(dim)) < 1e-6
+
+
+def test_cluster_outliers_degenerate_cluster_excluded(spark):
+    """A cluster whose members all share one sim (var == 0) yields no
+    outlier rows; the healthy cluster still reports its worst-k."""
+    import numpy as np
+
+    from vervectordb_spark.operators.ivf import cluster_outliers
+
+    c0 = [1.0] + [0.0] * 7
+    c1 = [0.0] * 7 + [1.0]
+    rng = np.random.default_rng(2)
+    rows = [(i, c0) for i in range(8)]                      # var 0 on c0
+    rows += [(100 + i, (np.array(c1) + rng.normal(0, 0.2, 8)).tolist())
+             for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cent = spark.createDataFrame([(0, c0), (1, c1)],
+                                 "cluster_id int, centroid array<double>")
+    out = cluster_outliers(df, cent, worst_k=3).collect()
+    assert {r["cluster_id"] for r in out} == {1}
+    assert len(out) == 3
+
+
+def test_centroid_drift_empty_cluster_absent(spark):
+    """A centroid that captures no rows simply has no drift row (the
+    stats join drops it) — callers read absence as 'dead list'."""
+    from vervectordb_spark.operators.ivf import centroid_drift
+
+    c0 = [1.0, 0.0]
+    c_far = [-1.0, 0.0]
+    df = spark.createDataFrame([(i, c0) for i in range(5)],
+                               "vec_id bigint, embedding array<double>")
+    cent = spark.createDataFrame([(0, c0), (1, c_far)],
+                                 "cluster_id int, centroid array<double>")
+    rows = centroid_drift(df, cent, dim=2).collect()
+    assert [r["cluster_id"] for r in rows] == [0]
+    assert rows[0]["drift"] == 0.0
