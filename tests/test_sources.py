@@ -249,3 +249,49 @@ def test_time_partition_floor_division_pre_epoch(spark, tmp_path):
         for d in glob.glob(f"{path}/event_day=*")
     )
     assert days == [-1, 0, 1]
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    """Deterministic shard membership, one file per shard dir, manifest
+    counts match the data, and a re-export lands every row in the SAME
+    shard."""
+    import glob
+    import json
+
+    from vervectordb_spark.schema import load_table
+    from vervectordb_spark.sources.tables import write_training_shards
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "shards")
+    man = {r["shard"]: r["n_rows"]
+           for r in write_training_shards(docs, path, rows_per_shard=64,
+                                          id_col="doc_id").collect()}
+    assert sum(man.values()) == 500
+    assert len(man) == 8  # ceil(500/64)
+    meta = json.load(open(f"{path}/_shards_manifest.json"))
+    assert meta["total_rows"] == 500 and meta["n_shards"] == 8
+    assert {int(k): v for k, v in meta["shards"].items()} == man
+    for shard in man:
+        files = glob.glob(f"{path}/shard={shard}/part-*")
+        assert len(files) == 1, shard
+    back = spark.read.parquet(path)
+    assert back.count() == 500
+    first = {r["doc_id"]: r["shard"] for r in back.select("doc_id", "shard").collect()}
+    path2 = str(tmp_path / "shards2")
+    write_training_shards(docs, path2, rows_per_shard=64, id_col="doc_id")
+    second = {r["doc_id"]: r["shard"]
+              for r in spark.read.parquet(path2).select("doc_id", "shard").collect()}
+    assert first == second
+
+
+def test_write_training_shards_rejects_bad_input(spark):
+    import pytest as _pytest
+
+    from vervectordb_spark.sources.tables import write_training_shards
+
+    df = spark.createDataFrame([], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match="empty"):
+        write_training_shards(df, "/tmp/never", 10, id_col="doc_id")
+    df2 = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match="positive"):
+        write_training_shards(df2, "/tmp/never", 0, id_col="doc_id")

@@ -222,3 +222,67 @@ def read_time_partitioned(spark: SparkSession, path: str) -> DataFrame:
     directory pruning (verified by runtime scan metrics in
     tests/test_sources.py)."""
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# sharded training export
+# ---------------------------------------------------------------------------
+
+
+def write_training_shards(df: DataFrame, path: str, rows_per_shard: int,
+                          id_col: str, format: str = "parquet",
+                          seed: int = 42) -> DataFrame:
+    """Export a curated corpus as numbered training shards — the sink a
+    packing/curation pipeline hands to a trainer's dataloader.
+
+    Shard membership is the deterministic md5 hash of the row id (the
+    house draw family): stable across runs, engines, partitionings, and
+    incremental re-exports — re-exporting the same rows lands them in the
+    SAME shard, so shard-level caching/resume on the trainer side stays
+    valid. n_shards = ceil(n / rows_per_shard); hash bucketing makes
+    rows_per_shard a TARGET (±O(sqrt) per shard), not an exact quota —
+    exact quotas would need a global sort.
+
+    Layout: {path}/shard=<k>/part-*.{format}, ONE file per shard (the
+    repartition puts each shard's rows in exactly one task), written
+    atomically (write-to-temp + swap, sources/atomic.py). Returns the
+    (shard, n_rows) manifest frame — KB-sized, also persisted as
+    {path}/_shards_manifest.json after the swap.
+
+    Scale: one count, one hash-keyed repartition (the only shuffle), one
+    write pass. At 100 TB pick rows_per_shard so a shard ≈ a few GB.
+    """
+    import math
+
+    from vervectordb_spark.functions.hashing import seeded_md5_long
+    from vervectordb_spark.sources.atomic import atomic_save
+
+    if rows_per_shard <= 0:
+        raise ValueError(f"rows_per_shard must be positive, got {rows_per_shard}")
+    n = df.count()
+    if n == 0:
+        raise ValueError("write_training_shards on an empty frame")
+    n_shards = max(1, math.ceil(n / rows_per_shard))
+    sharded = df.withColumn(
+        "shard",
+        F.pmod(seeded_md5_long(F.col(id_col).cast("string"), seed),
+               F.lit(n_shards)).cast("int"),
+    )
+    with atomic_save(path) as tmp:
+        (sharded.repartition(n_shards, "shard")
+         .write.mode("overwrite").partitionBy("shard")
+         .format(format).save(tmp))
+    spark = df.sparkSession
+    manifest = (spark.read.format(format).load(path)
+                .groupBy("shard").agg(F.count("*").cast("bigint")
+                                      .alias("n_rows"))
+                .orderBy("shard"))
+    rows = manifest.collect()
+    import json as _json
+
+    with open(f"{path}/_shards_manifest.json", "w") as fh:
+        _json.dump({"n_shards": n_shards, "rows_per_shard_target": rows_per_shard,
+                    "seed": seed, "total_rows": n,
+                    "shards": {int(r["shard"]): int(r["n_rows"]) for r in rows}},
+                   fh, sort_keys=True)
+    return manifest
