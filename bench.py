@@ -687,10 +687,14 @@ def build_benches(spark, sf_dir: str):
             if not _rotbq_holder:
                 rotated = hd.with_rotation(emb, 64)
                 thr = bq.fit_bq_thresholds(rotated, emb_col="emb_rot", dim=64)
+                # materialize thresholds locally: rotated_bq_search calls
+                # thr.toPandas(), which on the LAZY fit frame would re-run
+                # the corpus rotation + min/max fit every benched query
+                thr_local = spark.createDataFrame(thr.toPandas())
                 coded = bq.with_codes(rotated, thr, 64, emb_col="emb_rot") \
                     .select("vec_id", "bq_code").cache()
                 coded.count()
-                _rotbq_holder.append((coded, thr))
+                _rotbq_holder.append((coded, thr_local))
             coded, thr = _rotbq_holder[0]
             # the PRODUCTION single-query serving path with the persisted
             # artifacts (thresholds + codes) passed in — steady state is

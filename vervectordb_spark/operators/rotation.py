@@ -41,8 +41,9 @@ then y = h * (1/d)^0.5 (exact for power-of-two d). Every kernel performs
 these EXACT float64 ops in this EXACT order — bit-identical outputs are
 pytest-pinned and oracle-gated.
 
-dim must be a power of two (the fixtures' 64 is). Pad-to-pow2 is the
-standard extension; not implemented until a fixture needs it — we raise
+dim must be a power of two (the fixtures' 64 is) unless pad=True, which
+zero-pads to next_pow2(dim) first (the standard extension — exact-zero
+padding keeps norms/cosines vs the RAW vectors); without pad we raise
 instead of silently changing the output dimension.
 """
 
@@ -246,6 +247,11 @@ def rotated_bq_search(
     from vervectordb_spark.functions.similarity import cosine_expr
     from vervectordb_spark.operators import bq
 
+    if (thresholds is None) != (codes is None):
+        raise ValueError(
+            "pass thresholds AND codes together (they are artifacts of ONE "
+            "fit/encode pass; mixing a fresh fit with persisted codes makes "
+            "query bits disagree with corpus bits) — or neither")
     d2 = next_pow2(dim)
     signs = hd_signs(d2, seed)
     if thresholds is None or codes is None:

@@ -350,8 +350,10 @@ def hard_negatives(
     query_id is excluded as the anchor itself. Pass False when mining
     for out-of-corpus query embeddings — otherwise corpus rows that
     merely share an id value with a query would be silently dropped.
-    (The exact self-row is excluded by the dup gate either way: its sim
-    is 1.0 >= dup_threshold.)
+    (For nonzero-norm anchors the exact self-row is excluded by the dup
+    gate either way — its sim is 1.0 >= dup_threshold; a zero-norm anchor
+    scores 0 against everything under the cosine zero-norm guard, so
+    mining negatives for it is meaningless rather than wrong.)
 
     Shape: the bit-exact batch fold (broadcast query side, one corpus
     scan, per-query window rank). The dup gate is a pre-rank filter, so

@@ -578,7 +578,7 @@ def repetition_profile(df: DataFrame, text_col: str = "text",
 
 def unigram_surprisal(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
-                      word_pattern: str | None = None) -> DataFrame:
+                      word_pattern: str | None = "ASCII") -> DataFrame:
     """Per-document mean unigram surprisal in bits/word against the
     corpus's OWN unigram distribution — the CCNet/RedPajama-style cheap
     LM proxy: word salad drawn from the corpus distribution scores near
@@ -596,8 +596,10 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text",
     from vervectordb_spark.functions.words import ASCII_WORDS
     from vervectordb_spark.functions.words import words as words_of
 
-    words = words_of(df, text_col, id_col=id_col,
-                     word_pattern=word_pattern or ASCII_WORDS)
+    # "ASCII" sentinel = the shared oracle-scope default; None passes
+    # through to words()'s keep-every-non-empty-word semantics
+    pat = ASCII_WORDS if word_pattern == "ASCII" else word_pattern
+    words = words_of(df, text_col, id_col=id_col, word_pattern=pat)
     counts = words.groupBy("word").agg(
         F.count("*").cast("bigint").alias("cnt"))
     total = counts.agg(F.sum("cnt").cast("bigint").alias("total"))

@@ -134,13 +134,12 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookup + one key shuffle."""
     from vervectordb_spark.operators.bpe import train_bpe
 
+    from vervectordb_spark.functions.words import words as words_of
+
     docs = load_table(spark, sf_dir, "documents")
     _merges, vocab = train_bpe(docs, n_merges=_STEPS)
     seg = vocab.select("word", F.size("symbols").alias("_wtoks"))
-    words = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"),
-    ).filter((F.col("word") != "") & F.col("word").rlike("^[a-z]+$"))
+    words = words_of(docs, "text", id_col="doc_id")
     return (
         words.join(F.broadcast(seg), on="word")
         .groupBy("doc_id")

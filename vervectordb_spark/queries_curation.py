@@ -452,6 +452,10 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from vervectordb_spark.functions.words import words_sql as _words_sql
+from vervectordb_spark.queries import _cos
+
+#: the shared bit-exact cosine twin, instantiated for the topic assignment
+_cos_frag = _cos("e.embedding::DOUBLE[]", "c.cv")
 
 
 @query(
@@ -554,12 +558,7 @@ assigned AS (
     SELECT e.vec_id, c.cluster_id,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY (CASE WHEN list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0
-                              OR list_dot_product(c.cv, c.cv) = 0 THEN 0.0
-                        ELSE list_dot_product(e.embedding::DOUBLE[], c.cv)
-                             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                                * sqrt(list_dot_product(c.cv, c.cv))) END) DESC,
-                      c.cluster_id
+             ORDER BY {_cos_frag} DESC, c.cluster_id
            ) AS rk
     FROM embeddings e CROSS JOIN cent c
   ) WHERE rk = 1

@@ -231,58 +231,81 @@ def read_time_partitioned(spark: SparkSession, path: str) -> DataFrame:
 
 def write_training_shards(df: DataFrame, path: str, rows_per_shard: int,
                           id_col: str, format: str = "parquet",
-                          seed: int = 42) -> DataFrame:
+                          seed: int = 42,
+                          n_shards: int | None = None) -> DataFrame:
     """Export a curated corpus as numbered training shards — the sink a
     packing/curation pipeline hands to a trainer's dataloader.
 
-    Shard membership is the deterministic md5 hash of the row id (the
-    house draw family): stable across runs, engines, partitionings, and
-    incremental re-exports — re-exporting the same rows lands them in the
-    SAME shard, so shard-level caching/resume on the trainer side stays
-    valid. n_shards = ceil(n / rows_per_shard); hash bucketing makes
+    Shard membership is pmod(md5(id), n_shards) (the house draw family):
+    stable across runs, engines, and partitionings FOR A FIXED n_shards.
+    By default n_shards = ceil(n / rows_per_shard) — derived from the
+    CURRENT count, so an incremental re-export whose count crosses a
+    shard boundary changes the modulus and reshuffles memberships; pass
+    an explicit n_shards to pin the modulus when trainer-side shard
+    caching/resume must survive re-exports. Hash bucketing makes
     rows_per_shard a TARGET (±O(sqrt) per shard), not an exact quota —
-    exact quotas would need a global sort.
+    exact quotas would need a global sort — and a shard left empty by
+    hash variance (only plausible at tiny n) gets NO directory: iterate
+    the manifest, which lists EVERY shard id 0..n_shards-1 with its
+    count, not the directory listing.
+
+    Rows with a NULL id are rejected up front (they would land in a
+    non-numbered hive default partition).
 
     Layout: {path}/shard=<k>/part-*.{format}, ONE file per shard (the
-    repartition puts each shard's rows in exactly one task), written
-    atomically (write-to-temp + swap, sources/atomic.py). Returns the
-    (shard, n_rows) manifest frame — KB-sized, also persisted as
-    {path}/_shards_manifest.json after the swap.
+    repartition puts each shard's rows in exactly one task), with the
+    {path}/_shards_manifest.json written INSIDE the same atomic
+    write-and-swap — a crash leaves either the previous complete export
+    or none, never a torn tree. Returns the (shard, n_rows) manifest
+    frame.
 
-    Scale: one count, one hash-keyed repartition (the only shuffle), one
-    write pass. At 100 TB pick rows_per_shard so a shard ≈ a few GB.
+    Scale: one validate/count pass, one hash-keyed repartition (the only
+    shuffle), one write pass, one k-row count aggregate. At 100 TB pick
+    rows_per_shard so a shard ≈ a few GB.
     """
+    import json as _json
     import math
+    import os
 
     from vervectordb_spark.functions.hashing import seeded_md5_long
     from vervectordb_spark.sources.atomic import atomic_save
 
     if rows_per_shard <= 0:
         raise ValueError(f"rows_per_shard must be positive, got {rows_per_shard}")
+    n_null = df.filter(F.col(id_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"write_training_shards: {n_null} rows have NULL {id_col!r}")
     n = df.count()
     if n == 0:
         raise ValueError("write_training_shards on an empty frame")
-    n_shards = max(1, math.ceil(n / rows_per_shard))
+    if n_shards is None:
+        n_shards = max(1, math.ceil(n / rows_per_shard))
+    elif n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
     sharded = df.withColumn(
         "shard",
         F.pmod(seeded_md5_long(F.col(id_col).cast("string"), seed),
                F.lit(n_shards)).cast("int"),
-    )
-    with atomic_save(path) as tmp:
-        (sharded.repartition(n_shards, "shard")
-         .write.mode("overwrite").partitionBy("shard")
-         .format(format).save(tmp))
+    ).repartition(n_shards, "shard")
     spark = df.sparkSession
-    manifest = (spark.read.format(format).load(path)
-                .groupBy("shard").agg(F.count("*").cast("bigint")
-                                      .alias("n_rows"))
-                .orderBy("shard"))
-    rows = manifest.collect()
-    import json as _json
-
-    with open(f"{path}/_shards_manifest.json", "w") as fh:
-        _json.dump({"n_shards": n_shards, "rows_per_shard_target": rows_per_shard,
-                    "seed": seed, "total_rows": n,
-                    "shards": {int(r["shard"]): int(r["n_rows"]) for r in rows}},
-                   fh, sort_keys=True)
-    return manifest
+    with atomic_save(path) as tmp:
+        (sharded.write.mode("overwrite").partitionBy("shard")
+         .format(format).save(tmp))
+        # manifest counts come from the WRITTEN tree (no second source
+        # scan) and land inside the same atomic swap
+        counts = {int(r["shard"]): int(r["n_rows"])
+                  for r in spark.read.format(format).load(tmp)
+                  .groupBy("shard")
+                  .agg(F.count("*").cast("bigint").alias("n_rows")).collect()}
+        with open(os.path.join(tmp, "_shards_manifest.json"), "w") as fh:
+            _json.dump(
+                {"n_shards": n_shards,
+                 "rows_per_shard_target": rows_per_shard,
+                 "seed": seed, "total_rows": n,
+                 "shards": {k: counts.get(k, 0) for k in range(n_shards)}},
+                fh, sort_keys=True)
+    return spark.createDataFrame(
+        [(k, counts.get(k, 0)) for k in range(n_shards)],
+        "shard int, n_rows bigint",
+    )
