@@ -195,3 +195,28 @@ def test_rotated_batch_matches_single(spark, emb):
         single = [(r["vec_id"], r["hamming"], round(r["sim"], 9))
                   for r in R.rotated_bq_search(emb, qv, DIM, top_k=5).collect()]
         assert by_q[qid] == single, qid
+
+
+def test_store_rotated_bq_facade(spark):
+    """train/compress/search facade: the query row wins (hamming 0,
+    cosine 1), compressed serving matches uncompressed serving
+    row-for-row, and a post-compress insert is still searchable (NULL
+    codes encoded on the fly)."""
+    from vervectordb_spark.store import VectorStore
+
+    rng = np.random.default_rng(17)
+    store = VectorStore(spark, vector_dim=8)
+    vecs = np.exp(rng.normal(size=(96, 8))).astype(np.float64)  # skewed
+    ids = store.batch_insert(vecs.tolist())
+    before = store.rotated_bq_search(vecs[9].tolist(), top_k=4)
+    store.rotated_bq_compress()
+    assert "bq_rot_code" in store.df.columns
+    after = store.rotated_bq_search(vecs[9].tolist(), top_k=4)
+    assert before == after
+    assert after[0]["vector_id"] == ids[9]
+    assert after[0]["hamming"] == 0
+    assert abs(after[0]["similarity"] - 1.0) < 1e-9
+    new_vec = np.exp(rng.normal(size=8)).tolist()
+    new_id = store.insert(new_vec)
+    hits = store.rotated_bq_search(new_vec, top_k=2)
+    assert hits[0]["vector_id"] == new_id and hits[0]["hamming"] == 0

@@ -84,6 +84,10 @@ class VectorStore:
         # threshold is a comparison; out-of-range rows just encode as
         # all-0/all-1 bits on the drifted dims — refit to re-center).
         self._bq_thr_pdf = None
+        # rotated-BQ codec: (seed, thresholds fit on the ROTATED
+        # coordinates) — same centroid-class semantics as _bq_thr_pdf,
+        # plus the rotation's (dim, seed) which IS the whole transform
+        self._rotbq: tuple[int, object] | None = None
         # provenance for same-path save-after-load (see save())
         self._loaded_from: str | None = None
         self._ivf_from_disk = False
@@ -570,6 +574,75 @@ class VectorStore:
         out = bq.hamming_search(
             self.df, self._bq_thresholds(), query_vector, top_k=top_k,
             rerank_factor=rerank_factor,
+        )
+        return [{"vector_id": r["vec_id"], "similarity": r["sim"],
+                 "hamming": r["hamming"]} for r in out.collect()]
+
+    def train_rotated_bq(self, seed: int = 42):
+        """Rotated-BQ codec: HD-rotate (operators/rotation.py — balances
+        skewed per-dimension distributions so the sign bits carry more
+        signal; see RECALL.md for when it wins) and fit the midrange
+        thresholds on the ROTATED coordinates. State is (seed, dim-row
+        thresholds) — centroid-class, kept across mutations like the
+        other codecs."""
+        from vervectordb_spark.operators import bq, rotation
+
+        d2 = rotation.next_pow2(self.vector_dim)
+        rotated = rotation.with_rotation(self.df, self.vector_dim, seed,
+                                         pad=d2 != self.vector_dim)
+        thr_pdf = bq.fit_bq_thresholds(rotated, emb_col="emb_rot",
+                                       dim=d2).toPandas()
+        if len(thr_pdf) == 0:
+            raise ValueError("train_rotated_bq on an empty store")
+        self._rotbq = (seed, thr_pdf)
+        return thr_pdf
+
+    def _rotbq_state(self, seed: int):
+        if self._rotbq is None or self._rotbq[0] != seed:
+            self.train_rotated_bq(seed)
+        return self.spark.createDataFrame(self._rotbq[1])
+
+    def rotated_bq_compress(self, seed: int = 42) -> DataFrame:
+        """Adds bq_rot_code ARRAY<BIGINT> — the packed sign words of the
+        ROTATED coordinates (trains the codec first if needed). Rows
+        ingested afterwards carry NULL codes and are encoded on the fly
+        at search time (the with_codes coalesce contract)."""
+        from vervectordb_spark.operators import bq, rotation
+
+        thr = self._rotbq_state(seed)
+        d2 = rotation.next_pow2(self.vector_dim)
+        rotated = rotation.with_rotation(self.df, self.vector_dim, seed,
+                                         pad=d2 != self.vector_dim)
+        self.df = bq.with_codes(rotated, thr, d2, emb_col="emb_rot",
+                                out_col="bq_rot_code").drop("emb_rot")
+        return self.df
+
+    def rotated_bq_search(self, query_vector: Sequence[float],
+                          top_k: int = 5, rerank_factor: int = 3,
+                          seed: int = 42) -> list[dict]:
+        """Rotated-BQ serving: Hamming scan in the rotated coordinate
+        system, exact cosine rerank on the RAW vectors (rotation is
+        metric-preserving, so the reported sim is the same one every
+        other path reports). Uses stored bq_rot_code words when
+        rotated_bq_compress ran (NULL-code rows encoded on the fly);
+        otherwise rotates + encodes in-line."""
+        from vervectordb_spark.operators import bq, rotation
+
+        thr = self._rotbq_state(seed)
+        d2 = rotation.next_pow2(self.vector_dim)
+        # ONE path either way: the store's trained thresholds plus a
+        # codes frame that reuses stored bq_rot_code words when compress
+        # ran (with_codes coalesces NULL-code rows) and encodes lazily
+        # when it didn't — never a silent inline refit.
+        rotated = rotation.with_rotation(
+            self.df, self.vector_dim, seed, pad=d2 != self.vector_dim)
+        codes = bq.with_codes(rotated, thr, d2, emb_col="emb_rot",
+                              out_col="bq_rot_code").select(
+            "vec_id", F.col("bq_rot_code").alias("bq_code"))
+        out = rotation.rotated_bq_search(
+            self.df, query_vector, self.vector_dim, top_k=top_k,
+            rerank_factor=rerank_factor, seed=seed,
+            thresholds=thr, codes=codes,
         )
         return [{"vector_id": r["vec_id"], "similarity": r["sim"],
                  "hamming": r["hamming"]} for r in out.collect()]
