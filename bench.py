@@ -424,6 +424,22 @@ def build_benches(spark, sf_dir: str):
             # ONE wide aggregate of 2*dim decimal sums + k-row join
             return _force(centroid_drift(emb, _frozen_cent(), dim=len(qv)))
 
+        from vervectordb_spark.operators.imi import IMIIndex
+
+        _imi_holder: list = []
+
+        @bench("imi_search_1q")
+        def _imi():
+            # two-level coarse quantizer serving: 2x2 rectangle probe of
+            # 64 cells (16 trained centroids), exact rescore inside.
+            # Build is a one-time cost cached on the first repeat.
+            if not _imi_holder:
+                idx = IMIIndex.build(emb, k1=8, k2=8, dim=len(qv), seed=42)
+                idx.assigned.cache().count()  # the persisted layout
+                _imi_holder.append(idx)
+            return _force(_imi_holder[0].search(qv, top_k=10, a=2, b=2),
+                          limit=10)
+
         @bench("hard_negatives_4q")
         def _hardneg():
             qs = emb.filter(F.col("vec_id") < 4).select(

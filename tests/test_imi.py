@@ -1,0 +1,72 @@
+"""Inverted multi-index (operators/imi.py): cell-count arithmetic
+(k1·k2 cells from k1+k2 centroids), numpy-vs-fold probe agreement,
+rectangle containment, recall on a clustered corpus, and the
+fewer-than-k edge."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from vervectordb_spark.operators.imi import IMIIndex
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """64 Gaussian blobs in 16 dims — the locality IMI exists for."""
+    rng = np.random.default_rng(41)
+    centers = rng.normal(size=(64, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(1024):
+        c = centers[i % 64]
+        rows.append((i, (c + rng.normal(0, 0.05, 16)).tolist()))
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>").cache()
+
+
+@pytest.fixture(scope="module")
+def idx(corpus):
+    return IMIIndex.build(corpus, k1=8, k2=8, dim=16, seed=42)
+
+
+def test_cells_from_few_centroids(idx):
+    assert idx.cent1.shape == (8, 8) and idx.cent2.shape == (8, 8)
+    stats = idx.cell_stats().collect()
+    assert sum(r["n"] for r in stats) == 1024
+    assert len(stats) <= 64  # k1*k2 cells max, from 16 trained centroids
+    assert len(stats) > 8    # genuinely 2-dimensional cell structure
+
+
+def test_numpy_probe_matches_fold_probe(corpus, idx):
+    qv = [float(x) for x in
+          corpus.filter(F.col("vec_id") == 7).first()["embedding"]]
+    assert idx.probe_cells(qv, 3, 3) == idx.probe_cells_exact(qv, 3, 3)
+
+
+def test_search_self_and_rectangle(corpus, idx):
+    row = corpus.filter(F.col("vec_id") == 17).first()
+    qv = [float(x) for x in row["embedding"]]
+    out = idx.search(qv, top_k=5, a=2, b=2).collect()
+    assert out[0]["vec_id"] == 17  # self in the probed rectangle, sim 1
+    assert abs(out[0]["sim"] - 1.0) < 1e-9
+    c1, c2 = idx.probe_cells(qv, 2, 2)
+    for r in out:
+        assert r["cell1"] in c1 and r["cell2"] in c2
+
+
+def test_recall_on_clustered(corpus, idx):
+    rng = np.random.default_rng(5)
+    recalls = []
+    for q in rng.choice(1024, size=5, replace=False):
+        qv = [float(x) for x in
+              corpus.filter(F.col("vec_id") == int(q)).first()["embedding"]]
+        recalls.append(idx.recall_at_k(corpus, qv, k=10, a=3, b=3))
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_small_rectangle_can_underfill(corpus, idx):
+    qv = [float(x) for x in
+          corpus.filter(F.col("vec_id") == 3).first()["embedding"]]
+    out = idx.search(qv, top_k=10_000, a=1, b=1).collect()
+    assert 0 < len(out) < 1024  # one cell only — documented underfill

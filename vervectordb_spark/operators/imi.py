@@ -1,0 +1,218 @@
+"""Inverted multi-index (IMI) — the two-level coarse quantizer for cell
+counts a flat IVF cannot reach (Babenko & Lempitsky, CVPR 2012 "The
+Inverted Multi-Index").
+
+Beyond the reference's scope (its IVF is flat,
+vervectordb/__init__.py:219-246); included because this is the standard
+production answer at 100 TB: a flat IVF needs ~N/occupancy cells, and
+fitting 2^20 centroids is infeasible — the IMI gets k1·k2 cells from only
+k1 + k2 trained centroids by splitting the vector into two halves and
+quantizing each independently. Cell id = (argmax_half1, argmax_half2).
+
+Spark shape:
+  - assignment: TWO broadcast argmax passes (each a max_by aggregate over
+    k candidates — map-side partial, no window) appending (cell1, cell2);
+  - layout: partition by cell1 (fan-out bounded by k1, safe for any
+    filesystem), sort/cluster by cell2 within — a probe prunes partitions
+    on cell1 and row groups on cell2;
+  - probe: rectangle probing — the top-a cells on half1 × top-b on half2
+    (a·b cells scanned out of k1·k2). True IMI orders cells by SUMMED
+    distance with a multi-sequence heap; the rectangle is its bounding
+    box (every multi-sequence probe set of length <= a·b lies inside some
+    rectangle), trades a little scan volume for a plan that is ONE
+    pushdown-able conjunctive IN-filter — no per-cell loop, no driver
+    state beyond the k1 + k2 centroid matrices.
+
+Halves: dim split at dim//2 (power-of-two fixture dims split evenly; the
+HD rotation — operators/rotation.py — is the standard pre-transform when
+raw halves carry unbalanced energy).
+
+Cosine per half uses the SAME bit-exact fold as every other kernel, so
+the frozen-centroid path replays in DuckDB verbatim.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vervectordb_spark.functions.similarity import cosine_expr, to_double
+
+
+def _half_expr(emb_col: str, dim: int, half: int):
+    """half 1 = dims [1, dim//2], half 2 = (dim//2, dim] — F.slice is
+    1-based; both engines slice identically."""
+    mid = dim // 2
+    if half == 1:
+        return F.slice(to_double(F.col(emb_col)), 1, mid)
+    return F.slice(to_double(F.col(emb_col)), mid + 1, dim - mid)
+
+
+def _assign_half(df: DataFrame, cent: DataFrame, emb_col: str, dim: int,
+                 half: int, out_col: str, id_col: str) -> DataFrame:
+    """Append out_col = argmax cosine(half(emb), centroid) over the
+    broadcast half-centroid table (cell_id int, centroid array<double>).
+    One max_by aggregate — the diagnostics' assignment shape
+    (operators/ivf._assign_with_sim), partial-aggregatable at scale."""
+    scored = df.crossJoin(F.broadcast(
+        cent.select(F.col("cell_id").alias("_cid"),
+                    F.col("centroid").alias("_cv"))
+    )).withColumn("_cs", cosine_expr(_half_expr(emb_col, dim, half),
+                                     F.col("_cv")))
+    grouped = scored.groupBy(*df.columns).agg(
+        F.max_by("_cid", F.struct(F.col("_cs"),
+                                  (-F.col("_cid")).alias("_n"))).alias(out_col)
+    )
+    return grouped
+
+
+class IMIIndex:
+    """Two-level coarse quantizer: assigned frame carries (cell1, cell2);
+    centroid halves live driver-side (k1 + k2 rows of KB-class state)."""
+
+    def __init__(self, assigned: DataFrame, cent1: np.ndarray,
+                 cent2: np.ndarray, dim: int,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+        self.assigned = assigned
+        self.cent1 = cent1
+        self.cent2 = cent2
+        self.dim = dim
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def _cent_df(self, half: int) -> DataFrame:
+        cent = self.cent1 if half == 1 else self.cent2
+        return self.assigned.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
+            "cell_id int, centroid array<double>",
+        )
+
+    # -- construction ------------------------------------------------
+
+    @classmethod
+    def from_centroids(cls, df: DataFrame, cent1_df: DataFrame,
+                       cent2_df: DataFrame, dim: int,
+                       id_col: str = "vec_id",
+                       emb_col: str = "embedding") -> "IMIIndex":
+        """Frozen-centroid construction — the oracle-replayable path.
+        cent{1,2}_df: (cell_id int, centroid array<double>) of dim//2 and
+        dim - dim//2 element centroids respectively."""
+        a = _assign_half(df, cent1_df, emb_col, dim, 1, "cell1", id_col)
+        a = _assign_half(a, cent2_df, emb_col, dim, 2, "cell2", id_col)
+
+        def mat(cdf):
+            rows = sorted(cdf.collect(), key=lambda r: r["cell_id"])
+            return np.asarray([list(r["centroid"]) for r in rows],
+                              dtype=np.float64)
+
+        return cls(a, mat(cent1_df), mat(cent2_df), dim,
+                   id_col=id_col, emb_col=emb_col)
+
+    @classmethod
+    def build(cls, df: DataFrame, k1: int = 32, k2: int = 32,
+              dim: int | None = None, seed: int = 42,
+              id_col: str = "vec_id",
+              emb_col: str = "embedding") -> "IMIIndex":
+        """Production fit: one MLlib KMeans per half (k1 + k2 centroids
+        TOTAL for k1*k2 cells — the whole point). Reuses the IVF build
+        machinery per half."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        if dim is None:
+            dim = df.select(F.size(emb_col).alias("d")).first()["d"]
+        spark = df.sparkSession
+        cents = []
+        for half, k in ((1, k1), (2, k2)):
+            feats = df.select(
+                array_to_vector(_half_expr(emb_col, dim, half))
+                .alias("_features"))
+            model = KMeans(k=k, seed=seed, featuresCol="_features").fit(feats)
+            cents.append(spark.createDataFrame(
+                [(i, [float(x) for x in c])
+                 for i, c in enumerate(model.clusterCenters())],
+                "cell_id int, centroid array<double>",
+            ))
+        return cls.from_centroids(df, cents[0], cents[1], dim,
+                                  id_col=id_col, emb_col=emb_col)
+
+    # -- serving -----------------------------------------------------
+
+    def probe_cells(self, query_vec: Sequence[float],
+                    a: int = 2, b: int = 2) -> tuple[list[int], list[int]]:
+        """Rectangle probe: the a best half1 cells × b best half2 cells,
+        ranked by the SAME cosine the assignment used (driver-side NumPy
+        over k1 + k2 centroids, no Spark job — the serving path). Ties
+        break on cell id."""
+        q = np.asarray(query_vec, dtype=np.float64)
+        mid = self.dim // 2
+        out = []
+        for cent, qs, k in ((self.cent1, q[:mid], a),
+                            (self.cent2, q[mid:], b)):
+            qn = float(np.sqrt((qs * qs).sum()))
+            cn = np.sqrt((cent * cent).sum(axis=1))
+            den = cn * qn
+            sims = np.where(den == 0, 0.0,
+                            (cent @ qs) / np.where(den == 0, 1.0, den))
+            order = sorted(range(len(cent)), key=lambda i: (-sims[i], i))
+            out.append([int(i) for i in order[:k]])
+        return out[0], out[1]
+
+    def probe_cells_exact(self, query_vec: Sequence[float],
+                          a: int = 2, b: int = 2) -> tuple[list[int], list[int]]:
+        """Probe via the Catalyst fold kernel — bit-exact with the DuckDB
+        oracle's ORDER BY sim DESC, cell_id LIMIT; 2 trivial k-row jobs
+        (the ivf.probe_clusters_exact pattern). Oracle-gated queries use
+        this; serving uses the NumPy probe_cells."""
+        q = np.asarray(query_vec, dtype=np.float64)
+        mid = self.dim // 2
+        out = []
+        for half, qs, k in ((1, q[:mid], a), (2, q[mid:], b)):
+            ranked = (self._cent_df(half).select(
+                "cell_id",
+                cosine_expr(F.col("centroid"),
+                            [float(x) for x in qs]).alias("sim"))
+                .orderBy(F.desc("sim"), F.asc("cell_id")).limit(k))
+            out.append([r["cell_id"] for r in ranked.collect()])
+        return out[0], out[1]
+
+    def search(self, query_vec: Sequence[float], top_k: int = 5,
+               a: int = 2, b: int = 2, exact_probe: bool = False) -> DataFrame:
+        """Probe the a×b cell rectangle, exact-cosine rescore inside it,
+        top-k. The cell filter is a conjunctive IN-pair — pushdown-able,
+        partition-pruning on a cell1-partitioned layout. Returns
+        (id, cell1, cell2, sim); may return fewer than top_k rows when
+        the rectangle holds fewer (raise a/b, like nprobe)."""
+        probe = self.probe_cells_exact if exact_probe else self.probe_cells
+        c1, c2 = probe(query_vec, a, b)
+        cand = self.assigned.filter(
+            F.col("cell1").isin(c1) & F.col("cell2").isin(c2))
+        return (
+            cand.select(
+                self.id_col, "cell1", "cell2",
+                cosine_expr(F.col(self.emb_col), list(query_vec))
+                .alias("sim"),
+            )
+            .orderBy(F.desc("sim"), F.asc(self.id_col))
+            .limit(top_k)
+        )
+
+    def cell_stats(self) -> DataFrame:
+        """(cell1, cell2, n) occupancy — the skew report; k1*k2 rows max."""
+        return (self.assigned.groupBy("cell1", "cell2")
+                .agg(F.count("*").cast("bigint").alias("n")))
+
+    def recall_at_k(self, df: DataFrame, query_vec: Sequence[float],
+                    k: int = 10, a: int = 4, b: int = 4) -> float:
+        from vervectordb_spark.operators.search import brute_force_topk
+
+        truth = {r[self.id_col] for r in brute_force_topk(
+            df, query_vec, k, emb_col=self.emb_col,
+            id_col=self.id_col).collect()}
+        got = {r[self.id_col]
+               for r in self.search(query_vec, top_k=k, a=a, b=b).collect()}
+        return len(truth & got) / max(len(truth), 1)
