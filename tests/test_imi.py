@@ -70,3 +70,23 @@ def test_small_rectangle_can_underfill(corpus, idx):
           corpus.filter(F.col("vec_id") == 3).first()["embedding"]]
     out = idx.search(qv, top_k=10_000, a=1, b=1).collect()
     assert 0 < len(out) < 1024  # one cell only — documented underfill
+
+
+def test_save_load_roundtrip(spark, corpus, idx, tmp_path):
+    """The persisted cell1-partitioned layout reloads into an index that
+    serves identical results; cell1 partition dirs exist on disk."""
+    import glob
+
+    path = str(tmp_path / "imi")
+    idx.save(path)
+    assert glob.glob(f"{path}/vectors_by_cell/cell1=*")
+    back = IMIIndex.load(spark, path)
+    assert back.dim == idx.dim
+    assert np.array_equal(back.cent1, idx.cent1)
+    qv = [float(x) for x in
+          corpus.filter(F.col("vec_id") == 29).first()["embedding"]]
+    a = [(r["vec_id"], round(r["sim"], 9))
+         for r in idx.search(qv, top_k=5, a=2, b=2).collect()]
+    b = [(r["vec_id"], round(r["sim"], 9))
+         for r in back.search(qv, top_k=5, a=2, b=2).collect()]
+    assert a == b

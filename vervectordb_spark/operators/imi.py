@@ -201,6 +201,46 @@ class IMIIndex:
             .limit(top_k)
         )
 
+    # -- persistence ---------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Persist the two-level layout: data partitioned BY cell1 (fan-out
+        bounded by k1 — filesystem-safe at any k1·k2) and SORTED by cell2
+        within each partition file, so a rectangle probe prunes
+        partitions on cell1 and row groups on cell2. Write-then-swap
+        (sources/atomic.py): an interrupted save leaves the previous
+        complete artifact (the ivf.save contract)."""
+        from vervectordb_spark.sources.atomic import atomic_save
+
+        with atomic_save(path) as tmp:
+            (self.assigned.repartition("cell1").sortWithinPartitions("cell2")
+             .write.mode("overwrite").partitionBy("cell1")
+             .parquet(f"{tmp}/vectors_by_cell"))
+            for half, cent in ((1, self.cent1), (2, self.cent2)):
+                self._cent_df(half).coalesce(1).write.mode(
+                    "overwrite").parquet(f"{tmp}/centroids{half}")
+            spark = self.assigned.sparkSession
+            spark.createDataFrame([(self.dim,)], "dim int").coalesce(1) \
+                .write.mode("overwrite").parquet(f"{tmp}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str, id_col: str = "vec_id",
+             emb_col: str = "embedding") -> "IMIIndex":
+        assigned = spark.read.parquet(f"{path}/vectors_by_cell")
+        cents = []
+        for half in (1, 2):
+            rows = (spark.read.parquet(f"{path}/centroids{half}")
+                    .orderBy("cell_id").collect())
+            if not rows:
+                raise ValueError(
+                    f"IMI centroids{half} at {path} are empty (interrupted "
+                    "save?) — rebuild or delete the directory")
+            cents.append(np.asarray([list(r["centroid"]) for r in rows],
+                                    dtype=np.float64))
+        dim = spark.read.parquet(f"{path}/meta").first()["dim"]
+        return cls(assigned, cents[0], cents[1], dim,
+                   id_col=id_col, emb_col=emb_col)
+
     def cell_stats(self) -> DataFrame:
         """(cell1, cell2, n) occupancy — the skew report; k1*k2 rows max."""
         return (self.assigned.groupBy("cell1", "cell2")
