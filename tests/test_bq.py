@@ -255,3 +255,21 @@ def test_store_ivfbq_search(spark):
     assert len(hits) == 3
     sims = [h["similarity"] for h in hits]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_codes_only_without_rerank_fails_fast(spark, emb, thr):
+    """ADVICE r5: a codes-only corpus with rerank=None (or a rerank frame
+    missing the embedding column) raises the module's ValueError up
+    front, not a late unresolved-column AnalysisException."""
+    coded = bq.with_codes(emb, thr, 64).select("vec_id", "bq_code")
+    qv = [float(x) for x in emb.first()["embedding"]]
+    with pytest.raises(ValueError, match="rerank"):
+        bq.hamming_search(coded, thr, qv, top_k=3)
+    with pytest.raises(ValueError, match="missing"):
+        bq.hamming_search(coded, thr, qv, top_k=3,
+                          rerank=coded.select("vec_id"))
+    queries = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"))
+    with pytest.raises(ValueError, match="rerank"):
+        bq.batch_hamming_search(coded, thr, queries, top_k=3)

@@ -90,3 +90,17 @@ def test_save_load_roundtrip(spark, corpus, idx, tmp_path):
     b = [(r["vec_id"], round(r["sim"], 9))
          for r in back.search(qv, top_k=5, a=2, b=2).collect()]
     assert a == b
+
+
+def test_null_embeddings_excluded_from_assignment(spark):
+    """ADVICE r5: NULL-embedding rows are filtered before half
+    assignment (the ivf._assign_with_sim contract) — they never land in
+    an arbitrary unreachable cell or skew cell_stats."""
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(64)]
+    rows += [(900, None), (901, None)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    idx = IMIIndex.build(df, k1=2, k2=2, dim=8, seed=1)
+    assert idx.assigned.count() == 64
+    assert idx.assigned.filter(F.col("vec_id") >= 900).count() == 0
+    assert sum(r["n"] for r in idx.cell_stats().collect()) == 64

@@ -142,3 +142,39 @@ def test_streaming_refresh_matches_batch_and_is_idempotent(spark, ev, tmp_path):
     # a NEW batch id still commits
     cr.refresh(ev.select(*cols).limit(10), batch_id=999)
     assert cr.table.latest_version() == v + 1
+
+
+def test_batch_id_set_survives_expire_and_compact(spark, ev, tmp_path):
+    """ADVICE r5: the committed-batch-id set lives in the HEAD manifest's
+    carried-forward meta — O(1) to check, and a late re-delivery of a
+    batch whose own manifest was expired/vacuumed still skips instead of
+    double-counting. Compaction (overwrite) carries the set too."""
+    cols = ["event_id", "hour_bucket", "event_type", "user_id", "value"]
+    cr = rollup.ContinuousRollup(spark, str(tmp_path / "agg4"), KEYS,
+                                 "value")
+    for bid in range(4):
+        cr.refresh(ev.select(*cols).filter(F.col("event_id") % 4 == bid),
+                   batch_id=bid)
+    assert cr.committed_batches() == {0, 1, 2, 3}
+    expect = _final_rows(_direct(ev))
+    assert _final_rows(rollup.merge_rollup(cr.partials(), KEYS)) == expect
+
+    # expire every manifest but HEAD, vacuum the orphaned data
+    cr.table.expire_versions(keep_last=1)
+    cr.table.vacuum(min_age_seconds=0)
+    # batch 0's own manifest is gone — the head meta still remembers it
+    v = cr.table.latest_version()
+    cr.refresh(ev.select(*cols).filter(F.col("event_id") % 4 == 0),
+               batch_id=0)
+    assert cr.table.latest_version() == v  # skipped, not double-counted
+    assert _final_rows(rollup.merge_rollup(cr.partials(), KEYS)) == expect
+
+    # compaction is an overwrite — the set must survive it
+    cr.compact()
+    assert cr.committed_batches() == {0, 1, 2, 3}
+    v = cr.table.latest_version()
+    cr.refresh(ev.select(*cols), batch_id=2)
+    assert cr.table.latest_version() == v
+    # a genuinely new batch still commits and joins the set
+    cr.refresh(ev.select(*cols).limit(5), batch_id=7)
+    assert cr.committed_batches() == {0, 1, 2, 3, 7}

@@ -220,3 +220,62 @@ def test_store_rotated_bq_facade(spark):
     new_id = store.insert(new_vec)
     hits = store.rotated_bq_search(new_vec, top_k=2)
     assert hits[0]["vector_id"] == new_id and hits[0]["hamming"] == 0
+
+
+def test_rotated_bq_state_survives_save_load(spark, tmp_path):
+    """ADVICE r5 (medium): save() persists (seed, rotated thresholds) to
+    {path}/bq_rot and load() restores them — so after an insert-then-load,
+    rotated_bq_search scores the persisted bq_rot_code words under the
+    SAME thresholds they were packed with (no silent refit drift)."""
+    from vervectordb_spark.store import VectorStore
+
+    rng = np.random.default_rng(23)
+    store = VectorStore(spark, vector_dim=8)
+    vecs = np.exp(rng.normal(size=(64, 8))).astype(np.float64)
+    store.batch_insert(vecs.tolist())
+    store.rotated_bq_compress(seed=7)
+    # insert AFTER compress: the exact flow where a post-load refit would
+    # produce different thresholds than the packed corpus words
+    new_vec = np.exp(rng.normal(size=8)).tolist()
+    store.insert(new_vec)
+    before = store.rotated_bq_search(vecs[3].tolist(), top_k=5, seed=7)
+    path = str(tmp_path / "rotstore")
+    store.save(path)
+
+    loaded = VectorStore.load(spark, path)
+    assert loaded._rotbq is not None
+    assert loaded._rotbq[0] == 7
+    # thresholds bit-equal to the in-session state
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        loaded._rotbq[1].sort_values("pos").reset_index(drop=True),
+        store._rotbq[1].sort_values("pos").reset_index(drop=True),
+    )
+    after = VectorStore.load(spark, path).rotated_bq_search(
+        vecs[3].tolist(), top_k=5, seed=7)
+    assert before == after
+
+
+def test_load_drops_orphan_rot_codes(spark, tmp_path):
+    """A vectors table carrying bq_rot_code WITHOUT persisted rotated
+    thresholds (legacy artifact) loads with the code column dropped —
+    search re-encodes consistently instead of mixing refit query bits
+    with stale corpus bits."""
+    import shutil
+
+    from vervectordb_spark.store import VectorStore
+
+    rng = np.random.default_rng(29)
+    store = VectorStore(spark, vector_dim=8)
+    store.batch_insert(np.exp(rng.normal(size=(32, 8))).tolist())
+    store.rotated_bq_compress(seed=3)
+    path = str(tmp_path / "legacy")
+    store.save(path)
+    shutil.rmtree(f"{path}/bq_rot")  # simulate the pre-fix artifact
+    loaded = VectorStore.load(spark, path)
+    assert loaded._rotbq is None
+    assert "bq_rot_code" not in loaded.df.columns
+    # search still works (trains fresh, encodes in-line)
+    hits = loaded.rotated_bq_search(
+        [float(x) for x in loaded.df.first()["embedding"]], top_k=2, seed=3)
+    assert hits[0]["hamming"] == 0

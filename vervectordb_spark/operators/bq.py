@@ -150,6 +150,19 @@ def encode_query(query_vec, thresholds_pdf) -> list[int]:
     return out
 
 
+def _require_rerank_vectors(rerank, emb_col: str, code_col: str) -> None:
+    """Codes-only corpus needs raw vectors for the exact-rerank stage —
+    fail NOW with the module's contract message, not later with an opaque
+    unresolved-column AnalysisException from cosine_expr (ADVICE r5)."""
+    if rerank is None:
+        raise ValueError(
+            f"df has {code_col!r} but no embedding column: pass the "
+            f"raw-vector table as rerank= so the exact stage can score"
+        )
+    if emb_col not in rerank.columns:
+        raise ValueError(f"rerank is missing {emb_col!r}")
+
+
 def hamming_search(df: DataFrame, thresholds: DataFrame, query_vec,
                    top_k: int = 5, rerank_factor: int = 3,
                    emb_col: str = "embedding", id_col: str = "vec_id",
@@ -172,6 +185,7 @@ def hamming_search(df: DataFrame, thresholds: DataFrame, query_vec,
         coded = with_codes(df, thresholds, dim, emb_col=emb_col,
                            out_col=code_col)
     elif code_col in df.columns:
+        _require_rerank_vectors(rerank, emb_col, code_col)
         coded = df.filter(F.col(code_col).isNotNull())
     else:
         raise ValueError(f"df needs {emb_col!r} or {code_col!r}")
@@ -241,6 +255,7 @@ def batch_hamming_search(df: DataFrame, thresholds: DataFrame,
         coded = with_codes(df, thresholds, dim, emb_col=emb_col,
                            out_col=code_col)
     elif code_col in df.columns:
+        _require_rerank_vectors(rerank, emb_col, code_col)
         coded = df.filter(F.col(code_col).isNotNull())
     else:
         raise ValueError(f"df needs {emb_col!r} or {code_col!r}")

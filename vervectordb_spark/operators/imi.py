@@ -57,7 +57,13 @@ def _assign_half(df: DataFrame, cent: DataFrame, emb_col: str, dim: int,
     """Append out_col = argmax cosine(half(emb), centroid) over the
     broadcast half-centroid table (cell_id int, centroid array<double>).
     One max_by aggregate — the diagnostics' assignment shape
-    (operators/ivf._assign_with_sim), partial-aggregatable at scale."""
+    (operators/ivf._assign_with_sim), partial-aggregatable at scale.
+
+    NULL-embedding rows are excluded up front (the _assign_with_sim
+    contract): cosine over a NULL half is NULL for every centroid, so
+    max_by would otherwise assign an arbitrary cell silently — a row no
+    rectangle probe can ever reach (ADVICE r5)."""
+    df = df.filter(F.col(emb_col).isNotNull())
     scored = df.crossJoin(F.broadcast(
         cent.select(F.col("cell_id").alias("_cid"),
                     F.col("centroid").alias("_cv"))
@@ -126,6 +132,10 @@ class IMIIndex:
         if dim is None:
             dim = df.select(F.size(emb_col).alias("d")).first()["d"]
         spark = df.sparkSession
+        # NULL embeddings can neither train (array_to_vector NPEs) nor be
+        # assigned a meaningful cell — exclude them up front (ADVICE r5,
+        # the ivf._assign_with_sim contract)
+        df = df.filter(F.col(emb_col).isNotNull())
         cents = []
         for half, k in ((1, k1), (2, k2)):
             feats = df.select(

@@ -122,20 +122,40 @@ class ContinuousRollup:
         one versioned append. The raw events are NOT retained here — the
         rollup is the materialization, the fact table lives elsewhere.
 
-        With `batch_id`, the commit is IDEMPOTENT: the id is recorded in
-        the manifest op and a re-delivery of an already-committed batch
-        (a foreachBatch retry after a sink-side failure) is skipped —
-        the transactional-sink handshake Structured Streaming expects
-        (the Delta/Iceberg txn-id pattern). Without it, a retried batch
-        would double-count."""
-        op = "append" if batch_id is None else f"rollup-batch:{batch_id}"
-        if batch_id is not None and any(
-            m.get("op") == op for m in self.table.history()
-        ):
+        With `batch_id`, the commit is IDEMPOTENT: the committed-id set
+        is carried forward in the HEAD manifest's meta (one read, O(1)
+        per refresh instead of an O(n_refreshes) history scan, and it
+        survives vacuum of old manifests — a late re-delivery of a
+        vacuumed batch still skips instead of double-counting; ADVICE
+        r5). A re-delivery of an already-committed batch (a foreachBatch
+        retry after a sink-side failure) is a no-op — the
+        transactional-sink handshake Structured Streaming expects (the
+        Delta/Iceberg txn-id pattern)."""
+        if batch_id is None:
+            p = partial_rollup(batch, self.keys, self.value_col,
+                               self.distinct_col)
+            return self.table.append(p, op="append")
+        if batch_id in self.committed_batches():
             return self.table.manifest()  # already folded in — no-op
         p = partial_rollup(batch, self.keys, self.value_col,
                            self.distinct_col)
-        return self.table.append(p, op=op)
+        return self.table.append(
+            p, op=f"rollup-batch:{batch_id}",
+            meta_fn=lambda m: {
+                **m,
+                "rollup_batches": sorted(
+                    set(m.get("rollup_batches", [])) | {int(batch_id)}),
+            },
+        )
+
+    def committed_batches(self) -> set[int]:
+        """Batch ids folded into the current head — read from the head
+        manifest's carried-forward meta (never a history walk)."""
+        try:
+            man = self.table.manifest()
+        except FileNotFoundError:
+            return set()
+        return set(man.get("meta", {}).get("rollup_batches", []))
 
     def streaming_refresh(self, stream: DataFrame, checkpoint: str,
                           available_now: bool = True):

@@ -117,9 +117,13 @@ class VersionedTable:
     # ------------------------------------------------------------ commit
     def _publish(self, version: int, files: list[str], op: str,
                  parent: int | None, n_rows: int,
-                 stats: dict | None = None) -> dict:
+                 stats: dict | None = None,
+                 meta: dict | None = None) -> dict:
         """Exclusive-publish manifest v{version}. Raises CommitConflict if
-        that version already exists (racing writer won)."""
+        that version already exists (racing writer won). `meta` is
+        table-level metadata carried forward commit-to-commit (e.g. the
+        rollup's committed-batch-id set) — it lives in the HEAD manifest,
+        so it survives vacuum of old versions."""
         man = {
             "version": version,
             "parent": parent,
@@ -127,6 +131,7 @@ class VersionedTable:
             "files": sorted(files),
             "n_rows": n_rows,
             "stats": stats or {},
+            "meta": meta or {},
             "ts": time.time(),
         }
         final = _manifest_path(self.path, version)
@@ -180,12 +185,19 @@ class VersionedTable:
         for _ in range(max_retries):
             head = self.latest_version()
             head_man = self.manifest(head) if head is not None else None
-            files, n_rows, stats = build(head_man)
+            out = build(head_man)
+            files, n_rows, stats = out[:3]
+            # 3-tuple builders carry the head's meta forward unchanged
+            # (so compaction/overwrite never loses the batch-id set);
+            # a 4th element replaces it — re-derived per retry against
+            # the FRESH head, same discipline as the file list
+            meta = out[3] if len(out) > 3 else (
+                dict(head_man.get("meta", {})) if head_man else {})
             try:
                 return self._publish(
                     (head if head is not None else -1) + 1,
                     files=files, op=op, parent=head, n_rows=n_rows,
-                    stats=stats,
+                    stats=stats, meta=meta,
                 )
             except CommitConflict:
                 continue
@@ -196,25 +208,31 @@ class VersionedTable:
     # ------------------------------------------------------------ writes
     def append(self, df: DataFrame,
                stats_cols: list[str] | None = None,
-               op: str = "append") -> dict:
+               op: str = "append", meta_fn=None) -> dict:
         """Add rows: new data dir + manifest carrying parent files + it.
         The data write happens BEFORE the commit race — a loser retries
         with its already-written files, never rewrites data — and the
         parent file list is re-read per attempt (see _commit). With
         stats_cols, the manifest also records the new dir's min/max per
         column (merged with the parent's entries) for read_pruned.
-        `op` labels the manifest (default "append") — writers that need
-        idempotent re-delivery (streaming foreachBatch retries) encode a
-        batch id in it and check history() before committing."""
+        `op` labels the manifest (default "append"). `meta_fn(head_meta)
+        -> meta` updates the carried-forward table metadata — evaluated
+        per commit attempt against the fresh head, so writers recording
+        e.g. a committed-batch-id set stay race-safe."""
         rel, n, st = self._write_data(df, stats_cols)
-        return self._commit(
-            lambda head: (
+
+        def build(head):
+            base = (
                 (head["files"] if head else []) + [rel],
                 (head["n_rows"] if head else 0) + n,
                 {**(head.get("stats", {}) if head else {}), rel: st},
-            ),
-            op=op,
-        )
+            )
+            if meta_fn is None:
+                return base
+            return (*base,
+                    meta_fn(dict(head.get("meta", {})) if head else {}))
+
+        return self._commit(build, op=op)
 
     def overwrite(self, df: DataFrame,
                   stats_cols: list[str] | None = None) -> dict:

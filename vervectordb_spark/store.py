@@ -818,6 +818,16 @@ class VectorStore:
                 self.spark.createDataFrame(self._bq_thr_pdf).coalesce(
                     1
                 ).write.parquet(f"{tmp}/bq")
+            if self._rotbq is not None:
+                # rotated-BQ state is (seed, thresholds-on-rotated-coords);
+                # the persisted bq_rot_code words were packed under THESE
+                # thresholds — reloading without them would let
+                # _rotbq_state silently refit on post-compress rows and
+                # disagree with the stored code words (ADVICE r5)
+                seed, thr_pdf = self._rotbq
+                self.spark.createDataFrame(
+                    thr_pdf.assign(rot_seed=seed)
+                ).coalesce(1).write.parquet(f"{tmp}/bq_rot")
             if self._pq_res is not None and self._ivf is not None:
                 # valid only with the centroids it was fitted against — the
                 # IVF artifacts saved below carry them
@@ -860,6 +870,18 @@ class VectorStore:
             store._bq_thr_pdf = spark.read.parquet(f"{path}/bq").toPandas()
         except AnalysisException:
             pass  # no BQ thresholds saved
+        try:
+            rot_pdf = spark.read.parquet(f"{path}/bq_rot").toPandas()
+            if len(rot_pdf):
+                seed = int(rot_pdf["rot_seed"].iloc[0])
+                store._rotbq = (seed, rot_pdf.drop(columns=["rot_seed"]))
+        except AnalysisException:
+            # no persisted rotated thresholds: any bq_rot_code column in
+            # the vectors table was packed under thresholds we no longer
+            # have — drop it so search re-encodes consistently instead of
+            # silently mixing refit query bits with stale corpus bits
+            if "bq_rot_code" in df.columns:
+                store.df = store.df.drop("bq_rot_code")
         from vervectordb_spark.operators.ivf import IVFIndex
 
         try:
