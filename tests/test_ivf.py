@@ -300,3 +300,67 @@ def test_centroid_drift_empty_cluster_absent(spark):
     rows = centroid_drift(df, cent, dim=2).collect()
     assert [r["cluster_id"] for r in rows] == [0]
     assert rows[0]["drift"] == 0.0
+
+
+def test_centroid_drift_arrow_bit_identical_to_expr(spark):
+    """The Arrow partial-sum drift kernel (production-dim path) is
+    bit-equal to the 2*dim-expr spec at dim=64 on the real embeddings
+    fixture — same rounded-decimal sums, same mean/fold op sequence."""
+    from vervectordb_spark.operators.ivf import centroid_drift
+    from vervectordb_spark.schema import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = IVFIndex.build(emb, n_clusters=8, seed=42)
+    cent = idx.centroids_df()
+    expr_rows = centroid_drift(emb, cent, 64, kernel="expr").collect()
+    arrow_rows = centroid_drift(emb, cent, 64, kernel="arrow").collect()
+    assert [(r["cluster_id"], r["n"], r["drift"]) for r in expr_rows] \
+        == [(r["cluster_id"], r["n"], r["drift"]) for r in arrow_rows]
+    with pytest.raises(ValueError, match="kernel"):
+        centroid_drift(emb, cent, 64, kernel="nope")
+
+
+def test_centroid_drift_arrow_dim2048_matches_numpy(spark):
+    """dim=2048 compiles and matches a NumPy replay of the spec:
+    HALF_UP round-to-6 on the shortest repr, exact scaled-integer sums,
+    mean = double(decimal)/n, pos-ordered left fold of squared deltas."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from vervectordb_spark.operators.ivf import centroid_drift
+
+    rng = np.random.default_rng(13)
+    dim, k = 2048, 3
+    C = rng.normal(size=(k, dim))
+    rows, members = [], {i: [] for i in range(k)}
+    for i in range(90):
+        c = i % k
+        v = C[c] + rng.normal(0, 0.01, dim)
+        rows.append((i, v.tolist()))
+        members[c].append(v)
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>").repartition(8)
+    cent = spark.createDataFrame(
+        [(i, C[i].tolist()) for i in range(k)],
+        "cluster_id int, centroid array<double>")
+    got = {r["cluster_id"]: (r["n"], r["drift"])
+           for r in centroid_drift(df, cent, dim, kernel="arrow").collect()}
+
+    def spark_round6(x: float) -> int:
+        return int(Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP) * 1_000_000)
+
+    for c in range(k):
+        X = np.stack(members[c])
+        n = len(X)
+        scaled = np.array([[spark_round6(v) for v in row] for row in X],
+                          dtype=object).sum(axis=0)
+        drift_sq = 0.0
+        for j in range(dim):
+            d = float(Decimal(int(scaled[j])) / Decimal(1_000_000)) / n \
+                - C[c][j]
+            drift_sq = drift_sq + d * d
+        import math
+        expect = round(math.sqrt(drift_sq), 6)
+        assert got[c][0] == n
+        assert abs(got[c][1] - expect) < 1e-12, c

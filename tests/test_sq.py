@@ -214,3 +214,32 @@ def test_store_ivfsq_search(spark):
     assert hits[0]["vector_id"] == ids[7]
     assert hits[0]["similarity"] == pytest.approx(1.0)
     assert len(hits) == 3
+
+
+def test_arrow_fit_bit_identical_to_wide_fit(emb, stats):
+    """The Arrow partial-agg fit (the production-dim path) produces the
+    exact same (pos, mn, mx) rows as the expr fits at dim=64."""
+    arrow = sq.fit_sq_stats_arrow(emb, "embedding", 64).collect()
+    base = {r["pos"]: (r["mn"], r["mx"]) for r in stats.collect()}
+    assert len(arrow) == len(base)
+    for r in arrow:
+        assert (r["mn"], r["mx"]) == base[r["pos"]], r["pos"]
+
+
+def test_arrow_fit_dim2048_matches_numpy(spark):
+    """Production-dim smoke: dim=2048 compiles (no 4096-expression
+    aggregate for codegen to choke on) and matches NumPy exactly."""
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(200, 2048))
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)],
+        "vec_id bigint, embedding array<double>").repartition(8)
+    got = {r["pos"]: (r["mn"], r["mx"])
+           for r in sq.fit_sq_stats_arrow(df, "embedding", 2048).collect()}
+    assert len(got) == 2048
+    mns, mxs = X.min(axis=0), X.max(axis=0)
+    for j in (0, 1, 777, 2047):
+        assert got[j] == (mns[j], mxs[j])
+    assert all(got[j] == (mns[j], mxs[j]) for j in range(2048))
+    # auto-dispatch: expr at dim<=256, arrow beyond
+    assert sq.fit_sq_stats_auto(df, "embedding", 2048).count() == 2048

@@ -47,7 +47,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from vervectordb_spark.operators.sq import fit_sq_stats, fit_sq_stats_wide
+from vervectordb_spark.operators.sq import fit_sq_stats, fit_sq_stats_auto
 
 BITS_PER_WORD = 60
 
@@ -62,10 +62,11 @@ def fit_bq_thresholds(df: DataFrame, emb_col: str = "embedding",
     aggregate, order-independent and therefore oracle-replayable.
 
     Pass dim when emb_col is a COMPUTED column (e.g. the HD rotation):
-    that routes through the Generate-free wide fit (sq.fit_sq_stats_wide)
-    instead of the posexplode fit, dodging the InferFiltersFromGenerate
-    chain-substitution blowup. Stats are bit-identical either way."""
-    stats = (fit_sq_stats_wide(df, emb_col, dim) if dim is not None
+    that routes through the Generate-free fit (sq.fit_sq_stats_auto —
+    the 2*dim-expr wide fit up to dim 256, the Arrow partial-agg kernel
+    beyond, bit-identical either way) instead of the posexplode fit,
+    dodging the InferFiltersFromGenerate chain-substitution blowup."""
+    stats = (fit_sq_stats_auto(df, emb_col, dim) if dim is not None
              else fit_sq_stats(df, emb_col))
     return stats.select(
         "pos", ((F.col("mn") + F.col("mx")) / 2.0).alias("thr")

@@ -147,9 +147,84 @@ def cluster_outliers(df: DataFrame, centroids_df: DataFrame,
     )
 
 
+def _centroid_drift_arrow(df: DataFrame, centroids_df: DataFrame, dim: int,
+                          id_col: str, emb_col: str) -> DataFrame:
+    """Arrow partial-aggregation twin of the 2*dim-expr centroid_drift
+    for production embedding dims (1024-4096, where one GroupBy carrying
+    thousands of decimal aggregate expressions stops fitting whole-stage
+    codegen). Bit-identical to the expr spec (pinned at dim=64 in
+    tests/test_ivf.py) because every float decision is replicated
+    exactly:
+
+      * elements are rounded JVM-side (F.round(x, 6), the same call the
+        expr path makes) BEFORE the kernel — the Python side never
+        re-implements Spark's HALF_UP-on-shortest-repr rounding;
+      * the kernel scales rounded values by 1e6 to int64 (exact for
+        |x| < ~2e9/1e6, far beyond any embedding range) and sums
+        INTEGERS per (partition, cluster) — associative and exact, the
+        same algebra as the expr path's decimal(24,6) sums;
+      * the final merge sums int64 partials as decimal, rebuilds the
+        exact decimal mean (one scale shift, no rounding), casts to
+        double and divides by n — the expr spec's op sequence verbatim;
+      * drift folds d*d in pos order via F.aggregate from F.lit(0.0) —
+        the expr path's literal left fold.
+
+    Shuffle: partitions x k partial rows (dim-long int arrays) +
+    k x dim exploded sum rows — independent of corpus size."""
+    import pandas as pd
+
+    a = _assign_with_sim(df, centroids_df, id_col, emb_col,
+                         keep_emb=True).select("cluster_id", emb_col)
+    rounded = a.select(
+        "cluster_id",
+        F.transform(F.col(emb_col).cast("array<double>"),
+                    lambda x: F.round(x, 6)).alias("_r"))
+
+    def part(batches):
+        acc: dict[int, list] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for cid, grp in pdf.groupby("cluster_id"):
+                X = np.asarray(grp["_r"].tolist(), dtype=np.float64)
+                s = np.rint(X * 1e6).astype(np.int64).sum(axis=0)
+                ent = acc.setdefault(int(cid), [0, np.zeros(dim, np.int64)])
+                ent[0] += len(grp)
+                ent[1] += s
+        if acc:
+            yield pd.DataFrame(
+                [(cid, n, s.tolist()) for cid, (n, s) in acc.items()],
+                columns=["cluster_id", "n", "s"])
+
+    partials = rounded.mapInPandas(
+        part, "cluster_id int, n bigint, s array<bigint>")
+    ns = partials.groupBy("cluster_id").agg(F.sum("n").alias("n"))
+    sums = (partials.select("cluster_id",
+                            F.posexplode("s").alias("pos", "_sv"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.sum(F.col("_sv").cast("decimal(30,0)")).alias("_sv")))
+    cent = centroids_df.select(
+        "cluster_id", F.posexplode("centroid").alias("pos", "_c"))
+    per = (sums.join(F.broadcast(ns), on="cluster_id")
+           .join(F.broadcast(cent), on=["cluster_id", "pos"])
+           .withColumn("_mean",
+                       (F.col("_sv") / F.lit(1000000).cast("decimal(10,0)"))
+                       .cast("double") / F.col("n"))
+           .withColumn("_d", F.col("_mean") - F.col("_c")))
+    fold = per.groupBy("cluster_id", "n").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "_d"))).alias("_ds"))
+    return (fold.select(
+        "cluster_id", "n",
+        F.round(F.sqrt(F.aggregate(
+            "_ds", F.lit(0.0),
+            lambda acc2, s: acc2 + s["_d"] * s["_d"])), 6).alias("drift"))
+        .orderBy("cluster_id"))
+
+
 def centroid_drift(df: DataFrame, centroids_df: DataFrame, dim: int,
                    id_col: str = "vec_id",
-                   emb_col: str = "embedding") -> DataFrame:
+                   emb_col: str = "embedding",
+                   kernel: str = "auto") -> DataFrame:
     """Index-maintenance trigger metric: per cluster, the L2 distance
     between the FROZEN centroid and the CURRENT member mean — the number
     streaming/refresh.py's rebuild cadence should watch (drift ~ 0 means
@@ -162,7 +237,18 @@ def centroid_drift(df: DataFrame, centroids_df: DataFrame, dim: int,
     assignment chain), means by single double divisions, and the drift
     as a FIXED left-fold sum of squared per-dim deltas — every float op
     replays verbatim in the DuckDB oracle. Elements are rounded to 6 and
-    summed as exact DECIMALs (order-independent across partitions)."""
+    summed as exact DECIMALs (order-independent across partitions).
+
+    kernel: "expr" (the 2*dim aggregate expressions below — the
+    oracle-replayable form), "arrow" (_centroid_drift_arrow — the
+    mapInPandas partial-sum kernel that survives dim 1024-4096), or
+    "auto" (expr up to sq.MAX_EXPR_FIT_DIM, arrow beyond). The two are
+    bit-identical (pinned in tests/test_ivf.py), so the seam is
+    invisible to callers."""
+    if kernel not in ("auto", "expr", "arrow"):
+        raise ValueError(f"unknown kernel {kernel!r}")
+    if kernel == "arrow" or (kernel == "auto" and dim > 256):
+        return _centroid_drift_arrow(df, centroids_df, dim, id_col, emb_col)
     a = _assign_with_sim(df, centroids_df, id_col, emb_col,
                          keep_emb=True).select(id_col, "cluster_id", emb_col)
     aggs = [F.count("*").cast("bigint").alias("n")]

@@ -101,6 +101,62 @@ def fit_sq_stats_wide(df: DataFrame, emb_col: str, dim: int) -> DataFrame:
             .select("_s.pos", "_s.mn", "_s.mx"))
 
 
+#: widest fit that stays on the expr kernels — beyond this, ONE GroupBy
+#: carrying 2*dim aggregate expressions stops fitting whole-stage codegen
+#: (janino falls back / compile time blows up at dim 1024-4096, the real
+#: embedding-model range), so auto-dispatch switches to the Arrow
+#: partial-aggregation kernel
+MAX_EXPR_FIT_DIM = 256
+
+
+def fit_sq_stats_arrow(df: DataFrame, emb_col: str, dim: int) -> DataFrame:
+    """Arrow partial-aggregation twin of fit_sq_stats_wide for production
+    embedding dims: each PARTITION reduces to one dim-row (pos, mn, mx)
+    frame inside a mapInPandas kernel (vectorized column-wise min/max —
+    no 2*dim aggregate expressions for codegen to choke on at dim
+    1024-4096), then a dim-key groupBy merges partition partials.
+    Shuffle volume: O(partitions x dim) rows, same reduction shape as the
+    expr fit.
+
+    Bit-identical to fit_sq_stats_wide by construction — min/max over
+    doubles is exact comparison, order-independent — pinned at dim=64 in
+    tests/test_sq.py. Contract: NaN-free input (shared by every kernel
+    in this module); NULL embeddings are excluded like the expr fit
+    (min/max aggregates skip NULL rows)."""
+    import pandas as pd
+
+    src = (df.select(F.col(emb_col).cast("array<double>").alias("_e"))
+           .filter(F.col("_e").isNotNull()))
+
+    def part(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        mn = np.full(dim, np.inf)
+        mx = np.full(dim, -np.inf)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(pdf["_e"].tolist(), dtype=np.float64)
+            mn = np.minimum(mn, X.min(axis=0))
+            mx = np.maximum(mx, X.max(axis=0))
+            seen = True
+        if seen:
+            yield pd.DataFrame({"pos": np.arange(dim, dtype=np.int32),
+                                "mn": mn, "mx": mx})
+
+    partials = src.mapInPandas(part, "pos int, mn double, mx double")
+    return partials.groupBy("pos").agg(F.min("mn").alias("mn"),
+                                       F.max("mx").alias("mx"))
+
+
+def fit_sq_stats_auto(df: DataFrame, emb_col: str, dim: int) -> DataFrame:
+    """Dispatch: expr wide fit (oracle-replayable, whole-stage codegen)
+    up to MAX_EXPR_FIT_DIM; Arrow partial-agg kernel beyond — the two are
+    bit-identical, so callers never see the seam."""
+    if dim <= MAX_EXPR_FIT_DIM:
+        return fit_sq_stats_wide(df, emb_col, dim)
+    return fit_sq_stats_arrow(df, emb_col, dim)
+
+
 def stats_row(stats: DataFrame) -> DataFrame:
     """Fold the dim-row stats table into ONE row of (mns, mxs) arrays,
     ordered by pos — the broadcastable plan constant encode/decode
