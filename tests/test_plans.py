@@ -437,3 +437,17 @@ def test_bloom_prune_filter_sits_below_join_exchange(spark):
     assert "ShuffleExchange" not in between, between
     # and the probe is over the fact join key
     assert "l_orderkey" in plan[probe_at : probe_at + 1200]
+
+
+def test_filtered_search_column_form_still_pushes_down(emb, qv):
+    """The Q7 Column path keeps scan-level pushdown after the callable
+    surface landed: a Column metadata_filter reaches PushedFilters; a
+    ported Python closure (opaque to Catalyst, the documented cliff)
+    does not — but still plans and filters."""
+    col_plan = A.physical_plan(S.filtered_search(
+        emb, qv, 10, metadata_filter=F.col("label").isin(1, 3)))
+    A.assert_pushed_filter(col_plan, "label")
+    fn_plan = A.physical_plan(S.filtered_search(
+        emb, qv, 10, metadata_filter=lambda meta: True,
+        metadata_col="label"))
+    assert "ArrowEvalPython" in fn_plan or "BatchEvalPython" in fn_plan

