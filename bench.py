@@ -244,12 +244,19 @@ def build_benches(spark, sf_dir: str):
 
         @bench("text_embed")
         def _embed():
+            # the default path — rides the Arrow kernel since r6
             return _force(embed_documents(docs, dim=32))
+
+        @bench("text_embed_expr")
+        def _embed_expr():
+            # the oracle-replayable expr spec (bit-identical, slower) —
+            # benched for the kernel-gap observability, never the default
+            return _force(embed_documents(docs, dim=32, kernel="expr"))
 
         @bench("text_embed_arrow")
         def _embed_arrow():
-            # bulk-ingest kernel: bit-identical vectors, one NumPy pass
-            # per Arrow batch instead of dim interpreted scans per row
+            # explicit-kernel alias of the default — kept so BENCH history
+            # comparisons across rounds stay apples-to-apples
             return _force(embed_documents(docs, dim=32, kernel="arrow"))
     except ImportError:
         pass

@@ -110,7 +110,7 @@ def _embed_arrow(docs: DataFrame, dim: int, text_col: str, id_col: str,
 
 def embed_documents(docs: DataFrame, dim: int = 32, text_col: str = "text",
                     id_col: str = "doc_id", cjk_aware: bool = True,
-                    kernel: str = "expr") -> DataFrame:
+                    kernel: str = "arrow") -> DataFrame:
     """The S6 ingest: (doc_id, embedding) ready for the vector store —
     `VectorStore.ingest(embed_documents(docs))` is the full reference
     pipeline text → vectors → searchable.
@@ -123,9 +123,11 @@ def embed_documents(docs: DataFrame, dim: int = 32, text_col: str = "text",
     CollapseProject keeps non-cheap multi-referenced exprs staged, nested
     whens don't get subexpression elimination).
 
-    kernel="expr" (default) is the DuckDB-oracle-checkable spec;
-    kernel="arrow" computes bit-identical vectors in one NumPy pass per
-    Arrow batch (pytest parity) — the bulk-ingest path."""
+    kernel="arrow" (default — the serving/bench path, VERDICT r5 #6)
+    computes the vectors in one NumPy pass per Arrow batch; kernel="expr"
+    is the DuckDB-oracle-replayable spec the arrow kernel is pinned
+    bit-identical to (tests/test_embed.py), measured 2.4-3.1x slower —
+    keep it for oracle replay and plan-shape study, never the default."""
     if kernel == "arrow":
         return _embed_arrow(docs, dim, text_col, id_col, cjk_aware)
     toks = mixed_tokens_expr(text_col) if cjk_aware else tokens_expr(text_col)
