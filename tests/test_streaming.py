@@ -514,3 +514,99 @@ def test_streaming_sq8_encode_matches_batch(spark, tmp_path):
         for r in sq.with_codes(emb, stats).select("vec_id", "sq_code").collect()
     }
     assert got == want
+
+
+def test_incremental_bq_sq_imi_before_rebuild(spark, tmp_path):
+    """VERDICT r5 #4: rows arriving AFTER the last rebuild become
+    searchable via the BQ / SQ8 / IMI serving paths WITHOUT a rebuild —
+    encoded/assigned against the CURRENT fit — and the incremental codes
+    are byte-identical to a full recompute with that fit (encode is a
+    pure function of (fit, vector); batch==stream parity)."""
+    from vervectordb_spark.operators import bq as bq_op
+    from vervectordb_spark.operators import sq as sq_op
+    from vervectordb_spark.operators.imi import IMIIndex
+    from vervectordb_spark.schema import load_table
+    from vervectordb_spark.streaming.refresh import ingest_with_index_refresh
+
+    src = str(tmp_path / "vec_stream_codec")
+    store = str(tmp_path / "store_codec")
+    ckpt = str(tmp_path / "codec_ckpt")
+    emb = load_table(spark, SF_DIR, "embeddings").limit(120)
+    emb.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    # 4 micro-batches, rebuild after the 3rd: the 4th batch reaches every
+    # derived layout only via the incremental paths
+    q = ingest_with_index_refresh(
+        stream, store, ckpt, refresh_every=3, n_clusters=4, dim=64,
+        bq_enabled=True, sq_enabled=True, imi=(4, 4),
+    )
+    q.awaitTermination(240)
+    st = q._refresh_state
+    assert st["refreshes"] == 1
+    assert st["bq_incremental_appends"] == 1
+    assert st["sq_incremental_appends"] == 1
+    assert st["imi_incremental_appends"] == 1
+
+    vectors = spark.read.parquet(f"{store}/vectors")
+    ingested = {r["vec_id"] for r in vectors.select("vec_id").collect()}
+    assert len(ingested) == 120
+
+    # --- BQ: codes table covers every row; serving finds a batch-4 row;
+    # incremental codes == recompute under the persisted thresholds
+    thr = spark.read.parquet(f"{store}/bq/thresholds")
+    codes = spark.read.parquet(f"{store}/bq/codes")
+    assert {r["vec_id"] for r in codes.select("vec_id").collect()} == ingested
+    recompute = {r["vec_id"]: list(r["bq_code"]) for r in
+                 bq_op.with_codes(vectors, thr, 64)
+                 .select("vec_id", "bq_code").collect()}
+    for r in codes.collect():
+        assert list(r["bq_code"]) == recompute[r["vec_id"]], r["vec_id"]
+    # a row from the LAST batch (post-rebuild) is Hamming-searchable
+    last_id = sorted(ingested)[-1]
+    lv = [float(x) for x in vectors.filter(
+        F.col("vec_id") == last_id).first()["embedding"]]
+    hits = bq_op.hamming_search(
+        codes, thr, lv, top_k=3,
+        rerank=vectors.select("vec_id", "embedding")).collect()
+    assert hits[0]["vec_id"] == last_id and hits[0]["hamming"] == 0
+
+    # --- SQ8: same contract
+    stats = spark.read.parquet(f"{store}/sq/stats")
+    sq_codes = spark.read.parquet(f"{store}/sq/codes")
+    assert {r["vec_id"] for r in sq_codes.select("vec_id").collect()} \
+        == ingested
+    sq_recompute = {r["vec_id"]: list(r["sq_code"]) for r in
+                    sq_op.with_codes(vectors, stats)
+                    .select("vec_id", "sq_code").collect()}
+    for r in sq_codes.collect():
+        assert list(r["sq_code"]) == sq_recompute[r["vec_id"]], r["vec_id"]
+    got = sq_op.adc_search(sq_codes, stats, lv, top_k=3,
+                           rerank=vectors.select("vec_id", "embedding"),
+                           ).collect()
+    assert got[0]["vec_id"] == last_id
+
+    # --- IMI: batch-4 rows are in the persisted layout, assigned to the
+    # SAME cells the frozen half-centroids would assign, and the
+    # rectangle probe finds them
+    idx = IMIIndex.load(spark, f"{store}/imi")
+    assigned_ids = {r["vec_id"]
+                    for r in idx.assigned.select("vec_id").collect()}
+    assert assigned_ids == ingested
+    c1 = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(idx.cent1)],
+        "cell_id int, centroid array<double>")
+    c2 = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(idx.cent2)],
+        "cell_id int, centroid array<double>")
+    expect = IMIIndex.from_centroids(vectors, c1, c2, 64)
+    want = {r["vec_id"]: (r["cell1"], r["cell2"])
+            for r in expect.assigned.select("vec_id", "cell1",
+                                            "cell2").collect()}
+    for r in idx.assigned.select("vec_id", "cell1", "cell2").collect():
+        assert (r["cell1"], r["cell2"]) == want[r["vec_id"]], r["vec_id"]
+    ihits = idx.search(lv, top_k=3, a=2, b=2).collect()
+    assert ihits and ihits[0]["vec_id"] == last_id

@@ -46,6 +46,9 @@ def ingest_with_index_refresh(
     ann_bits: int = 6,
     pq_subquantizers: int | None = None,
     pq_codebook_size: int = 16,
+    bq_enabled: bool = False,
+    sq_enabled: bool = False,
+    imi: tuple[int, int] | None = None,
 ):
     """Start a streaming query that appends vectors to
     `{store_path}/vectors`, rebuilds `{store_path}/ivf` every
@@ -67,7 +70,26 @@ def ingest_with_index_refresh(
     in-between batches are encoded against the CURRENT codebooks (encode
     is deterministic given codebooks, so between-rebuild codes are exactly
     what a rebuild with those codebooks would emit; codebook QUALITY lags
-    like IVF centroids do). Returns the StreamingQuery."""
+    like IVF centroids do). Returns the StreamingQuery.
+
+    With `bq_enabled` / `sq_enabled`, the stateless codecs are maintained
+    identically: the rebuild fits thresholds/stats on the full table,
+    saves them ({store_path}/bq/thresholds, {store_path}/sq/stats) and
+    re-encodes the codes tables ({store_path}/bq/codes,
+    {store_path}/sq/codes); in-between batches encode against the
+    CURRENT fit — encode is a pure function of (fit, vector), so the
+    incremental codes are byte-identical to what a rebuild with the same
+    fit would emit (the encode parity pins in tests/test_bq.py / test_sq.py), and
+    arriving rows are Hamming/ADC-searchable immediately. Fit QUALITY
+    (threshold drift) lags like IVF centroids.
+
+    With `imi=(k1, k2)`, the two-level quantizer is maintained the same
+    way: rebuilds run IMIIndex.build + save (cell1-partitioned layout);
+    in-between batches are assigned to the CURRENT half-centroids and
+    dynamic-partition-appended into the layout — rectangle probes still
+    prune on the cell1 partitions; appended files are not cell2-sorted
+    until the next rebuild compacts them (row-group pruning quality, not
+    correctness, degrades between rebuilds)."""
     from vervectordb_spark.operators.ivf import IVFIndex, assign_by_centroids
 
     state = {
@@ -76,10 +98,26 @@ def ingest_with_index_refresh(
         "incremental_appends": 0,
         "ann_incremental_appends": 0,
         "pq_incremental_appends": 0,
+        "bq_incremental_appends": 0,
+        "sq_incremental_appends": 0,
+        "imi_incremental_appends": 0,
         "centroids": None,  # list[(cluster_id, [floats])] after first rebuild
         "ann_ready": False,  # meta exists once the first rebuild saved it
         "codec": None,  # PQCodec after first rebuild
+        "bq_thr": None,  # dim-row thresholds pandas frame after rebuild
+        "sq_stats": None,  # dim-row (pos, mn, mx) pandas frame after rebuild
+        "imi_cent": None,  # (cent1 rows, cent2 rows) after rebuild
     }
+
+    def _dim_of(df2: DataFrame):
+        if dim is not None:
+            return dim
+        if state.get("dim") is not None:
+            return state["dim"]
+        row = df2.select(F.size("embedding").alias("d")).first()
+        if row is not None:
+            state["dim"] = row["d"]
+        return state.get("dim")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         out = batch_df
@@ -123,6 +161,44 @@ def ingest_with_index_refresh(
                 )
                 codes.write.mode("overwrite").parquet(f"{store_path}/codes")
                 state["codec"] = codec
+            if bq_enabled or sq_enabled or imi is not None:
+                d = _dim_of(full)
+                if d is None:
+                    return  # nothing ingested yet — no fits to run
+            if bq_enabled:
+                from vervectordb_spark.operators import bq as bq_op
+
+                thr_pdf = bq_op.fit_bq_thresholds(full).toPandas()
+                thr = spark.createDataFrame(thr_pdf)
+                thr.coalesce(1).write.mode("overwrite").parquet(
+                    f"{store_path}/bq/thresholds")
+                bq_op.with_codes(full, thr, d).select(
+                    "vec_id", "bq_code"
+                ).write.mode("overwrite").parquet(f"{store_path}/bq/codes")
+                state["bq_thr"] = thr_pdf
+            if sq_enabled:
+                from vervectordb_spark.operators import sq as sq_op
+
+                stats_pdf = sq_op.fit_sq_stats(full).toPandas()
+                stats = spark.createDataFrame(stats_pdf)
+                stats.coalesce(1).write.mode("overwrite").parquet(
+                    f"{store_path}/sq/stats")
+                sq_op.with_codes(full, stats).select(
+                    "vec_id", "sq_code"
+                ).write.mode("overwrite").parquet(f"{store_path}/sq/codes")
+                state["sq_stats"] = stats_pdf
+            if imi is not None:
+                from vervectordb_spark.operators.imi import IMIIndex
+
+                iidx = IMIIndex.build(full, k1=imi[0], k2=imi[1], dim=d,
+                                      seed=seed)
+                iidx.save(f"{store_path}/imi")
+                state["imi_cent"] = (
+                    [(i, [float(x) for x in c])
+                     for i, c in enumerate(iidx.cent1)],
+                    [(i, [float(x) for x in c])
+                     for i, c in enumerate(iidx.cent2)],
+                )
             return
         if incremental and state["centroids"] is not None:
             # cheap path: argmax-cosine against k broadcast centroids, then
@@ -184,6 +260,48 @@ def ingest_with_index_refresh(
                     f"{store_path}/ann/signed"
                 )
             state["ann_incremental_appends"] += 1
+        if incremental and state["bq_thr"] is not None:
+            from vervectordb_spark.operators import bq as bq_op
+
+            d = _dim_of(out)
+            if d is not None:
+                # encode against the CURRENT thresholds — a pure function,
+                # so these codes equal a rebuild's with the same fit
+                bq_op.with_codes(
+                    out, spark.createDataFrame(state["bq_thr"]), d
+                ).select("vec_id", "bq_code").write.mode("append").parquet(
+                    f"{store_path}/bq/codes")
+                state["bq_incremental_appends"] += 1
+        if incremental and state["sq_stats"] is not None:
+            from vervectordb_spark.operators import sq as sq_op
+
+            sq_op.with_codes(
+                out, spark.createDataFrame(state["sq_stats"])
+            ).select("vec_id", "sq_code").write.mode("append").parquet(
+                f"{store_path}/sq/codes")
+            state["sq_incremental_appends"] += 1
+        if incremental and state["imi_cent"] is not None:
+            from vervectordb_spark.operators.imi import _assign_half
+
+            d = _dim_of(out)
+            if d is not None:
+                c1 = spark.createDataFrame(
+                    state["imi_cent"][0],
+                    "cell_id int, centroid array<double>")
+                c2 = spark.createDataFrame(
+                    state["imi_cent"][1],
+                    "cell_id int, centroid array<double>")
+                a = _assign_half(out, c1, "embedding", d, 1, "cell1",
+                                 "vec_id")
+                a = _assign_half(a, c2, "embedding", d, 2, "cell2",
+                                 "vec_id")
+                # dynamic-partition append into the persisted layout: the
+                # rectangle probe's cell1 partition pruning holds for these
+                # rows immediately; cell2 row-group sorting waits for the
+                # next rebuild's compaction
+                a.write.mode("append").partitionBy("cell1").parquet(
+                    f"{store_path}/imi/vectors_by_cell")
+                state["imi_incremental_appends"] += 1
 
     q = (
         stream_df.writeStream.foreachBatch(handle)
