@@ -111,12 +111,17 @@ def count_shuffles(plan: str) -> int:
     return len(re.findall(r"\(\d+\) Exchange", plan))
 
 
-def executed_scan_metrics(df: DataFrame) -> dict[str, int]:
+def executed_scan_metrics(df: DataFrame,
+                          path_substr: str | None = None) -> dict[str, int]:
     """Execute `df` (collect) and return the runtime SQL metrics of its
     first parquet scan node, e.g. {"numFiles": 4, "numPartitions": 2,
     "numOutputRows": 50, ...}. `numPartitions` is the number of partition
     DIRECTORIES actually read after partition pruning — the ground-truth
-    proof that a partitioned layout pruned, stronger than the plan text."""
+    proof that a partitioned layout pruned, stronger than the plan text.
+
+    `path_substr` selects WHICH scan when the plan reads several tables
+    (composed serving paths join a codes layout against a raw-vector
+    rerank table): the first scan whose Location contains the substring."""
     df.collect()
     root = df._jdf.queryExecution().executedPlan()
 
@@ -133,8 +138,20 @@ def executed_scan_metrics(df: DataFrame) -> dict[str, int]:
         for i in range(ch.size()):
             yield from iter_nodes(ch.apply(i))
 
+    def scan_location(node) -> str:
+        # node.toString() truncates Location at
+        # spark.sql.maxMetadataStringLength (100) — long tmp paths lose
+        # their tail; the relation's rootPaths are never truncated
+        try:
+            paths = node.relation().location().rootPaths()
+            return ";".join(str(paths.apply(i)) for i in range(paths.size()))
+        except Exception:
+            return node.toString()
+
     for node in iter_nodes(root):
         if node.nodeName().startswith("Scan parquet"):
+            if path_substr is not None and path_substr not in scan_location(node):
+                continue
             out: dict[str, int] = {}
             it = node.metrics().iterator()
             while it.hasNext():
