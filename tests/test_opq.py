@@ -1,0 +1,120 @@
+"""Learned orthonormal rotation (operators/opq.py): orthonormality +
+metric preservation, expr-kernel fold replay, arrow/expr closeness,
+padding, the persisted-artifact serving contract, and fit determinism."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from vervectordb_spark.operators import opq
+from vervectordb_spark.schema import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def R(emb):
+    return opq.fit_learned_rotation(emb, 64, seed=42, order_col="vec_id")
+
+
+def test_rotation_is_orthonormal(R):
+    assert R.shape == (64, 64)
+    assert np.abs(R @ R.T - np.eye(64)).max() < 1e-9
+
+
+def test_norms_and_cosines_preserved(spark, emb, R):
+    rot = opq.with_learned_rotation(emb, R, 64, kernel="arrow")
+    rows = rot.select("embedding", "emb_lrot").limit(50).collect()
+    X = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+    Y = np.asarray([list(r["emb_lrot"]) for r in rows], dtype=np.float64)
+    assert np.abs(np.linalg.norm(X, axis=1)
+                  - np.linalg.norm(Y, axis=1)).max() < 1e-9
+    cx = (X @ X.T) / np.outer(np.linalg.norm(X, axis=1),
+                              np.linalg.norm(X, axis=1))
+    cy = (Y @ Y.T) / np.outer(np.linalg.norm(Y, axis=1),
+                              np.linalg.norm(Y, axis=1))
+    assert np.abs(cx - cy).max() < 1e-9
+
+
+def test_expr_kernel_is_the_fold_replay(spark, emb, R):
+    """The expr kernel's output dim i == the FIXED left fold
+    acc += x_j * R[i,j] in j order — the exact arithmetic DuckDB's
+    list_dot_product replays (the cross-engine fold contract)."""
+    rows = (opq.with_learned_rotation(emb.limit(8), R, 64, kernel="expr")
+            .select("embedding", "emb_lrot").collect())
+    for r in rows:
+        x = [float(v) for v in r["embedding"]]
+        for i in (0, 17, 63):
+            acc = 0.0
+            for j in range(64):
+                acc = acc + x[j] * float(R[i, j])
+            assert r["emb_lrot"][i] == acc, i
+
+
+def test_arrow_matches_expr_within_fold_tolerance(spark, emb, R):
+    e = opq.with_learned_rotation(emb.limit(20), R, 64, kernel="expr")
+    a = opq.with_learned_rotation(emb.limit(20), R, 64, kernel="arrow")
+    ev = {r["vec_id"]: np.asarray(r["emb_lrot"]) for r in
+          e.select("vec_id", "emb_lrot").collect()}
+    av = {r["vec_id"]: np.asarray(r["emb_lrot"]) for r in
+          a.select("vec_id", "emb_lrot").collect()}
+    for k in ev:
+        assert np.abs(ev[k] - av[k]).max() < 1e-9
+    with pytest.raises(ValueError, match="kernel"):
+        opq.with_learned_rotation(emb, R, 64, kernel="nope")
+
+
+def test_non_pow2_dim_pads(spark):
+    rng = np.random.default_rng(3)
+    df = spark.createDataFrame(
+        [(i, rng.normal(size=6).tolist()) for i in range(64)],
+        "vec_id bigint, embedding array<double>")
+    R = opq.fit_learned_rotation(df, 6, seed=1, order_col="vec_id")
+    assert R.shape == (8, 8)
+    rows = (opq.with_learned_rotation(df, R, 6, kernel="arrow")
+            .limit(10).collect())
+    for r in rows:
+        x = np.asarray([float(v) for v in r["embedding"]])
+        y = np.asarray(r["emb_lrot"])
+        assert len(y) == 8
+        assert abs(np.linalg.norm(x) - np.linalg.norm(y)) < 1e-9
+
+
+def test_learned_bq_search_selfhit_and_artifacts(spark, emb, R):
+    from vervectordb_spark.operators import bq
+
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 5).first()["embedding"]]
+    inline = opq.learned_bq_search(emb, R, qv, 64, top_k=5).collect()
+    assert inline[0]["vec_id"] == 5
+    assert inline[0]["hamming"] == 0
+    assert abs(inline[0]["sim"] - 1.0) < 1e-9
+    # persisted-artifact path row-for-row equals the inline path
+    rot = opq.with_learned_rotation(emb, R, 64, kernel="expr")
+    thr = bq.fit_bq_thresholds(rot, emb_col="emb_lrot", dim=64)
+    codes = bq.with_codes(rot, thr, 64, emb_col="emb_lrot").select(
+        "vec_id", "bq_code")
+    served = opq.learned_bq_search(emb, R, qv, 64, top_k=5,
+                                   thresholds=thr, codes=codes).collect()
+    assert [(r["vec_id"], r["hamming"]) for r in served] \
+        == [(r["vec_id"], r["hamming"]) for r in inline]
+    with pytest.raises(ValueError, match="together"):
+        opq.learned_bq_search(emb, R, qv, 64, thresholds=thr)
+
+
+def test_fit_is_deterministic_with_order_col(emb):
+    R1 = opq.fit_learned_rotation(emb, 64, seed=42, order_col="vec_id")
+    R2 = opq.fit_learned_rotation(emb, 64, seed=42, order_col="vec_id")
+    assert np.array_equal(R1, R2)
+
+
+def test_itq_refinement_stays_orthonormal(emb):
+    R = opq.fit_learned_rotation(emb, 64, seed=42, itq_iters=5,
+                                 order_col="vec_id")
+    assert np.abs(R @ R.T - np.eye(64)).max() < 1e-9

@@ -149,3 +149,48 @@ def bq_search_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vec(spark, sf_dir, 0)
     out = rotated_bq_search(emb, qv, _DIM, top_k=10, rerank_factor=3)
     return out.select("vec_id", "hamming", F.round("sim", 6).alias("sim"))
+
+
+@query(
+    "opq_rotate_profile",
+    oracle=f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       ROUND(sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                   e.embedding::DOUBLE[])), 4) + 0.0 AS nrm,
+       ROUND({_cos('e.embedding::DOUBLE[]', 'q.qv')}, 4) + 0.0 AS csim
+FROM embeddings e CROSS JOIN q
+""",
+)
+def opq_rotate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED-rotation profile (operators/opq.py): fit the OPQ-lite
+    orthonormal R on the fixture (deterministic vec_id-ordered sample),
+    rotate every vector with the EXPR kernel (per-output-dim FIXED folds
+    — the oracle-replayable spec), and return per row the rotated norm
+    and the rotated cosine to the rotated query row 0.
+
+    The gate is the ORTHONORMALITY INVARIANT, computed independently by
+    each engine: R never crosses engines (it is data-fit state DuckDB
+    cannot derive) — instead DuckDB computes the same norms and cosines
+    from the RAW vectors, which a genuine rotation must preserve. Rounded
+    to 4 decimals: float64 rotation drift is ~1e-12 relative, seven
+    orders below the gate's resolution (vs round-6 for the frozen-state
+    queries whose two sides run IDENTICAL arithmetic)."""
+    from vervectordb_spark.functions.similarity import cosine_expr, dot_expr
+    from vervectordb_spark.operators.opq import (
+        fit_learned_rotation,
+        rotate_query_learned,
+        with_learned_rotation,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    R = fit_learned_rotation(emb, _DIM, seed=42, order_col="vec_id")
+    qv = _query_vec(spark, sf_dir, 0)
+    q_rot = rotate_query_learned(qv, R)
+    rot = with_learned_rotation(emb, R, _DIM, kernel="expr")
+    h = F.col("emb_lrot")
+    return rot.select(
+        "vec_id",
+        (F.round(F.sqrt(dot_expr(h, h)), 4) + 0.0).alias("nrm"),
+        (F.round(cosine_expr(h, q_rot), 4) + 0.0).alias("csim"),
+    )
