@@ -2,7 +2,12 @@
 oracle_sql() twin on DuckDB at a given sf, compare row count, column names,
 and an order-insensitive value hash. Exits nonzero on any mismatch.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [sf_dir] [query ...] [--json PATH]
+
+--json PATH additionally writes the machine-readable artifact the round
+commits (CORRECTNESS_FULL_r{N}_*.json): per-query status/rows/seconds,
+totals, sf_dir, and the git HEAD it ran at — so the driver-unsampled
+registry entries have an auditable in-repo record (VERDICT r5 #3).
 """
 
 from __future__ import annotations
@@ -35,8 +40,14 @@ def value_key(df_pandas):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import duckdb
 
@@ -62,6 +73,7 @@ def main() -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
     checked = 0
+    records = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -71,15 +83,19 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {e}"))
+            records[name] = {"status": "spark_error", "err": str(e)[:500]}
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
+            records[name] = {"status": "rows_only", "rows": len(sdf),
+                             "seconds": round(time.time() - t0, 2)}
             print(f"rows-only  {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
             continue
         try:
             ddf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"DUCKDB ERROR: {e}"))
+            records[name] = {"status": "duckdb_error", "err": str(e)[:500]}
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         scols, srows = value_key(sdf)
@@ -100,12 +116,35 @@ def main() -> int:
                     status.append(f"  duck ={b}")
         if status:
             failures.append((name, "; ".join(status)))
+            records[name] = {"status": "mismatch",
+                             "detail": "; ".join(status)[:500]}
             print(f"FAIL  {name}: " + "\n".join(status))
         else:
+            records[name] = {"status": "ok", "rows": len(sdf),
+                             "seconds": round(time.time() - t0, 2)}
             print(f"OK    {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
 
     print(f"\n{checked - len(failures)}/{checked} checked OK"
           + (f"  (subset of {len(qs)})" if only else ""))
+    if json_path is not None:
+        import json as _json
+        import subprocess as _sp
+
+        try:
+            head = _sp.run(["git", "-C", REPO, "rev-parse", "HEAD"],
+                           capture_output=True, text=True).stdout.strip()
+        except Exception:  # noqa: BLE001
+            head = None
+        with open(json_path, "w") as fh:
+            _json.dump({
+                "sf_dir": sf_dir,
+                "git_head": head,
+                "checked": checked,
+                "ok": checked - len(failures),
+                "registry_total": len(qs),
+                "queries": records,
+            }, fh, indent=1, sort_keys=True)
+        print(f"artifact -> {json_path}")
     return 1 if failures else 0
 
 

@@ -188,6 +188,10 @@ def main() -> int:
     ap.add_argument("--dest", default="/root/repo/fixtures/sf1")
     ap.add_argument("--min-files", type=int, default=16,
                     help="minimum output files per fact table")
+    ap.add_argument("--tables", default=None,
+                    help="space-separated subset to generate (default all) "
+                         "— e.g. 'documents embeddings' for a huge-factor "
+                         "probe of just the text/vector paths")
     args = ap.parse_args()
 
     from vervectordb_spark.session import get_spark
@@ -195,14 +199,17 @@ def main() -> int:
     spark = get_spark("gen-sf-fixtures")
     spark.sparkContext.setLogLevel("ERROR")
 
+    wanted = (args.tables.split() if args.tables else
+              ("region nation customer supplier part orders lineitem events "
+               "documents embeddings").split())
     tables = {}
-    for t in ("region nation customer supplier part orders lineitem events "
-              "documents embeddings").split():
+    for t in wanted:
         tables[t] = spark.read.parquet(f"{args.src}/{t}.parquet")
 
     strides = {
         key: tables[t].agg(F.max(col)).collect()[0][0] + 1
         for key, (t, col) in STRIDE_SOURCE.items()
+        if t in tables
     }
     print(f"strides: {strides}")
 
