@@ -118,3 +118,36 @@ def test_itq_refinement_stays_orthonormal(emb):
     R = opq.fit_learned_rotation(emb, 64, seed=42, itq_iters=5,
                                  order_col="vec_id")
     assert np.abs(R @ R.T - np.eye(64)).max() < 1e-9
+
+
+def test_short_code_search_selfhit_and_guards(spark, emb):
+    """code_bits < dim: the 32→16-bit prefix path still self-hits (the
+    prefix of a rotated corpus row exactly matches the rotated query's
+    prefix, so Hamming 0), and bad code_bits / bad mix fail fast."""
+    R = opq.fit_learned_rotation(emb, 64, seed=42, order_col="vec_id",
+                                 mix="none")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 9).first()["embedding"]]
+    hits = opq.learned_bq_search(emb, R, qv, 64, top_k=3,
+                                 code_bits=16).collect()
+    assert hits[0]["vec_id"] == 9
+    assert hits[0]["hamming"] == 0
+    assert abs(hits[0]["sim"] - 1.0) < 1e-9
+    with pytest.raises(ValueError, match="code_bits"):
+        opq.learned_bq_search(emb, R, qv, 64, code_bits=0)
+    with pytest.raises(ValueError, match="mix"):
+        opq.fit_learned_rotation(emb, 64, mix="whiten")
+
+
+def test_mix_none_rows_are_principal_directions(emb):
+    """mix='none' returns R = P^T: each row is a unit eigenvector of the
+    centered sample second moment, rows mutually orthogonal, leading row
+    carries the largest variance — the prefix-retrieval contract."""
+    R = opq.fit_learned_rotation(emb, 64, seed=42, order_col="vec_id",
+                                 mix="none")
+    assert np.abs(R @ R.T - np.eye(64)).max() < 1e-9
+    X = opq._bounded_sample(emb, "embedding", 10_000, 42, "vec_id")
+    Xc = X - X.mean(axis=0)
+    var = ((Xc @ R.T) ** 2).sum(axis=0)
+    assert var[0] == max(var)
+    assert var[0] >= var[10] >= var[40]

@@ -151,7 +151,7 @@ def test_batch_id_set_survives_expire_and_compact(spark, ev, tmp_path):
     double-counting. Compaction (overwrite) carries the set too."""
     cols = ["event_id", "hour_bucket", "event_type", "user_id", "value"]
     cr = rollup.ContinuousRollup(spark, str(tmp_path / "agg4"), KEYS,
-                                 "value")
+                                 "value", distinct_col="user_id")
     for bid in range(4):
         cr.refresh(ev.select(*cols).filter(F.col("event_id") % 4 == bid),
                    batch_id=bid)

@@ -55,6 +55,18 @@ def _make_corpus(spark, kind: str):
     rng = np.random.RandomState(42)
     if kind == "uniform":
         mat = rng.uniform(0, 1, (N, DIM)).astype(np.float32)
+    elif kind == "anisotropic":
+        # clustered signal under heavy-tailed per-axis scales (1..~31.6)
+        # hidden behind a fixed dense rotation — raw coordinates are
+        # correlated and nothing is axis-aligned: the shape real
+        # embedding-model outputs have (dominant directions, correlated
+        # blocks) and the one the LEARNED rotation exists for
+        centers = rng.normal(size=(64, DIM))
+        assign = rng.randint(0, 64, N)
+        Z = centers[assign] + rng.normal(0, 0.3, (N, DIM))
+        scales = np.logspace(0, 1.5, DIM)
+        Q = np.linalg.qr(rng.normal(size=(DIM, DIM)))[0]
+        mat = ((Z * scales) @ Q.T).astype(np.float32)
     else:  # clustered: 64-component Gaussian mixture
         centers = rng.uniform(0, 1, (64, DIM)).astype(np.float32)
         assign = rng.randint(0, 64, N)
@@ -161,6 +173,55 @@ def sweep(spark, corpus, methods: set[str]) -> list[dict]:
                        q_pretransform=lambda v: HD.rotate_query(v, signs),
                    ).collect())
         rot_coded.unpersist()
+    if "opq" in methods:
+        from vervectordb_spark.operators import bq as BQ
+        from vervectordb_spark.operators import opq
+        from vervectordb_spark.operators import rotation as HDR
+
+        # full-length learned codes (hadamard-mixed eigenbasis)
+        R_full = opq.fit_learned_rotation(corpus, DIM, seed=42,
+                                          order_col="vec_id")
+        rotF = opq.with_learned_rotation(corpus, R_full, DIM,
+                                         kernel="arrow")
+        thr_f = BQ.fit_bq_thresholds(rotF, emb_col="emb_lrot", dim=DIM)
+        cod_f = BQ.with_codes(rotF, thr_f, DIM, emb_col="emb_lrot").select(
+            "vec_id", "bq_code").cache()
+        cod_f.count()
+        for rf in (10, 50):
+            record(f"bq-learned hamming rerank_f={rf}",
+                   lambda rf=rf: BQ.batch_hamming_search(
+                       cod_f, thr_f, queries, top_k=TOP_K,
+                       rerank_factor=rf, rerank=rerank_src,
+                       q_pretransform=lambda v: opq.rotate_query_learned(
+                           v, R_full)).collect())
+        cod_f.unpersist()
+
+        # SHORT codes (32 of 128 bits — the memory-bound regime):
+        # learned PCA prefix vs the HD prefix of the same length
+        B_SHORT = 32
+        signs = np.asarray(HDR.hd_signs(DIM), dtype=np.float64)
+        R_hd = opq.hadamard(DIM) @ np.diag(signs)
+        R_pca = opq.fit_learned_rotation(corpus, DIM, seed=42,
+                                         order_col="vec_id", mix="none")
+        for name, R in (("hd", R_hd), ("learned", R_pca)):
+            rotS = opq.with_learned_rotation(corpus, R, DIM, kernel="arrow")
+            short = rotS.select(
+                "vec_id", F.slice("emb_lrot", 1, B_SHORT).alias("emb_s"))
+            thr_s = BQ.fit_bq_thresholds(short, emb_col="emb_s",
+                                         dim=B_SHORT)
+            cod_s = BQ.with_codes(short, thr_s, B_SHORT,
+                                  emb_col="emb_s").select(
+                "vec_id", "bq_code").cache()
+            cod_s.count()
+            for rf in (10, 50):
+                record(f"bq32-{name} rerank_f={rf}",
+                       lambda rf=rf, R=R: BQ.batch_hamming_search(
+                           cod_s, thr_s, queries, top_k=TOP_K,
+                           rerank_factor=rf, rerank=rerank_src,
+                           q_pretransform=lambda v:
+                               opq.rotate_query_learned(v, R)[:B_SHORT],
+                       ).collect())
+            cod_s.unpersist()
     if "respq" in methods:
         codec = ivf.fit_residual_codec(n_subquantizers=8, codebook_size=256,
                                        seed=42)
@@ -210,16 +271,20 @@ def main() -> None:
     all_m = {"ivf1", "ivf2", "ivf4", "ivf8", "ivf16", "adaptive",
              "lsh2", "lsh4", "lsh8", "respq", "pq", "bq", "rotbq"}
     trimmed = {"ivf2", "ivf4", "ivf8", "adaptive", "lsh4", "respq", "pq",
-               "bq", "rotbq"}
+               "bq", "rotbq", "opq"}
+    aniso_m = {"ivf8", "bq", "rotbq", "opq"}
 
     print("uniform corpus:", file=sys.stderr)
     uniform = sweep(spark, _make_corpus(spark, "uniform"), all_m)
     print("clustered corpus:", file=sys.stderr)
     clustered = sweep(spark, _make_corpus(spark, "clustered"), trimmed)
+    print("anisotropic corpus:", file=sys.stderr)
+    aniso = sweep(spark, _make_corpus(spark, "anisotropic"), aniso_m)
 
     out = {"metric": "recall_sweep", "n": N, "dim": DIM,
            "n_queries": N_QUERIES, "top_k": TOP_K, "repeats": REPEATS,
-           "uniform": uniform, "clustered": clustered}
+           "uniform": uniform, "clustered": clustered,
+           "anisotropic": aniso}
     print(json.dumps(out))
 
     def table(results):
@@ -260,6 +325,41 @@ def main() -> None:
         "0.26 → 0.87 (m=8) while still scanning only codes + 500 raw rows.",
         "",
         *table(clustered),
+        "",
+        "## Anisotropic corpus (scaled + densely-rotated mixture — the",
+        "## embedding-model shape; learned-rotation habitat)",
+        "",
+        "Clustered signal under heavy-tailed per-axis scales (1..~31.6)",
+        "behind a fixed dense rotation: raw coordinates are correlated and",
+        "nothing is axis-aligned — the spectrum real embedding models",
+        "produce.",
+        "",
+        *table(aniso),
+        "",
+        "## Reading the learned-rotation (OPQ-lite) rows",
+        "",
+        "Measured across all three corpora (operators/opq.py), the honest",
+        "split is by CODE LENGTH, not by corpus:",
+        "",
+        "- Full-length codes (bits == dim): the learned rotation ties or",
+        "  loses to the deterministic HD mix everywhere — including the",
+        "  anisotropic corpus built for it. Cosine is dominated by the",
+        "  high-variance directions, and Hamming ranking wants those",
+        "  directions SPREAD across all bits; any dense mix achieves that",
+        "  spread, data-aligned or not, so learning buys nothing and adds",
+        "  dim² state. (ITQ refinement measured strictly worse here — it",
+        "  optimizes binary reconstruction, not Hamming-rank agreement",
+        "  with cosine under a downstream exact rerank.)",
+        "- SHORT codes (bq32: 32 of 128 bits, the memory-bound regime at",
+        "  100 TB): the learned rotation WINS on the anisotropic corpus —",
+        "  its 32-bit prefix is the sample's top principal subspace where",
+        "  the HD prefix is an arbitrary one — and loses on the",
+        "  dimension-exchangeable clustered mixture, where there is",
+        "  nothing to learn by symmetry.",
+        "",
+        "Default guidance unchanged: stateless HD for full-length codes;",
+        "fit_learned_rotation(mix='none') + code_bits only when codes are",
+        "shorter than dims AND the corpus is anisotropic — measure first.",
         "",
         "## Reading the multi-probe rows",
         "",

@@ -104,29 +104,48 @@ def _bounded_sample(df: DataFrame, emb_col: str, sample_size: int,
 def fit_learned_rotation(df: DataFrame, dim: int, sample_size: int = 10_000,
                          seed: int = 42, itq_iters: int = 0,
                          emb_col: str = "embedding",
-                         order_col: str | None = None) -> np.ndarray:
+                         order_col: str | None = None,
+                         center: bool = True,
+                         mix: str = "hadamard") -> np.ndarray:
     """Fit the (d2, d2) orthonormal R on a bounded sample (see module
     docstring). Returns R such that y = R @ pad(x). Pass order_col (the
     id column) when R must be bit-reproducible across runs — the
-    second-moment sum is order-sensitive in float64."""
+    second-moment sum is order-sensitive in float64.
+
+    center: estimate the eigenbasis from the CENTERED sample (the cluster
+    structure, not the corpus offset — what the short-code win in
+    RECALL.md uses). Centering affects only which R is LEARNED; the
+    applied transform is still the pure rotation y = R x, so cosine
+    preservation is untouched.
+
+    mix="hadamard": spread eigen-directions across all output dims
+    (balanced full-length codes). mix="none": R = P^T — the leading
+    OUTPUT dims are the leading principal directions, the form short-code
+    prefix retrieval needs (learned_bq_search code_bits, or MRL-style
+    prefix scans over the rotated column)."""
+    if mix not in ("hadamard", "none"):
+        raise ValueError(f"unknown mix {mix!r}")
     X = _bounded_sample(df, emb_col, sample_size, seed, order_col)
     if len(X) == 0:
         raise ValueError("fit_learned_rotation on an empty corpus")
     d2 = next_pow2(dim)
     X = pad_np(X, d2)
-    # uncentered second moment — centering would break cosine preservation
-    C = X.T @ X
+    # centering here only shapes the LEARNED basis; the transform applied
+    # to data is y = R x (no translation), so cosine is preserved exactly
+    Xf = X - X.mean(axis=0) if center else X
+    C = Xf.T @ Xf
     w, P = np.linalg.eigh(C)          # ascending eigenvalues
     P = P[:, ::-1]                     # descending — leading PCs first
-    R = hadamard(d2) @ np.diag(np.asarray(hd_signs(d2, seed),
-                                          dtype=np.float64)) @ P.T
-    V = X
+    if mix == "hadamard":
+        R = hadamard(d2) @ np.diag(np.asarray(hd_signs(d2, seed),
+                                              dtype=np.float64)) @ P.T
+    else:
+        R = P.T.copy()
+    V = Xf
     for _ in range(itq_iters):
         Y = V @ R.T
-        med = np.median(Y, axis=0)
-        B = np.where(Y - med >= 0.0, 1.0, -1.0)
-        U, _s, Vt = np.linalg.svd((V - (med @ R)).T @ B,
-                                  full_matrices=False)
+        B = np.where(Y >= 0.0, 1.0, -1.0)
+        U, _s, Vt = np.linalg.svd(V.T @ B, full_matrices=False)
         R = (U @ Vt).T
     return R
 
@@ -211,13 +230,24 @@ def learned_bq_search(df: DataFrame, R: np.ndarray, query_vec,
                       emb_col: str = "embedding", id_col: str = "vec_id",
                       thresholds: DataFrame | None = None,
                       codes: DataFrame | None = None,
-                      kernel: str = "expr") -> DataFrame:
+                      kernel: str = "expr",
+                      code_bits: int | None = None) -> DataFrame:
     """BQ serving behind the LEARNED rotation — the exact
     rotation.rotated_bq_search chain with R in place of the HD transform:
     rotate corpus + query with the SAME R, midrange thresholds on the
     rotated coordinates, Hamming scan, exact raw-cosine rerank.
     thresholds/codes accept persisted artifacts of one fit/encode pass
-    (pass BOTH or NEITHER — the rotated_bq_search contract)."""
+    (pass BOTH or NEITHER — the rotated_bq_search contract).
+
+    code_bits < d2 keeps only the FIRST code_bits rotated coordinates —
+    SHORT codes, the memory-bound regime (code_bits/8 bytes per vector)
+    and the one where the learned rotation measurably beats the
+    deterministic HD mix: R's leading rows are the sample's principal
+    directions, so a b-bit prefix captures the most cosine-relevant
+    subspace, where a random/HD projection's b-bit prefix is an
+    arbitrary one (RECALL.md 'Short codes'). At full length
+    (code_bits=None) prefer rotation.rotated_bq_search — measured
+    equal-or-better and stateless."""
     from vervectordb_spark.functions.similarity import cosine_expr
     from vervectordb_spark.operators import bq
 
@@ -226,15 +256,22 @@ def learned_bq_search(df: DataFrame, R: np.ndarray, query_vec,
             "pass thresholds AND codes together (artifacts of ONE "
             "fit/encode pass) — or neither")
     d2 = R.shape[0]
+    b = d2 if code_bits is None else int(code_bits)
+    if not 1 <= b <= d2:
+        raise ValueError(f"code_bits must be in [1, {d2}], got {code_bits}")
     if thresholds is None or codes is None:
         rotated = with_learned_rotation(df, R, dim, emb_col=emb_col,
                                         kernel=kernel)
-        thr = bq.fit_bq_thresholds(rotated, emb_col="emb_lrot", dim=d2)
-        coded = bq.with_codes(rotated, thr, d2, emb_col="emb_lrot")
+        if b != d2:
+            rotated = rotated.withColumn(
+                "emb_lrot", F.slice("emb_lrot", 1, b))
+        thr = bq.fit_bq_thresholds(rotated, emb_col="emb_lrot", dim=b)
+        coded = bq.with_codes(rotated, thr, b, emb_col="emb_lrot")
     else:
         thr, coded = thresholds, codes
     thr_pdf = thr.toPandas()
-    qwords = bq.encode_query(rotate_query_learned(query_vec, R), thr_pdf)
+    qwords = bq.encode_query(rotate_query_learned(query_vec, R)[:b],
+                             thr_pdf)
     qcol = F.array(*[F.lit(w).cast("bigint") for w in qwords])
     cand = (
         coded.select(
