@@ -47,14 +47,17 @@ def main() -> int:
             print(f"unknown query {name}", file=sys.stderr)
             return 2
         samples = []
-        n = -1
         for _ in range(repeats):
             t0 = time.perf_counter()
-            n = len(qs[name](spark, sf_dir).collect())
+            # noop sink: full computation of every column, zero driver
+            # transfer — a corpus-sized result must not turn the probe
+            # into a measurement of collect()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
             samples.append(time.perf_counter() - t0)
         out[name] = round(statistics.median(samples), 2)
-        rows[name] = n
-        print(f"{name}: {out[name]}s  ({n} rows)", file=sys.stderr)
+        rows[name] = qs[name](spark, sf_dir).count()
+        print(f"{name}: {out[name]}s  ({rows[name]} rows)", file=sys.stderr)
     print(json.dumps({"sf_dir": sf_dir, "repeats": repeats,
                       "seconds": out, "rows": rows}))
     return 0
