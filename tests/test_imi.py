@@ -104,3 +104,30 @@ def test_null_embeddings_excluded_from_assignment(spark):
     assert idx.assigned.count() == 64
     assert idx.assigned.filter(F.col("vec_id") >= 900).count() == 0
     assert sum(r["n"] for r in idx.cell_stats().collect()) == 64
+
+
+def test_search_pq_recall_and_rerank(spark, corpus, idx):
+    """IMI-PQ composed serving: ADC candidates + exact rerank find the
+    query row itself and respectable neighbors on the clustered corpus
+    (the rectangle bounds candidates; PQ only ranks within it)."""
+    from vervectordb_spark.operators.pq import PQCodec
+
+    codec = PQCodec.fit(corpus, dim=16, n_subquantizers=4,
+                        codebook_size=16, seed=42)
+    encoded = codec.encode(idx.assigned).select(
+        "vec_id", "cell1", "cell2", "pq_code")
+    row = corpus.filter(F.col("vec_id") == 33).first()
+    qv = [float(x) for x in row["embedding"]]
+    out = idx.search_pq(codec, encoded, qv, top_k=5, a=3, b=3,
+                        rerank=corpus.select("vec_id", "embedding")
+                        ).collect()
+    assert out[0]["vec_id"] == 33
+    assert abs(out[0]["sim"] - 1.0) < 1e-9
+    # rectangle containment: every hit's cells lie inside the probe set
+    c1, c2 = idx.probe_cells(qv, 3, 3)
+    cells = {r["vec_id"]: (r["cell1"], r["cell2"])
+             for r in idx.assigned.select("vec_id", "cell1",
+                                          "cell2").collect()}
+    for r in out:
+        assert cells[r["vec_id"]][0] in c1
+        assert cells[r["vec_id"]][1] in c2

@@ -211,6 +211,34 @@ class IMIIndex:
             .limit(top_k)
         )
 
+    def search_pq(self, codec, encoded: DataFrame,
+                  query_vec: Sequence[float], top_k: int = 5,
+                  a: int = 2, b: int = 2,
+                  rerank: DataFrame | None = None,
+                  exact_probe: bool = False) -> DataFrame:
+        """IMI-PQ: rectangle probe → ADC over codes in the probed cells →
+        optional exact rerank — the FAISS billion-scale layout (IMI coarse
+        quantizer + PQ codes) composed from this index and a PQCodec,
+        exactly the ivf.search_pq shape with the cluster probe replaced
+        by the two-level rectangle.
+
+        `encoded` carries (id, cell1, cell2, pq_code); persisted
+        partitionBy(cell1), the rectangle probe is partition pruning on
+        cell1 plus row-group pruning on cell2, and the ADC scan touches
+        m bytes/row of ~(a·b)/(k1·k2) of the corpus — the cell-count
+        arithmetic that makes 100 TB work: k1=k2=1024 gives 1 M cells
+        from 2048 trained centroids, so a 4×4 probe reads ~16/1M of the
+        codes table. Driver state = one (m×256) LUT pair + the two
+        half-centroid tables."""
+        probe = self.probe_cells_exact if exact_probe else self.probe_cells
+        c1, c2 = probe(query_vec, a, b)
+        cand = encoded.filter(
+            F.col("cell1").isin(c1) & F.col("cell2").isin(c2))
+        return codec.adc_search(
+            cand, query_vec, top_k=top_k, id_col=self.id_col,
+            rerank=rerank, emb_col=self.emb_col,
+        )
+
     # -- persistence ---------------------------------------------------
 
     def save(self, path: str) -> None:

@@ -98,3 +98,165 @@ def imi_search_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = idx.search(qv, top_k=10, a=_A, b=_A, exact_probe=True)
     return out.select("vec_id", "cell1", "cell2",
                       F.round("sim", 6).alias("sim"))
+
+
+# ---------------------------------------------------------------------------
+# IMI-PQ composed serving (operators/imi.IMIIndex.search_pq): the FAISS
+# billion-scale layout — rectangle probe over the two-level quantizer, ADC
+# over PQ codes inside the probed cells, exact rerank. The oracle is the
+# imi_search_rect assignment/probe CTEs composed with queries_pq's frozen
+# codebook / code-assignment / LUT / fixed-fold ADC CTEs verbatim.
+# ---------------------------------------------------------------------------
+
+def _imipq_oracle() -> str:
+    from vervectordb_spark.queries_pq import (
+        _CB_SQL,
+        _CODE_DIFF,
+        _COS,
+        _RERANK_FETCH,
+        _SUB_DIM,
+        _seq_sum,
+    )
+
+    return f"""
+WITH c1 AS (
+  SELECT vec_id::INTEGER AS cell_id, (embedding::DOUBLE[])[1:{_MID}] AS cv
+  FROM embeddings WHERE vec_id < {_K}
+),
+c2 AS (
+  SELECT vec_id::INTEGER AS cell_id,
+         (embedding::DOUBLE[])[{_MID + 1}:64] AS cv
+  FROM embeddings WHERE vec_id < {_K}
+),
+a1 AS (
+  SELECT vec_id, cell_id AS cell1 FROM (
+    SELECT e.vec_id, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos(_E1, 'c.cv')} DESC, c.cell_id
+           ) AS rk
+    FROM embeddings e CROSS JOIN c1 c
+  ) WHERE rk = 1
+),
+a2 AS (
+  SELECT vec_id, cell_id AS cell2 FROM (
+    SELECT e.vec_id, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos(_E2, 'c.cv')} DESC, c.cell_id
+           ) AS rk
+    FROM embeddings e CROSS JOIN c2 c
+  ) WHERE rk = 1
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+p1 AS (
+  SELECT cell_id FROM c1 CROSS JOIN q
+  ORDER BY {_cos('c1.cv', f'(q.qv)[1:{_MID}]')} DESC, cell_id LIMIT {_A}
+),
+p2 AS (
+  SELECT cell_id FROM c2 CROSS JOIN q
+  ORDER BY {_cos('c2.cv', f'(q.qv)[{_MID + 1}:64]')} DESC, cell_id LIMIT {_A}
+),
+in_rect AS (
+  SELECT vec_id FROM a1 JOIN a2 USING (vec_id)
+  WHERE a1.cell1 IN (SELECT cell_id FROM p1)
+    AND a2.cell2 IN (SELECT cell_id FROM p2)
+),
+cb AS ({_CB_SQL}),
+sliced AS (
+  SELECT e.vec_id, cb.subspace, cb.code, cb.centroid,
+         list_slice(e.embedding::DOUBLE[], cb.subspace*{_SUB_DIM}+1,
+                    cb.subspace*{_SUB_DIM}+{_SUB_DIM}) AS sl
+  FROM embeddings e CROSS JOIN cb
+),
+code_scored AS (
+  SELECT vec_id, subspace, code,
+         list_dot_product({_CODE_DIFF}, {_CODE_DIFF}) AS dist
+  FROM sliced
+),
+code_ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id, subspace ORDER BY dist, code
+  ) AS rk
+  FROM code_scored
+),
+codes AS (SELECT vec_id, subspace, code FROM code_ranked WHERE rk = 1),
+lut AS (
+  SELECT cb.subspace, cb.code,
+         list_dot_product(
+           list_slice(q.qv, cb.subspace*{_SUB_DIM}+1,
+                      cb.subspace*{_SUB_DIM}+{_SUB_DIM}), cb.centroid
+         ) AS dot_v,
+         list_dot_product(cb.centroid, cb.centroid) AS norm_v
+  FROM cb CROSS JOIN q
+),
+adc0 AS (
+  SELECT c.vec_id,
+         list(l.dot_v ORDER BY c.subspace) AS dl,
+         list(l.norm_v ORDER BY c.subspace) AS nl
+  FROM codes c
+  JOIN lut l ON c.subspace = l.subspace AND c.code = l.code
+  JOIN in_rect r ON r.vec_id = c.vec_id
+  GROUP BY c.vec_id
+),
+adc AS (
+  SELECT vec_id, {_seq_sum('dl')} AS dot_sum, {_seq_sum('nl')} AS norm_sum
+  FROM adc0
+),
+qn AS (SELECT sqrt(list_dot_product(qv, qv)) AS v FROM q),
+adc_sims AS (
+  SELECT vec_id,
+         CASE WHEN sqrt(norm_sum) * (SELECT v FROM qn) = 0 THEN 0.0
+              ELSE dot_sum / (sqrt(norm_sum) * (SELECT v FROM qn)) END AS sim
+  FROM adc
+),
+pool AS (
+  SELECT vec_id FROM adc_sims ORDER BY sim DESC, vec_id LIMIT {_RERANK_FETCH}
+),
+rerank AS (
+  SELECT e.vec_id, {_COS.format(a='e.embedding::DOUBLE[]', b='q.qv')} AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id IN (SELECT vec_id FROM pool)
+)
+SELECT vec_id, ROUND(sim, 6) AS sim
+FROM (SELECT * FROM rerank ORDER BY sim DESC, vec_id LIMIT 10)
+"""
+
+
+@query("imipq_search_adc", oracle=_imipq_oracle())
+def imipq_search_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMI-PQ end-to-end (IMIIndex.search_pq): 2×2 rectangle probe of 64
+    cells from 16 frozen half-centroids → ADC over expr-encoded PQ codes
+    inside the rectangle (LUT gather, m bytes/row) → exact rerank of the
+    top-50 ADC pool → top-10. Completes the index×codec matrix's IMI row
+    next to IVF-flat/PQ/resPQ/SQ8/BQ; every stage replays bit-exactly."""
+    from vervectordb_spark.functions.similarity import to_double
+    from vervectordb_spark.operators.imi import IMIIndex
+    from vervectordb_spark.operators.pq import PQCodec
+    from vervectordb_spark.queries_pq import _SUB_DIM, _frozen_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < _K)
+    cent1 = base.select(
+        F.col("vec_id").cast("int").alias("cell_id"),
+        F.slice(to_double(F.col("embedding")), 1, _MID).alias("centroid"))
+    cent2 = base.select(
+        F.col("vec_id").cast("int").alias("cell_id"),
+        F.slice(to_double(F.col("embedding")), _MID + 1,
+                64 - _MID).alias("centroid"))
+    idx = IMIIndex.from_centroids(emb, cent1, cent2, dim=64)
+    cb = _frozen_codebooks(spark, sf_dir)
+    codec = PQCodec.from_codebook_df(cb)
+    codes = PQCodec.encode_with_expr(emb, cb, sub_dim=_SUB_DIM)
+    pq_arr = codes.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+            lambda s: (s["code"] - 128).cast("tinyint"),
+        ).alias("pq_code")
+    )
+    encoded = idx.assigned.select("vec_id", "cell1", "cell2").join(
+        pq_arr, on="vec_id")
+    qv = _query_vec(spark, sf_dir, 0)
+    out = idx.search_pq(
+        codec, encoded, qv, top_k=10, a=_A, b=_A,
+        rerank=emb.select("vec_id", "embedding"), exact_probe=True,
+    )
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
