@@ -447,6 +447,33 @@ def build_benches(spark, sf_dir: str):
             return _force(_imi_holder[0].search(qv, top_k=10, a=2, b=2),
                           limit=10)
 
+        _imipq_holder: list = []
+
+        @bench("imipq_search_1q")
+        def _imipq():
+            # IMI-PQ composed serving: rectangle probe -> ADC over PQ
+            # codes inside probed cells -> exact rerank. Build + encode
+            # are one-time costs cached on the first repeat.
+            from vervectordb_spark.operators.pq import PQCodec
+
+            if not _imi_holder:
+                idx = IMIIndex.build(emb, k1=8, k2=8, dim=len(qv), seed=42)
+                idx.assigned.cache().count()
+                _imi_holder.append(idx)
+            if not _imipq_holder:
+                codec = PQCodec.fit(emb, dim=len(qv), n_subquantizers=8,
+                                    codebook_size=16, seed=42)
+                enc = codec.encode(_imi_holder[0].assigned).select(
+                    "vec_id", "cell1", "cell2", "pq_code").cache()
+                enc.count()
+                _imipq_holder.append((codec, enc))
+            codec, enc = _imipq_holder[0]
+            return _force(
+                _imi_holder[0].search_pq(
+                    codec, enc, qv, top_k=10, a=2, b=2,
+                    rerank=emb.select("vec_id", "embedding")),
+                limit=10)
+
         @bench("hard_negatives_4q")
         def _hardneg():
             qs = emb.filter(F.col("vec_id") < 4).select(
@@ -725,6 +752,37 @@ def build_benches(spark, sf_dir: str):
             out = hd.rotated_bq_search(emb, qv, 64, top_k=10,
                                        rerank_factor=3,
                                        thresholds=thr, codes=coded)
+            return _force(out, limit=10)
+
+        from vervectordb_spark.operators import opq
+
+        _opq_holder: list = []
+
+        @bench("bq_learned32_search_1q")
+        def _opqbq():
+            # learned-rotation SHORT codes (32 of 64 bits): the PCA-prefix
+            # regime where the trained transform beats the HD mix
+            # (RECALL.md 'Short codes'). Fit + rotate + encode cached on
+            # the first repeat; steady state is a 1-BIGINT/row Hamming
+            # scan + exact raw-cosine rerank.
+            if not _opq_holder:
+                R = opq.fit_learned_rotation(emb, 64, seed=42,
+                                             order_col="vec_id",
+                                             mix="none")
+                rot = opq.with_learned_rotation(emb, R, 64, kernel="arrow")
+                short = rot.select(
+                    "vec_id", F.slice("emb_lrot", 1, 32).alias("emb_lrot"))
+                thr = bq.fit_bq_thresholds(short, emb_col="emb_lrot",
+                                           dim=32)
+                thr_local = spark.createDataFrame(thr.toPandas())
+                coded = bq.with_codes(short, thr, 32, emb_col="emb_lrot") \
+                    .select("vec_id", "bq_code").cache()
+                coded.count()
+                _opq_holder.append((R, thr_local, coded))
+            R, thr, coded = _opq_holder[0]
+            out = opq.learned_bq_search(emb, R, qv, 64, top_k=10,
+                                        rerank_factor=3, code_bits=32,
+                                        thresholds=thr, codes=coded)
             return _force(out, limit=10)
     except ImportError:
         pass
