@@ -131,3 +131,28 @@ def test_search_pq_recall_and_rerank(spark, corpus, idx):
     for r in out:
         assert cells[r["vec_id"]][0] in c1
         assert cells[r["vec_id"]][1] in c2
+
+
+def test_batch_search_matches_single(spark, corpus, idx):
+    """Batch IMI serving is row-for-row the per-query path: same ids,
+    same sims, same order, for every query; empty query side returns the
+    documented 4-column schema; the 64k guard trips."""
+    queries = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"))
+    batch = idx.batch_search(queries, top_k=5, a=2, b=2).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], round(r["sim"], 9)))
+    for qid in range(4):
+        qv = [float(x) for x in corpus.filter(
+            F.col("vec_id") == qid).first()["embedding"]]
+        single = [(r["vec_id"], round(r["sim"], 9))
+                  for r in idx.search(qv, top_k=5, a=2, b=2).collect()]
+        assert by_q[qid] == single, qid
+    empty = idx.batch_search(queries.filter(F.lit(False)), top_k=5)
+    assert empty.columns == ["query_id", "vec_id", "sim", "rank"]
+    assert empty.count() == 0
+    with pytest.raises(ValueError, match="query side"):
+        idx.batch_search(queries, max_queries=2)

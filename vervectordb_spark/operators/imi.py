@@ -211,6 +211,61 @@ class IMIIndex:
             .limit(top_k)
         )
 
+    def batch_search(self, queries: DataFrame, top_k: int = 5,
+                     a: int = 2, b: int = 2,
+                     query_id: str = "query_id",
+                     query_emb: str = "q_embedding",
+                     exact_probe: bool = False,
+                     max_queries: int = 65_536) -> DataFrame:
+        """Many-query IMI search in ONE job (the ivf.batch_search fold
+        shape): rectangle probes are computed driver-side per query
+        (Q × (k1+k2) half-centroid dots, NumPy), expanded to
+        (query, cell1, cell2, qv) rows — a·b rows per query — broadcast,
+        and joined against the assigned layout on BOTH cell keys; the
+        exact rescore is the bit-exact fold, per-query top-k via a
+        query-partitioned window. Row-for-row the per-query `search`
+        results (parity pinned in tests/test_imi.py).
+
+        At 100 TB the probed-cell union prunes the persisted
+        cell1-partitioned scan exactly like the single-query path; the
+        broadcast is Q·a·b rows of KB-class state."""
+        from pyspark.sql import Window
+
+        spark = self.assigned.sparkSession
+        qrows = queries.select(query_id, query_emb).limit(
+            max_queries + 1).collect()
+        if len(qrows) > max_queries:
+            raise ValueError(
+                f"batch_search query side exceeds {max_queries} rows; "
+                "for corpus-scale query sets use knn_self_join")
+        qid_type = queries.schema[query_id].dataType.simpleString()
+        vid_type = self.assigned.schema[self.id_col].dataType.simpleString()
+        if not qrows:
+            return spark.createDataFrame(
+                [], f"{query_id} {qid_type}, {self.id_col} {vid_type}, "
+                    "sim double, rank int")
+        probe = self.probe_cells_exact if exact_probe else self.probe_cells
+        probe_rows = []
+        for r in qrows:
+            qv = [float(x) for x in r[1]]
+            c1s, c2s = probe(qv, a, b)
+            probe_rows += [(r[0], c1, c2, qv) for c1 in c1s for c2 in c2s]
+        probes = spark.createDataFrame(
+            probe_rows,
+            f"{query_id} {qid_type}, cell1 int, cell2 int, "
+            "_qv array<double>",
+        )
+        scored = self.assigned.join(
+            F.broadcast(probes), on=["cell1", "cell2"]
+        ).select(
+            query_id, self.id_col,
+            cosine_expr(F.col(self.emb_col), F.col("_qv")).alias("sim"),
+        )
+        w = Window.partitionBy(query_id).orderBy(F.desc("sim"),
+                                                 F.asc(self.id_col))
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= top_k)
+
     def search_pq(self, codec, encoded: DataFrame,
                   query_vec: Sequence[float], top_k: int = 5,
                   a: int = 2, b: int = 2,
