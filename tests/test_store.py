@@ -487,3 +487,29 @@ def test_build_ivf_clears_stale_residual_codec(spark):
     assert store._pq_res is not None
     store.build_ivf_index(n_clusters=2)
     assert store._pq_res is None and store._res_encoded is None
+
+
+def test_store_imi_facade_and_persistence(spark, tmp_path):
+    """IMI via the store: build/search facade, mutation invalidation,
+    and save/load of the cell layout + centroids."""
+    import numpy as np
+
+    from vervectordb_spark.store import VectorStore
+
+    rng = np.random.default_rng(31)
+    st = VectorStore(spark, vector_dim=8)
+    ids = st.batch_insert(rng.normal(size=(80, 8)).tolist())
+    qv = st.get_by_id(ids[7])["vector"]
+    hits = st.imi_search(qv, top_k=3, a=2, b=2)
+    assert hits[0]["vector_id"] == ids[7]
+    assert abs(hits[0]["similarity"] - 1.0) < 1e-9
+    assert st._imi is not None
+    st.insert(rng.normal(size=8).tolist())
+    assert st._imi is None  # mutation invalidates
+    path = str(tmp_path / "imistore")
+    st.build_imi_index(k1=4, k2=4)
+    st.save(path)
+    loaded = VectorStore.load(spark, path)
+    assert loaded._imi is not None
+    again = loaded.imi_search(qv, top_k=3, a=2, b=2)
+    assert again[0]["vector_id"] == ids[7]

@@ -68,6 +68,7 @@ class VectorStore:
         # (the reference likewise trains once, vervectordb/__init__.py:493).
         self._ivf = None
         self._ann = None
+        self._imi = None
         self._pq = None
         # residual codec (FAISS-style IVF-PQ): tied to the IVF centroids it
         # was fitted against, so it IS index-like — cleared on mutation
@@ -365,6 +366,7 @@ class VectorStore:
     def _invalidate(self) -> None:
         self._ivf = None
         self._ann = None
+        self._imi = None
         self._ivf_from_disk = False
         self._pq_res = None
         self._res_encoded = None
@@ -392,7 +394,43 @@ class VectorStore:
             for r in out.collect()
         ]
 
+    def build_imi_index(self, k1: int = 8, k2: int = 8, seed: int = 42):
+        """Two-level coarse quantizer over the store (operators/imi.py —
+        beyond the reference's index set): k1*k2 cells from k1+k2 trained
+        half-centroids. The cell-count answer when a flat IVF's k would
+        have to be impractically large; cleared on mutation like every
+        other index (None == rebuild before use)."""
+        from vervectordb_spark.operators.imi import IMIIndex
+
+        self._imi = IMIIndex.build(self.df, k1=k1, k2=k2,
+                                   dim=self.vector_dim, seed=seed)
+        return self._imi
+
+    def imi_search(self, query_vector: Sequence[float], top_k: int = 5,
+                   a: int = 2, b: int = 2) -> list[dict]:
+        """Rectangle-probe serving over the store's IMI layout: the a*b
+        best-cell rectangle, exact cosine rescore inside it (builds the
+        index first if absent)."""
+        if self._imi is None:
+            self.build_imi_index()
+        out = self._imi.search(query_vector, top_k=top_k, a=a, b=b)
+        return [
+            {"vector_id": r["vec_id"], "similarity": r["sim"],
+             "cell": (r["cell1"], r["cell2"])}
+            for r in out.collect()
+        ]
+
     def build_ann_index(self, bucket_length: float = 2.0, num_hash_tables: int = 3, seed: int = 42):
+        from vervectordb_spark.operators.imi import IMIIndex as _IMI
+
+        try:
+            store._imi = _IMI.load(spark, f"{path}/imi")
+        except AnalysisException:
+            pass  # no IMI artifacts saved
+        except ValueError as e:
+            import warnings
+
+            warnings.warn(f"ignoring corrupt IMI artifacts: {e}")
         from vervectordb_spark.operators.ann import LSHAnnIndex
 
         self._ann = LSHAnnIndex.build(
@@ -850,6 +888,8 @@ class VectorStore:
                 # MLlib writer; model state is tiny (the random planes), the
                 # featurized table re-derives from vectors at load
                 self._ann.save(f"{tmp}/ann_model")
+            if self._imi is not None:
+                self._imi.save(f"{tmp}/imi")
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, vector_dim: int | None = None) -> "VectorStore":
@@ -920,6 +960,16 @@ class VectorStore:
                 "residual-PQ codec found without IVF centroids — dropping it"
             )
             store._pq_res = None
+        from vervectordb_spark.operators.imi import IMIIndex as _IMI
+
+        try:
+            store._imi = _IMI.load(spark, f"{path}/imi")
+        except AnalysisException:
+            pass  # no IMI artifacts saved
+        except ValueError as e:
+            import warnings
+
+            warnings.warn(f"ignoring corrupt IMI artifacts: {e}")
         from vervectordb_spark.operators.ann import LSHAnnIndex
 
         try:
