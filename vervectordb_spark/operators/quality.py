@@ -1,0 +1,130 @@
+"""Model-based quality filtering — the CCNet / GPT-3-style trained
+classifier stage (Wenzek et al., "CCNet", LREC 2020; Brown et al. §2.2):
+train a linear classifier on hashed bag-of-words features against weak
+labels (a high-precision heuristic gate, or a trusted-corpus sample) and
+score the WHOLE corpus with it, keeping docs above a threshold.
+
+Reference scope: beyond nev8rz/VerVectorDB (no text pipeline exists
+there); included because every production pretraining pipeline pairs the
+heuristic gates (operators/text.py) with a trained scorer — heuristics
+catch structure (repetition, length, symbols), the classifier catches
+DISTRIBUTION (does this read like the reference corpus?).
+
+Spark-first shape:
+  * features = the existing hashed-BoW embedding kernel
+    (operators/embed.py, Arrow path) at a wider dim — one map-only pass;
+  * training = MLlib LogisticRegression on a BOUNDED labeled sample
+    (the fit is iterative and sample-sized, like every codec fit here);
+  * serving = the learned (dim+1) weights broadcast as plan literals and
+    applied as a FIXED fold + sigmoid column expression — whole-stage
+    codegen, zero Python, zero MLlib vector conversion at scan time.
+    At 100 TB scoring is a map-only projection over the corpus scan.
+
+The trained weights are data-fit driver state (KB-class, like IVF
+centroids); training is iterative and therefore NOT DuckDB-replayable —
+the registered query is a rows-only entry by design, with the scoring
+fold's parity against NumPy and the classifier's held-out quality pinned
+in pytest (tests/test_quality.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def featurize(docs: DataFrame, dim: int = 256, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """(id, features array<float>) — the hashed-BoW kernel at classifier
+    width (L2-normalized counts; map-only Arrow pass)."""
+    from vervectordb_spark.operators.embed import embed_documents
+
+    out = embed_documents(docs, dim=dim, text_col=text_col, id_col=id_col,
+                          kernel="arrow")
+    return out.select(F.col("vec_id").alias(id_col),
+                      F.col("embedding").alias("features"))
+
+
+def train_quality_classifier(feats: DataFrame, label_col: str = "label",
+                             features_col: str = "features",
+                             max_iter: int = 50, reg: float = 1e-4,
+                             seed: int = 42) -> tuple[list[float], float]:
+    """Fit MLlib LogisticRegression on (features array<float>, label) —
+    the caller bounds the labeled sample (weak labels are cheap; a few
+    10k rows train this). Returns (weights, intercept) — the KB-class
+    driver state serving broadcasts. Deterministic for a fixed sample
+    (LBFGS from a fixed init; seed kept for API symmetry)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    train = feats.select(
+        array_to_vector(F.col(features_col).cast("array<double>"))
+        .alias("features"),
+        F.col(label_col).cast("double").alias("label"),
+    )
+    lr = LogisticRegression(maxIter=max_iter, regParam=reg,
+                            standardization=False)
+    model = lr.fit(train)
+    return ([float(w) for w in model.coefficients], float(model.intercept))
+
+
+def classifier_score_expr(features: Column, weights: list[float],
+                          intercept: float) -> Column:
+    """sigmoid(b + Σ w_i·x_i) as a FIXED fold column expression — the
+    serving path: weights ship as plan literals, the fold runs in
+    whole-stage codegen (NumPy-parity pinned in pytest)."""
+    w = F.array(*[F.lit(float(v)) for v in weights])
+    dot = F.aggregate(
+        F.zip_with(features.cast("array<double>"), w, lambda x, c: x * c),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    z = F.lit(float(intercept)) + dot
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def score_quality(docs: DataFrame, weights: list[float], intercept: float,
+                  dim: int | None = None, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  out_col: str = "quality") -> DataFrame:
+    """Append out_col = the classifier probability for every doc — one
+    map-only featurize pass + the fold/sigmoid projection."""
+    dim = dim if dim is not None else len(weights)
+    if len(weights) != dim:
+        raise ValueError(f"weights len {len(weights)} != dim {dim}")
+    feats = featurize(docs, dim=dim, text_col=text_col, id_col=id_col)
+    scored = feats.select(
+        id_col,
+        classifier_score_expr(F.col("features"), weights, intercept)
+        .alias(out_col),
+    )
+    return docs.join(scored, on=id_col)
+
+
+def quality_filter(docs: DataFrame, weights: list[float], intercept: float,
+                   threshold: float = 0.5, dim: int | None = None,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Keep docs the trained classifier scores >= threshold (the CCNet
+    keep-side). Plan shape: scan → featurize (Arrow map) → fold/sigmoid
+    projection → filter — no shuffle, no driver-side corpus state."""
+    return score_quality(docs, weights, intercept, dim=dim,
+                         text_col=text_col, id_col=id_col).filter(
+        F.col("quality") >= float(threshold))
+
+
+def weak_labels_from_gate(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          cut: float = 0.8) -> DataFrame:
+    """Weak labels from the repo's own heuristic quality score
+    (operators/text.quality_score_expr, the Gopher/C4-style composite) —
+    the standard bootstrap when no trusted-corpus sample exists:
+    label 1 = score >= cut (conservative pass), 0 = otherwise. High
+    precision on the extremes is all the classifier needs; it
+    generalizes to the middle."""
+    from vervectordb_spark.operators.text import quality_score_expr
+
+    return docs.select(
+        id_col,
+        (quality_score_expr(text_col) >= float(cut)).cast("int")
+        .alias("label"),
+    )

@@ -610,3 +610,30 @@ def topic_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = mix_to_target(topics, "topic", targets, id_col="doc_id",
                          total=_TB_TOTAL, seed=42)
     return kept.select("doc_id", "topic")
+
+
+@query("quality_classifier_filter")
+def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (operators/quality.py — the CCNet /
+    GPT-3-style trained stage): bootstrap weak labels from the heuristic
+    gate, train MLlib LogisticRegression on hashed-BoW features of the
+    80% training split, score EVERY doc with the learned weights as a
+    fold+sigmoid codegen projection, return the kept held-out docs.
+
+    Registered rows-only by design: LR training is iterative and its
+    weights are data-fit driver state DuckDB cannot derive — the scoring
+    fold's NumPy parity, held-out agreement >= 0.9, and determinism are
+    pinned in tests/test_quality.py instead (the same split as the
+    learned-rotation profile's invariant gate)."""
+    from vervectordb_spark.operators import quality as Q
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = Q.weak_labels_from_gate(docs)
+    train_feats = Q.featurize(
+        docs.filter(F.col("doc_id") % 5 != 0), dim=64
+    ).join(labels, on="doc_id")
+    w, b = Q.train_quality_classifier(train_feats)
+    held = docs.filter(F.col("doc_id") % 5 == 0)
+    kept = Q.quality_filter(held, w, b, threshold=0.5, dim=64)
+    return kept.select("doc_id", "lang", "source",
+                       F.round("quality", 4).alias("quality"))
