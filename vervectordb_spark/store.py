@@ -421,16 +421,6 @@ class VectorStore:
         ]
 
     def build_ann_index(self, bucket_length: float = 2.0, num_hash_tables: int = 3, seed: int = 42):
-        from vervectordb_spark.operators.imi import IMIIndex as _IMI
-
-        try:
-            store._imi = _IMI.load(spark, f"{path}/imi")
-        except AnalysisException:
-            pass  # no IMI artifacts saved
-        except ValueError as e:
-            import warnings
-
-            warnings.warn(f"ignoring corrupt IMI artifacts: {e}")
         from vervectordb_spark.operators.ann import LSHAnnIndex
 
         self._ann = LSHAnnIndex.build(
