@@ -262,6 +262,28 @@ def build_benches(spark, sf_dir: str):
         pass
 
     try:
+        from vervectordb_spark.operators import quality as Q
+
+        _qf_weights: list = []
+
+        @bench("quality_filter")
+        def _quality_filter():
+            # trained-classifier corpus scoring (the CCNet stage): train
+            # ONCE on the bounded split (weights are KB-class driver state,
+            # amortized across serving), then time the map-only
+            # featurize → fold/sigmoid → filter pass over the whole corpus
+            if not _qf_weights:
+                tf = Q.training_frame(
+                    docs.filter(F.col("doc_id") % 5 != 0), dim=64,
+                    cap=100_000)
+                _qf_weights.append(Q.train_quality_classifier(tf))
+            w, b = _qf_weights[0]
+            return _force(Q.quality_filter(docs, w, b, threshold=0.5,
+                                           dim=64))
+    except ImportError:
+        pass
+
+    try:
         from vervectordb_spark import queries_relational as QR
 
         @bench("revenue_by_nation")

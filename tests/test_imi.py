@@ -156,3 +156,13 @@ def test_batch_search_matches_single(spark, corpus, idx):
     assert empty.count() == 0
     with pytest.raises(ValueError, match="query side"):
         idx.batch_search(queries, max_queries=2)
+
+
+def test_batch_search_null_query_fails_fast(spark, corpus, idx):
+    """NULL q_embedding rows get the contract error, not an opaque
+    TypeError from the driver-side probe loop (ADVICE r6)."""
+    queries = spark.createDataFrame(
+        [(0, [1.0] * 16), (1, None)],
+        "query_id bigint, q_embedding array<double>")
+    with pytest.raises(ValueError, match="NULL q_embedding"):
+        idx.batch_search(queries, top_k=3)

@@ -151,3 +151,50 @@ def test_mix_none_rows_are_principal_directions(emb):
     var = ((Xc @ R.T) ** 2).sum(axis=0)
     assert var[0] == max(var)
     assert var[0] >= var[10] >= var[40]
+
+
+def test_artifact_width_mismatch_fails_fast(spark, emb, R):
+    """Width-mismatched persisted thresholds/codes raise the contract
+    error instead of producing NULL hamming distances (ADVICE r6)."""
+    from vervectordb_spark.operators import bq
+
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 5).first()["embedding"]]
+    rot = opq.with_learned_rotation(emb, R, 64, kernel="expr")
+    thr = bq.fit_bq_thresholds(rot, emb_col="emb_lrot", dim=64)
+    codes = bq.with_codes(rot, thr, 64, emb_col="emb_lrot").select(
+        "vec_id", "bq_code")
+    # thresholds fit at 64 bits vs code_bits=16
+    with pytest.raises(ValueError, match="thresholds artifact"):
+        opq.learned_bq_search(emb, R, qv, 64, thresholds=thr, codes=codes,
+                              code_bits=16)
+    # 16-bit thresholds with 64-bit (2-word would differ; slice thr) codes
+    thr16 = thr.filter(F.col("pos") < 16)
+    rot16 = rot.withColumn("emb_lrot", F.slice("emb_lrot", 1, 16))
+    codes128 = bq.with_codes(
+        rot.withColumn("emb_lrot",
+                       F.concat("emb_lrot", "emb_lrot")),
+        bq.fit_bq_thresholds(
+            rot.withColumn("emb_lrot", F.concat("emb_lrot", "emb_lrot")),
+            emb_col="emb_lrot", dim=128),
+        128, emb_col="emb_lrot").select("vec_id", "bq_code")
+    with pytest.raises(ValueError, match="codes artifact"):
+        opq.learned_bq_search(emb, R, qv, 64, thresholds=thr16,
+                              codes=codes128, code_bits=16)
+    del rot16
+
+
+def test_bounded_sample_overcap_deterministic_across_partitionings(spark, emb):
+    """Over-cap selection with order_col is a hash-draw on row identity:
+    the SAME rows (and therefore the same R) regardless of partitioning
+    (ADVICE r6 — sample()+limit() was partitioning-dependent)."""
+    X1 = opq._bounded_sample(emb, "embedding", 100, 42, "vec_id")
+    X2 = opq._bounded_sample(emb.repartition(13), "embedding", 100, 42,
+                             "vec_id")
+    assert X1.shape == X2.shape and X1.shape[0] <= 100
+    assert np.array_equal(X1, X2)
+    R1 = opq.fit_learned_rotation(emb, 64, sample_size=100, seed=42,
+                                  order_col="vec_id")
+    R2 = opq.fit_learned_rotation(emb.repartition(13), 64, sample_size=100,
+                                  seed=42, order_col="vec_id")
+    assert np.array_equal(R1, R2)

@@ -70,6 +70,55 @@ def test_training_is_deterministic(spark, docs):
     assert np.allclose(w1, w2, atol=1e-9) and abs(b1 - b2) < 1e-9
 
 
+def test_scoring_is_map_only(spark, docs, fitted):
+    """VERDICT r6 #1a: score_quality/quality_filter must be scan → Arrow
+    featurize → fold projection → filter with ZERO shuffles — at 100 TB a
+    corpus self-join here is the difference between a map pass and the
+    biggest shuffle in the pipeline."""
+    from vervectordb_spark.plans.audit import (assert_no_shuffle,
+                                               physical_plan)
+
+    w, b, _ = fitted
+    raw = spark.read.parquet(f"{SF_DIR}/documents.parquet")  # no cache node
+    assert_no_shuffle(physical_plan(Q.score_quality(raw, w, b, dim=DIM)))
+    assert_no_shuffle(physical_plan(
+        Q.quality_filter(raw, w, b, threshold=0.5, dim=DIM)))
+
+
+def test_scoring_preserves_doc_columns(spark, docs, fitted):
+    w, b, _ = fitted
+    scored = Q.score_quality(docs, w, b, dim=DIM)
+    assert scored.columns == docs.columns + ["quality"]
+
+
+def test_bounded_split_identity_under_cap(docs):
+    got = Q.bounded_split(docs, cap=10_000)
+    assert got is docs  # under-cap: the SAME frame — weights can't move
+
+
+def test_bounded_split_deterministic_across_partitionings(spark, docs):
+    a = Q.bounded_split(docs, cap=100)
+    b = Q.bounded_split(docs.repartition(7), cap=100)
+    ids_a = sorted(r["doc_id"] for r in a.select("doc_id").collect())
+    ids_b = sorted(r["doc_id"] for r in b.select("doc_id").collect())
+    assert ids_a == ids_b and 0 < len(ids_a) < docs.count()
+    # ~cap in expectation, never wildly over
+    assert len(ids_a) <= 2 * 100
+
+
+def test_training_frame_weights_match_join_path(spark, docs):
+    """The map-only bounded training_frame yields the SAME weights as the
+    r6 featurize+join formulation at fixture scale (under-cap ⇒ identical
+    rows/labels ⇒ identical LBFGS fit)."""
+    train_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    tf = Q.training_frame(train_docs, dim=DIM, cap=100_000)
+    w1, b1 = Q.train_quality_classifier(tf)
+    labels = Q.weak_labels_from_gate(docs)
+    joined = Q.featurize(train_docs, dim=DIM).join(labels, on="doc_id")
+    w2, b2 = Q.train_quality_classifier(joined)
+    assert np.allclose(w1, w2, atol=1e-9) and abs(b1 - b2) < 1e-9
+
+
 def test_quality_filter_keeps_high_scores_only(spark, docs, fitted):
     w, b, _ = fitted
     kept = Q.quality_filter(docs, w, b, threshold=0.5, dim=DIM)

@@ -53,7 +53,7 @@ def _count_eq(i: int):
 
 
 def _embed_arrow(docs: DataFrame, dim: int, text_col: str, id_col: str,
-                 cjk_aware: bool) -> DataFrame:
+                 cjk_aware: bool, passthrough: bool = False) -> DataFrame:
     """Arrow-batched hashed-BoW kernel — same values as the expr path
     (pytest-pinned bit-identical): tokens come from the JVM (single owner
     of the tokenization), one hashlib-md5 per token (== md5_long), counts
@@ -61,16 +61,22 @@ def _embed_arrow(docs: DataFrame, dim: int, text_col: str, id_col: str,
     array so every IEEE operation matches the expr fold exactly. The expr
     path pays dim interpreted array scans per row (one size∘filter per
     bucket); this is one NumPy pass — prefer it for dim ≳ 32 or bulk
-    ingest."""
+    ingest.
+
+    passthrough=True keeps EVERY input column and appends `embedding`
+    (original id name preserved, no vec_id alias) — the shape downstream
+    map-only consumers need (quality scoring appends a fold projection on
+    the same frame instead of a corpus×corpus self-join, VERDICT r6 #1a)."""
     import hashlib
 
     from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
 
-    id_type = docs.schema[id_col].dataType
-    out_schema = StructType([
-        StructField("vec_id", id_type),
-        StructField("embedding", ArrayType(FloatType())),
-    ])
+    emb_field = StructField("embedding", ArrayType(FloatType()))
+    if passthrough:
+        out_schema = StructType(list(docs.schema.fields) + [emb_field])
+    else:
+        id_type = docs.schema[id_col].dataType
+        out_schema = StructType([StructField("vec_id", id_type), emb_field])
 
     def kern(batches):
         import numpy as np
@@ -85,32 +91,40 @@ def _embed_arrow(docs: DataFrame, dim: int, text_col: str, id_col: str,
                 b = bucket_of[t] = h % dim
             return b
 
+        def vec_of(toks):
+            toks = list(toks) if toks is not None else []
+            counts = np.zeros(dim, dtype=np.float64)
+            for t in toks:
+                counts[bucket(t)] += 1.0
+            acc = 0.0
+            for c in counts:          # fold order == expr aggregate
+                acc += c * c
+            norm = acc ** 0.5
+            if norm != 0.0:
+                counts = counts / norm
+            return np.asarray(counts, dtype=np.float32).tolist()
+
         for pdf in batches:
-            ids, vecs = [], []
-            for rid, toks in zip(pdf[id_col], pdf["_toks"]):
-                toks = list(toks) if toks is not None else []
-                counts = np.zeros(dim, dtype=np.float64)
-                for t in toks:
-                    counts[bucket(t)] += 1.0
-                acc = 0.0
-                for c in counts:          # fold order == expr aggregate
-                    acc += c * c
-                norm = acc ** 0.5
-                if norm != 0.0:
-                    counts = counts / norm
-                ids.append(rid)
-                vecs.append(np.asarray(counts, dtype=np.float32).tolist())
-            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+            vecs = [vec_of(t) for t in pdf["_toks"]]
+            if passthrough:
+                out = pdf.drop(columns=["_toks"])
+                out["embedding"] = vecs
+                yield out
+            else:
+                yield pd.DataFrame({"vec_id": list(pdf[id_col]),
+                                    "embedding": vecs})
 
     toks = mixed_tokens_expr(text_col) if cjk_aware else tokens_expr(text_col)
-    return docs.select(F.col(id_col), toks.alias("_toks")).mapInPandas(
+    cols = [F.col(c) for c in docs.columns] if passthrough else [F.col(id_col)]
+    return docs.select(*cols, toks.alias("_toks")).mapInPandas(
         kern, out_schema
     )
 
 
 def embed_documents(docs: DataFrame, dim: int = 32, text_col: str = "text",
                     id_col: str = "doc_id", cjk_aware: bool = True,
-                    kernel: str = "arrow") -> DataFrame:
+                    kernel: str = "arrow",
+                    passthrough: bool = False) -> DataFrame:
     """The S6 ingest: (doc_id, embedding) ready for the vector store —
     `VectorStore.ingest(embed_documents(docs))` is the full reference
     pipeline text → vectors → searchable.
@@ -127,17 +141,25 @@ def embed_documents(docs: DataFrame, dim: int = 32, text_col: str = "text",
     computes the vectors in one NumPy pass per Arrow batch; kernel="expr"
     is the DuckDB-oracle-replayable spec the arrow kernel is pinned
     bit-identical to (tests/test_embed.py), measured 2.4-3.1x slower —
-    keep it for oracle replay and plan-shape study, never the default."""
+    keep it for oracle replay and plan-shape study, never the default.
+
+    passthrough=True (both kernels) keeps every input column and appends
+    `embedding` — no id rename, no column drop — so downstream per-doc
+    projections (quality scoring) stay map-only instead of joining the
+    embedding frame back against the corpus."""
     if kernel == "arrow":
-        return _embed_arrow(docs, dim, text_col, id_col, cjk_aware)
+        return _embed_arrow(docs, dim, text_col, id_col, cjk_aware,
+                            passthrough=passthrough)
     toks = mixed_tokens_expr(text_col) if cjk_aware else tokens_expr(text_col)
     # NULL text tokenizes to NULL; without the coalesce every count bucket
     # (and thus every embedding element) is NULL — the arrow kernel emits
     # a zero vector for the same row, and the store schema forbids null
     # elements. Empty array -> all-zero counts -> zero vector, matching.
     toks = F.coalesce(toks, F.array().cast("array<string>"))
+    keep = ([F.col(c) for c in docs.columns] if passthrough
+            else [F.col(id_col)])
     staged = (
-        docs.select(F.col(id_col), toks.alias("_toks"))
+        docs.select(*keep, toks.alias("_toks"))
         .withColumn("_bks", F.transform("_toks", lambda t: md5_long(t) % dim))
         .withColumn(
             "_counts",
@@ -157,10 +179,10 @@ def embed_documents(docs: DataFrame, dim: int = 32, text_col: str = "text",
     normalized = F.when(F.col("_norm") == 0.0, F.col("_counts")).otherwise(
         F.transform("_counts", lambda x: x / F.col("_norm"))
     )
-    return staged.select(
-        F.col(id_col).alias("vec_id"),
-        normalized.cast("array<float>").alias("embedding"),
-    )
+    emb = normalized.cast("array<float>").alias("embedding")
+    if passthrough:
+        return staged.select(*[F.col(c) for c in docs.columns], emb)
+    return staged.select(F.col(id_col).alias("vec_id"), emb)
 
 
 # ---------------------------------------------------------------------------

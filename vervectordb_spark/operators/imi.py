@@ -245,6 +245,17 @@ class IMIIndex:
                 [], f"{query_id} {qid_type}, {self.id_col} {vid_type}, "
                     "sim double, rank int")
         probe = self.probe_cells_exact if exact_probe else self.probe_cells
+        # NULL query embeddings can't be probed — fail fast with the
+        # contract message (the corpus side already excludes NULLs in
+        # build/_assign_half; an unguarded row would raise an opaque
+        # TypeError in the float() loop below) (ADVICE r6)
+        null_q = [r[0] for r in qrows if r[1] is None]
+        if null_q:
+            raise ValueError(
+                f"batch_search got NULL {query_emb} for query ids "
+                f"{null_q[:5]}{'...' if len(null_q) > 5 else ''}: filter "
+                "NULL-embedding queries out before probing (the corpus "
+                "side excludes NULLs the same way)")
         probe_rows = []
         for r in qrows:
             qv = [float(x) for x in r[1]]

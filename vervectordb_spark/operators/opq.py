@@ -25,10 +25,13 @@ Construction (fit_learned_rotation):
     midrange-threshold sign bits want, now aligned to the data's actual
     principal structure instead of the raw coordinate axes.
   * ITQ refinement (itq_iters > 0): classic procrustes alternation on the
-    sample — B = sign(V Rᵀ − per-dim median), R ← (SŜᵀ from SVD of
-    (V − median)ᵀB) — rotating so sample coordinates agree with their own
-    sign codes. Medians (not zeros) because the downstream BQ thresholds
-    are midranges of the rotated corpus, not zero.
+    (optionally centered) sample — B = sign(V Rᵀ >= 0), R ← (UVᵀ)ᵀ from
+    the SVD of VᵀB — rotating so sample coordinates agree with their own
+    zero-threshold sign codes (Gong & Lazebnik's original form). The
+    zero threshold is deliberate: with center=True V is the centered
+    sample so zero IS its per-dim center, and the downstream BQ stage
+    re-estimates its own midrange thresholds on the rotated corpus
+    anyway — a median offset here would be estimated twice.
 
 Every factor is orthonormal, so R is orthonormal: norms and cosines are
 preserved (pytest-gated to 1e-9, oracle-gated to round-4 on the fixture —
@@ -84,20 +87,31 @@ def hadamard(d: int) -> np.ndarray:
 def _bounded_sample(df: DataFrame, emb_col: str, sample_size: int,
                     seed: int, order_col: str | None) -> np.ndarray:
     """The PQ-train sampling shape (operators/pq.py:151-176): limit-probe
-    the cap, sample only over-cap corpora, collect once. With order_col,
-    the sample is sorted by it DRIVER-SIDE after collect (bounded rows),
-    making the second-moment accumulation — and therefore R — exactly
-    reproducible across partitionings/runs."""
+    the cap, subsample only over-cap corpora, collect once. With
+    order_col, BOTH the row SELECTION (over-cap: a hash-draw on the id —
+    xxhash64(seed, order_col) threshold — which rows survive depends only
+    on row identity, never on partitioning; sample()+limit() would pick a
+    partitioning-dependent subset) and the accumulation ORDER (driver-side
+    sort by order_col, then truncate to sample_size) are deterministic,
+    so the second-moment sum — and therefore R — is exactly reproducible
+    across partitionings/runs. Without order_col the over-cap subset is
+    seed-stable per partitioning only (documented, cheap path)."""
     cols = [emb_col] if order_col is None else [order_col, emb_col]
     sample = df.select(*cols).filter(F.col(emb_col).isNotNull())
     over_cap = sample.limit(sample_size + 1).count() > sample_size
     if over_cap:
         n = sample.count()
-        sample = sample.sample(fraction=min(1.0, 1.2 * sample_size / n),
-                               seed=seed).limit(sample_size)
+        frac = min(1.0, 1.2 * sample_size / n)
+        if order_col is not None:
+            denom = 1_000_000
+            sample = sample.filter(
+                F.pmod(F.xxhash64(F.lit(seed), F.col(order_col)),
+                       F.lit(denom)) < F.lit(max(1, int(denom * frac))))
+        else:
+            sample = sample.sample(fraction=frac, seed=seed).limit(sample_size)
     rows = sample.collect()
     if order_col is not None:
-        rows = sorted(rows, key=lambda r: r[order_col])
+        rows = sorted(rows, key=lambda r: r[order_col])[:sample_size]
     return np.array([list(r[emb_col]) for r in rows], dtype=np.float64)
 
 
@@ -269,6 +283,23 @@ def learned_bq_search(df: DataFrame, R: np.ndarray, query_vec,
         coded = bq.with_codes(rotated, thr, b, emb_col="emb_lrot")
     else:
         thr, coded = thresholds, codes
+        # fail-fast artifact validation (ADVICE r6): width-mismatched
+        # artifacts would make hamming_words_expr emit NULL distances and
+        # silently wrong rankings — the same error class
+        # bq._require_rerank_vectors exists to prevent
+        n_thr = thr.count()
+        if n_thr != b:
+            raise ValueError(
+                f"thresholds artifact has {n_thr} rows but code_bits={b}: "
+                "pass the thresholds/codes of ONE fit/encode pass at this "
+                "code width")
+        first = coded.select(F.size("bq_code").alias("nw")).first()
+        want_words = bq.n_words(b)
+        if first is not None and first["nw"] != want_words:
+            raise ValueError(
+                f"codes artifact packs {first['nw']} words but code_bits="
+                f"{b} needs {want_words}: pass the thresholds/codes of ONE "
+                "fit/encode pass at this code width")
     thr_pdf = thr.toPandas()
     qwords = bq.encode_query(rotate_query_learned(query_vec, R)[:b],
                              thr_pdf)

@@ -34,15 +34,62 @@ from pyspark.sql import functions as F
 
 
 def featurize(docs: DataFrame, dim: int = 256, text_col: str = "text",
-              id_col: str = "doc_id") -> DataFrame:
+              id_col: str = "doc_id", passthrough: bool = False,
+              kernel: str = "arrow") -> DataFrame:
     """(id, features array<float>) — the hashed-BoW kernel at classifier
-    width (L2-normalized counts; map-only Arrow pass)."""
+    width (L2-normalized counts; map-only Arrow pass). passthrough=True
+    keeps EVERY doc column and appends `features` — the shape scoring
+    needs to stay a projection on the same frame (no join back)."""
     from vervectordb_spark.operators.embed import embed_documents
 
     out = embed_documents(docs, dim=dim, text_col=text_col, id_col=id_col,
-                          kernel="arrow")
+                          kernel=kernel, passthrough=passthrough)
+    if passthrough:
+        return out.withColumnRenamed("embedding", "features")
     return out.select(F.col("vec_id").alias(id_col),
                       F.col("embedding").alias("features"))
+
+
+def bounded_split(df: DataFrame, id_col: str = "doc_id",
+                  cap: int = 100_000, seed: int = 42) -> DataFrame:
+    """Deterministic hash-draw cap for a training split (the train_pq
+    sample-cap shape, operators/pq.py — reference bounds its fit sample
+    the same way, vervectordb/__init__.py:493-494). Under-cap frames pass
+    through IDENTICALLY (the returned object IS df — weights unchanged at
+    fixture scale); over-cap corpora keep a ~cap-row subset selected by
+    ROW IDENTITY (xxhash64 of the id), so the chosen rows are independent
+    of partitioning/run — never sample()+limit(), whose row set is
+    partitioning-dependent."""
+    if df.limit(cap + 1).count() <= cap:
+        return df
+    n = df.count()
+    denom = 1_000_000
+    thr = max(1, int(denom * min(1.0, cap / n)))
+    return df.filter(
+        F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(denom))
+        < F.lit(thr))
+
+
+def training_frame(docs: DataFrame, dim: int = 256, text_col: str = "text",
+                   id_col: str = "doc_id", cut: float = 0.8,
+                   cap: int = 100_000, seed: int = 42) -> DataFrame:
+    """Bounded (features, label) frame for train_quality_classifier — the
+    whole weak-label bootstrap as ONE map-only pass over a hash-draw-capped
+    split: cap the split (bounded_split), featurize with passthrough, and
+    derive the weak label from the heuristic gate ON THE SAME FRAME — no
+    corpus join anywhere, and every LBFGS iteration scans <= cap rows
+    regardless of corpus size (at 100 TB the unbounded 80% split would
+    make each iteration an ~80 TB pass)."""
+    from vervectordb_spark.operators.text import quality_score_expr
+
+    bounded = bounded_split(docs, id_col=id_col, cap=cap, seed=seed)
+    feats = featurize(bounded, dim=dim, text_col=text_col, id_col=id_col,
+                      passthrough=True)
+    return feats.select(
+        F.col("features"),
+        (quality_score_expr(text_col) >= float(cut)).cast("int")
+        .alias("label"),
+    )
 
 
 def train_quality_classifier(feats: DataFrame, label_col: str = "label",
@@ -86,18 +133,19 @@ def score_quality(docs: DataFrame, weights: list[float], intercept: float,
                   dim: int | None = None, text_col: str = "text",
                   id_col: str = "doc_id",
                   out_col: str = "quality") -> DataFrame:
-    """Append out_col = the classifier probability for every doc — one
-    map-only featurize pass + the fold/sigmoid projection."""
+    """Append out_col = the classifier probability for every doc — ONE
+    map-only pass: featurize with passthrough (docs.* + features on the
+    same frame) then the fold/sigmoid projection. No join, no shuffle —
+    plan shape pinned in tests/test_quality.py (0 Exchange)."""
     dim = dim if dim is not None else len(weights)
     if len(weights) != dim:
         raise ValueError(f"weights len {len(weights)} != dim {dim}")
-    feats = featurize(docs, dim=dim, text_col=text_col, id_col=id_col)
-    scored = feats.select(
-        id_col,
-        classifier_score_expr(F.col("features"), weights, intercept)
-        .alias(out_col),
-    )
-    return docs.join(scored, on=id_col)
+    feats = featurize(docs, dim=dim, text_col=text_col, id_col=id_col,
+                      passthrough=True)
+    return feats.withColumn(
+        out_col,
+        classifier_score_expr(F.col("features"), weights, intercept),
+    ).drop("features")
 
 
 def quality_filter(docs: DataFrame, weights: list[float], intercept: float,

@@ -615,10 +615,13 @@ def topic_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("quality_classifier_filter")
 def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (operators/quality.py — the CCNet /
-    GPT-3-style trained stage): bootstrap weak labels from the heuristic
-    gate, train MLlib LogisticRegression on hashed-BoW features of the
-    80% training split, score EVERY doc with the learned weights as a
-    fold+sigmoid codegen projection, return the kept held-out docs.
+    GPT-3-style trained stage): train MLlib LogisticRegression on the
+    BOUNDED 80% training split (deterministic hash-draw cap, the train_pq
+    sample pattern — every LBFGS iteration scans <= cap rows at any
+    corpus size) with weak labels derived map-only on the same frame,
+    then score EVERY held-out doc with the learned weights as a
+    fold+sigmoid codegen projection — scan → Arrow featurize → project →
+    filter, 0 shuffles (plan pinned in tests/test_quality.py).
 
     Registered rows-only by design: LR training is iterative and its
     weights are data-fit driver state DuckDB cannot derive — the scoring
@@ -628,10 +631,8 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vervectordb_spark.operators import quality as Q
 
     docs = load_table(spark, sf_dir, "documents")
-    labels = Q.weak_labels_from_gate(docs)
-    train_feats = Q.featurize(
-        docs.filter(F.col("doc_id") % 5 != 0), dim=64
-    ).join(labels, on="doc_id")
+    train_feats = Q.training_frame(
+        docs.filter(F.col("doc_id") % 5 != 0), dim=64, cap=100_000)
     w, b = Q.train_quality_classifier(train_feats)
     held = docs.filter(F.col("doc_id") % 5 == 0)
     kept = Q.quality_filter(held, w, b, threshold=0.5, dim=64)
