@@ -166,3 +166,51 @@ def test_batch_search_null_query_fails_fast(spark, corpus, idx):
         "query_id bigint, q_embedding array<double>")
     with pytest.raises(ValueError, match="NULL q_embedding"):
         idx.batch_search(queries, top_k=3)
+
+
+def test_adaptive_probe_respects_budget_and_demand(corpus, idx):
+    """Adaptive rectangle: never more than `budget` cells, never empty,
+    and the cells are prefixes of the per-half cosine ranking (the same
+    order fixed probing uses)."""
+    qv = [float(x)
+          for x in corpus.filter(F.col("vec_id") == 7).first()["embedding"]]
+    for budget in (1, 4, 9, 16):
+        c1, c2 = idx.probe_cells_adaptive(qv, budget=budget)
+        assert 1 <= len(c1) * len(c2) <= budget
+        full1, full2 = idx.probe_cells(qv, a=8, b=8)
+        assert c1 == full1[:len(c1)] and c2 == full2[:len(c2)]
+
+
+def test_adaptive_probe_elongates_on_skew(corpus):
+    """A query dead-center on one half1 centroid but equidistant from
+    every half2 centroid should spend its budget widening half2 — the
+    multi-sequence behavior the rectangle bounds. Orthogonal toy
+    centroids make the demand unambiguous: half1 mass is all on cell 3
+    (demand 1), half2 mass is uniform (demand ~k)."""
+    toy = IMIIndex(corpus, np.eye(8), np.eye(8), 16)
+    qv = [0.0] * 3 + [1.0] + [0.0] * 4 + [1.0 / np.sqrt(8)] * 8
+    c1, c2 = toy.probe_cells_adaptive(qv, budget=16)
+    assert len(c1) * len(c2) <= 16
+    assert len(c2) > len(c1)
+    assert c1[0] == 3
+
+
+def test_adaptive_batch_matches_single(spark, corpus, idx):
+    """adaptive=True batch serving is row-for-row the per-query adaptive
+    path (the fixed-rectangle parity contract extended)."""
+    queries = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"))
+    batch = idx.batch_search(queries, top_k=5, a=4, b=4,
+                             adaptive=True).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], round(r["sim"], 9)))
+    for qid in range(4):
+        qv = [float(x) for x in corpus.filter(
+            F.col("vec_id") == qid).first()["embedding"]]
+        single = [(r["vec_id"], round(r["sim"], 9))
+                  for r in idx.search(qv, top_k=5, a=4, b=4,
+                                      adaptive=True).collect()]
+        assert by_q[qid] == single, qid

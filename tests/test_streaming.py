@@ -610,3 +610,99 @@ def test_incremental_bq_sq_imi_before_rebuild(spark, tmp_path):
         assert (r["cell1"], r["cell2"]) == want[r["vec_id"]], r["vec_id"]
     ihits = idx.search(lv, top_k=3, a=2, b=2).collect()
     assert ihits and ihits[0]["vec_id"] == last_id
+
+
+def test_incremental_imipq_and_learned_bq_before_rebuild(spark, tmp_path):
+    """VERDICT r6 #6: the round-6 serving layouts — IMI-PQ codes and the
+    learned-rotation short codes — are maintained between rebuilds by
+    stateless encodes against the frozen fits: rows from the post-rebuild
+    micro-batch are searchable through BOTH composed paths without a
+    rebuild, and the incremental codes are byte-identical to a recompute
+    under the same fit."""
+    import numpy as np
+
+    from vervectordb_spark.operators import bq as bq_op
+    from vervectordb_spark.operators import opq
+    from vervectordb_spark.operators.imi import IMIIndex
+    from vervectordb_spark.operators.pq import PQCodec
+    from vervectordb_spark.schema import load_table
+    from vervectordb_spark.streaming.refresh import ingest_with_index_refresh
+
+    src = str(tmp_path / "vec_stream_r7")
+    store = str(tmp_path / "store_r7")
+    ckpt = str(tmp_path / "r7_ckpt")
+    emb = load_table(spark, SF_DIR, "embeddings").limit(120)
+    emb.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    # 4 micro-batches, rebuild after the 3rd: batch 4 reaches the
+    # composed layouts only via the incremental encode paths
+    q = ingest_with_index_refresh(
+        stream, store, ckpt, refresh_every=3, n_clusters=4, dim=64,
+        imi=(4, 4), imi_pq_subquantizers=8, imi_pq_codebook_size=16,
+        learned_bq_bits=32,
+    )
+    q.awaitTermination(240)
+    st = q._refresh_state
+    assert st["refreshes"] == 1
+    assert st["imi_incremental_appends"] == 1
+    assert st["imipq_incremental_appends"] == 1
+    assert st["lbq_incremental_appends"] == 1
+
+    vectors = spark.read.parquet(f"{store}/vectors")
+    ingested = {r["vec_id"] for r in vectors.select("vec_id").collect()}
+    assert len(ingested) == 120
+    last_id = sorted(ingested)[-1]
+    lv = [float(x) for x in vectors.filter(
+        F.col("vec_id") == last_id).first()["embedding"]]
+
+    # --- IMI-PQ: coverage, byte parity under the frozen (cents, codec),
+    # and a batch-4 row servable through probe -> ADC -> rerank
+    codec = PQCodec.load(spark, f"{store}/imipq/pq")
+    codes = spark.read.parquet(f"{store}/imipq/codes")
+    assert {r["vec_id"] for r in codes.select("vec_id").collect()} \
+        == ingested
+    idx = IMIIndex.load(spark, f"{store}/imi")
+    c1 = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(idx.cent1)],
+        "cell_id int, centroid array<double>")
+    c2 = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(idx.cent2)],
+        "cell_id int, centroid array<double>")
+    expect = codec.encode(
+        IMIIndex.from_centroids(vectors, c1, c2, 64).assigned)
+    want = {r["vec_id"]: (r["cell1"], r["cell2"], list(r["pq_code"]))
+            for r in expect.select("vec_id", "cell1", "cell2",
+                                   "pq_code").collect()}
+    for r in codes.collect():
+        assert (r["cell1"], r["cell2"], list(r["pq_code"])) \
+            == want[r["vec_id"]], r["vec_id"]
+    hits = idx.search_pq(codec, codes, lv, top_k=5, a=4, b=4,
+                         rerank=vectors.select("vec_id",
+                                               "embedding")).collect()
+    assert any(r["vec_id"] == last_id for r in hits)
+
+    # --- learned-rotation short codes: coverage, byte parity under the
+    # frozen (R, thresholds), and batch-4 servable via the persisted
+    # artifacts (width-validated path)
+    R = np.asarray([list(r["vals"]) for r in
+                    spark.read.parquet(f"{store}/lbq/rotation")
+                    .orderBy("row").collect()])
+    thr = spark.read.parquet(f"{store}/lbq/thresholds")
+    lcodes = spark.read.parquet(f"{store}/lbq/codes")
+    assert {r["vec_id"] for r in lcodes.select("vec_id").collect()} \
+        == ingested
+    rot = opq.with_learned_rotation(vectors, R, 64, kernel="arrow") \
+        .withColumn("emb_lrot", F.slice("emb_lrot", 1, 32))
+    lrecompute = {r["vec_id"]: list(r["bq_code"]) for r in
+                  bq_op.with_codes(rot, thr, 32, emb_col="emb_lrot")
+                  .select("vec_id", "bq_code").collect()}
+    for r in lcodes.collect():
+        assert list(r["bq_code"]) == lrecompute[r["vec_id"]], r["vec_id"]
+    got = opq.learned_bq_search(vectors, R, lv, 64, top_k=3,
+                                thresholds=thr, codes=lcodes,
+                                code_bits=32).collect()
+    assert got[0]["vec_id"] == last_id and got[0]["hamming"] == 0

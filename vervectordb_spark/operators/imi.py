@@ -152,6 +152,18 @@ class IMIIndex:
 
     # -- serving -----------------------------------------------------
 
+    @staticmethod
+    def _rank_half(cent: np.ndarray, qs: np.ndarray):
+        """(sims, order) of one half's centroids vs the query half —
+        cosine, ties broken on cell id (the assignment's tie rule)."""
+        qn = float(np.sqrt((qs * qs).sum()))
+        cn = np.sqrt((cent * cent).sum(axis=1))
+        den = cn * qn
+        sims = np.where(den == 0, 0.0,
+                        (cent @ qs) / np.where(den == 0, 1.0, den))
+        order = sorted(range(len(cent)), key=lambda i: (-sims[i], i))
+        return sims, [int(i) for i in order]
+
     def probe_cells(self, query_vec: Sequence[float],
                     a: int = 2, b: int = 2) -> tuple[list[int], list[int]]:
         """Rectangle probe: the a best half1 cells × b best half2 cells,
@@ -163,14 +175,50 @@ class IMIIndex:
         out = []
         for cent, qs, k in ((self.cent1, q[:mid], a),
                             (self.cent2, q[mid:], b)):
-            qn = float(np.sqrt((qs * qs).sum()))
-            cn = np.sqrt((cent * cent).sum(axis=1))
-            den = cn * qn
-            sims = np.where(den == 0, 0.0,
-                            (cent @ qs) / np.where(den == 0, 1.0, den))
-            order = sorted(range(len(cent)), key=lambda i: (-sims[i], i))
-            out.append([int(i) for i in order[:k]])
+            _sims, order = self._rank_half(cent, qs)
+            out.append(order[:k])
         return out[0], out[1]
+
+    def probe_cells_adaptive(self, query_vec: Sequence[float],
+                             budget: int = 16, mass: float = 0.8
+                             ) -> tuple[list[int], list[int]]:
+        """Per-query rectangle SIZING under a fixed cell budget — the IMI
+        twin of ivf.probe_clusters_adaptive: run the similarity-mass rule
+        independently on each half (the minimal centroid prefix holding
+        `mass` of the min-shifted cosine mass = that half's DEMAND n_i),
+        then fill the a×b <= budget rectangle greedily toward the side
+        with more unmet demand. A query whose half1 lands squarely in one
+        cell spends the whole budget widening half2 (1×budget) — exactly
+        the cells the true multi-sequence order would emit first, since
+        pair rank is monotone in each half's rank; a boundary query in
+        both halves converges to the square √budget×√budget. Same plan
+        shape as the fixed rectangle (ONE conjunctive IN-filter), same
+        cell count — only WHICH cells move. Driver-side NumPy over
+        k1 + k2 centroids, never a Spark job."""
+        q = np.asarray(query_vec, dtype=np.float64)
+        mid = self.dim // 2
+        demands, orders = [], []
+        for cent, qs in ((self.cent1, q[:mid]), (self.cent2, q[mid:])):
+            sims, order = self._rank_half(cent, qs)
+            ranked = sims[np.asarray(order)]
+            w = ranked - ranked.min() + 1e-12
+            cum = np.cumsum(w) / w.sum()
+            demands.append(int(np.searchsorted(cum, mass) + 1))
+            orders.append(order)
+        n1, n2 = demands
+        k1, k2 = len(self.cent1), len(self.cent2)
+        budget = max(1, int(budget))
+        a = b = 1
+        while True:
+            grow_a = a < k1 and (a + 1) * b <= budget
+            grow_b = b < k2 and a * (b + 1) <= budget
+            if not grow_a and not grow_b:
+                break
+            if grow_a and (not grow_b or n1 / a >= n2 / b):
+                a += 1
+            else:
+                b += 1
+        return orders[0][:a], orders[1][:b]
 
     def probe_cells_exact(self, query_vec: Sequence[float],
                           a: int = 2, b: int = 2) -> tuple[list[int], list[int]]:
@@ -191,14 +239,23 @@ class IMIIndex:
         return out[0], out[1]
 
     def search(self, query_vec: Sequence[float], top_k: int = 5,
-               a: int = 2, b: int = 2, exact_probe: bool = False) -> DataFrame:
+               a: int = 2, b: int = 2, exact_probe: bool = False,
+               adaptive: bool = False, mass: float = 0.8) -> DataFrame:
         """Probe the a×b cell rectangle, exact-cosine rescore inside it,
         top-k. The cell filter is a conjunctive IN-pair — pushdown-able,
         partition-pruning on a cell1-partitioned layout. Returns
         (id, cell1, cell2, sim); may return fewer than top_k rows when
-        the rectangle holds fewer (raise a/b, like nprobe)."""
-        probe = self.probe_cells_exact if exact_probe else self.probe_cells
-        c1, c2 = probe(query_vec, a, b)
+        the rectangle holds fewer (raise a/b, like nprobe).
+
+        adaptive=True re-shapes the rectangle per query under the SAME
+        a·b cell budget (probe_cells_adaptive) — equal scan volume,
+        better-aimed cells."""
+        if adaptive:
+            c1, c2 = self.probe_cells_adaptive(query_vec, budget=a * b,
+                                               mass=mass)
+        else:
+            probe = self.probe_cells_exact if exact_probe else self.probe_cells
+            c1, c2 = probe(query_vec, a, b)
         cand = self.assigned.filter(
             F.col("cell1").isin(c1) & F.col("cell2").isin(c2))
         return (
@@ -216,6 +273,7 @@ class IMIIndex:
                      query_id: str = "query_id",
                      query_emb: str = "q_embedding",
                      exact_probe: bool = False,
+                     adaptive: bool = False, mass: float = 0.8,
                      max_queries: int = 65_536) -> DataFrame:
         """Many-query IMI search in ONE job (the ivf.batch_search fold
         shape): rectangle probes are computed driver-side per query
@@ -259,7 +317,11 @@ class IMIIndex:
         probe_rows = []
         for r in qrows:
             qv = [float(x) for x in r[1]]
-            c1s, c2s = probe(qv, a, b)
+            if adaptive:
+                c1s, c2s = self.probe_cells_adaptive(qv, budget=a * b,
+                                                     mass=mass)
+            else:
+                c1s, c2s = probe(qv, a, b)
             probe_rows += [(r[0], c1, c2, qv) for c1 in c1s for c2 in c2s]
         probes = spark.createDataFrame(
             probe_rows,
