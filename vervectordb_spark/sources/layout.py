@@ -131,13 +131,19 @@ def _basename(p: str) -> str:
 
 
 def pruned_scan(spark: SparkSession, path: str,
-                predicates: dict[str, tuple[float, float]]) -> DataFrame:
+                predicates: dict[str, tuple]) -> DataFrame:
     """Scan `path` reading ONLY files whose stats envelope intersects
-    every [lo, hi] predicate, then apply the residual filter. Safe by
-    construction: a file whose [min_c, max_c] misses [lo, hi] cannot hold
-    a matching row. Columns without stats are ignored for skipping (their
-    predicate still filters rows). The file list decision is driver-side
-    over #files stats entries — metadata, not data."""
+    every [lo, hi] predicate (any orderable type — numbers, id strings),
+    then apply the residual filter. Safe by construction: a file whose
+    [min_c, max_c] misses [lo, hi] cannot hold a matching row. Columns
+    without stats are ignored for skipping (their predicate still filters
+    rows). The file list decision is driver-side over #files stats
+    entries — metadata, not data.
+
+    Kept files are resolved RELATIVE to `path` (by basename): the stats
+    JSON records fully-qualified URIs of wherever the files lived when
+    collected, which goes stale under the atomic rename-swap every save
+    path here uses (write to `.__tmp__`, swap in)."""
     with open(os.path.join(path, STATS_FILE)) as f:
         meta = json.load(f)
     keep = []
@@ -149,11 +155,11 @@ def pruned_scan(spark: SparkSession, path: str,
                     ok = False
                     break
         if ok:
-            keep.append(s["file"])
+            keep.append(os.path.join(path, _basename(s["file"])))
     # files written AFTER collect_file_stats (a plain append) have no
     # stats entry — they must be scanned unpruned, not silently dropped
     # (skipping is only safe for files whose envelope PROVES a miss)
-    known = {_basename(f) for s in meta["files"] for f in [s["file"]]}
+    known = {_basename(s["file"]) for s in meta["files"]}
     import glob as _glob
 
     for f in _glob.glob(os.path.join(path, "*.parquet")):

