@@ -532,3 +532,29 @@ def test_ivfbq_persisted_codes_probe_prunes(spark, emb, qv, tmp_path):
     dirs_on_disk = len(glob.glob(f"{path}/cluster_id=*"))
     assert dirs_on_disk == 4
     assert 1 <= metrics["numPartitions"] <= 2 < dirs_on_disk
+
+
+def test_curation_pipeline_trained_stage_adds_no_shuffle(spark):
+    """Pipeline v2 == v1 + the trained stage; the new stage (Arrow
+    featurize + linear-fold filter) must be a pure map insertion. Pinned
+    two ways: the gate→trained prefix alone plans with ZERO exchanges,
+    and the composed plan's shuffle budget stays at the stage count of
+    its v1 ingredients (gate/decontaminate/mix from curation_pipeline_e2e
+    + dedup/pack/shard-distinct from corpus_pipeline_e2e)."""
+    from vervectordb_spark.operators import quality as Q
+    from vervectordb_spark.operators import text as TX
+    from vervectordb_spark.operators.embed import embed_documents
+    from vervectordb_spark.queries_curation import (_QPB, _QPW,
+                                                    curation_pipeline_trained)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    gated = TX.quality_filter(docs, min_score=0.8).filter("keep").select(
+        "doc_id", "lang", "n_chars", "text")
+    feats = embed_documents(gated, dim=32, passthrough=True)
+    trained = feats.filter(
+        Q.classifier_logit_expr(F.col("embedding"), _QPW, _QPB) >= 0.0
+    ).drop("embedding")
+    A.assert_no_shuffle(A.physical_plan(trained))
+
+    plan = A.physical_plan(curation_pipeline_trained(spark, SF_DIR))
+    assert A.count_shuffles(plan) <= 10, plan[:3000]

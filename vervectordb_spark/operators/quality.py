@@ -115,17 +115,27 @@ def train_quality_classifier(feats: DataFrame, label_col: str = "label",
     return ([float(w) for w in model.coefficients], float(model.intercept))
 
 
-def classifier_score_expr(features: Column, weights: list[float],
+def classifier_logit_expr(features: Column, weights: list[float],
                           intercept: float) -> Column:
-    """sigmoid(b + Σ w_i·x_i) as a FIXED fold column expression — the
-    serving path: weights ship as plan literals, the fold runs in
-    whole-stage codegen (NumPy-parity pinned in pytest)."""
+    """z = b + Σ w_i·x_i as the house FIXED left fold — bit-identical to
+    DuckDB `b + list_dot_product(...)` under the cross-engine fold
+    contract. Oracle-gated pipelines threshold on THIS (z >= logit(t) ⇔
+    sigmoid(z) >= t, sigmoid is monotone): exp() differs by ulps between
+    JVM and libm, the fold does not."""
     w = F.array(*[F.lit(float(v)) for v in weights])
     dot = F.aggregate(
         F.zip_with(features.cast("array<double>"), w, lambda x, c: x * c),
         F.lit(0.0), lambda acc, v: acc + v,
     )
-    z = F.lit(float(intercept)) + dot
+    return F.lit(float(intercept)) + dot
+
+
+def classifier_score_expr(features: Column, weights: list[float],
+                          intercept: float) -> Column:
+    """sigmoid(b + Σ w_i·x_i) as a FIXED fold column expression — the
+    serving path: weights ship as plan literals, the fold runs in
+    whole-stage codegen (NumPy-parity pinned in pytest)."""
+    z = classifier_logit_expr(features, weights, intercept)
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 

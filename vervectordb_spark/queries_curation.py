@@ -638,3 +638,207 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = Q.quality_filter(held, w, b, threshold=0.5, dim=64)
     return kept.select("doc_id", "lang", "source",
                        F.round("quality", 4).alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# curation pipeline v2 — the trained quality stage composed into the full
+# chain as ONE lazy plan (VERDICT r6 #5)
+# ---------------------------------------------------------------------------
+
+#: frozen dim-32 classifier fit (operators/quality.training_frame at
+#: sf0.001, cap=100k — regenerate with tools/train_frozen_quality.py).
+#: Frozen literals keep the composed pipeline DuckDB-replayable: the
+#: trained stage thresholds on the LINEAR fold z >= logit(0.5) = 0
+#: (classifier_logit_expr — sigmoid is monotone, and exp() differs by
+#: ulps across engines while the fold is bit-exact by contract).
+_QPW = [3.6962531261217983, 2.914322827031814, 6.936414432953646, 0.0,
+        6.7205299109584615, 0.0, 0.0, 2.479778967061197, 0.0,
+        7.598455521850792, 6.544311721880588, 0.0, 5.987562683028639,
+        3.836514993023476, 3.977681445784043, 0.0, 0.0, 5.514481423554149,
+        5.106974138566822, 4.933011139070464, 7.0687020165042345, 0.0, 0.0,
+        7.310361398326666, 4.68653684813062, 3.24360251576791,
+        6.088338546082627, 0.0, 0.0, 2.1361529059184328,
+        0.9675356039672738, 4.74780468999861]
+_QPB = -16.344886719576053
+_QP_W_SQL = "[" + ", ".join(repr(w) for w in _QPW) + "]"
+
+#: CJK-aware mixed tokens + md5 bucket (== queries_embed twins)
+_QP_MIXED_TOKS = (
+    r"list_filter(regexp_split_to_array(lower("
+    r"regexp_replace(text, '([\x{4e00}-\x{9fff}])', ' \1 ', 'g')"
+    r"), '\s+'), x -> x <> '')"
+)
+_QP_MD5T = "(('0x' || substr(md5(t), 1, 15))::BIGINT)"
+
+
+@query(
+    "curation_pipeline_trained",
+    oracle=f"""
+WITH base AS (SELECT doc_id, lang, n_chars, text, {_TOKS} AS toks
+              FROM documents WHERE doc_id % 97 <> 0),
+m AS (
+  SELECT doc_id, lang, n_chars, text,
+    len(toks) AS n_tokens,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)
+    END AS avg_token_len,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+              / length(text) END AS punct_ratio,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE len(list_filter(toks, t -> list_contains(
+                ['the','a','an','and','or','of','to','in','is','are',
+                 'for','on','with','as','by','at','from','that','this','it'], t)))::DOUBLE
+              / len(toks) END AS stopword_ratio
+  FROM base
+),
+gated AS (
+  SELECT doc_id, lang, n_chars, text FROM m
+  WHERE (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 0.3 ELSE 0.0 END
+       + CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 12.0 THEN 0.3 ELSE 0.0 END
+       + CASE WHEN punct_ratio < 0.3 THEN 0.2 ELSE 0.0 END
+       + CASE WHEN stopword_ratio > 0.01 THEN 0.2 ELSE 0.0 END) >= 0.8
+),
+emb AS (
+  SELECT doc_id,
+    list_transform(CASE WHEN nrm = 0 THEN counts
+                        ELSE list_transform(counts, x -> x / nrm) END,
+                   x -> x::FLOAT)::DOUBLE[] AS ne
+  FROM (
+    SELECT doc_id, counts, sqrt(list_dot_product(counts, counts)) AS nrm
+    FROM (
+      SELECT doc_id,
+        list_transform(range(0, 32),
+          i -> len(list_filter(bks, b -> b = i))::DOUBLE) AS counts
+      FROM (
+        SELECT doc_id,
+          list_transform({_QP_MIXED_TOKS}, t -> {_QP_MD5T} % 32) AS bks
+        FROM gated
+      )
+    )
+  )
+),
+trained AS (
+  SELECT g.doc_id, g.lang, g.n_chars, g.text
+  FROM gated g JOIN emb e USING (doc_id)
+  WHERE ({_QPB!r} + list_dot_product(e.ne, {_QP_W_SQL})) >= 0.0
+),
+deduped AS (
+  SELECT doc_id, lang, n_chars FROM (
+    SELECT doc_id, lang, n_chars,
+      ROW_NUMBER() OVER (
+        PARTITION BY ('0x' || substr(md5(text), 1, 15))::BIGINT
+        ORDER BY doc_id) AS rk
+    FROM trained
+  ) WHERE rk = 1
+),
+s AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS ng
+  FROM base
+),
+bench AS (
+  SELECT DISTINCT ng FROM (
+    SELECT unnest(list_distinct(list_transform(
+             range(1, greatest(len(toks) - 2, 1) + 1),
+             i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS ng
+    FROM (SELECT {_TOKS} AS toks FROM documents WHERE doc_id % 97 = 0)
+  )
+),
+contaminated AS (SELECT DISTINCT s.doc_id FROM s JOIN bench USING (ng)),
+clean AS (
+  SELECT d.doc_id, d.lang, d.n_chars
+  FROM deduped d ANTI JOIN contaminated c ON d.doc_id = c.doc_id
+),
+tgt(lang, share) AS (VALUES
+  ('de', 0.15), ('en', 0.40), ('es', 0.15), ('fr', 0.15), ('zh', 0.15)),
+counts AS (SELECT lang, COUNT(*) AS n FROM clean GROUP BY lang),
+rates AS (
+  SELECT c.lang, least(1.0, t.share * 150.0 / c.n) AS rate
+  FROM counts c JOIN tgt t USING (lang)
+),
+kept AS (
+  SELECT d.* FROM clean d JOIN rates r USING (lang)
+  WHERE (('0x' || substr(md5('sample:42:' || d.doc_id), 1, 15))::BIGINT)::DOUBLE
+        / 1152921504606846976.0 < r.rate
+),
+c AS (
+  SELECT doc_id, lang, n_chars,
+    SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - n_chars AS start
+  FROM kept
+),
+packed AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(FLOOR(start::DOUBLE / 4000.0) AS BIGINT) AS bin_id,
+         (('0x' || substr(md5('42:' || doc_id), 1, 15))::BIGINT) % 8 AS shard
+  FROM c
+)
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT bin_id) AS BIGINT) AS n_bins,
+  CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM packed GROUP BY 1
+""",
+)
+def curation_pipeline_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pipeline v2 — the v1 chains EXTENDED with the trained
+    quality stage, composed as ONE lazy plan (VERDICT r6 #5):
+
+        heuristic gate → TRAINED classifier filter (frozen weights as
+        plan literals, linear-fold threshold) → exact dedup →
+        benchmark decontamination (broadcast anti-join on shared
+        3-grams) → target-mix resample → 4000-token packing →
+        training-shard assignment (the write_training_shards membership
+        expr, pinned n_shards=8)
+
+    reported as per-lang (docs, bins, shards, chars). The DuckDB twin
+    replays every stage including the classifier fold: the trained filter
+    is z >= logit(0.5) = 0 over the hashed-BoW embedding — bit-exact
+    cross-engine (the fold contract), where sigmoid+exp would drift by
+    ulps. Plan shape vs v1: ONE extra map stage (Arrow featurize + fold
+    projection, no shuffle) — audited in tests/test_plans.py."""
+    from vervectordb_spark.functions.hashing import seeded_md5_long
+    from vervectordb_spark.operators import quality as Q
+    from vervectordb_spark.operators.dedup import drop_exact_dups
+    from vervectordb_spark.operators.embed import embed_documents
+    from vervectordb_spark.operators.packing import pack_by_token_offset
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    gated = TX.quality_filter(corpus, min_score=0.8).filter("keep").select(
+        "doc_id", "lang", "n_chars", "text")
+    feats = embed_documents(gated, dim=32, passthrough=True)
+    trained = feats.filter(
+        Q.classifier_logit_expr(F.col("embedding"), _QPW, _QPB) >= 0.0
+    ).drop("embedding")
+    deduped = drop_exact_dups(trained).select("doc_id", "lang", "n_chars")
+    bench_ngrams = (
+        D.shingle_table(docs.filter(F.col("doc_id") % 97 == 0), shingle_n=3)
+        .select(F.explode("shingles").alias("ng")).distinct()
+    )
+    corpus_ngrams = D.shingle_table(corpus, shingle_n=3).select(
+        "doc_id", F.explode("shingles").alias("ng"))
+    contaminated = (
+        corpus_ngrams.join(F.broadcast(bench_ngrams), on="ng")
+        .select("doc_id").distinct()
+    )
+    clean = deduped.join(contaminated, on="doc_id", how="left_anti")
+    kept = mix_to_target(clean, "lang", _MIX_TARGETS, id_col="doc_id",
+                         total=150, seed=42)
+    packed = pack_by_token_offset(kept, token_col="n_chars", budget=4000,
+                                  order_col="doc_id", stream_col="lang")
+    sharded = packed.withColumn(
+        "shard",
+        F.pmod(seeded_md5_long(F.col("doc_id").cast("string"), 42),
+               F.lit(8)))
+    return sharded.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("bin_id").alias("n_bins"),
+        F.count_distinct("shard").alias("n_shards"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
