@@ -214,3 +214,85 @@ def test_adaptive_batch_matches_single(spark, corpus, idx):
                   for r in idx.search(qv, top_k=5, a=4, b=4,
                                       adaptive=True).collect()]
         assert by_q[qid] == single, qid
+
+
+@pytest.fixture(scope="module")
+def skew_corpus(spark):
+    """Cluster structure in half1 only, uniform noise in half2 — the
+    corpus-level half skew calibration exists to detect."""
+    rng = np.random.default_rng(7)
+    centers = rng.uniform(0, 1, (16, 8))
+    rows = []
+    for i in range(2048):
+        h1 = centers[i % 16] + rng.normal(0, 0.03, 8)
+        h2 = rng.uniform(0, 1, 8)
+        rows.append((i, np.concatenate([h1, h2]).tolist()))
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>").cache()
+
+
+def test_calibrated_probe_elongates_and_beats_fixed(spark, skew_corpus):
+    """calibrate_probe measures the per-half neighbor rank-coverage CDFs
+    and the calibrated allocation (a) elongates toward the unreliable
+    half and (b) beats the fixed square at the SAME cell budget — the
+    behavior no query-side similarity rule can produce (sims are flat in
+    value on both halves here)."""
+    from vervectordb_spark.operators.search import batch_topk
+
+    idx = IMIIndex.build(skew_corpus, k1=8, k2=8, dim=16, seed=42)
+    F1, F2 = idx.calibrate_probe(sample_size=512)
+    assert F1[0] > 0.9          # half1 quantizer reliable at rank 1
+    assert F2[0] < 0.6          # half2 nearly uninformative
+    a, b = idx._alloc_calibrated(8)
+    assert a < b                 # elongates toward the noisy half
+    assert a * b <= 8
+
+    queries = skew_corpus.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"))
+    truth = {}
+    for r in batch_topk(skew_corpus, queries, top_k=5,
+                        kernel="gemm").collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(len(got.get(q, set()) & t) / len(t)
+                   for q, t in truth.items()) / len(truth)
+
+    fixed = recall(idx.batch_search(queries, top_k=5, a=2, b=4).collect())
+    calib = recall(idx.batch_search(queries, top_k=5, a=2, b=4,
+                                    adaptive=True).collect())
+    assert calib > fixed, (calib, fixed)
+
+
+def test_calibrated_batch_matches_single(spark, skew_corpus):
+    queries = skew_corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"))
+    idx = IMIIndex.build(skew_corpus, k1=8, k2=8, dim=16, seed=42)
+    idx.calibrate_probe(sample_size=256)
+    batch = idx.batch_search(queries, top_k=5, a=3, b=3,
+                             adaptive=True).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], round(r["sim"], 9)))
+    for qid in range(3):
+        qv = [float(x) for x in skew_corpus.filter(
+            F.col("vec_id") == qid).first()["embedding"]]
+        single = [(r["vec_id"], round(r["sim"], 9))
+                  for r in idx.search(qv, top_k=5, a=3, b=3,
+                                      adaptive=True).collect()]
+        assert by_q[qid] == single, qid
+
+
+def test_calibration_keeps_square_on_symmetric_corpus(corpus, idx):
+    """No regression where halves are exchangeable: the calibrated
+    allocation stays (near-)square on the symmetric blob corpus."""
+    idx.calibrate_probe(sample_size=512)
+    a, b = idx._alloc_calibrated(16)
+    assert abs(a - b) <= 2 and a * b <= 16
+    idx._probe_cdf = None  # don't leak calibration into other tests

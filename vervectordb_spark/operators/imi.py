@@ -89,6 +89,10 @@ class IMIIndex:
         self.dim = dim
         self.id_col = id_col
         self.emb_col = emb_col
+        #: per-half rank-coverage CDFs from calibrate_probe() — None until
+        #: calibrated; adaptive probing falls back to the query-side mass
+        #: rule without it
+        self._probe_cdf: tuple[np.ndarray, np.ndarray] | None = None
 
     def _cent_df(self, half: int) -> DataFrame:
         cent = self.cent1 if half == 1 else self.cent2
@@ -179,24 +183,98 @@ class IMIIndex:
             out.append(order[:k])
         return out[0], out[1]
 
+    def calibrate_probe(self, sample_size: int = 1024,
+                        seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+        """Estimate the per-half rank-coverage CDFs F_i on a bounded
+        corpus sample: F_i[a-1] = P(a point's exact nearest neighbor's
+        half-i cell lies within the top-a cells of the point's OWN half-i
+        centroid ranking). This is the statistic rectangle sizing actually
+        needs — which half's quantizer is RELIABLE for neighbors — and it
+        is invisible to any query-side similarity rule: centroid sims can
+        be flat in value while top-1 identity is near-perfectly reliable
+        (measured on the half-clustered corpus, RECALL.md 'Reading the
+        IMI rows').
+
+        Cost shape: one bounded collect (the PQ-train cap pattern) + one
+        sample² NumPy pass driver-side; the CDFs are k1+k2 floats of
+        driver state, centroid-class. Call once per index build (or after
+        drift); probe_cells_adaptive uses the calibration automatically."""
+        df = self.assigned.select(self.emb_col).filter(
+            F.col(self.emb_col).isNotNull())
+        rows = df.limit(int(sample_size)).collect()
+        if len(rows) < 3:
+            raise ValueError("calibrate_probe needs >= 3 sampled vectors")
+        X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+        n = np.linalg.norm(X, axis=1)
+        n = np.where(n == 0, 1.0, n)
+        sims = (X / n[:, None]) @ (X / n[:, None]).T
+        np.fill_diagonal(sims, -np.inf)
+        nn = sims.argmax(axis=1)
+        mid = self.dim // 2
+        cdfs = []
+        for cent, lo, hi in ((self.cent1, 0, mid), (self.cent2, mid, None)):
+            H = X[:, lo:hi]
+            hn = np.linalg.norm(H, axis=1)
+            cn = np.linalg.norm(cent, axis=1)
+            den = np.outer(hn, cn)
+            cs = np.where(den == 0, 0.0, (H @ cent.T) / np.where(den == 0, 1.0, den))
+            # per-point centroid ranking (desc sim, cell id tiebreak — the
+            # probe's rule; stable argsort of -sims == that) and the NN's
+            # assigned cell = its own argmax
+            order = np.argsort(-cs, axis=1, kind="stable")
+            assign = order[:, 0]
+            rank_of = np.empty_like(order)
+            rows_idx = np.arange(len(cs))[:, None]
+            rank_of[rows_idx, order] = np.arange(cs.shape[1])[None, :]
+            nn_rank = rank_of[np.arange(len(cs)), assign[nn]]
+            counts = np.bincount(nn_rank, minlength=cs.shape[1])
+            cdfs.append(np.cumsum(counts) / len(cs))
+        self._probe_cdf = (cdfs[0], cdfs[1])
+        return self._probe_cdf
+
+    def _alloc_calibrated(self, budget: int) -> tuple[int, int]:
+        """(a, b) maximizing estimated coverage F1(a)·F2(b) subject to
+        a·b <= budget — exhaustive over a (k1 candidates, driver-side)."""
+        F1, F2 = self._probe_cdf
+        k1, k2 = len(F1), len(F2)
+        best = None
+        for a in range(1, min(k1, budget) + 1):
+            b = min(k2, budget // a)
+            if b < 1:
+                break
+            key = (F1[a - 1] * F2[b - 1], a * b, -abs(a - b), -a)
+            if best is None or key > best[0]:
+                best = (key, (a, b))
+        return best[1]
+
     def probe_cells_adaptive(self, query_vec: Sequence[float],
                              budget: int = 16, mass: float = 0.8
                              ) -> tuple[list[int], list[int]]:
-        """Per-query rectangle SIZING under a fixed cell budget — the IMI
-        twin of ivf.probe_clusters_adaptive: run the similarity-mass rule
-        independently on each half (the minimal centroid prefix holding
-        `mass` of the min-shifted cosine mass = that half's DEMAND n_i),
-        then fill the a×b <= budget rectangle greedily toward the side
-        with more unmet demand. A query whose half1 lands squarely in one
-        cell spends the whole budget widening half2 (1×budget) — exactly
-        the cells the true multi-sequence order would emit first, since
-        pair rank is monotone in each half's rank; a boundary query in
-        both halves converges to the square √budget×√budget. Same plan
-        shape as the fixed rectangle (ONE conjunctive IN-filter), same
-        cell count — only WHICH cells move. Driver-side NumPy over
-        k1 + k2 centroids, never a Spark job."""
+        """Rectangle SIZING under a fixed cell budget — the IMI twin of
+        ivf.probe_clusters_adaptive. Two signals, best available wins:
+
+        * CALIBRATED (after calibrate_probe): pick the a×b <= budget
+          maximizing estimated neighbor coverage F1(a)·F2(b) from the
+          measured per-half rank-coverage CDFs. This is the signal that
+          actually finds the win: on a corpus whose half1 carries the
+          cluster structure and half2 noise, it allocates 1×budget and
+          doubles recall over the square at the same cell count
+          (RECALL.md); on half-exchangeable corpora it keeps the square.
+        * query-side fallback: the similarity-mass rule per half (the
+          minimal centroid prefix holding `mass` of the min-shifted
+          cosine mass = that half's demand), greedy-filling toward the
+          side with more unmet demand — catches per-query boundary
+          ambiguity, but NOT corpus-level half skew (sim values can be
+          flat while top-1 identity is reliable — measured, RECALL.md).
+
+        Either way the probe set stays a rectangle of the per-half
+        rankings: same ONE conjunctive IN-filter plan, same partition
+        pruning, same cell count as fixed — only WHICH cells move.
+        Driver-side NumPy over k1 + k2 centroids, never a Spark job."""
         q = np.asarray(query_vec, dtype=np.float64)
         mid = self.dim // 2
+        budget = max(1, int(budget))
+        k1, k2 = len(self.cent1), len(self.cent2)
         demands, orders = [], []
         for cent, qs in ((self.cent1, q[:mid]), (self.cent2, q[mid:])):
             sims, order = self._rank_half(cent, qs)
@@ -205,9 +283,10 @@ class IMIIndex:
             cum = np.cumsum(w) / w.sum()
             demands.append(int(np.searchsorted(cum, mass) + 1))
             orders.append(order)
+        if self._probe_cdf is not None:
+            a, b = self._alloc_calibrated(budget)
+            return orders[0][:a], orders[1][:b]
         n1, n2 = demands
-        k1, k2 = len(self.cent1), len(self.cent2)
-        budget = max(1, int(budget))
         a = b = 1
         while True:
             grow_a = a < k1 and (a + 1) * b <= budget
