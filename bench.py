@@ -284,6 +284,18 @@ def build_benches(spark, sf_dir: str):
         pass
 
     try:
+        from vervectordb_spark import queries_curation as QC
+
+        @bench("curation_pipeline_trained")
+        def _pipeline_trained():
+            # the full curation chain incl. the trained stage (frozen
+            # weights — no fitting in the timed path), ONE lazy plan
+            return _force(QC.curation_pipeline_trained(spark, sf_dir),
+                          limit=100)
+    except ImportError:
+        pass
+
+    try:
         from vervectordb_spark import queries_relational as QR
 
         @bench("revenue_by_nation")

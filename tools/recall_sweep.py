@@ -529,10 +529,16 @@ def main() -> None:
         "  my own centroid ranking'; size a×b to maximize F1(a)·F2(b))",
         "  finds the real win: on the half-clustered corpus it allocates",
         "  1×16 and nearly DOUBLES recall over the square at the same",
-        "  cell count, while keeping the square (no regression) on the",
-        "  symmetric corpora. The reliability of a half's quantizer is a",
-        "  CORPUS property, not a query property — so it must be measured",
-        "  once per index, not inferred per query.",
+        "  cell count (and slightly LOWER candidate volume). On the",
+        "  symmetric corpora it keeps the square via a noise guard — an",
+        "  elongated shape must beat the balanced one's estimated",
+        "  coverage by > ε = 0.05, because on structureless data both",
+        "  CDFs are shallow and the raw argmax is sampling noise",
+        "  (measured: unguarded it drifted to 8×2 on uniform for a small",
+        "  recall loss; real skew clears ε by an order of magnitude).",
+        "  The reliability of a half's quantizer is a CORPUS property,",
+        "  not a query property — so it must be measured once per index,",
+        "  not inferred per query.",
         "",
         "## Graph-free recall ceiling — the HNSW decision, with data",
         "",

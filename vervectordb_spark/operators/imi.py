@@ -232,20 +232,33 @@ class IMIIndex:
         self._probe_cdf = (cdfs[0], cdfs[1])
         return self._probe_cdf
 
-    def _alloc_calibrated(self, budget: int) -> tuple[int, int]:
+    def _alloc_calibrated(self, budget: int,
+                          eps: float = 0.05) -> tuple[int, int]:
         """(a, b) maximizing estimated coverage F1(a)·F2(b) subject to
-        a·b <= budget — exhaustive over a (k1 candidates, driver-side)."""
+        a·b <= budget — exhaustive over a (k1 candidates, driver-side) —
+        with a NOISE GUARD: the balanced rectangle is the default, and an
+        elongated one is chosen only when its estimated coverage beats
+        the balanced one by more than `eps`. On structureless corpora
+        both CDFs are shallow and the argmax is sampling noise (measured:
+        an unguarded allocation drifted to 8×2 on the uniform corpus for
+        a small recall LOSS); real half skew clears any reasonable eps by
+        an order of magnitude (0.60 vs 0.37 estimated on the
+        half-clustered corpus)."""
         F1, F2 = self._probe_cdf
         k1, k2 = len(F1), len(F2)
-        best = None
+        cands = []
         for a in range(1, min(k1, budget) + 1):
             b = min(k2, budget // a)
             if b < 1:
                 break
-            key = (F1[a - 1] * F2[b - 1], a * b, -abs(a - b), -a)
-            if best is None or key > best[0]:
-                best = (key, (a, b))
-        return best[1]
+            cands.append((a, b, float(F1[a - 1] * F2[b - 1])))
+        balanced = max(cands, key=lambda c: (c[0] * c[1],
+                                             -abs(c[0] - c[1]), -c[0]))
+        best = max(cands, key=lambda c: (c[2], c[0] * c[1],
+                                         -abs(c[0] - c[1]), -c[0]))
+        if best[2] > balanced[2] + eps:
+            return best[0], best[1]
+        return balanced[0], balanced[1]
 
     def probe_cells_adaptive(self, query_vec: Sequence[float],
                              budget: int = 16, mass: float = 0.8
