@@ -296,3 +296,20 @@ def test_calibration_keeps_square_on_symmetric_corpus(corpus, idx):
     a, b = idx._alloc_calibrated(16)
     assert abs(a - b) <= 2 and a * b <= 16
     idx._probe_cdf = None  # don't leak calibration into other tests
+
+
+def test_calibration_persists_through_save_load(spark, skew_corpus, tmp_path):
+    idx = IMIIndex.build(skew_corpus, k1=8, k2=8, dim=16, seed=42)
+    idx.calibrate_probe(sample_size=256)
+    want = idx._alloc_calibrated(8)
+    path = str(tmp_path / "imi_cal")
+    idx.save(path)
+    back = IMIIndex.load(spark, path)
+    assert back._probe_cdf is not None
+    assert np.allclose(back._probe_cdf[0], idx._probe_cdf[0])
+    assert back._alloc_calibrated(8) == want
+    # uncalibrated saves stay loadable with the mass-rule fallback
+    idx2 = IMIIndex.build(skew_corpus, k1=8, k2=8, dim=16, seed=42)
+    path2 = str(tmp_path / "imi_uncal")
+    idx2.save(path2)
+    assert IMIIndex.load(spark, path2)._probe_cdf is None

@@ -480,6 +480,15 @@ class IMIIndex:
             spark = self.assigned.sparkSession
             spark.createDataFrame([(self.dim,)], "dim int").coalesce(1) \
                 .write.mode("overwrite").parquet(f"{tmp}/meta")
+            if self._probe_cdf is not None:
+                # calibration is centroid-class driver state: persist it so
+                # a loaded index keeps its adaptive rectangle sizing
+                spark.createDataFrame(
+                    [(half, [float(x) for x in cdf])
+                     for half, cdf in enumerate(self._probe_cdf, start=1)],
+                    "half int, cdf array<double>",
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    f"{tmp}/probe_cdf")
 
     @classmethod
     def load(cls, spark, path: str, id_col: str = "vec_id",
@@ -496,8 +505,21 @@ class IMIIndex:
             cents.append(np.asarray([list(r["centroid"]) for r in rows],
                                     dtype=np.float64))
         dim = spark.read.parquet(f"{path}/meta").first()["dim"]
-        return cls(assigned, cents[0], cents[1], dim,
-                   id_col=id_col, emb_col=emb_col)
+        idx = cls(assigned, cents[0], cents[1], dim,
+                  id_col=id_col, emb_col=emb_col)
+        from pyspark.errors import AnalysisException
+
+        try:
+            cdf_rows = (spark.read.parquet(f"{path}/probe_cdf")
+                        .orderBy("half").collect())
+            if len(cdf_rows) == 2:
+                idx._probe_cdf = (
+                    np.asarray(list(cdf_rows[0]["cdf"]), dtype=np.float64),
+                    np.asarray(list(cdf_rows[1]["cdf"]), dtype=np.float64),
+                )
+        except AnalysisException:
+            pass  # uncalibrated save — adaptive falls back to the mass rule
+        return idx
 
     def cell_stats(self) -> DataFrame:
         """(cell1, cell2, n) occupancy — the skew report; k1*k2 rows max."""
