@@ -228,7 +228,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents, n
+  WHERE (('0x' || substr(md5('sample:13:' || doc_id), 1, 15))::BIGINT)::DOUBLE
+        / 1152921504606846976.0 < least(1.0, 600.0 / n.n)
+),
 sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
 pairs AS (
   SELECT a.doc_id AS src_id, b.doc_id AS dst_id, {_jaccard_sql('a.s', 'b.s')} AS jacc
@@ -239,8 +244,26 @@ FROM (SELECT * FROM pairs ORDER BY jacc DESC, src_id, dst_id LIMIT 20)
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard — the GROUND-TRUTH verifier — on a
+    count-adaptive hash-draw sample (~600 docs at any sf; under-cap
+    corpora keep every doc, so fixture outputs are unchanged). The
+    bound is the point: the global O(N²) form was measured pathological
+    at sf1 (50k docs → 1.25B broadcast-nested-loop pairs × shingle-array
+    intersections — the round-7 full-registry sf1 gate stalled on it for
+    an hour), and at scale exact Jaccard only ever runs per capped LSH
+    bucket (dedup_minhash / minhash_near_dup_pairs — the production
+    path). The count-adaptive rate least(1.0, 600/n) is one count
+    aggregate broadcast into a pure row filter — SQL-replayable, so the
+    oracle samples identically."""
+    from vervectordb_spark.operators.sampling import hash_uniform_expr
+
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.0)
+    n = docs.agg(F.count("*").cast("long").alias("_n"))
+    bounded = docs.crossJoin(F.broadcast(n)).filter(
+        hash_uniform_expr("doc_id", 13)
+        < F.least(F.lit(1.0), F.lit(600.0) / F.col("_n"))
+    ).drop("_n")
+    pairs = D.ngram_jaccard_pairs(bounded, shingle_n=3, threshold=0.0)
     top = pairs.orderBy(
         F.desc("jaccard"), F.asc("src_id"), F.asc("dst_id")
     ).limit(20)
