@@ -313,3 +313,15 @@ def test_calibration_persists_through_save_load(spark, skew_corpus, tmp_path):
     path2 = str(tmp_path / "imi_uncal")
     idx2.save(path2)
     assert IMIIndex.load(spark, path2)._probe_cdf is None
+
+
+def test_calibration_sample_deterministic_across_partitionings(spark, skew_corpus):
+    """Same index (frozen centroids), different physical partitioning:
+    the id-ordered calibration prefix selects the SAME rows, so the CDFs
+    are bit-identical (a bare limit() would be partitioning-dependent —
+    the _bounded_sample contract)."""
+    a = IMIIndex.build(skew_corpus, k1=8, k2=8, dim=16, seed=42)
+    b = IMIIndex(a.assigned.repartition(11), a.cent1, a.cent2, 16)
+    Fa = a.calibrate_probe(sample_size=300)
+    Fb = b.calibrate_probe(sample_size=300)
+    assert np.array_equal(Fa[0], Fb[0]) and np.array_equal(Fa[1], Fb[1])

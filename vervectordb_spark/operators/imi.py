@@ -199,12 +199,17 @@ class IMIIndex:
         sample² NumPy pass driver-side; the CDFs are k1+k2 floats of
         driver state, centroid-class. Call once per index build (or after
         drift); probe_cells_adaptive uses the calibration automatically."""
-        df = self.assigned.select(self.emb_col).filter(
+        # deterministic sample: the id-ordered prefix (TakeOrdered — a
+        # bounded global-sort prefix), never a bare limit() whose row set
+        # depends on partitioning (the _bounded_sample contract,
+        # operators/opq.py)
+        df = self.assigned.select(self.id_col, self.emb_col).filter(
             F.col(self.emb_col).isNotNull())
-        rows = df.limit(int(sample_size)).collect()
+        rows = [r[1] for r in
+                df.orderBy(self.id_col).limit(int(sample_size)).collect()]
         if len(rows) < 3:
             raise ValueError("calibrate_probe needs >= 3 sampled vectors")
-        X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+        X = np.asarray([list(v) for v in rows], dtype=np.float64)
         n = np.linalg.norm(X, axis=1)
         n = np.where(n == 0, 1.0, n)
         sims = (X / n[:, None]) @ (X / n[:, None]).T

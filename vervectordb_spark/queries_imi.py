@@ -260,3 +260,36 @@ def imipq_search_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=emb.select("vec_id", "embedding"), exact_probe=True,
     )
     return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+@query("imi_search_calibrated")
+def imi_search_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibrated adaptive rectangle serving (VERDICT r6 #3 +
+    round-7 calibration): same frozen-centroid IMI as imi_search_rect,
+    but the a×b shape comes from calibrate_probe — the measured per-half
+    neighbor rank-coverage CDFs — under the same 4-cell budget the fixed
+    2×2 rectangle spends.
+
+    Rows-only by design: the calibration statistic is a bounded-sample
+    exact-kNN estimate (driver-side NumPy) DuckDB cannot derive in SQL;
+    the shape/parity/recall behavior is pinned in tests/test_imi.py and
+    RECALL.md (0.504 → 0.998 at equal budget on the half-skewed corpus).
+    Deterministic: the calibration sample is the id-ordered prefix."""
+    from vervectordb_spark.operators.imi import IMIIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    base = emb.filter(F.col("vec_id") < _K)
+    cent1 = base.select(
+        F.col("vec_id").cast("int").alias("cell_id"),
+        F.slice(F.col("embedding").cast("array<double>"), 1, _MID)
+        .alias("centroid"))
+    cent2 = base.select(
+        F.col("vec_id").cast("int").alias("cell_id"),
+        F.slice(F.col("embedding").cast("array<double>"), _MID + 1,
+                64 - _MID).alias("centroid"))
+    idx = IMIIndex.from_centroids(emb, cent1, cent2, dim=64)
+    idx.calibrate_probe(sample_size=512)
+    out = idx.search(qv, top_k=10, a=_A, b=_A, adaptive=True)
+    return out.select("vec_id", "cell1", "cell2",
+                      F.round("sim", 6).alias("sim"))
