@@ -93,3 +93,15 @@ def test_expr_kernel_null_text_matches_arrow_zero_vector(spark):
                 for r in embed_documents(df, dim=8, kernel=kernel).collect()}
         assert rows[1] == [0.0] * 8, kernel
         assert all(x is not None for x in rows[2]), kernel
+
+
+def test_passthrough_embedding_name_collision_fails_fast(spark):
+    """passthrough=True fails with the contract error when the input
+    already has an 'embedding' column — not a later opaque
+    duplicate-column AnalysisException (ADVICE r7)."""
+    df = spark.createDataFrame(
+        [(1, "hello", [0.0])],
+        "doc_id long, text string, embedding array<float>")
+    for kernel in ("arrow", "expr"):
+        with pytest.raises(ValueError, match="already has one"):
+            E.embed_documents(df, dim=8, kernel=kernel, passthrough=True)

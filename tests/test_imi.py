@@ -317,11 +317,40 @@ def test_calibration_persists_through_save_load(spark, skew_corpus, tmp_path):
 
 def test_calibration_sample_deterministic_across_partitionings(spark, skew_corpus):
     """Same index (frozen centroids), different physical partitioning:
-    the id-ordered calibration prefix selects the SAME rows, so the CDFs
-    are bit-identical (a bare limit() would be partitioning-dependent —
-    the _bounded_sample contract)."""
+    the seeded hash-ordered calibration prefix selects the SAME rows, so
+    the CDFs are bit-identical (a bare limit() would be
+    partitioning-dependent — the _bounded_sample contract)."""
     a = IMIIndex.build(skew_corpus, k1=8, k2=8, dim=16, seed=42)
     b = IMIIndex(a.assigned.repartition(11), a.cent1, a.cent2, 16)
     Fa = a.calibrate_probe(sample_size=300)
     Fb = b.calibrate_probe(sample_size=300)
     assert np.array_equal(Fa[0], Fb[0]) and np.array_equal(Fa[1], Fb[1])
+
+
+def test_calibration_seed_reshuffles_sample(spark, skew_corpus):
+    """The seed parameter is live (ADVICE r7): a sub-corpus sample drawn
+    with a different seed picks a different row subset, so the CDFs can
+    differ; the same seed reproduces bit-identical CDFs."""
+    idx = IMIIndex.build(skew_corpus, k1=8, k2=8, dim=16, seed=42)
+    n = idx.assigned.count()
+    size = max(3, n // 3)  # strict subset so the draw has freedom
+    F1a, F2a = idx.calibrate_probe(sample_size=size, seed=1)
+    F1b, F2b = idx.calibrate_probe(sample_size=size, seed=1)
+    assert np.array_equal(F1a, F1b) and np.array_equal(F2a, F2b)
+    F1c, F2c = idx.calibrate_probe(sample_size=size, seed=2)
+    assert (not np.array_equal(F1a, F1c)) or (not np.array_equal(F2a, F2c))
+    idx._probe_cdf = None
+
+
+def test_adaptive_and_exact_probe_mutually_exclusive(spark, skew_corpus):
+    """search/batch_search fail fast when both flags are set instead of
+    silently dropping exact_probe (ADVICE r7)."""
+    import pytest
+
+    idx = IMIIndex.build(skew_corpus, k1=8, k2=8, dim=16, seed=42)
+    qv = [1.0] * 16
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        idx.search(qv, top_k=3, adaptive=True, exact_probe=True)
+    qdf = spark.createDataFrame([(0, qv)], "query_id int, q_embedding array<double>")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        idx.batch_search(qdf, top_k=3, adaptive=True, exact_probe=True)

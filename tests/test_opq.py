@@ -198,3 +198,25 @@ def test_bounded_sample_overcap_deterministic_across_partitionings(spark, emb):
     R2 = opq.fit_learned_rotation(emb.repartition(13), 64, sample_size=100,
                                   seed=42, order_col="vec_id")
     assert np.array_equal(R1, R2)
+
+
+def test_artifact_validation_memoized_per_codes_frame(spark, emb, R):
+    """The codes word-width probe runs once per artifact object: after
+    the first serving call the frame carries the validated width marker,
+    so repeat queries on the same persisted codes pay zero validation
+    jobs (ADVICE r7)."""
+    from vervectordb_spark.operators import bq
+
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 5).first()["embedding"]]
+    rot = opq.with_learned_rotation(emb, R, 64, kernel="expr")
+    thr = bq.fit_bq_thresholds(rot, emb_col="emb_lrot", dim=64)
+    codes = bq.with_codes(rot, thr, 64, emb_col="emb_lrot").select(
+        "vec_id", "bq_code").cache()
+    assert getattr(codes, "_vvdb_code_words_ok", None) is None
+    r1 = opq.learned_bq_search(emb, R, qv, 64, thresholds=thr,
+                               codes=codes).collect()
+    assert codes._vvdb_code_words_ok == bq.n_words(64)
+    r2 = opq.learned_bq_search(emb, R, qv, 64, thresholds=thr,
+                               codes=codes).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]

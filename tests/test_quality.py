@@ -129,3 +129,13 @@ def test_quality_filter_keeps_high_scores_only(spark, docs, fitted):
                          | (F.col("quality") > 1.0)).count() == 0
     with pytest.raises(ValueError, match="weights len"):
         Q.score_quality(docs, w, b, dim=DIM + 1)
+
+
+def test_featurize_passthrough_features_collision_fails_fast(spark):
+    """featurize(passthrough=True) fails with the contract error when
+    the input already has a 'features' column (ADVICE r7)."""
+    df = spark.createDataFrame(
+        [(1, "hello", [0.0])],
+        "doc_id long, text string, features array<float>")
+    with pytest.raises(ValueError, match="already has one"):
+        Q.featurize(df, dim=8, passthrough=True)

@@ -147,6 +147,12 @@ def embed_documents(docs: DataFrame, dim: int = 32, text_col: str = "text",
     `embedding` — no id rename, no column drop — so downstream per-doc
     projections (quality scoring) stay map-only instead of joining the
     embedding frame back against the corpus."""
+    if passthrough and "embedding" in docs.columns:
+        raise ValueError(
+            "embed_documents(passthrough=True) appends an 'embedding' "
+            "column but the input already has one; drop or rename it "
+            "first (a duplicate name would only surface later as an "
+            "opaque AnalysisException)")
     if kernel == "arrow":
         return _embed_arrow(docs, dim, text_col, id_col, cjk_aware,
                             passthrough=passthrough)

@@ -199,14 +199,18 @@ class IMIIndex:
         sample² NumPy pass driver-side; the CDFs are k1+k2 floats of
         driver state, centroid-class. Call once per index build (or after
         drift); probe_cells_adaptive uses the calibration automatically."""
-        # deterministic sample: the id-ordered prefix (TakeOrdered — a
-        # bounded global-sort prefix), never a bare limit() whose row set
-        # depends on partitioning (the _bounded_sample contract,
-        # operators/opq.py)
+        # deterministic seeded sample: a hash-ordered prefix (TakeOrdered
+        # over xxhash64(seed, id), id-tiebroken — a bounded global-sort
+        # prefix). Row membership depends only on (seed, row identity),
+        # never on partitioning (the _bounded_sample contract,
+        # operators/opq.py), and the seed parameter actually reshuffles
+        # which rows are drawn.
         df = self.assigned.select(self.id_col, self.emb_col).filter(
             F.col(self.emb_col).isNotNull())
         rows = [r[1] for r in
-                df.orderBy(self.id_col).limit(int(sample_size)).collect()]
+                df.orderBy(F.xxhash64(F.lit(int(seed)), F.col(self.id_col)),
+                           F.col(self.id_col))
+                .limit(int(sample_size)).collect()]
         if len(rows) < 3:
             raise ValueError("calibrate_probe needs >= 3 sampled vectors")
         X = np.asarray([list(v) for v in rows], dtype=np.float64)
@@ -346,7 +350,13 @@ class IMIIndex:
 
         adaptive=True re-shapes the rectangle per query under the SAME
         a·b cell budget (probe_cells_adaptive) — equal scan volume,
-        better-aimed cells."""
+        better-aimed cells. adaptive and exact_probe are mutually
+        exclusive (the adaptive sizing is NumPy-side by design)."""
+        if adaptive and exact_probe:
+            raise ValueError(
+                "adaptive=True and exact_probe=True are mutually exclusive: "
+                "the adaptive rectangle is sized from the NumPy half "
+                "rankings; pass one or the other")
         if adaptive:
             c1, c2 = self.probe_cells_adaptive(query_vec, budget=a * b,
                                                mass=mass)
@@ -386,6 +396,11 @@ class IMIIndex:
         broadcast is Q·a·b rows of KB-class state."""
         from pyspark.sql import Window
 
+        if adaptive and exact_probe:
+            raise ValueError(
+                "adaptive=True and exact_probe=True are mutually exclusive: "
+                "the adaptive rectangle is sized from the NumPy half "
+                "rankings; pass one or the other")
         spark = self.assigned.sparkSession
         qrows = queries.select(query_id, query_emb).limit(
             max_queries + 1).collect()

@@ -283,24 +283,31 @@ def learned_bq_search(df: DataFrame, R: np.ndarray, query_vec,
         coded = bq.with_codes(rotated, thr, b, emb_col="emb_lrot")
     else:
         thr, coded = thresholds, codes
+    thr_pdf = thr.toPandas()
+    if thresholds is not None:
         # fail-fast artifact validation (ADVICE r6): width-mismatched
         # artifacts would make hamming_words_expr emit NULL distances and
         # silently wrong rankings — the same error class
-        # bq._require_rerank_vectors exists to prevent
-        n_thr = thr.count()
-        if n_thr != b:
+        # bq._require_rerank_vectors exists to prevent. Validated off the
+        # already-collected thr_pdf (no extra count() job) and the codes
+        # word-width probe runs once per artifact object, not per query
+        # (ADVICE r7) — repeat serving calls on the same persisted codes
+        # frame pay zero validation jobs.
+        if len(thr_pdf) != b:
             raise ValueError(
-                f"thresholds artifact has {n_thr} rows but code_bits={b}: "
-                "pass the thresholds/codes of ONE fit/encode pass at this "
-                "code width")
-        first = coded.select(F.size("bq_code").alias("nw")).first()
-        want_words = bq.n_words(b)
-        if first is not None and first["nw"] != want_words:
-            raise ValueError(
-                f"codes artifact packs {first['nw']} words but code_bits="
-                f"{b} needs {want_words}: pass the thresholds/codes of ONE "
+                f"thresholds artifact has {len(thr_pdf)} rows but "
+                f"code_bits={b}: pass the thresholds/codes of ONE "
                 "fit/encode pass at this code width")
-    thr_pdf = thr.toPandas()
+        want_words = bq.n_words(b)
+        if getattr(coded, "_vvdb_code_words_ok", None) != want_words:
+            first = coded.select(F.size("bq_code").alias("nw")).first()
+            if first is not None and first["nw"] != want_words:
+                raise ValueError(
+                    f"codes artifact packs {first['nw']} words but "
+                    f"code_bits={b} needs {want_words}: pass the "
+                    "thresholds/codes of ONE fit/encode pass at this "
+                    "code width")
+            coded._vvdb_code_words_ok = want_words
     qwords = bq.encode_query(rotate_query_learned(query_vec, R)[:b],
                              thr_pdf)
     qcol = F.array(*[F.lit(w).cast("bigint") for w in qwords])

@@ -42,6 +42,10 @@ def featurize(docs: DataFrame, dim: int = 256, text_col: str = "text",
     needs to stay a projection on the same frame (no join back)."""
     from vervectordb_spark.operators.embed import embed_documents
 
+    if passthrough and "features" in docs.columns:
+        raise ValueError(
+            "featurize(passthrough=True) appends a 'features' column but "
+            "the input already has one; drop or rename it first")
     out = embed_documents(docs, dim=dim, text_col=text_col, id_col=id_col,
                           kernel=kernel, passthrough=passthrough)
     if passthrough:

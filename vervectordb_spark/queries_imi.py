@@ -274,7 +274,8 @@ def imi_search_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-kNN estimate (driver-side NumPy) DuckDB cannot derive in SQL;
     the shape/parity/recall behavior is pinned in tests/test_imi.py and
     RECALL.md (0.504 → 0.998 at equal budget on the half-skewed corpus).
-    Deterministic: the calibration sample is the id-ordered prefix."""
+    Deterministic: the calibration sample is a seeded hash-ordered prefix
+    (partitioning-independent, seed-sensitive)."""
     from vervectordb_spark.operators.imi import IMIIndex
 
     emb = load_table(spark, sf_dir, "embeddings")
