@@ -427,6 +427,17 @@ def build_benches(spark, sf_dir: str):
             vocab.unpersist()
             return len(merges)
 
+        from vervectordb_spark.operators.bpe import encode_documents
+
+        @bench("bpe_encode_docs")
+        def _bpe_encode():
+            # corpus tokenization under a trained vocab: map-only word
+            # explode + 2 broadcast vocab joins — zero corpus shuffles
+            _m, vocab = train_bpe(docs, n_merges=3)
+            n = encode_documents(docs, vocab).count()
+            vocab.unpersist()
+            return n
+
         from vervectordb_spark.operators.text import unigram_surprisal
 
         @bench("unigram_surprisal")

@@ -123,3 +123,55 @@ def test_train_empty_corpus(spark):
     df = spark.createDataFrame([("文档 123",)], "text string")  # all filtered
     merges, vocab = bpe.train_bpe(df, n_merges=3)
     assert merges == [] and vocab.count() == 0
+
+
+def test_encode_documents_matches_segment_word(spark):
+    """encode_documents reassembles, per document, exactly the token
+    sequence segment_word produces word-by-word (same merges, same
+    greedy fold), ordered by (wpos, spos)."""
+    docs = spark.createDataFrame(
+        [(1, "aa ab aa"), (2, "b aa ZZZ ab"), (3, "")],
+        "doc_id long, text string")
+    merges, vocab = bpe.train_bpe(docs, n_merges=2)
+    out = (bpe.encode_documents(docs, vocab)
+           .orderBy("doc_id", "wpos", "spos").collect())
+    got = collections.defaultdict(list)
+    for r in out:
+        got[r["doc_id"]].append(r["symbol"])
+    for did, text in [(1, "aa ab aa"), (2, "b aa ZZZ ab")]:
+        want = []
+        for w in text.lower().split():
+            if re.fullmatch("[a-z]+", w):  # ASCII_WORDS scope: ZZZ→zzz kept
+                want += bpe.segment_word(w, merges)
+        assert got[did] == want, (did, got[did], want)
+    assert 3 not in got  # empty text → no tokens
+
+
+def test_encode_documents_token_ids_dense_and_stable(spark):
+    """token_id is the dense 0-based rank of the symbol string — stable
+    across partitionings and runs."""
+    docs = spark.createDataFrame(
+        [(i, "x yy x zzz yy") for i in range(8)], "doc_id long, text string")
+    _m, vocab = bpe.train_bpe(docs, n_merges=1)
+    ids = {r["symbol"]: r["token_id"]
+           for r in bpe.symbol_ids(vocab).collect()}
+    assert sorted(ids.values()) == list(range(len(ids)))
+    assert ids == {r["symbol"]: r["token_id"]
+                   for r in bpe.symbol_ids(vocab.repartition(5)).collect()}
+    enc = bpe.encode_documents(docs, vocab).collect()
+    assert all(ids[r["symbol"]] == r["token_id"] for r in enc)
+
+
+def test_encode_documents_corpus_side_has_no_shuffle(spark):
+    """The 100 TB contract: both vocab joins broadcast, so the corpus
+    side of the encode plan carries no Exchange (the only shuffle is
+    inside the vocabulary-sized symbol_ids row_number)."""
+    docs = spark.createDataFrame(
+        [(1, "aa ab"), (2, "ab aa aa")], "doc_id long, text string")
+    _m, vocab = bpe.train_bpe(docs, n_merges=1)
+    plan = bpe.encode_documents(docs, vocab)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    # every Exchange in the plan is on the broadcast (vocab) side or the
+    # tiny window; the corpus scan reaches the joins without an exchange
+    assert "SortMergeJoin" not in plan, plan

@@ -186,3 +186,76 @@ def segment_word(word: str, merges: list[Merge]) -> list[str]:
             out.append(pending)
         syms = out
     return syms
+
+
+def words_with_pos(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   word_pattern: str | None = ASCII_WORDS) -> DataFrame:
+    """(id, wpos, word) positional word stream — map-only posexplode of
+    the SAME lowercase/\\s+ split words() uses. wpos is the 0-based index
+    into the RAW split array (filtered empties/out-of-scope words leave
+    gaps), so positions are a pure function of the text on any engine."""
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+"))
+        .alias("wpos", "word"),
+    ).filter(F.col("word") != "")
+    if word_pattern is not None:
+        out = out.filter(F.col("word").rlike(word_pattern))
+    return out
+
+
+def segmentation_table(vocab: DataFrame, word_col: str = "word",
+                       symbols_col: str = "symbols") -> DataFrame:
+    """(word, symbols) — the trained vocab IS the segmentation table for
+    in-vocabulary words (train_bpe's merge folds already segmented every
+    distinct corpus word; no per-document re-folding ever needed)."""
+    return vocab.select(word_col, symbols_col)
+
+
+def symbol_ids(vocab: DataFrame, symbols_col: str = "symbols") -> DataFrame:
+    """(symbol, token_id) dense contiguous ids, 0-based, ordered by the
+    symbol string — the deterministic id assignment any engine replays
+    (row_number over a vocabulary-sized distinct; KB-class shuffle)."""
+    from pyspark.sql import Window
+
+    return (
+        vocab.select(F.explode(F.col(symbols_col)).alias("symbol"))
+        .distinct()
+        .select(
+            "symbol",
+            (F.row_number().over(Window.orderBy("symbol")) - 1)
+            .cast("int").alias("token_id"),
+        )
+    )
+
+
+def encode_documents(docs: DataFrame, vocab: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     word_pattern: str | None = ASCII_WORDS) -> DataFrame:
+    """Tokenize the corpus under a trained BPE vocabulary: (id, wpos,
+    spos, symbol, token_id), one row per token, ordered by (wpos, spos)
+    within a document. The inverse of nothing — this IS the
+    corpus → token-id-sequence step every training-data export ends with.
+
+    100 TB shape: the corpus side is MAP-ONLY end to end — positional
+    word explode, broadcast join against the vocabulary's segmentation
+    table (language-sized, ~1e5..1e7 rows), symbol posexplode, broadcast
+    join against the (symbol, token_id) map. Zero corpus shuffles; the
+    only shuffle anywhere is the KB-class row_number inside symbol_ids.
+    Out-of-vocabulary words (absent from the training corpus / outside
+    the scope pattern) drop via the inner join — encode with a vocab
+    trained on a superset corpus, or segment stragglers driver-side with
+    segment_word."""
+    seg = segmentation_table(vocab)
+    ids = symbol_ids(vocab)
+    toks = (
+        words_with_pos(docs, text_col, id_col, word_pattern)
+        .join(F.broadcast(seg), on="word")
+        .select(
+            id_col, "wpos",
+            F.posexplode("symbols").alias("spos", "symbol"),
+        )
+    )
+    return toks.join(F.broadcast(ids), on="symbol").select(
+        id_col, "wpos", "spos", "symbol", "token_id")

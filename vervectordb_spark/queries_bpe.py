@@ -146,3 +146,59 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_words"),
              F.sum("_wtoks").cast("bigint").alias("n_tokens"))
     )
+
+
+_ENC_DOCS = 20  # bounded gate output: encode the first doc-id band only
+
+
+@query(
+    "bpe_encode_docs",
+    oracle=f"""
+WITH {_bpe_ctes(_STEPS)},
+ids AS (
+  SELECT symbol,
+         (ROW_NUMBER() OVER (ORDER BY symbol) - 1)::INT AS token_id
+  FROM (SELECT DISTINCT unnest({_split_of('s')}) AS symbol FROM s{_STEPS})
+),
+dw AS (
+  SELECT doc_id, pr.wpos AS wpos, pr.word AS word FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(a)),
+                  i -> {{'wpos': i::INT, 'word': a[i + 1]}})) AS pr
+    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS a
+          FROM documents WHERE doc_id < {_ENC_DOCS})
+  ) WHERE pr.word <> '' AND regexp_matches(pr.word, '^[a-z]+$')
+),
+seg AS (SELECT word, {_split_of('s')} AS syms FROM s{_STEPS}),
+tok AS (
+  SELECT d.doc_id, d.wpos, sp.spos AS spos, sp.symbol AS symbol FROM (
+    SELECT d.doc_id, d.wpos,
+           unnest(list_transform(range(0, len(v.syms)),
+                  j -> {{'spos': j::INT, 'symbol': v.syms[j + 1]}})) AS sp
+    FROM dw d JOIN seg v USING (word)
+  ) d(doc_id, wpos, sp)
+)
+SELECT t.doc_id, t.wpos::INT AS wpos, t.spos, t.symbol, i.token_id
+FROM tok t JOIN ids i USING (symbol)
+""",
+)
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization under the trained BPE vocabulary
+    (operators/bpe.encode_documents): one row per token with its
+    deterministic (wpos, spos) position and dense token_id — the
+    token-id-sequence step a training-data export ends with.
+
+    Vocabulary trained on the FULL documents table (the _STEPS merges
+    bpe_train_merges gates); encoding emitted for the doc_id < 20 band
+    to bound the gate output. 100 TB shape: the corpus side is map-only
+    (positional word explode + two broadcast joins against the
+    language-sized segmentation and id tables); the only shuffle is the
+    KB-class row_number assigning token ids."""
+    from vervectordb_spark.operators.bpe import encode_documents, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, vocab = train_bpe(docs, n_merges=_STEPS)
+    out = encode_documents(docs.filter(F.col("doc_id") < _ENC_DOCS), vocab)
+    return out.select(
+        "doc_id", F.col("wpos").cast("int").alias("wpos"),
+        F.col("spos").cast("int").alias("spos"), "symbol", "token_id")
