@@ -189,6 +189,15 @@ def build_benches(spark, sf_dir: str):
         @bench("dedup_simhash_pairs")
         def _dedup_simhash():
             return _force(D.simhash_near_dup_pairs(docs, max_hamming=3, bands=4))
+
+        from vervectordb_spark.operators import spans as SP
+
+        @bench("dedup_remove_spans")
+        def _dedup_spans():
+            # ExactSubstr span cut: map-only gram emit, one gram-key
+            # shuffle, one doc-key rejoin — linear in corpus tokens
+            return _force(SP.remove_duplicate_spans(docs, 8)
+                          .select("doc_id", "n_tokens_removed"))
     except ImportError:
         pass
 

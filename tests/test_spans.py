@@ -1,0 +1,88 @@
+"""Exact duplicate-span detection/removal (operators/spans.py — the
+ExactSubstr variant of Lee et al. 2022 at token-gram granularity)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vervectordb_spark.operators import spans as S
+
+L = 3
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cross_doc_duplicate_span_detected_and_merged(spark):
+    """A 5-token passage shared by two docs yields, in each, ONE merged
+    span covering all 3 of its 3-gram starts: [p, p+5)."""
+    shared = "alpha beta gamma delta epsilon"
+    docs = _docs(spark, [
+        (1, f"one two {shared} three"),
+        (2, f"{shared} four five six"),
+        (3, "totally different words here now"),
+    ])
+    got = {r["doc_id"]: (r["span_start"], r["span_end"], r["n_grams"])
+           for r in S.duplicate_spans(docs, L).collect()}
+    assert got[1] == (2, 7, 3)   # shared starts at token 2 in doc 1
+    assert got[2] == (0, 5, 3)
+    assert 3 not in got
+
+
+def test_within_doc_repeat_counts_as_duplicate(spark):
+    """count >= 2 includes within-document repeats (both occurrences
+    marked)."""
+    docs = _docs(spark, [(1, "a b c x y a b c")])
+    rows = sorted((r["span_start"], r["span_end"])
+                  for r in S.duplicate_spans(docs, L).collect())
+    assert rows == [(0, 3), (5, 8)]
+
+
+def test_adjacent_grams_merge_into_one_island(spark):
+    """Overlapping [p, p+L) unions merge: a 4-token duplicate = 2 grams,
+    ONE span."""
+    docs = _docs(spark, [(1, "p q r s tail1"), (2, "head p q r s")])
+    got = {r["doc_id"]: (r["span_start"], r["span_end"], r["n_grams"])
+           for r in S.duplicate_spans(docs, L).collect()}
+    assert got[1] == (0, 4, 2) and got[2] == (1, 5, 2)
+
+
+def test_short_docs_emit_nothing(spark):
+    docs = _docs(spark, [(1, "a b"), (2, "a b"), (3, "")])
+    assert S.duplicate_spans(docs, L).count() == 0
+
+
+def test_removal_cuts_span_tokens_keeps_case_and_counts(spark):
+    shared = "Alpha Beta Gamma"  # matching is lowercase, rebuild keeps case
+    docs = _docs(spark, [
+        (1, f"KEEP1 {shared} KEEP2"),
+        (2, f"{shared} other words"),
+        (3, "no duplicates at all here"),
+    ])
+    # lowercase gram match, original-case text
+    got = {r["doc_id"]: r for r in S.remove_duplicate_spans(
+        docs, L, out_col="clean_text").collect()}
+    assert got[1]["clean_text"] == "KEEP1 KEEP2"
+    assert got[1]["n_tokens"] == 5 and got[1]["n_tokens_removed"] == 3
+    assert got[2]["clean_text"] == "other words"
+    assert got[3]["clean_text"] == "no duplicates at all here"
+    assert got[3]["n_tokens_removed"] == 0
+
+
+def test_removal_preserves_input_columns(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "web"), (2, "a b c e", "book")],
+        "doc_id long, text string, source string")
+    out = S.remove_duplicate_spans(docs, L)
+    assert {"doc_id", "text", "source", "clean_text", "n_tokens",
+            "n_tokens_removed"} <= set(out.columns)
+    assert out.count() == 2
+
+
+def test_gram_positions_partitioning_independent(spark):
+    """Gram keys/positions are pure row functions: identical under any
+    physical partitioning."""
+    docs = _docs(spark, [(i, "w x y z " * 3) for i in range(20)])
+    a = sorted(map(tuple, S.gram_positions(docs, L).collect()))
+    b = sorted(map(tuple, S.gram_positions(docs.repartition(7), L).collect()))
+    assert a == b

@@ -1,0 +1,159 @@
+"""Exact duplicate-SPAN detection and removal — substring-level dedup
+(Lee et al., "Deduplicating Training Data Makes Language Models Better",
+ACL 2022, the ExactSubstr variant at token-gram granularity).
+
+Document-level dedup (operators/dedup.py) drops whole near-identical
+documents; this operator finds the duplicated REGIONS inside otherwise
+distinct documents (boilerplate headers, quoted passages, license
+blocks) and cuts just those tokens. Beyond the reference's scope
+(nev8rz/VerVectorDB has no text pipeline) — included because repeated
+spans are the dominant residual duplication after doc-level dedup on
+web-scale corpora.
+
+Semantics: tokens = lowercase \\s+ split with empties dropped (contiguous
+0-based positions); an L-gram is duplicated when its exact token sequence
+occurs >= 2 times in the corpus (across OR within documents); a document's
+duplicate spans are the per-document merged maximal unions of [p, p+L)
+over its duplicated-gram start positions p. Removal drops the tokens
+inside those spans from the ORIGINAL-case token stream and rejoins with
+single spaces (whitespace-canonical, the standard normalization).
+
+Spark shape — the 100 TB posture (suffix arrays are a single-machine
+design; the gram table IS the distributed analogue):
+  1. gram emit is MAP-ONLY: per doc, transform(range) over the token
+     array -> (doc, p, md5_60(gram)) — one row per token position.
+  2. ONE corpus-sized shuffle: groupBy(gram hash) with map-side partial
+     counts -> the duplicated-gram key set (sized by duplicated content,
+     not the corpus).
+  3. the positions->dup-keys join is hash-co-partitioned on the same
+     key (AQE broadcasts it when the dup set is small).
+  4. span merge is the gaps-and-islands window — one doc-key shuffle,
+     exact integer arithmetic (replays on any engine).
+  5. removal joins the per-doc span list (bounded by the doc's own
+     length) back on doc_id and rebuilds the text as a map-only
+     array-filter projection.
+Nothing is ever all-pairs; every stage is linear in corpus tokens or in
+duplicated-content volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vervectordb_spark.functions.hashing import md5_long
+
+
+def doc_token_array(text_col: Column | str) -> Column:
+    """Original-case token array: \\s+ split, empties dropped — positions
+    are contiguous 0-based indexes into THIS array; the lowercase gram
+    stream below indexes the same positions (lower() never changes
+    token boundaries)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
+
+
+def gram_positions(docs: DataFrame, gram_len: int,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(id, p, gram_h) — every L-gram start position with the 60-bit
+    md5 of its space-joined lowercase token sequence. Map-only: one
+    transform(range) + explode per document; docs shorter than L tokens
+    emit nothing."""
+    toks = F.expr(f"filter(split(lower({text_col}), '\\\\s+'), "
+                  "t -> t != '')")
+    grams = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.size(toks) - F.lit(gram_len), F.lit(-1)),
+        ),
+        lambda i: F.struct(
+            i.cast("int").alias("p"),
+            md5_long(F.concat_ws(
+                " ", F.slice(toks, i + 1, gram_len))).alias("gram_h"),
+        ),
+    )
+    # sequence(0, -1) DESCENDS in Spark — short docs must short-circuit
+    grams = F.when(F.size(toks) >= gram_len, grams).otherwise(
+        F.array().cast("array<struct<p:int,gram_h:bigint>>"))
+    return (docs.select(F.col(id_col), F.explode(grams).alias("g"))
+            .select(id_col, F.col("g.p").alias("p"),
+                    F.col("g.gram_h").alias("gram_h")))
+
+
+def duplicate_gram_positions(docs: DataFrame, gram_len: int,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """(id, p) start positions whose L-gram occurs >= 2 times in the
+    corpus. ONE groupBy(gram_h) shuffle (map-side combine) + the
+    co-partitioned join back; the dup-key side is sized by duplicated
+    content volume."""
+    pos = gram_positions(docs, gram_len, text_col, id_col)
+    dup_keys = (pos.groupBy("gram_h").agg(F.count("*").alias("_c"))
+                .filter(F.col("_c") >= 2).select("gram_h"))
+    return pos.join(dup_keys, on="gram_h").select(id_col, "p")
+
+
+def duplicate_spans(docs: DataFrame, gram_len: int,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(id, span_start, span_end, n_grams) merged maximal duplicated
+    intervals per document: union of [p, p+L) over duplicated-gram
+    starts, merged by the exact-integer gaps-and-islands window (a new
+    island starts where p exceeds the running max end). span_end is
+    exclusive."""
+    L = int(gram_len)
+    marks = duplicate_gram_positions(docs, L, text_col, id_col).select(
+        id_col, F.col("p").alias("s"), (F.col("p") + L).alias("e"))
+    w = (Window.partitionBy(id_col).orderBy("s")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    flagged = marks.withColumn(
+        "_new",
+        F.when(F.col("s") > F.coalesce(F.max("e").over(w), F.lit(-1)), 1)
+        .otherwise(0))
+    wid = (Window.partitionBy(id_col).orderBy("s")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    islands = flagged.withColumn("_isl", F.sum("_new").over(wid))
+    return (islands.groupBy(id_col, "_isl")
+            .agg(F.min("s").alias("span_start"),
+                 F.max("e").alias("span_end"),
+                 F.count("*").alias("n_grams"))
+            .drop("_isl"))
+
+
+def remove_duplicate_spans(docs: DataFrame, gram_len: int,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           out_col: str = "clean_text") -> DataFrame:
+    """Every input column + (out_col, n_tokens, n_tokens_removed): the
+    document with its duplicated spans' tokens cut (original case,
+    single-space rejoin). Documents with no duplicated span pass through
+    with their canonical whitespace-rejoined text and
+    n_tokens_removed = 0 (a left join against the span table — the
+    no-span side never shuffles more than the one doc-key join)."""
+    spans = (duplicate_spans(docs, gram_len, text_col, id_col)
+             .groupBy(id_col)
+             .agg(F.collect_list(
+                 F.struct(F.col("span_start").alias("s"),
+                          F.col("span_end").alias("e"))).alias("_spans")))
+    toks = doc_token_array(text_col)
+    joined = docs.join(spans, on=id_col, how="left").withColumn(
+        "_spans",
+        F.coalesce(F.col("_spans"),
+                   F.array().cast("array<struct<s:int,e:int>>")))
+    indexed = F.transform(
+        toks, lambda t, i: F.struct(t.alias("t"), i.cast("int").alias("i")))
+    kept = F.filter(
+        indexed,
+        lambda x: ~F.exists(
+            F.col("_spans"),
+            lambda sp: (x["i"] >= sp["s"]) & (x["i"] < sp["e"])),
+    )
+    return (joined
+            .withColumn("n_tokens", F.size(toks).cast("bigint"))
+            .withColumn(out_col,
+                        F.concat_ws(" ", F.transform(kept, lambda x: x["t"])))
+            .withColumn(
+                "n_tokens_removed",
+                (F.size(toks) - F.size(kept)).cast("bigint"))
+            .drop("_spans"))

@@ -1,0 +1,127 @@
+"""Duplicate-span detection/removal query registration (operators/spans.py
+— the ExactSubstr dedup variant of Lee et al., ACL 2022, at token-gram
+granularity).
+
+Oracle pattern: everything is exact — 60-bit md5 gram keys (the portable
+functions/hashing contract), integer gaps-and-islands span merging, and
+an original-case token rebuild — so DuckDB replays the WHOLE pipeline:
+gram emit via list_transform(range), dup keys via GROUP BY/HAVING, span
+merge via the same two-window island construction, and removal via an
+inequality anti-join of token rows against the merged spans (spans are
+disjoint by construction, so the join never duplicates a token row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vervectordb_spark.queries import query
+from vervectordb_spark.schema import load_table
+
+_L = 8  # gram length (tokens); fixture-scale analogue of Lee et al.'s 50
+
+
+def _spans_ctes(L: int) -> str:
+    """CTEs ending at `spans` = (doc_id, span_start, span_end, n_grams)."""
+    return f"""
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS a
+  FROM documents),
+pos AS (
+  SELECT doc_id, g.p AS p, g.h AS gram_h FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, greatest(len(a) - {L} + 1, 0)),
+                  i -> {{'p': i::INT,
+                        'h': ('0x' || substr(md5(array_to_string(
+                              a[i + 1 : i + {L}], ' ')), 1, 15))::BIGINT}}))
+           AS g
+    FROM toks) t(doc_id, g)),
+dup AS (SELECT gram_h FROM pos GROUP BY gram_h HAVING COUNT(*) >= 2),
+marks AS (SELECT doc_id, p AS s, p + {L} AS e
+          FROM pos JOIN dup USING (gram_h)),
+flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS nw
+  FROM marks),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(nw) OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS island
+  FROM flagged),
+spans AS (
+  SELECT doc_id, MIN(s)::INT AS span_start, MAX(e)::INT AS span_end,
+         COUNT(*)::BIGINT AS n_grams
+  FROM isl GROUP BY doc_id, island)
+"""
+
+
+@query(
+    "dup_spans_profile",
+    oracle=f"WITH {_spans_ctes(_L)} "
+           "SELECT doc_id, span_start, span_end, n_grams FROM spans",
+)
+def dup_spans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged maximal duplicated-span intervals per document
+    (operators/spans.duplicate_spans at L=8): the regions an ExactSubstr
+    pass would cut. 100 TB shape: map-only gram emit, ONE gram-key
+    shuffle with map-side combine, a co-partitioned dup-key join, one
+    doc-key window — linear in corpus tokens + duplicated volume, never
+    all-pairs."""
+    from vervectordb_spark.operators.spans import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, _L).select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+        F.col("n_grams").cast("bigint").alias("n_grams"))
+
+
+@query(
+    "dedup_remove_spans",
+    oracle=f"""
+WITH {_spans_ctes(_L)},
+orig AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS a
+  FROM documents),
+tok_rows AS (
+  SELECT doc_id, ti.i AS i, ti.t AS t FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(a)),
+                  i -> {{'i': i::INT, 't': a[i + 1]}})) AS ti
+    FROM orig) q(doc_id, ti)),
+kept AS (
+  SELECT tr.doc_id, tr.i, tr.t
+  FROM tok_rows tr LEFT JOIN spans sp
+    ON tr.doc_id = sp.doc_id
+   AND tr.i >= sp.span_start AND tr.i < sp.span_end
+  WHERE sp.doc_id IS NULL)
+SELECT o.doc_id,
+       len(o.a)::BIGINT AS n_tokens,
+       (len(o.a) - COALESCE(k.nk, 0))::BIGINT AS n_tokens_removed,
+       COALESCE(k.clean_text, '') AS clean_text
+FROM orig o LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS nk,
+         string_agg(t, ' ' ORDER BY i) AS clean_text
+  FROM kept GROUP BY doc_id) k USING (doc_id)
+""",
+)
+def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup applied (operators/spans.remove_duplicate_spans
+    at L=8): every document with its duplicated regions cut — original
+    case, single-space canonical rejoin — plus the token accounting.
+    The removal itself is a map-only array-filter projection after one
+    doc-key join of the bounded per-doc span lists."""
+    from vervectordb_spark.operators.spans import remove_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, _L).select(
+        "doc_id", "n_tokens", "n_tokens_removed", "clean_text")
