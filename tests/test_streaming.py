@@ -706,3 +706,86 @@ def test_incremental_imipq_and_learned_bq_before_rebuild(spark, tmp_path):
                                 thresholds=thr, codes=lcodes,
                                 code_bits=32).collect()
     assert got[0]["vec_id"] == last_id and got[0]["hamming"] == 0
+
+
+def test_streaming_neardup_gate_matches_batch_replay(spark, tmp_path):
+    """Persisted-band-state near-dup gate: driving the foreachBatch
+    closure over 3 controlled batches accepts exactly the set a batch
+    replay (incremental_near_dup_pairs vs accepted history + within-batch
+    pairs) accepts; rejected rows carry a verified (dup_of, jaccard)
+    witness; state grows by accepted content only."""
+    from vervectordb_spark.operators import dedup as D
+    from vervectordb_spark.streaming.ingest import make_neardup_handler
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "rain falls on the quiet gray town every single day")
+    alt = ("completely different words about spark shuffles and "
+           "partition pruning at warehouse scale with broadcast joins")
+    third = ("yet another unrelated passage concerning minhash bands "
+             "and jaccard verification over shingle sets in pipelines")
+    batches = [
+        [(1, base), (2, alt)],
+        [(3, base + " tonight"),          # near-dups history doc 1
+         (4, third), (5, third + " ok")], # 5 near-dups batch peer 4
+        [(6, third + " ok indeed")],      # near-dups ACCEPTED 4
+    ]
+    state = str(tmp_path / "state")
+    handler = make_neardup_handler(state, threshold=0.5)
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    for i, rows in enumerate(batches):
+        handler(mk(rows), i)
+
+    accepted = {r["doc_id"] for r in
+                spark.read.parquet(f"{state}/accepted").collect()}
+    rejected = {r["doc_id"]: (r["dup_of"], r["jaccard"]) for r in
+                spark.read.parquet(f"{state}/rejected").collect()}
+    assert accepted == {1, 2, 4}
+    assert set(rejected) == {3, 5, 6}
+    assert rejected[3][0] == 1 and rejected[5][0] == 4
+    assert rejected[6][0] in accepted          # witness is accepted content
+    assert all(j >= 0.5 for _d, j in rejected.values())
+
+    # batch replay parity: same per-batch rule over the same history
+    replay_accepted: list = []
+    for rows in batches:
+        bdf = mk(rows)
+        rej = set()
+        if replay_accepted:
+            hist = mk(replay_accepted)
+            rej |= {r["new_id"] for r in D.incremental_near_dup_pairs(
+                bdf, hist, threshold=0.5).collect()}
+        rej |= {max(r["src_id"], r["dst_id"]) for r in
+                D.minhash_near_dup_pairs(bdf, threshold=0.5).collect()}
+        replay_accepted += [t for t in rows if t[0] not in rej]
+    assert {t[0] for t in replay_accepted} == accepted
+
+    # state is sized by ACCEPTED content only
+    assert {r["doc_id"] for r in
+            spark.read.parquet(f"{state}/shingles").collect()} == accepted
+
+
+def test_stream_neardup_ingest_end_to_end(spark, tmp_path):
+    """The writeStream plumbing: a file-source document stream through
+    stream_neardup_ingest lands accepted/rejected parquet."""
+    from vervectordb_spark.streaming import ingest as SI2
+
+    src = str(tmp_path / "src")
+    txt = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = spark.createDataFrame(
+        [(1, txt, "en", "web", len(txt)),
+         (2, txt + " end", "en", "web", len(txt) + 4),
+         (3, "short unrelated thing entirely different from the rest "
+             "of the corpus in every shingle", "en", "web", 90)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = SI2.stream_documents(spark, src)
+    q = SI2.stream_neardup_ingest(
+        stream, str(tmp_path / "state2"), str(tmp_path / "ckpt"),
+        threshold=0.5)
+    q.awaitTermination(120)
+    acc = {r["doc_id"] for r in
+           spark.read.parquet(str(tmp_path / "state2/accepted")).collect()}
+    rej = {r["doc_id"] for r in
+           spark.read.parquet(str(tmp_path / "state2/rejected")).collect()}
+    assert acc == {1, 3} and rej == {2}

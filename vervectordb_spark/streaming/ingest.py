@@ -283,3 +283,124 @@ def click_purchase_attribution(clicks: DataFrame, purchases: DataFrame,
         "click_id", "purchase_id", "click_time", "purchase_time",
         "purchase_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming near-dup gate: persisted LSH band state, per-batch increments
+# ---------------------------------------------------------------------------
+
+def make_neardup_handler(state_path: str, text_col: str = "text",
+                         id_col: str = "doc_id", num_hashes: int = 16,
+                         bands: int = 4, shingle_n: int = 3,
+                         threshold: float = 0.5,
+                         max_bucket_size: int | None = None):
+    """foreachBatch handler for a streaming MinHash near-dup gate with
+    PERSISTED band state — the streaming twin of
+    dedup.incremental_near_dup_pairs (the daily-crawl shape), run
+    continuously per micro-batch.
+
+    Per batch: sketch the batch once (signatures + shingles,
+    lineage-cut), then reject a document when it near-duplicates
+    (a) the ACCEPTED history — batch band entries joined against the
+    persisted band table on (band, band_key), history buckets over
+    max_bucket_size dropped (stop-bucket cap), candidates
+    Jaccard-verified against the persisted shingle table; or
+    (b) a SMALLER-ID batch peer (minhash_near_dup_pairs over the batch;
+    the deterministic greedy tie-break — if the smaller peer itself was
+    rejected its content is already represented in history, the standard
+    LSH-gate approximation). Survivors are appended to
+    `{state}/accepted`, their band entries/shingles to the state tables
+    (so later batches dedup against them); rejects land in
+    `{state}/rejected` with their best (dup_of, jaccard) witness.
+
+    100 TB posture: history is never re-sketched — each increment costs
+    |batch| sketch work + |batch|·bucket-occupancy join rows against
+    state that only ever grows by accepted content. Exposed as a factory
+    so batch replays (tests, backfills) can drive the EXACT closure
+    foreachBatch drives."""
+    import os
+
+    from vervectordb_spark.operators import dedup as D
+
+    cap = max_bucket_size if max_bucket_size is not None \
+        else D.DEFAULT_MAX_BUCKET_SIZE
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sk = D.minhash_signatures(
+            batch_df, text_col, id_col, num_hashes, shingle_n
+        ).localCheckpoint(eager=True)  # batch-sized; cut source lineage
+        be = D.minhash_band_entries(sk, id_col, num_hashes, bands)
+
+        witnesses = []
+        if os.path.exists(f"{state_path}/bands"):
+            hist_be = D._drop_oversized_buckets(
+                spark.read.parquet(f"{state_path}/bands"),
+                ["band", "band_key"], cap)
+            hist_sh = spark.read.parquet(f"{state_path}/shingles")
+            cand = (be.select(F.col(id_col).alias("new_id"),
+                              "band", "band_key")
+                    .join(hist_be.withColumnRenamed(id_col, "hist_id"),
+                          on=["band", "band_key"])
+                    .select("new_id", "hist_id").distinct())
+            witnesses.append(
+                cand.join(sk.select(F.col(id_col).alias("new_id"),
+                                    F.col("shingles").alias("_a")),
+                          on="new_id")
+                .join(hist_sh.select(F.col(id_col).alias("hist_id"),
+                                     F.col("shingles").alias("_b")),
+                      on="hist_id")
+                .withColumn("jaccard",
+                            D.jaccard_expr(F.col("_a"), F.col("_b")))
+                .filter(F.col("jaccard") >= threshold)
+                .select("new_id", F.col("hist_id").alias("dup_of"),
+                        "jaccard"))
+        # within-batch: reject the LARGER id of each verified pair
+        self_pairs = D.minhash_near_dup_pairs(
+            batch_df, text_col=text_col, id_col=id_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            threshold=threshold, max_bucket_size=cap)
+        witnesses.append(self_pairs.select(
+            F.greatest(F.col("src_id"), F.col("dst_id")).alias("new_id"),
+            F.least(F.col("src_id"), F.col("dst_id")).alias("dup_of"),
+            "jaccard"))
+
+        rej = witnesses[0]
+        for w in witnesses[1:]:
+            rej = rej.unionByName(w)
+        # one witness row per reject: best jaccard, smallest dup_of
+        best = (rej.groupBy("new_id")
+                .agg(F.max_by(F.struct("jaccard", "dup_of"),
+                              F.struct(F.col("jaccard"),
+                                       -F.col("dup_of"))).alias("w"))
+                .select(F.col("new_id").alias(id_col),
+                        F.col("w.dup_of").alias("dup_of"),
+                        F.col("w.jaccard").alias("jaccard"))
+                .localCheckpoint(eager=True))
+
+        accepted = batch_df.join(best.select(id_col), on=id_col,
+                                 how="left_anti")
+        accepted.write.mode("append").parquet(f"{state_path}/accepted")
+        batch_df.join(best, on=id_col).write.mode("append").parquet(
+            f"{state_path}/rejected")
+        acc_ids = accepted.select(id_col)
+        be.join(acc_ids, on=id_col).write.mode("append").parquet(
+            f"{state_path}/bands")
+        sk.select(id_col, "shingles").join(acc_ids, on=id_col) \
+            .write.mode("append").parquet(f"{state_path}/shingles")
+
+    return handle
+
+
+def stream_neardup_ingest(stream_docs: DataFrame, state_path: str,
+                          checkpoint: str, **kwargs):
+    """Attach the near-dup gate to a document stream: one foreachBatch
+    query, trigger-agnostic (availableNow for backfills, default for
+    continuous ingest). kwargs forward to make_neardup_handler."""
+    return (
+        stream_docs.writeStream
+        .foreachBatch(make_neardup_handler(state_path, **kwargs))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
