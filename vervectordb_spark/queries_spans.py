@@ -125,3 +125,82 @@ def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return remove_duplicate_spans(docs, _L).select(
         "doc_id", "n_tokens", "n_tokens_removed", "clean_text")
+
+
+@query(
+    "pipeline_spancut_e2e",
+    oracle=f"""
+WITH {_spans_ctes(_L)},
+orig AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS a
+  FROM documents),
+tok_rows AS (
+  SELECT doc_id, ti.i AS i, ti.t AS t FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(a)),
+                  i -> {{'i': i::INT, 't': a[i + 1]}})) AS ti
+    FROM orig) q(doc_id, ti)),
+kept AS (
+  SELECT tr.doc_id, tr.i, tr.t
+  FROM tok_rows tr LEFT JOIN spans sp
+    ON tr.doc_id = sp.doc_id
+   AND tr.i >= sp.span_start AND tr.i < sp.span_end
+  WHERE sp.doc_id IS NULL),
+cleaned AS (
+  SELECT o.doc_id, o.lang,
+         len(o.a)::BIGINT AS n_tokens,
+         (len(o.a) - COALESCE(k.nk, 0))::BIGINT AS n_removed,
+         COALESCE(k.clean_text, '') AS clean_text
+  FROM orig o LEFT JOIN (
+    SELECT doc_id, COUNT(*) AS nk,
+           string_agg(t, ' ' ORDER BY i) AS clean_text
+    FROM kept GROUP BY doc_id) k USING (doc_id)),
+ranked AS (
+  SELECT doc_id, lang, n_tokens, n_removed,
+         ROW_NUMBER() OVER (
+           PARTITION BY ('0x' || substr(md5(clean_text), 1, 15))::BIGINT
+           ORDER BY doc_id) AS rk
+  FROM cleaned)
+SELECT lang,
+       CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups_dropped,
+       CAST(SUM(CASE WHEN rk = 1 THEN n_tokens - n_removed ELSE 0 END) AS BIGINT)
+         AS tokens_kept,
+       CAST(SUM(CASE WHEN rk = 1 THEN n_removed ELSE 0 END) AS BIGINT)
+         AS tokens_cut
+FROM ranked GROUP BY lang
+""",
+)
+def pipeline_spancut_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-cut → exact dedup composed as ONE lazy plan: cutting the
+    duplicated regions first makes boilerplate-wrapped near-copies
+    EXACTLY identical, so the cheap content-hash dedup then catches what
+    would otherwise need a MinHash pass — the pipeline ordering
+    ExactSubstr dedup exists for (Lee et al. 2022 run substring dedup
+    before document dedup for the same reason). Reported per lang:
+    surviving docs, exact dups dropped post-cut, tokens kept/cut.
+
+    Plan shape: the span stages' two shuffles (gram key, doc key), ONE
+    content-hash dedup window, one final aggregate — nothing quadratic,
+    no driver loop."""
+    from pyspark.sql import Window
+
+    from vervectordb_spark.functions.hashing import md5_long
+    from vervectordb_spark.operators.spans import remove_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = remove_duplicate_spans(docs, _L)
+    rk = F.row_number().over(
+        Window.partitionBy(md5_long(F.col("clean_text")))
+        .orderBy("doc_id"))
+    ranked = cleaned.withColumn("rk", rk)
+    one = F.col("rk") == 1
+    return ranked.groupBy("lang").agg(
+        F.sum(F.when(one, 1).otherwise(0)).cast("long").alias("n_docs"),
+        F.sum(F.when(~one, 1).otherwise(0)).cast("long")
+        .alias("n_dups_dropped"),
+        F.sum(F.when(one, F.col("n_tokens") - F.col("n_tokens_removed"))
+              .otherwise(0)).cast("long").alias("tokens_kept"),
+        F.sum(F.when(one, F.col("n_tokens_removed")).otherwise(0))
+        .cast("long").alias("tokens_cut"))
