@@ -59,24 +59,31 @@ def gram_positions(docs: DataFrame, gram_len: int,
     """(id, p, gram_h) — every L-gram start position with the 60-bit
     md5 of its space-joined lowercase token sequence. Map-only: one
     transform(range) + explode per document; docs shorter than L tokens
-    emit nothing."""
+    emit nothing.
+
+    STAGED like operators/embed.py: the token array materializes behind
+    its own projection before the gram transform references it — inlined
+    into the lambda, the filter∘split would re-tokenize once PER GRAM
+    POSITION (O(tokens²) per doc; measured 6× slower at sf0.1)."""
     toks = F.expr(f"filter(split(lower({text_col}), '\\\\s+'), "
                   "t -> t != '')")
+    staged = docs.select(F.col(id_col), toks.alias("_toks"))
+    tcol = F.col("_toks")
     grams = F.transform(
         F.sequence(
             F.lit(0),
-            F.greatest(F.size(toks) - F.lit(gram_len), F.lit(-1)),
+            F.greatest(F.size(tcol) - F.lit(gram_len), F.lit(-1)),
         ),
         lambda i: F.struct(
             i.cast("int").alias("p"),
             md5_long(F.concat_ws(
-                " ", F.slice(toks, i + 1, gram_len))).alias("gram_h"),
+                " ", F.slice(tcol, i + 1, gram_len))).alias("gram_h"),
         ),
     )
     # sequence(0, -1) DESCENDS in Spark — short docs must short-circuit
-    grams = F.when(F.size(toks) >= gram_len, grams).otherwise(
+    grams = F.when(F.size(tcol) >= gram_len, grams).otherwise(
         F.array().cast("array<struct<p:int,gram_h:bigint>>"))
-    return (docs.select(F.col(id_col), F.explode(grams).alias("g"))
+    return (staged.select(F.col(id_col), F.explode(grams).alias("g"))
             .select(id_col, F.col("g.p").alias("p"),
                     F.col("g.gram_h").alias("gram_h")))
 
@@ -85,13 +92,14 @@ def duplicate_gram_positions(docs: DataFrame, gram_len: int,
                              text_col: str = "text",
                              id_col: str = "doc_id") -> DataFrame:
     """(id, p) start positions whose L-gram occurs >= 2 times in the
-    corpus. ONE groupBy(gram_h) shuffle (map-side combine) + the
-    co-partitioned join back; the dup-key side is sized by duplicated
-    content volume."""
+    corpus. ONE gram-key shuffle: a count window over gram_h filters the
+    position stream in the same pass (mostly-unique gram keys defeat
+    map-side combine, so a groupBy + join-back would shuffle the same
+    volume TWICE and re-run the gram emit for the join side)."""
     pos = gram_positions(docs, gram_len, text_col, id_col)
-    dup_keys = (pos.groupBy("gram_h").agg(F.count("*").alias("_c"))
-                .filter(F.col("_c") >= 2).select("gram_h"))
-    return pos.join(dup_keys, on="gram_h").select(id_col, "p")
+    w = Window.partitionBy("gram_h")
+    return (pos.withColumn("_c", F.count("*").over(w))
+            .filter(F.col("_c") >= 2).select(id_col, "p"))
 
 
 def duplicate_spans(docs: DataFrame, gram_len: int,
@@ -136,24 +144,31 @@ def remove_duplicate_spans(docs: DataFrame, gram_len: int,
              .agg(F.collect_list(
                  F.struct(F.col("span_start").alias("s"),
                           F.col("span_end").alias("e"))).alias("_spans")))
-    toks = doc_token_array(text_col)
     joined = docs.join(spans, on=id_col, how="left").withColumn(
         "_spans",
         F.coalesce(F.col("_spans"),
                    F.array().cast("array<struct<s:int,e:int>>")))
+    # staged (the gram_positions rationale): token array and kept-token
+    # array materialize once per row; out_col / the two counts reference
+    # the staged columns instead of re-running split+filter per use
+    staged = joined.withColumn("_toks", doc_token_array(text_col))
     indexed = F.transform(
-        toks, lambda t, i: F.struct(t.alias("t"), i.cast("int").alias("i")))
-    kept = F.filter(
-        indexed,
-        lambda x: ~F.exists(
-            F.col("_spans"),
-            lambda sp: (x["i"] >= sp["s"]) & (x["i"] < sp["e"])),
-    )
-    return (joined
-            .withColumn("n_tokens", F.size(toks).cast("bigint"))
-            .withColumn(out_col,
-                        F.concat_ws(" ", F.transform(kept, lambda x: x["t"])))
+        F.col("_toks"),
+        lambda t, i: F.struct(t.alias("t"), i.cast("int").alias("i")))
+    staged = staged.withColumn(
+        "_kept",
+        F.filter(
+            indexed,
+            lambda x: ~F.exists(
+                F.col("_spans"),
+                lambda sp: (x["i"] >= sp["s"]) & (x["i"] < sp["e"]))))
+    return (staged
+            .withColumn("n_tokens", F.size("_toks").cast("bigint"))
+            .withColumn(
+                out_col,
+                F.concat_ws(" ", F.transform(F.col("_kept"),
+                                             lambda x: x["t"])))
             .withColumn(
                 "n_tokens_removed",
-                (F.size(toks) - F.size(kept)).cast("bigint"))
-            .drop("_spans"))
+                (F.size("_toks") - F.size("_kept")).cast("bigint"))
+            .drop("_spans", "_toks", "_kept"))
