@@ -495,3 +495,60 @@ def test_incremental_hot_history_bucket_dropped(boilerplate):
         new, hist, threshold=0.5, max_bucket_size=1000
     ).count()
     assert many == 300
+
+
+# ---------------------------------------------------------------------------
+# semantic decontamination (embedding_contamination_pairs)
+# ---------------------------------------------------------------------------
+
+def _emb_frames(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    evals = [(100 + i, (rng.normal(size=8) / 3).tolist()) for i in range(4)]
+    # train: 2 planted near-copies of eval vectors + noise rows
+    train = [(0, [x * 1.001 + 1e-4 for x in evals[0][1]]),
+             (1, [x * 0.999 - 1e-4 for x in evals[2][1]])]
+    train += [(10 + i, rng.normal(size=8).tolist()) for i in range(30)]
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    return mk(train), mk(evals)
+
+
+def test_embedding_contamination_gemm_matches_fold(spark):
+    """The GEMM margin prescreen + exact rescore returns the identical
+    pair set and sims as the fold cross join — BLAS order never decides
+    membership."""
+    from vervectordb_spark.operators.dedup import (
+        embedding_contamination_pairs)
+
+    train, evals = _emb_frames(spark)
+    key = lambda df: sorted(
+        (r["train_id"], r["eval_id"], round(r["sim"], 12))
+        for r in df.collect())
+    g = key(embedding_contamination_pairs(train, evals, 0.95,
+                                          kernel="gemm"))
+    f = key(embedding_contamination_pairs(train, evals, 0.95,
+                                          kernel="fold"))
+    assert g == f and len(g) >= 2
+    assert {(t, e) for t, e, _s in g} >= {(0, 100), (1, 102)}
+
+
+def test_embedding_contamination_eval_bound_fails_fast(spark):
+    from vervectordb_spark.operators.dedup import (
+        embedding_contamination_pairs)
+
+    train, evals = _emb_frames(spark)
+    with pytest.raises(ValueError, match="eval side exceeds"):
+        embedding_contamination_pairs(train, evals, 0.9, max_eval=2)
+
+
+def test_embedding_contamination_empty_eval(spark):
+    from vervectordb_spark.operators.dedup import (
+        embedding_contamination_pairs)
+
+    train, evals = _emb_frames(spark)
+    out = embedding_contamination_pairs(
+        train, evals.filter(F.col("vec_id") < 0), 0.9)
+    assert out.count() == 0
+    assert out.columns == ["train_id", "eval_id", "sim"]

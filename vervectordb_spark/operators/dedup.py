@@ -1216,3 +1216,105 @@ def incremental_near_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "hist_id", "jaccard")
     )
+
+
+def embedding_contamination_pairs(
+    train: DataFrame,
+    evals: DataFrame,
+    threshold: float = 0.9,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    kernel: str = "gemm",
+    margin: float = 1e-6,
+    max_eval: int = 65_536,
+) -> DataFrame:
+    """(train_id, eval_id, sim) — training items whose embedding cosine
+    vs ANY benchmark/eval item reaches `threshold`: SEMANTIC benchmark
+    decontamination, the embedding-space twin of the shared-n-gram
+    decontaminators (text.decontaminate_ngrams / functions/bloom). N-gram
+    overlap misses paraphrased leakage; this catches it.
+
+    kernel="gemm" (default, the 100 TB shape): the eval side is bounded
+    (benchmark-sized — max_eval fail-fast, the batch_search contract) and
+    broadcast as ONE float64 matrix; each Arrow batch of the train side
+    does a single matmul and emits only candidate pairs with GEMM cosine
+    >= threshold - margin. Candidates then get the EXACT normalize+fold
+    rescore (the knn_self_join fold convention) and the >= threshold cut,
+    so BLAS summation order never decides membership (margin absorbs
+    float64 GEMM error, ~1e-12 at these dims) — output is bit-identical
+    to the fold kernel. Train side: map-only, zero shuffles, candidates
+    sized by contamination volume.
+
+    kernel="fold": broadcast cross join + fold cosine — the
+    oracle-replayable spec, |train|x|eval| scored rows; fixture scale
+    only."""
+    from vervectordb_spark.functions.similarity import (
+        dot_expr, normalize_expr)
+
+    if evals.limit(max_eval + 1).count() > max_eval:
+        raise ValueError(
+            f"eval side exceeds {max_eval} rows; benchmark suites are "
+            "bounded — pre-aggregate or raise max_eval deliberately")
+    ev = evals.select(F.col(id_col).alias("eval_id"),
+                      normalize_expr(F.col(emb_col)).alias("_ev_ne"))
+    if kernel == "fold":
+        tr = train.select(F.col(id_col).alias("train_id"),
+                          normalize_expr(F.col(emb_col)).alias("_tr_ne"))
+        return (tr.join(F.broadcast(ev))
+                .withColumn("sim", dot_expr(F.col("_tr_ne"),
+                                            F.col("_ev_ne")))
+                .filter(F.col("sim") >= threshold)
+                .select("train_id", "eval_id", "sim"))
+    if kernel != "gemm":
+        raise ValueError(f"unknown kernel {kernel!r}: use 'gemm' or 'fold'")
+
+    import numpy as np
+
+    from pyspark.sql.types import StructField, StructType
+
+    erows = evals.select(id_col, emb_col).filter(
+        F.col(emb_col).isNotNull()).collect()
+    spark = train.sparkSession
+    id_type = train.schema[id_col].dataType
+    emb_type = train.schema[emb_col].dataType
+    out_schema = StructType([
+        StructField("train_id", id_type),
+        StructField("_tr_emb", emb_type),
+        StructField("eval_id", evals.schema[id_col].dataType),
+    ])
+    if not erows:
+        return spark.createDataFrame([], out_schema).withColumn(
+            "sim", F.lit(0.0)).select("train_id", "eval_id", "sim")
+    eids = [r[0] for r in erows]
+    E = np.asarray([[float(x) for x in r[1]] for r in erows],
+                   dtype=np.float64)
+    en = np.linalg.norm(E, axis=1)
+    En = E / np.where(en == 0, 1.0, en)[:, None]
+    cut = float(threshold) - float(margin)
+
+    def kern(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            X = np.asarray([[float(x) for x in v] for v in pdf[emb_col]],
+                           dtype=np.float64)
+            if X.size == 0:
+                continue
+            xn = np.linalg.norm(X, axis=1)
+            S = (X / np.where(xn == 0, 1.0, xn)[:, None]) @ En.T
+            ti, ei = np.nonzero(S >= cut)
+            if len(ti) == 0:
+                continue
+            yield pd.DataFrame({
+                "train_id": pdf[id_col].iloc[ti].to_numpy(),
+                "_tr_emb": pdf[emb_col].iloc[ti].to_numpy(),
+                "eval_id": [eids[j] for j in ei],
+            })
+
+    cand = train.select(id_col, emb_col).filter(
+        F.col(emb_col).isNotNull()).mapInPandas(kern, out_schema)
+    return (cand.join(F.broadcast(ev), on="eval_id")
+            .withColumn("sim", dot_expr(normalize_expr(F.col("_tr_emb")),
+                                        F.col("_ev_ne")))
+            .filter(F.col("sim") >= threshold)
+            .select("train_id", "eval_id", "sim"))

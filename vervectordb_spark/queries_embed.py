@@ -186,3 +186,51 @@ def chunk_retrieval_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("best_sim"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic benchmark decontamination — embedding-space twin of the n-gram
+# decontaminators. Eval split = doc_id % 97 == 0 (the decontaminate_ngrams
+# convention); embeddings are the oracle-replayable hashed BoW.
+# ---------------------------------------------------------------------------
+
+_DECON_TAU = 0.90
+
+
+@query(
+    "decontam_embeddings",
+    oracle=f"""
+WITH raw AS ({_EMBED_SQL}),
+n AS (
+  SELECT vec_id,
+         CASE WHEN list_dot_product(ne, ne) = 0 THEN ne
+              ELSE list_transform(ne,
+                     x -> x / sqrt(list_dot_product(ne, ne)))
+         END AS ne
+  FROM raw)
+SELECT b.vec_id AS train_id, a.vec_id AS eval_id,
+       ROUND(list_dot_product(b.ne, a.ne), 6) AS sim
+FROM n a JOIN n b ON a.vec_id % 97 = 0 AND b.vec_id % 97 <> 0
+WHERE list_dot_product(b.ne, a.ne) >= {_DECON_TAU}
+""",
+)
+def decontam_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination (dedup.embedding_contamination_pairs):
+    training documents whose hashed-BoW embedding cosine against ANY
+    eval-split document reaches 0.90 — paraphrase-level leakage the
+    shared-n-gram decontaminators miss. GEMM kernel: the benchmark-sized
+    eval matrix broadcasts into an Arrow batch matmul over the map-only
+    train side (zero train shuffles); candidates get the exact
+    normalize+fold rescore, so the margin prescreen never decides
+    membership and the output replays bit-exact on DuckDB's cross join."""
+    from vervectordb_spark.operators.dedup import (
+        embedding_contamination_pairs)
+    from vervectordb_spark.operators.embed import embed_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = embed_documents(docs, dim=_DIM)
+    evals = emb.filter(F.col("vec_id") % 97 == 0)
+    train = emb.filter(F.col("vec_id") % 97 != 0)
+    out = embedding_contamination_pairs(train, evals, _DECON_TAU)
+    return out.select("train_id", "eval_id",
+                      F.round("sim", 6).alias("sim"))
