@@ -372,3 +372,56 @@ def test_apply_changes_duplicate_version_deterministic(spark):
     b = apply_changes(target, changes.repartition(5), "k").collect()
     assert len(a) == len(b) == 1
     assert a[0]["v"] == b[0]["v"]
+
+
+# ---------------------------------------------------------------------------
+# temperature mixing (mix_by_temperature)
+# ---------------------------------------------------------------------------
+
+def _skewed(spark):
+    rows = [(i, "big") for i in range(900)] + \
+           [(1000 + i, "small") for i in range(100)]
+    return spark.createDataFrame(rows, "doc_id long, stratum string")
+
+
+def test_mix_by_temperature_upweights_tail(spark):
+    """alpha=0.5 flattens: the tail stratum's kept SHARE rises above its
+    natural 10%, the head's falls below 90% — while the total stays near
+    the budget."""
+    from vervectordb_spark.operators.sampling import mix_by_temperature
+
+    kept = mix_by_temperature(_skewed(spark), "stratum", "doc_id",
+                              total=200, alpha=0.5).groupBy("stratum") \
+        .agg(F.count("*").alias("n")).collect()
+    n = {r["stratum"]: r["n"] for r in kept}
+    tot = sum(n.values())
+    assert 140 <= tot <= 260
+    assert n["small"] / tot > 0.15          # natural share was 0.10
+    assert n["big"] / tot < 0.85            # natural share was 0.90
+    # sqrt targets: 30/(30+10) vs 10/40 => expected ~0.75/0.25 split
+    assert abs(n["small"] / tot - 0.25) < 0.08
+
+
+def test_mix_by_temperature_deterministic_across_partitionings(spark):
+    from vervectordb_spark.operators.sampling import mix_by_temperature
+
+    df = _skewed(spark)
+    a = {r["doc_id"] for r in mix_by_temperature(
+        df, "stratum", "doc_id", total=200).select("doc_id").collect()}
+    b = {r["doc_id"] for r in mix_by_temperature(
+        df.repartition(13), "stratum", "doc_id",
+        total=200).select("doc_id").collect()}
+    assert a == b and len(a) > 0
+
+
+def test_mix_by_temperature_alpha_one_is_natural_mix(spark):
+    """alpha=1 keeps shares ∝ n: every stratum's acceptance rate is the
+    SAME total/N, so kept shares track the natural mix."""
+    from vervectordb_spark.operators.sampling import mix_by_temperature
+
+    kept = mix_by_temperature(_skewed(spark), "stratum", "doc_id",
+                              total=400, alpha=1.0).groupBy("stratum") \
+        .agg(F.count("*").alias("n")).collect()
+    n = {r["stratum"]: r["n"] for r in kept}
+    tot = sum(n.values())
+    assert abs(n["big"] / tot - 0.9) < 0.06

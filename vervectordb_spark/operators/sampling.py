@@ -180,3 +180,47 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str, k: int,
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def mix_by_temperature(df: DataFrame, strata_col: str, id_col: str,
+                       total: int, alpha: float = 0.5,
+                       seed: int = 42) -> DataFrame:
+    """Temperature-flattened domain mix: target shares ∝ n_s^alpha
+    (alpha < 1 upweights tail domains, alpha = 1 keeps the natural mix —
+    the multilingual/multi-source sampling rule of mBERT/XLM-R-style
+    training mixes), realized with the same pure-row hash draw as
+    mix_to_target. Never upsamples (rates clamp to 1).
+
+    Float contract (the queries.py rules): the share denominator
+    D = Σ n_s^alpha accumulates in SORTED-stratum order via a running
+    window sum over the strata-sized count table — a deterministic
+    sequential fold both engines replay bit-identically, where a plain
+    SUM's addend order is engine-internal. alpha = 0.5 evaluates as
+    sqrt() — an exactly-rounded IEEE op on every engine, unlike pow —
+    so the default temperature gates bit-exact; other alphas ride
+    Math.pow parity (pinned at fixture scale, not contractual).
+
+    Scale posture: one groupBy on the stratum key (#strata rows), a
+    #strata-row window, broadcast rate join, map-side filter — the
+    mix_to_target shape with the targets computed in-plan."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_n"))
+    nd = F.col("_n").cast("double")
+    wcol = F.sqrt(nd) if alpha == 0.5 else F.pow(nd, F.lit(float(alpha)))
+    w = (Window.orderBy(strata_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    run = counts.withColumn("_w", wcol).withColumn(
+        "_run", F.sum("_w").over(w))
+    # running sums of positive weights are increasing: MAX(_run) is the
+    # last prefix value == the sequential-fold total D
+    d = run.agg(F.max("_run").alias("_D"))
+    rates = run.crossJoin(F.broadcast(d)).select(
+        strata_col,
+        F.least(
+            F.lit(1.0),
+            ((F.col("_w") / F.col("_D")) * F.lit(float(total))) / nd,
+        ).alias("_rate"))
+    return (df.join(F.broadcast(rates), on=strata_col, how="inner")
+            .filter(hash_uniform_expr(id_col, seed) < F.col("_rate"))
+            .drop("_rate"))

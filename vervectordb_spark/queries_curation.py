@@ -842,3 +842,51 @@ def curation_pipeline_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("shard").alias("n_shards"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-flattened mix — target shares computed IN-PLAN from n^alpha
+# ---------------------------------------------------------------------------
+
+_TEMP_TOTAL = 250
+
+
+@query(
+    "domain_mix_temperature",
+    oracle=f"""
+WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+run AS (
+  SELECT lang, n, sqrt(n::DOUBLE) AS w,
+         SUM(sqrt(n::DOUBLE)) OVER (
+           ORDER BY lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM counts),
+d AS (SELECT MAX(run) AS D FROM run),
+rates AS (
+  SELECT r.lang,
+         least(1.0, ((r.w / d.D) * {_TEMP_TOTAL}.0) / r.n::DOUBLE) AS rate
+  FROM run r CROSS JOIN d),
+kept AS (
+  SELECT doc.doc_id, doc.lang FROM documents doc JOIN rates r USING (lang)
+  WHERE (('0x' || substr(md5('sample:42:' || doc.doc_id), 1, 15))::BIGINT)::DOUBLE
+        / 1152921504606846976.0 < r.rate
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM kept GROUP BY lang
+""",
+)
+def domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling at alpha = 0.5 (sampling.mix_by_temperature):
+    target shares ∝ sqrt(n_lang), computed IN-PLAN — the multilingual
+    upweight-the-tail mixing rule, with no hand-provided target table.
+    The share denominator folds in sorted-stratum order (a running
+    window sum over the 5-row count table) so the float value — and
+    therefore every acceptance boundary — replays bit-exact on DuckDB;
+    sqrt is exactly rounded where pow is not, which is why the gated
+    temperature is 1/2."""
+    from vervectordb_spark.operators.sampling import mix_by_temperature
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mix_by_temperature(docs, "lang", id_col="doc_id",
+                              total=_TEMP_TOTAL, alpha=0.5, seed=42)
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
