@@ -90,28 +90,57 @@ def gram_positions(docs: DataFrame, gram_len: int,
 
 def duplicate_gram_positions(docs: DataFrame, gram_len: int,
                              text_col: str = "text",
-                             id_col: str = "doc_id") -> DataFrame:
+                             id_col: str = "doc_id",
+                             strategy: str = "count_join") -> DataFrame:
     """(id, p) start positions whose L-gram occurs >= 2 times in the
-    corpus. ONE gram-key shuffle: a count window over gram_h filters the
-    position stream in the same pass (mostly-unique gram keys defeat
-    map-side combine, so a groupBy + join-back would shuffle the same
-    volume TWICE and re-run the gram emit for the join side)."""
+    corpus. Two executable shapes, measured at sf100 (5 M docs, 236 M
+    grams, 10.7 M dup keys, local[32]):
+
+    * "count_join" (default — the 100 TB shape): count aggregate over
+      gram_h (map-side partial combine makes it SKEW-IMMUNE: a
+      boilerplate gram occurring 10^8 times still reduces to one count
+      row) -> shuffle-HASH join of the re-emitted position stream
+      against the dup-key set (hash, never sort-merge — sorting 236 M
+      rows is what made the window variant >2x slower). Costs a second
+      gram emit; 296 s at sf100.
+    * "collect": ONE shuffle — collect_list of (id, p) per gram, filter
+      size >= 2, explode. No re-emit, no sort; 191 s at sf100. The
+      fastest shape, but a hot gram concentrates its whole occurrence
+      list on one reducer — use on corpora already stop-gram-filtered
+      or bounded (the dedup.py max_bucket_size rationale).
+
+    (A count window over gram_h was measured dominated: same one-reducer
+    hot-key hazard as "collect" PLUS a full sort of the gram stream —
+    >590 s at sf100.)"""
     pos = gram_positions(docs, gram_len, text_col, id_col)
-    w = Window.partitionBy("gram_h")
-    return (pos.withColumn("_c", F.count("*").over(w))
-            .filter(F.col("_c") >= 2).select(id_col, "p"))
+    if strategy == "collect":
+        return (pos.groupBy("gram_h")
+                .agg(F.collect_list(F.struct(id_col, "p")).alias("_occ"))
+                .filter(F.size("_occ") >= 2)
+                .select(F.explode("_occ").alias("_o"))
+                .select(F.col(f"_o.{id_col}").alias(id_col),
+                        F.col("_o.p").alias("p")))
+    if strategy != "count_join":
+        raise ValueError(
+            f"unknown strategy {strategy!r}: use 'count_join' or 'collect'")
+    dup_keys = (pos.groupBy("gram_h").agg(F.count("*").alias("_c"))
+                .filter(F.col("_c") >= 2).select("gram_h"))
+    return (pos.join(dup_keys.hint("shuffle_hash"), on="gram_h")
+            .select(id_col, "p"))
 
 
 def duplicate_spans(docs: DataFrame, gram_len: int,
                     text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    strategy: str = "count_join") -> DataFrame:
     """(id, span_start, span_end, n_grams) merged maximal duplicated
     intervals per document: union of [p, p+L) over duplicated-gram
     starts, merged by the exact-integer gaps-and-islands window (a new
     island starts where p exceeds the running max end). span_end is
     exclusive."""
     L = int(gram_len)
-    marks = duplicate_gram_positions(docs, L, text_col, id_col).select(
+    marks = duplicate_gram_positions(docs, L, text_col, id_col,
+                                     strategy=strategy).select(
         id_col, F.col("p").alias("s"), (F.col("p") + L).alias("e"))
     w = (Window.partitionBy(id_col).orderBy("s")
          .rowsBetween(Window.unboundedPreceding, -1))
@@ -132,14 +161,16 @@ def duplicate_spans(docs: DataFrame, gram_len: int,
 def remove_duplicate_spans(docs: DataFrame, gram_len: int,
                            text_col: str = "text",
                            id_col: str = "doc_id",
-                           out_col: str = "clean_text") -> DataFrame:
+                           out_col: str = "clean_text",
+                           strategy: str = "count_join") -> DataFrame:
     """Every input column + (out_col, n_tokens, n_tokens_removed): the
     document with its duplicated spans' tokens cut (original case,
     single-space rejoin). Documents with no duplicated span pass through
     with their canonical whitespace-rejoined text and
     n_tokens_removed = 0 (a left join against the span table — the
     no-span side never shuffles more than the one doc-key join)."""
-    spans = (duplicate_spans(docs, gram_len, text_col, id_col)
+    spans = (duplicate_spans(docs, gram_len, text_col, id_col,
+                             strategy=strategy)
              .groupBy(id_col)
              .agg(F.collect_list(
                  F.struct(F.col("span_start").alias("s"),
