@@ -301,6 +301,30 @@ def build_benches(spark, sf_dir: str):
             # weights — no fitting in the timed path), ONE lazy plan
             return _force(QC.curation_pipeline_trained(spark, sf_dir),
                           limit=100)
+
+        @bench("domain_mix_temperature")
+        def _mix_temp():
+            # shares ∝ sqrt(n) computed in-plan: one strata-sized count
+            # agg + 5-row window + broadcast rate join + map-side filter
+            return _force(QC.domain_mix_temperature(spark, sf_dir))
+    except ImportError:
+        pass
+
+    try:
+        from vervectordb_spark.operators.dedup import (
+            embedding_contamination_pairs)
+        from vervectordb_spark.operators.embed import (
+            embed_documents as _ed2)
+
+        @bench("decontam_embeddings")
+        def _decontam_emb():
+            # semantic decontamination: eval matrix broadcast into an
+            # Arrow GEMM over the map-only train side + exact rescore
+            # filter before embed: pushdown stops at mapInPandas, so the
+            # eval side embeds 1/97 of the corpus instead of all of it
+            ev = _ed2(docs.filter(F.col("doc_id") % 97 == 0), dim=32)
+            tr = _ed2(docs.filter(F.col("doc_id") % 97 != 0), dim=32)
+            return _force(embedding_contamination_pairs(tr, ev, 0.90))
     except ImportError:
         pass
 

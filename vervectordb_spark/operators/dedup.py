@@ -1251,13 +1251,16 @@ def embedding_contamination_pairs(
     from vervectordb_spark.functions.similarity import (
         dot_expr, normalize_expr)
 
-    if evals.limit(max_eval + 1).count() > max_eval:
-        raise ValueError(
-            f"eval side exceeds {max_eval} rows; benchmark suites are "
-            "bounded — pre-aggregate or raise max_eval deliberately")
+    # bound-check inside the one collect below (gemm) / a limit probe
+    # (fold) — never a separate full count pass over the eval side
     ev = evals.select(F.col(id_col).alias("eval_id"),
                       normalize_expr(F.col(emb_col)).alias("_ev_ne"))
     if kernel == "fold":
+        if evals.limit(max_eval + 1).count() > max_eval:
+            raise ValueError(
+                f"eval side exceeds {max_eval} rows; benchmark suites "
+                "are bounded — pre-aggregate or raise max_eval "
+                "deliberately")
         tr = train.select(F.col(id_col).alias("train_id"),
                           normalize_expr(F.col(emb_col)).alias("_tr_ne"))
         return (tr.join(F.broadcast(ev))
@@ -1273,7 +1276,11 @@ def embedding_contamination_pairs(
     from pyspark.sql.types import StructField, StructType
 
     erows = evals.select(id_col, emb_col).filter(
-        F.col(emb_col).isNotNull()).collect()
+        F.col(emb_col).isNotNull()).limit(max_eval + 1).collect()
+    if len(erows) > max_eval:
+        raise ValueError(
+            f"eval side exceeds {max_eval} rows; benchmark suites are "
+            "bounded — pre-aggregate or raise max_eval deliberately")
     spark = train.sparkSession
     id_type = train.schema[id_col].dataType
     emb_type = train.schema[emb_col].dataType

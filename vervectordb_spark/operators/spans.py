@@ -22,11 +22,12 @@ Spark shape — the 100 TB posture (suffix arrays are a single-machine
 design; the gram table IS the distributed analogue):
   1. gram emit is MAP-ONLY: per doc, transform(range) over the token
      array -> (doc, p, md5_60(gram)) — one row per token position.
-  2. ONE corpus-sized shuffle: groupBy(gram hash) with map-side partial
-     counts -> the duplicated-gram key set (sized by duplicated content,
-     not the corpus).
-  3. the positions->dup-keys join is hash-co-partitioned on the same
-     key (AQE broadcasts it when the dup set is small).
+  2. dup-gram membership via a SKEW-IMMUNE count aggregate (map-side
+     partials absorb hot boilerplate grams) + a shuffle-HASH join of the
+     positions against the dup-key set — no sort of the gram stream
+     anywhere; the dup-key side is sized by duplicated content, not the
+     corpus (strategies + sf100 measurements in
+     duplicate_gram_positions).
   4. span merge is the gaps-and-islands window — one doc-key shuffle,
      exact integer arithmetic (replays on any engine).
   5. removal joins the per-doc span list (bounded by the doc's own

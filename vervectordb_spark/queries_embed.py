@@ -228,9 +228,14 @@ def decontam_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vervectordb_spark.operators.embed import embed_documents
 
     docs = load_table(spark, sf_dir, "documents")
-    emb = embed_documents(docs, dim=_DIM)
-    evals = emb.filter(F.col("vec_id") % 97 == 0)
-    train = emb.filter(F.col("vec_id") % 97 != 0)
+    # filter BEFORE embedding: mapInPandas blocks pushdown, so filtering
+    # the embedded frame would hash-embed the full corpus once per
+    # consumer; filtering docs pushes the doc_id predicate to the scan
+    # and the eval side embeds 1/97 of the corpus
+    evals = embed_documents(docs.filter(F.col("doc_id") % 97 == 0),
+                            dim=_DIM)
+    train = embed_documents(docs.filter(F.col("doc_id") % 97 != 0),
+                            dim=_DIM)
     out = embedding_contamination_pairs(train, evals, _DECON_TAU)
     return out.select("train_id", "eval_id",
                       F.round("sim", 6).alias("sim"))
