@@ -477,6 +477,14 @@ def build_benches(spark, sf_dir: str):
         def _surprisal():
             # corpus unigram fit + broadcast join + one groupBy(doc)
             return _force(unigram_surprisal(docs))
+
+        from vervectordb_spark.operators.text import bigram_surprisal
+
+        @bench("bigram_surprisal")
+        def _bigram_surprisal():
+            # interpolated bigram LM: broadcast unigram + key-partitioned
+            # bigram join + one groupBy(doc)
+            return _force(bigram_surprisal(docs))
     except ImportError:
         pass
 

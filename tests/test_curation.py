@@ -172,3 +172,44 @@ def test_unigram_surprisal_separates_gibberish(spark):
     total = 102 + 3  # 'the' x102 + 3 singletons
     want = round(round(-math.log2(1.0 / total), 9), 6)
     assert abs(got[1]["bits_per_word"] - want) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# interpolated bigram surprisal (text.bigram_surprisal)
+# ---------------------------------------------------------------------------
+
+def test_bigram_surprisal_sees_scrambled_word_order(spark):
+    """The discriminative claim: a SHUFFLED copy of a repetitive
+    natural-order corpus keeps (roughly) its unigram score but scores
+    strictly higher on bigram surprisal — word-order damage is exactly
+    what the bigram term adds over unigram_surprisal."""
+    base = "the cat sat on the mat and the dog sat on the rug " * 4
+    toks = base.split()
+    scrambled = " ".join(toks[::2] + toks[1::2][::-1])
+    bg = [(100 + i, "the cat sat on the mat and the dog sat on the rug")
+          for i in range(20)]  # corpus mass pinning natural transitions
+    docs = spark.createDataFrame(
+        [(1, base.strip()), (2, scrambled)] + bg,
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["bits_per_transition"]
+           for r in TX.bigram_surprisal(docs).collect()}
+    assert out[2] > out[1] + 0.5, out
+
+
+def test_bigram_surprisal_short_docs_absent_and_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "only"), (2, ""), (3, "a b c d")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in TX.bigram_surprisal(docs).collect()}
+    assert set(rows) == {3}
+    assert rows[3]["n_transitions"] == 3
+
+
+def test_bigram_surprisal_partitioning_independent(spark):
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * (1 + i % 3)) for i in range(30)],
+        "doc_id long, text string")
+    a = sorted(map(tuple, TX.bigram_surprisal(docs).collect()))
+    b = sorted(map(tuple,
+                   TX.bigram_surprisal(docs.repartition(7)).collect()))
+    assert a == b

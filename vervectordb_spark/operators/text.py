@@ -628,3 +628,77 @@ def repetition_gate(text_col: str = "text",
         (frac_dup_words_expr(text_col) <= F.lit(float(max_dup_word_frac)))
         & (frac_dup_ngrams_expr(text_col, 3) <= F.lit(float(max_dup_3gram_frac)))
     )
+
+
+def bigram_surprisal(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     lam: float = 0.75) -> DataFrame:
+    """Per-document mean INTERPOLATED-BIGRAM surprisal in bits per
+    transition — the step up from unigram_surprisal toward the KenLM
+    perplexity filter CCNet actually ships: P(w|v) = λ·c(v,w)/c(v·) +
+    (1-λ)·c(w)/N over the corpus's own counts. Unigram surprisal can't
+    see scrambled word order; this does (a shuffled document keeps its
+    unigram score and loses its bigram score).
+
+    Shape at 100 TB: the unigram table stays a broadcast (Heaps-law
+    vocabulary); the BIGRAM table does NOT (distinct bigrams grow far
+    past broadcast size on web corpora), so the doc transition stream
+    joins it key-partitioned on the bigram — one corpus-sized hash
+    shuffle, the decontaminate/dup-gram class — then one groupBy(doc).
+    Transitions pair consecutive SCOPE-SURVIVING words (the shared
+    functions/words ASCII scope), map-only per doc.
+
+    Float contract (the unigram_surprisal precedent): each probability
+    is single divisions + one λ-mix in fixed order, the log2 term rounds
+    to 9dp (libm drift) and sums as exact DECIMAL; bits/transition is
+    one final division rounded to 6dp. λ defaults to 0.75 — exactly
+    representable, so the mix arithmetic is engine-identical."""
+    from vervectordb_spark.functions.words import ASCII_WORDS
+
+    lam = float(lam)
+    toks = F.expr(
+        f"filter(split(lower({text_col}), '\\\\s+'), "
+        f"t -> t != '' AND t rlike '{ASCII_WORDS}')")
+    staged = df.select(F.col(id_col), toks.alias("_toks"))
+    tcol = F.col("_toks")
+    pairs = F.when(
+        F.size(tcol) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tcol) - 1, F.lit(1))),
+            lambda i: F.struct(
+                F.element_at(tcol, i).alias("w1"),
+                F.element_at(tcol, i + 1).alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    trans = (staged.select(F.col(id_col), F.explode(pairs).alias("t"))
+             .select(id_col, F.col("t.w1").alias("w1"),
+                     F.col("t.w2").alias("w2")))
+    uni = (staged.select(F.explode(tcol).alias("word"))
+           .groupBy("word").agg(F.count("*").cast("bigint").alias("cnt")))
+    total = uni.agg(F.sum("cnt").cast("bigint").alias("total"))
+    bi = (trans.groupBy("w1", "w2")
+          .agg(F.count("*").cast("bigint").alias("bcnt")))
+    scored = (
+        trans
+        .join(bi, on=["w1", "w2"])  # key-partitioned: bigrams don't broadcast
+        .join(F.broadcast(uni.withColumnRenamed("word", "w1")
+                          .withColumnRenamed("cnt", "c1")), on="w1")
+        .join(F.broadcast(uni.withColumnRenamed("word", "w2")
+                          .withColumnRenamed("cnt", "c2")), on="w2")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_p",
+            F.lit(lam) * (F.col("bcnt").cast("double")
+                          / F.col("c1").cast("double"))
+            + F.lit(1.0 - lam) * (F.col("c2").cast("double")
+                                  / F.col("total").cast("double")))
+        .withColumn("_bits",
+                    F.round(-F.log2(F.col("_p")), 9).cast("decimal(24,9)"))
+    )
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").cast("bigint").alias("n_transitions"),
+                 F.sum("_bits").alias("_sb"))
+            .select(id_col, "n_transitions",
+                    F.round(F.col("_sb").cast("double")
+                            / F.col("n_transitions"), 6)
+                    .alias("bits_per_transition")))

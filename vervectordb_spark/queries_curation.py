@@ -890,3 +890,51 @@ def domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = mix_by_temperature(docs, "lang", id_col="doc_id",
                               total=_TEMP_TOTAL, alpha=0.5, seed=42)
     return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+# ---------------------------------------------------------------------------
+# interpolated bigram surprisal — the word-order-aware LM quality proxy
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_bigram_surprisal",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '' AND regexp_matches(x, '^[a-z]+$')) AS a
+  FROM documents),
+tr AS (
+  SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(a)),
+                  i -> {{'w1': a[i], 'w2': a[i + 1]}})) AS pr
+    FROM t WHERE len(a) >= 2) q(doc_id, pr)),
+uni AS (SELECT x AS word, COUNT(*)::BIGINT AS cnt
+        FROM (SELECT unnest(a) AS x FROM t) GROUP BY x),
+tot AS (SELECT SUM(cnt)::BIGINT AS total FROM uni),
+bi AS (SELECT w1, w2, COUNT(*)::BIGINT AS bcnt FROM tr GROUP BY w1, w2),
+sc AS (
+  SELECT tr.doc_id,
+         ROUND(-log2(0.75 * (b.bcnt::DOUBLE / u1.cnt::DOUBLE)
+               + 0.25 * (u2.cnt::DOUBLE / tt.total::DOUBLE)),
+               9)::DECIMAL(24,9) AS bits
+  FROM tr JOIN bi b USING (w1, w2)
+  JOIN uni u1 ON u1.word = tr.w1
+  JOIN uni u2 ON u2.word = tr.w2
+  CROSS JOIN tot tt)
+SELECT doc_id, COUNT(*)::BIGINT AS n_transitions,
+       ROUND(SUM(bits)::DOUBLE / COUNT(*), 6) AS bits_per_transition
+FROM sc GROUP BY doc_id
+""",
+)
+def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM surprisal (operators/text.bigram_surprisal,
+    λ=0.75): mean bits per word transition under the corpus's own
+    bigram/unigram mix — the word-order-aware upgrade of
+    doc_unigram_surprisal on the path to CCNet's KenLM filter. The
+    unigram table broadcasts; the bigram table joins key-partitioned
+    (it outgrows broadcast on web corpora); surprisal terms round to
+    9dp before exact decimal summation (the ln libm-drift contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.bigram_surprisal(docs)
