@@ -202,3 +202,57 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.col("wpos").cast("int").alias("wpos"),
         F.col("spos").cast("int").alias("spos"), "symbol", "token_id")
+
+
+_PACK_BUDGET_TOK = 2048
+
+
+@query(
+    "pack_by_bpe_tokens",
+    oracle=f"""
+WITH {_bpe_ctes(_STEPS)},
+doc_words AS (SELECT doc_id, word
+              FROM {words_sql('documents', id_col='doc_id')}),
+tc AS (
+  SELECT d.doc_id, SUM(len({_split_of('v.s')}))::BIGINT AS n_tokens
+  FROM doc_words d JOIN (SELECT word, s FROM s{_STEPS}) v USING (word)
+  GROUP BY d.doc_id),
+j AS (SELECT doc.lang, t.doc_id, t.n_tokens
+      FROM tc t JOIN documents doc USING (doc_id)),
+c AS (
+  SELECT lang, doc_id, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - n_tokens AS start
+  FROM j)
+SELECT lang,
+       CAST(FLOOR(start::DOUBLE / {_PACK_BUDGET_TOK}.0) AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM c GROUP BY 1, 2
+""",
+)
+def pack_by_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware context-window packing: REAL token counts under
+    the trained BPE vocabulary (the bpe_token_counts broadcast-join
+    shape) feed pack_by_token_offset's per-lang 2048-token layout — the
+    composition a training-data export actually runs, replacing the
+    n_chars proxy pack_sequences uses. ONE corpus word-count job for
+    training, a broadcast segmentation join, one groupBy(doc), one
+    doc-key lang join, one packing window — no stage is corpus² and the
+    vocab state stays KB-class."""
+    from vervectordb_spark.functions.words import words as words_of
+    from vervectordb_spark.operators.bpe import train_bpe
+    from vervectordb_spark.operators.packing import pack_summary
+
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, vocab = train_bpe(docs, n_merges=_STEPS)
+    seg = vocab.select("word", F.size("symbols").alias("_wtoks"))
+    wt = words_of(docs, "text", id_col="doc_id")
+    counts = (wt.join(F.broadcast(seg), on="word")
+              .groupBy("doc_id")
+              .agg(F.sum("_wtoks").cast("bigint").alias("n_tokens")))
+    j = counts.join(docs.select("doc_id", "lang"), on="doc_id")
+    return pack_summary(j, token_col="n_tokens",
+                        budget=_PACK_BUDGET_TOK,
+                        order_col="doc_id", stream_col="lang")
