@@ -319,10 +319,15 @@ def build_benches(spark, sf_dir: str):
         @bench("decontam_embeddings")
         def _decontam_emb():
             # semantic decontamination: eval matrix broadcast into an
-            # Arrow GEMM over the map-only train side + exact rescore
-            # filter before embed: pushdown stops at mapInPandas, so the
-            # eval side embeds 1/97 of the corpus instead of all of it
-            ev = _ed2(docs.filter(F.col("doc_id") % 97 == 0), dim=32)
+            # Arrow GEMM over the map-only train side + exact rescore.
+            # Filter before embed (pushdown stops at mapInPandas), and
+            # cap the eval side at the first 512 eval ids: real
+            # benchmark suites are FIXED-size, while the fixture's %97
+            # split grows with sf — uncapped, the sf10 entry measures
+            # the |train|x|eval| split artifact (264 s), not the
+            # operator (SCALE.md round-8 note)
+            ev = _ed2(docs.filter((F.col("doc_id") % 97 == 0)
+                                  & (F.col("doc_id") < 97 * 512)), dim=32)
             tr = _ed2(docs.filter(F.col("doc_id") % 97 != 0), dim=32)
             return _force(embedding_contamination_pairs(tr, ev, 0.90))
     except ImportError:

@@ -70,10 +70,11 @@ spans AS (
 def dup_spans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged maximal duplicated-span intervals per document
     (operators/spans.duplicate_spans at L=8): the regions an ExactSubstr
-    pass would cut. 100 TB shape: map-only gram emit, ONE gram-key
-    shuffle with map-side combine, a co-partitioned dup-key join, one
-    doc-key window — linear in corpus tokens + duplicated volume, never
-    all-pairs."""
+    pass would cut. 100 TB shape: map-only gram emit, a SKEW-IMMUNE
+    gram-key count aggregate + shuffle-hash dup-key join (no sort of the
+    gram stream — strategy notes and sf100 measurements in
+    duplicate_gram_positions), one doc-key window — linear in corpus
+    tokens + duplicated volume, never all-pairs."""
     from vervectordb_spark.operators.spans import duplicate_spans
 
     docs = load_table(spark, sf_dir, "documents")
@@ -204,3 +205,51 @@ def pipeline_spancut_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
               .otherwise(0)).cast("long").alias("tokens_kept"),
         F.sum(F.when(one, F.col("n_tokens_removed")).otherwise(0))
         .cast("long").alias("tokens_cut"))
+
+
+@query(
+    "dup_spans_stats",
+    oracle=f"""
+WITH {_spans_ctes(_L)},
+tok_n AS (SELECT doc_id, len(a)::BIGINT AS n_tokens FROM toks),
+per_doc AS (
+  SELECT s.doc_id,
+         SUM(s.span_end - s.span_start)::BIGINT AS dup_tokens,
+         COUNT(*)::BIGINT AS n_spans
+  FROM spans s GROUP BY s.doc_id)
+SELECT
+  (SELECT COUNT(*) FROM tok_n)::BIGINT AS n_docs,
+  (SELECT COUNT(*) FROM per_doc)::BIGINT AS n_docs_with_spans,
+  (SELECT COALESCE(SUM(n_spans), 0) FROM per_doc)::BIGINT AS n_spans,
+  (SELECT COALESCE(SUM(dup_tokens), 0) FROM per_doc)::BIGINT AS dup_tokens,
+  (SELECT SUM(n_tokens) FROM tok_n)::BIGINT AS total_tokens,
+  (SELECT COALESCE(MAX(dup_tokens), 0) FROM per_doc)::BIGINT AS max_doc_dup_tokens
+""",
+)
+def dup_spans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-dedup observability (the dedup_band_stats pattern): ONE row
+    of corpus-level counters — affected docs, span count, duplicated
+    token volume vs total, worst single document — the dashboard that
+    says how much an ExactSubstr pass will cut BEFORE running the cut.
+    Exact integers end to end; two bounded aggregates over the span
+    table plus one token-count aggregate."""
+    from vervectordb_spark.operators.spans import (
+        doc_token_array, duplicate_spans)
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, _L)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start")).alias("_dt"),
+        F.count("*").alias("_ns"))
+    tok = docs.select(F.size(doc_token_array("text")).alias("_n"))
+    a = per_doc.agg(
+        F.count("*").cast("long").alias("n_docs_with_spans"),
+        F.coalesce(F.sum("_ns"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.sum("_dt"), F.lit(0)).cast("long").alias("dup_tokens"),
+        F.coalesce(F.max("_dt"), F.lit(0)).cast("long")
+        .alias("max_doc_dup_tokens"))
+    b = tok.agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum("_n").cast("long").alias("total_tokens"))
+    return a.crossJoin(b).select(
+        "n_docs", "n_docs_with_spans", "n_spans", "dup_tokens",
+        "total_tokens", "max_doc_dup_tokens")
