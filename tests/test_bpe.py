@@ -175,3 +175,33 @@ def test_encode_documents_corpus_side_has_no_shuffle(spark):
     # every Exchange in the plan is on the broadcast (vocab) side or the
     # tiny window; the corpus scan reaches the joins without an exchange
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_encode_vocab_broadcast_gated_by_bounded_probe(spark):
+    """The bounded-dims-only broadcast rule (SCALE.md finding #6) on the
+    BPE vocabulary joins: under the gate the segmentation join is hinted
+    broadcast; above it (threshold forced to 0, auto-broadcast disabled)
+    the hint is absent and AQE is free to pick a shuffle join — a 1e7-row
+    Heaps-law web vocabulary must not be forced executor-resident."""
+    from vervectordb_spark.operators.bpe import encode_documents, train_bpe
+    from vervectordb_spark.plans import audit as A
+
+    docs = spark.createDataFrame(
+        [(1, "aa ab aa ab ba"), (2, "ab aa ba ba aa")],
+        "doc_id long, text string")
+    _m, vocab = train_bpe(docs, n_merges=2)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = A.physical_plan(encode_documents(docs, vocab))
+        A.assert_operator(hinted, "BroadcastHashJoin")
+        unhinted = A.physical_plan(
+            encode_documents(docs, vocab, broadcast_max_rows=0))
+        A.assert_not_operator(unhinted, "BroadcastHashJoin")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    # results identical either side of the gate
+    a = sorted(map(tuple, encode_documents(docs, vocab).collect()))
+    b = sorted(map(tuple,
+                   encode_documents(docs, vocab,
+                                    broadcast_max_rows=0).collect()))
+    assert a == b and len(a) > 0

@@ -213,3 +213,23 @@ def test_bigram_surprisal_partitioning_independent(spark):
     b = sorted(map(tuple,
                    TX.bigram_surprisal(docs.repartition(7)).collect()))
     assert a == b
+
+
+def test_clamped_rate_strata_are_exact_keep(spark):
+    """A stratum whose acceptance rate clamps to 1.0 keeps EVERY row —
+    the keep predicate is (rate >= 1.0) OR (u < rate), so the ~128 hash
+    values whose 60-bit draw rounds up to exactly 1.0 in the double cast
+    can never be dropped from a keep-everything stratum (mirrored in the
+    mix oracle SQL)."""
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh") for i in range(200)],
+        "doc_id long, lang string")
+    # en: target mass far above its 100 rows -> rate clamps to 1.0
+    out = mix_to_target(df, "lang", {"en": 1.0, "zh": 0.0},
+                        id_col="doc_id", total=10_000)
+    assert out.filter(F.col("lang") == "en").count() == 100
+    from vervectordb_spark.operators.sampling import mix_by_temperature
+    # alpha=1 natural mix with total >= corpus -> every rate clamps to 1
+    kept = mix_by_temperature(df, "lang", id_col="doc_id",
+                              total=1_000, alpha=0.5)
+    assert kept.count() == 200

@@ -86,3 +86,47 @@ def test_gram_positions_partitioning_independent(spark):
     a = sorted(map(tuple, S.gram_positions(docs, L).collect()))
     b = sorted(map(tuple, S.gram_positions(docs.repartition(7), L).collect()))
     assert a == b
+
+
+def test_gram_key_is_full_120_bit_md5(spark):
+    """Both gram-key longs match hashlib's md5 of the space-joined
+    lowercase gram (hex digits 1..15 and 16..30) — the widened key that
+    makes a collision-driven false CUT astronomically unlikely (span
+    removal destroys tokens; rationale in operators/spans.py)."""
+    import hashlib
+
+    docs = _docs(spark, [(1, "Alpha beta GAMMA delta")])
+    rows = {r["p"]: (r["gram_h"], r["gram_h2"])
+            for r in S.gram_positions(docs, L).collect()}
+    toks = "alpha beta gamma delta".split()
+    for p in range(len(toks) - L + 1):
+        hx = hashlib.md5(" ".join(toks[p:p + L]).encode()).hexdigest()
+        assert rows[p] == (int(hx[0:15], 16), int(hx[15:30], 16))
+
+
+def test_sixty_bit_collision_would_not_cut(spark, monkeypatch):
+    """Grams that collide on gram_h alone (different gram_h2) must NOT
+    be marked duplicated — every group/join keys on BOTH halves. A real
+    60-bit collision is unconstructible, so the gram stream is planted."""
+    planted = spark.createDataFrame(
+        [(1, 0, 7, 100), (2, 0, 7, 200),   # gram_h collides, h2 differs
+         (1, 5, 9, 300), (2, 3, 9, 300)],  # a TRUE duplicate
+        "doc_id long, p int, gram_h long, gram_h2 long")
+    monkeypatch.setattr(S, "gram_positions", lambda *a, **k: planted)
+    for strategy in ("count_join", "collect"):
+        got = sorted(map(tuple, S.duplicate_gram_positions(
+            None, L, strategy=strategy).collect()))
+        assert got == [(1, 5), (2, 3)], strategy
+
+
+def test_remove_spans_fails_fast_on_column_collision(spark):
+    """Output / staging names already on the input raise instead of being
+    silently overwritten (the featurize/embed_documents contract)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c", 9)], "doc_id long, text string, n_tokens long")
+    with pytest.raises(ValueError, match="n_tokens"):
+        S.remove_duplicate_spans(docs, L)
+    docs2 = spark.createDataFrame(
+        [(1, "a b c", "x")], "doc_id long, text string, clean_text string")
+    with pytest.raises(ValueError, match="clean_text"):
+        S.remove_duplicate_spans(docs2, L)

@@ -789,3 +789,49 @@ def test_stream_neardup_ingest_end_to_end(spark, tmp_path):
     rej = {r["doc_id"] for r in
            spark.read.parquet(str(tmp_path / "state2/rejected")).collect()}
     assert acc == {1, 3} and rej == {2}
+
+
+def test_streaming_neardup_gate_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch whose writes all
+    landed but whose checkpoint commit was lost (marker deleted to
+    simulate the crash window) must leave state IDENTICAL — dynamic
+    partition overwrite replaces the first attempt, and the history read
+    excludes the batch's own _batch_id so its docs never near-dup their
+    own first-attempt state and stay accepted."""
+    import shutil
+
+    from vervectordb_spark.streaming.ingest import make_neardup_handler
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "rain falls on the quiet gray town every single day")
+    alt = ("completely different words about spark shuffles and "
+           "partition pruning at warehouse scale with broadcast joins")
+    third = ("yet another unrelated passage concerning minhash bands "
+             "and jaccard verification over shingle sets in pipelines")
+    state = str(tmp_path / "state")
+    handler = make_neardup_handler(state, threshold=0.5)
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    handler(mk([(1, base), (2, alt)]), 0)
+    batch1 = [(3, base + " tonight"), (4, third)]
+    handler(mk(batch1), 1)
+
+    def snapshot():
+        out = {}
+        for t in ("accepted", "rejected", "bands", "shingles"):
+            out[t] = sorted(
+                tuple(str(v) for v in r)
+                for r in spark.read.parquet(f"{state}/{t}").collect())
+        return out
+
+    before = snapshot()
+    # crash window: writes committed, checkpoint commit lost -> retry
+    shutil.rmtree(f"{state}/committed/_batch_id=1")
+    handler(mk(batch1), 1)
+    assert snapshot() == before
+    acc = {r["doc_id"] for r in
+           spark.read.parquet(f"{state}/accepted").collect()}
+    assert acc == {1, 2, 4}  # 3 rejected vs history 1; 4 stays accepted
+
+    # clean replay (marker present) is a no-op too
+    handler(mk(batch1), 1)
+    assert snapshot() == before

@@ -31,6 +31,17 @@ def seeded_md5_long(col: Column, seed: int) -> Column:
     return md5_long(F.concat(F.lit(f"{seed}:"), col))
 
 
+def md5_long_hi(col: Column) -> Column:
+    """Hex digits 16..30 of md5 as a second non-negative BIGINT — paired
+    with md5_long it widens a key to 120 bits for operators whose hash
+    collisions would DESTROY data instead of merely perturbing a
+    statistic (span dedup cuts the matched tokens). At 120 bits the
+    expected collision count over n keys is n²/2^121: ~2e-20 at the
+    sf100 gram volume (2.4e8), and still ~5e-13 at a trillion grams —
+    the documented residual false-positive cut rate."""
+    return F.conv(F.substring(F.md5(col), 16, 15), 16, 10).cast("long")
+
+
 #: affine family modulus (Mersenne prime 2^31-1) — small enough that
 #: a·h stays well inside int64 (a < 2^31, h < 2^31 ⇒ a·h < 2^62).
 AFFINE_MOD = 2_147_483_647
@@ -65,6 +76,11 @@ def affine_hash_sql(expr: str, i: int) -> str:
 def md5_long_sql(expr: str) -> str:
     """DuckDB twin of md5_long for oracle SQL composition."""
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def md5_long_hi_sql(expr: str) -> str:
+    """DuckDB twin of md5_long_hi."""
+    return f"(('0x' || substr(md5({expr}), 16, 15))::BIGINT)"
 
 
 def seeded_md5_long_sql(expr: str, seed: int) -> str:

@@ -205,6 +205,27 @@ def words_with_pos(df: DataFrame, text_col: str = "text",
     return out
 
 
+#: broadcast gate for vocabulary-side joins (the bounded-dims-only rule,
+#: SCALE.md finding #6): a 1e6-row segmentation table is ~100 MB serialized
+#: — still broadcastable; a 1e7-row web vocabulary (Heaps' law at corpus
+#: scale) is not, and a forced hint would also strip AQE's ability to
+#: demote. Above the gate the join is left unhinted so AQE picks the
+#: strategy (shuffle-hash on the word key).
+BROADCAST_VOCAB_MAX_ROWS = 1_000_000
+
+
+def maybe_broadcast_vocab(vocab_side: DataFrame,
+                          max_rows: int = BROADCAST_VOCAB_MAX_ROWS,
+                          ) -> DataFrame:
+    """Hint broadcast only when a bounded probe proves the vocab side is
+    <= max_rows (limit(max_rows+1).count() — early-exits, and train_bpe's
+    vocab is lineage-cut so the probe never re-runs the corpus job).
+    Returns the frame unhinted above the gate."""
+    if vocab_side.limit(max_rows + 1).count() <= max_rows:
+        return F.broadcast(vocab_side)
+    return vocab_side
+
+
 def segmentation_table(vocab: DataFrame, word_col: str = "word",
                        symbols_col: str = "symbols") -> DataFrame:
     """(word, symbols) — the trained vocab IS the segmentation table for
@@ -232,30 +253,40 @@ def symbol_ids(vocab: DataFrame, symbols_col: str = "symbols") -> DataFrame:
 
 def encode_documents(docs: DataFrame, vocab: DataFrame,
                      text_col: str = "text", id_col: str = "doc_id",
-                     word_pattern: str | None = ASCII_WORDS) -> DataFrame:
+                     word_pattern: str | None = ASCII_WORDS,
+                     broadcast_max_rows: int = BROADCAST_VOCAB_MAX_ROWS,
+                     ) -> DataFrame:
     """Tokenize the corpus under a trained BPE vocabulary: (id, wpos,
-    spos, symbol, token_id), one row per token, ordered by (wpos, spos)
-    within a document. The inverse of nothing — this IS the
-    corpus → token-id-sequence step every training-data export ends with.
+    spos, symbol, token_id), one row per token. The output carries NO
+    ordering guarantee (it ends in two joins); a document's token
+    sequence is RECOVERED by sorting on (id, wpos, spos) — which is why
+    the columns are there. Exporters that need ordered sequences should
+    collect_list(struct(wpos, spos, token_id)) + array_sort per doc, or
+    orderBy at the sink. This IS the corpus → token-id-sequence step
+    every training-data export ends with.
 
     100 TB shape: the corpus side is MAP-ONLY end to end — positional
-    word explode, broadcast join against the vocabulary's segmentation
-    table (language-sized, ~1e5..1e7 rows), symbol posexplode, broadcast
-    join against the (symbol, token_id) map. Zero corpus shuffles; the
-    only shuffle anywhere is the KB-class row_number inside symbol_ids.
+    word explode, join against the vocabulary's segmentation table
+    (language-sized, ~1e5..1e7 rows; broadcast-hinted only under the
+    maybe_broadcast_vocab gate — a 1e7-row web vocabulary falls back to
+    AQE's choice, shuffle-hash on the word key), symbol posexplode,
+    join against the (symbol, token_id) map under the same gate. With
+    the broadcasts taken, zero corpus shuffles; the only other shuffle
+    is the KB-class row_number inside symbol_ids.
     Out-of-vocabulary words (absent from the training corpus / outside
     the scope pattern) drop via the inner join — encode with a vocab
     trained on a superset corpus, or segment stragglers driver-side with
     segment_word."""
-    seg = segmentation_table(vocab)
-    ids = symbol_ids(vocab)
+    seg = maybe_broadcast_vocab(segmentation_table(vocab),
+                                broadcast_max_rows)
+    ids = maybe_broadcast_vocab(symbol_ids(vocab), broadcast_max_rows)
     toks = (
         words_with_pos(docs, text_col, id_col, word_pattern)
-        .join(F.broadcast(seg), on="word")
+        .join(seg, on="word")
         .select(
             id_col, "wpos",
             F.posexplode("symbols").alias("spos", "symbol"),
         )
     )
-    return toks.join(F.broadcast(ids), on="symbol").select(
+    return toks.join(ids, on="symbol").select(
         id_col, "wpos", "spos", "symbol", "token_id")

@@ -62,7 +62,10 @@ def stratified_hash_sample(df: DataFrame, strata_col: str,
     rate = F.lit(float(default_fraction))
     for value, frac in sorted(fractions.items()):
         rate = F.when(F.col(strata_col) == value, float(frac)).otherwise(rate)
-    return df.filter(hash_uniform_expr(id_col, seed) < rate)
+    # a stratum at fraction >= 1.0 is exact-keep (the hash_sample corner:
+    # the top ~128 hash values round to exactly 1.0 in the double cast)
+    return df.filter((rate >= F.lit(1.0))
+                     | (hash_uniform_expr(id_col, seed) < rate))
 
 
 def split_column_expr(id_col: Column | str, splits: dict[str, float],
@@ -129,9 +132,19 @@ def mix_to_target(df: DataFrame, strata_col: str, targets: dict[str, float],
     )
     return (
         df.join(F.broadcast(rates), on=strata_col, how="inner")
-        .filter(hash_uniform_expr(id_col, seed) < F.col("_rate"))
+        .filter(_keep_at_rate(id_col, seed))
         .drop("_rate")
     )
+
+
+def _keep_at_rate(id_col: str, seed: int) -> Column:
+    """Keep predicate for a broadcast `_rate` column: a stratum whose
+    rate clamps to exactly 1.0 is EXACT-KEEP (never loses the ~128 hash
+    values whose 60-bit draw rounds up to 1.0 in the double cast — the
+    hash_sample docstring corner); everything else is the strict
+    `u < rate` draw. Mirrored verbatim in every mix oracle SQL."""
+    return (F.col("_rate") >= F.lit(1.0)) | (
+        hash_uniform_expr(id_col, seed) < F.col("_rate"))
 
 
 def weighted_sample_key_expr(id_col: Column | str, weight_col: Column | str,
@@ -222,5 +235,5 @@ def mix_by_temperature(df: DataFrame, strata_col: str, id_col: str,
             ((F.col("_w") / F.col("_D")) * F.lit(float(total))) / nd,
         ).alias("_rate"))
     return (df.join(F.broadcast(rates), on=strata_col, how="inner")
-            .filter(hash_uniform_expr(id_col, seed) < F.col("_rate"))
+            .filter(_keep_at_rate(id_col, seed))
             .drop("_rate"))

@@ -18,10 +18,21 @@ over its duplicated-gram start positions p. Removal drops the tokens
 inside those spans from the ORIGINAL-case token stream and rejoins with
 single spaces (whitespace-canonical, the standard normalization).
 
+Gram identity is the 120-bit md5 key (two 60-bit longs from ONE md5 —
+functions/hashing.md5_long + md5_long_hi). Span removal DESTROYS the
+matched tokens, so a hash false positive cuts unique content: at 60
+bits the expected collisions at the measured sf100 volume (2.4e8 grams)
+were ~0.02 — guaranteed in volume at 100 TB; at 120 bits they are
+n²/2^121 ≈ 2e-20 (and ~5e-13 at a trillion grams), the documented
+residual false-positive cut rate. Lee et al. verify real bytes; this
+is the distributed-join analogue of that verification margin.
+
 Spark shape — the 100 TB posture (suffix arrays are a single-machine
 design; the gram table IS the distributed analogue):
   1. gram emit is MAP-ONLY: per doc, transform(range) over the token
-     array -> (doc, p, md5_60(gram)) — one row per token position.
+     array -> (doc, p, md5_120(gram)) — one row per token position,
+     ONE md5 evaluated per gram (the hex staged in the struct, both
+     longs derived after the explode).
   2. dup-gram membership via a SKEW-IMMUNE count aggregate (map-side
      partials absorb hot boilerplate grams) + a shuffle-HASH join of the
      positions against the dup-key set — no sort of the gram stream
@@ -42,7 +53,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from vervectordb_spark.functions.hashing import md5_long
+#: the two-column 120-bit gram identity every join/group in this module
+#: keys on (rationale in the module docstring).
+GRAM_KEY = ["gram_h", "gram_h2"]
 
 
 def doc_token_array(text_col: Column | str) -> Column:
@@ -57,10 +70,12 @@ def doc_token_array(text_col: Column | str) -> Column:
 def gram_positions(docs: DataFrame, gram_len: int,
                    text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
-    """(id, p, gram_h) — every L-gram start position with the 60-bit
-    md5 of its space-joined lowercase token sequence. Map-only: one
-    transform(range) + explode per document; docs shorter than L tokens
-    emit nothing.
+    """(id, p, gram_h, gram_h2) — every L-gram start position with the
+    120-bit md5 of its space-joined lowercase token sequence as two
+    60-bit longs (collision rationale in the module docstring). The hex
+    digest is staged in the per-gram struct so md5 runs ONCE per gram;
+    both longs derive after the explode. Map-only: one transform(range)
+    + explode per document; docs shorter than L tokens emit nothing.
 
     STAGED like operators/embed.py: the token array materializes behind
     its own projection before the gram transform references it — inlined
@@ -77,16 +92,19 @@ def gram_positions(docs: DataFrame, gram_len: int,
         ),
         lambda i: F.struct(
             i.cast("int").alias("p"),
-            md5_long(F.concat_ws(
-                " ", F.slice(tcol, i + 1, gram_len))).alias("gram_h"),
+            F.md5(F.concat_ws(
+                " ", F.slice(tcol, i + 1, gram_len))).alias("m"),
         ),
     )
     # sequence(0, -1) DESCENDS in Spark — short docs must short-circuit
     grams = F.when(F.size(tcol) >= gram_len, grams).otherwise(
-        F.array().cast("array<struct<p:int,gram_h:bigint>>"))
+        F.array().cast("array<struct<p:int,m:string>>"))
     return (staged.select(F.col(id_col), F.explode(grams).alias("g"))
             .select(id_col, F.col("g.p").alias("p"),
-                    F.col("g.gram_h").alias("gram_h")))
+                    F.conv(F.substring("g.m", 1, 15), 16, 10)
+                    .cast("long").alias("gram_h"),
+                    F.conv(F.substring("g.m", 16, 15), 16, 10)
+                    .cast("long").alias("gram_h2")))
 
 
 def duplicate_gram_positions(docs: DataFrame, gram_len: int,
@@ -98,7 +116,7 @@ def duplicate_gram_positions(docs: DataFrame, gram_len: int,
     grams, 10.7 M dup keys, local[32]):
 
     * "count_join" (default — the 100 TB shape): count aggregate over
-      gram_h (map-side partial combine makes it SKEW-IMMUNE: a
+      the 120-bit gram key (map-side partial combine makes it SKEW-IMMUNE: a
       boilerplate gram occurring 10^8 times still reduces to one count
       row) -> shuffle-HASH join of the re-emitted position stream
       against the dup-key set (hash, never sort-merge — sorting 236 M
@@ -115,7 +133,7 @@ def duplicate_gram_positions(docs: DataFrame, gram_len: int,
     >590 s at sf100.)"""
     pos = gram_positions(docs, gram_len, text_col, id_col)
     if strategy == "collect":
-        return (pos.groupBy("gram_h")
+        return (pos.groupBy(*GRAM_KEY)
                 .agg(F.collect_list(F.struct(id_col, "p")).alias("_occ"))
                 .filter(F.size("_occ") >= 2)
                 .select(F.explode("_occ").alias("_o"))
@@ -124,9 +142,9 @@ def duplicate_gram_positions(docs: DataFrame, gram_len: int,
     if strategy != "count_join":
         raise ValueError(
             f"unknown strategy {strategy!r}: use 'count_join' or 'collect'")
-    dup_keys = (pos.groupBy("gram_h").agg(F.count("*").alias("_c"))
-                .filter(F.col("_c") >= 2).select("gram_h"))
-    return (pos.join(dup_keys.hint("shuffle_hash"), on="gram_h")
+    dup_keys = (pos.groupBy(*GRAM_KEY).agg(F.count("*").alias("_c"))
+                .filter(F.col("_c") >= 2).select(*GRAM_KEY))
+    return (pos.join(dup_keys.hint("shuffle_hash"), on=GRAM_KEY)
             .select(id_col, "p"))
 
 
@@ -169,7 +187,18 @@ def remove_duplicate_spans(docs: DataFrame, gram_len: int,
     single-space rejoin). Documents with no duplicated span pass through
     with their canonical whitespace-rejoined text and
     n_tokens_removed = 0 (a left join against the span table — the
-    no-span side never shuffles more than the one doc-key join)."""
+    no-span side never shuffles more than the one doc-key join).
+
+    Fails fast (the featurize/embed_documents contract) when any output
+    or internal staging column already exists on the input — withColumn
+    would silently overwrite it."""
+    reserved = {out_col, "n_tokens", "n_tokens_removed",
+                "_spans", "_toks", "_kept"}
+    clash = sorted(reserved & set(docs.columns))
+    if clash:
+        raise ValueError(
+            f"remove_duplicate_spans would overwrite existing column(s) "
+            f"{clash}; rename them (or pass a different out_col) first")
     spans = (duplicate_spans(docs, gram_len, text_col, id_col,
                              strategy=strategy)
              .groupBy(id_col)

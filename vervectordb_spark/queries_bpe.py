@@ -131,8 +131,11 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     one groupBy(doc_id) aggregate. Words outside the oracle scope filter
     (non-ascii-lowercase) are excluded from BOTH counts by the inner
     join. 100 TB posture: corpus-sized explode + map-side broadcast
-    lookup + one key shuffle."""
-    from vervectordb_spark.operators.bpe import train_bpe
+    lookup (gated — a Heaps-law 1e7-row web vocabulary falls back to
+    AQE's shuffle-hash, operators/bpe.maybe_broadcast_vocab) + one key
+    shuffle."""
+    from vervectordb_spark.operators.bpe import (
+        maybe_broadcast_vocab, train_bpe)
 
     from vervectordb_spark.functions.words import words as words_of
 
@@ -141,7 +144,7 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = vocab.select("word", F.size("symbols").alias("_wtoks"))
     words = words_of(docs, "text", id_col="doc_id")
     return (
-        words.join(F.broadcast(seg), on="word")
+        words.join(maybe_broadcast_vocab(seg), on="word")
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias("n_words"),
              F.sum("_wtoks").cast("bigint").alias("n_tokens"))
@@ -242,14 +245,15 @@ def pack_by_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-key lang join, one packing window — no stage is corpus² and the
     vocab state stays KB-class."""
     from vervectordb_spark.functions.words import words as words_of
-    from vervectordb_spark.operators.bpe import train_bpe
+    from vervectordb_spark.operators.bpe import (
+        maybe_broadcast_vocab, train_bpe)
     from vervectordb_spark.operators.packing import pack_summary
 
     docs = load_table(spark, sf_dir, "documents")
     _merges, vocab = train_bpe(docs, n_merges=_STEPS)
     seg = vocab.select("word", F.size("symbols").alias("_wtoks"))
     wt = words_of(docs, "text", id_col="doc_id")
-    counts = (wt.join(F.broadcast(seg), on="word")
+    counts = (wt.join(maybe_broadcast_vocab(seg), on="word")
               .groupBy("doc_id")
               .agg(F.sum("_wtoks").cast("bigint").alias("n_tokens")))
     j = counts.join(docs.select("doc_id", "lang"), on="doc_id")

@@ -164,8 +164,9 @@ rates AS (
 ),
 kept AS (
   SELECT d.doc_id, d.lang FROM documents d JOIN rates r USING (lang)
-  WHERE (('0x' || substr(md5('sample:42:' || d.doc_id), 1, 15))::BIGINT)::DOUBLE
-        / 1152921504606846976.0 < r.rate
+  WHERE (r.rate >= 1.0 OR
+         (('0x' || substr(md5('sample:42:' || d.doc_id), 1, 15))::BIGINT)::DOUBLE
+         / 1152921504606846976.0 < r.rate)
 )
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
 FROM kept GROUP BY lang
@@ -263,8 +264,9 @@ rates AS (
 ),
 kept AS (
   SELECT d.* FROM clean d JOIN rates r USING (lang)
-  WHERE (('0x' || substr(md5('sample:42:' || d.doc_id), 1, 15))::BIGINT)::DOUBLE
-        / 1152921504606846976.0 < r.rate
+  WHERE (r.rate >= 1.0 OR
+         (('0x' || substr(md5('sample:42:' || d.doc_id), 1, 15))::BIGINT)::DOUBLE
+         / 1152921504606846976.0 < r.rate)
 )
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -573,8 +575,9 @@ rates AS (
 ),
 kept AS (
   SELECT t.doc_id, t.topic FROM topics t JOIN rates r USING (topic)
-  WHERE (('0x' || substr(md5('sample:42:' || t.doc_id), 1, 15))::BIGINT)::DOUBLE
-        / 1152921504606846976.0 < r.rate
+  WHERE (r.rate >= 1.0 OR
+         (('0x' || substr(md5('sample:42:' || t.doc_id), 1, 15))::BIGINT)::DOUBLE
+         / 1152921504606846976.0 < r.rate)
 )
 SELECT doc_id, topic FROM kept
 """,
@@ -761,8 +764,9 @@ rates AS (
 ),
 kept AS (
   SELECT d.* FROM clean d JOIN rates r USING (lang)
-  WHERE (('0x' || substr(md5('sample:42:' || d.doc_id), 1, 15))::BIGINT)::DOUBLE
-        / 1152921504606846976.0 < r.rate
+  WHERE (r.rate >= 1.0 OR
+         (('0x' || substr(md5('sample:42:' || d.doc_id), 1, 15))::BIGINT)::DOUBLE
+         / 1152921504606846976.0 < r.rate)
 ),
 c AS (
   SELECT doc_id, lang, n_chars,
@@ -868,8 +872,9 @@ rates AS (
   FROM run r CROSS JOIN d),
 kept AS (
   SELECT doc.doc_id, doc.lang FROM documents doc JOIN rates r USING (lang)
-  WHERE (('0x' || substr(md5('sample:42:' || doc.doc_id), 1, 15))::BIGINT)::DOUBLE
-        / 1152921504606846976.0 < r.rate
+  WHERE (r.rate >= 1.0 OR
+         (('0x' || substr(md5('sample:42:' || doc.doc_id), 1, 15))::BIGINT)::DOUBLE
+         / 1152921504606846976.0 < r.rate)
 )
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
 FROM kept GROUP BY lang

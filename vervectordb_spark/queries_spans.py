@@ -2,8 +2,11 @@
 — the ExactSubstr dedup variant of Lee et al., ACL 2022, at token-gram
 granularity).
 
-Oracle pattern: everything is exact — 60-bit md5 gram keys (the portable
-functions/hashing contract), integer gaps-and-islands span merging, and
+Oracle pattern: everything is exact — 120-bit md5 gram keys (two 60-bit
+longs, the portable functions/hashing md5_long + md5_long_hi contract;
+span removal destroys tokens, so the key is widened past the statistical
+60-bit family — residual FP rate documented in operators/spans.py),
+integer gaps-and-islands span merging, and
 an original-case token rebuild — so DuckDB replays the WHOLE pipeline:
 gram emit via list_transform(range), dup keys via GROUP BY/HAVING, span
 merge via the same two-window island construction, and removal via an
@@ -31,17 +34,21 @@ toks AS (
                      t -> t <> '') AS a
   FROM documents),
 pos AS (
-  SELECT doc_id, g.p AS p, g.h AS gram_h FROM (
+  SELECT doc_id, g.p AS p,
+         ('0x' || substr(g.m, 1, 15))::BIGINT AS gram_h,
+         ('0x' || substr(g.m, 16, 15))::BIGINT AS gram_h2
+  FROM (
     SELECT doc_id,
            unnest(list_transform(range(0, greatest(len(a) - {L} + 1, 0)),
                   i -> {{'p': i::INT,
-                        'h': ('0x' || substr(md5(array_to_string(
-                              a[i + 1 : i + {L}], ' ')), 1, 15))::BIGINT}}))
+                        'm': md5(array_to_string(
+                              a[i + 1 : i + {L}], ' '))}}))
            AS g
     FROM toks) t(doc_id, g)),
-dup AS (SELECT gram_h FROM pos GROUP BY gram_h HAVING COUNT(*) >= 2),
+dup AS (SELECT gram_h, gram_h2 FROM pos
+        GROUP BY gram_h, gram_h2 HAVING COUNT(*) >= 2),
 marks AS (SELECT doc_id, p AS s, p + {L} AS e
-          FROM pos JOIN dup USING (gram_h)),
+          FROM pos JOIN dup USING (gram_h, gram_h2)),
 flagged AS (
   SELECT doc_id, s, e,
          CASE WHEN s > COALESCE(MAX(e) OVER (

@@ -317,7 +317,19 @@ def make_neardup_handler(state_path: str, text_col: str = "text",
     |batch| sketch work + |batch|·bucket-occupancy join rows against
     state that only ever grows by accepted content. Exposed as a factory
     so batch replays (tests, backfills) can drive the EXACT closure
-    foreachBatch drives."""
+    foreachBatch drives.
+
+    IDEMPOTENT under foreachBatch's at-least-once contract: every state
+    table is partitioned by `_batch_id` and written with DYNAMIC
+    partition overwrite, so a retried micro-batch (crash between the
+    parquet writes and the checkpoint commit) REPLACES its own first
+    attempt instead of appending duplicate state rows; and history reads
+    exclude the retrying batch's own `_batch_id`, so a retry can never
+    near-dup its documents against their first-attempt state (which
+    would flip them from accepted to rejected). A committed-batch marker
+    directory short-circuits the clean-replay case; the
+    overwrite-plus-exclude pair is what carries correctness when the
+    crash landed mid-write."""
     import os
 
     from vervectordb_spark.operators import dedup as D
@@ -325,8 +337,18 @@ def make_neardup_handler(state_path: str, text_col: str = "text",
     cap = max_bucket_size if max_bucket_size is not None \
         else D.DEFAULT_MAX_BUCKET_SIZE
 
+    def _write_state(df: DataFrame, table: str, batch_id: int) -> None:
+        (df.withColumn("_batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id")
+         .parquet(f"{state_path}/{table}"))
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(f"{state_path}/committed/_batch_id={batch_id}"):
+            return  # clean replay of an already-committed batch
         spark = batch_df.sparkSession
+        not_self = F.col("_batch_id") != F.lit(int(batch_id))
         sk = D.minhash_signatures(
             batch_df, text_col, id_col, num_hashes, shingle_n
         ).localCheckpoint(eager=True)  # batch-sized; cut source lineage
@@ -335,9 +357,11 @@ def make_neardup_handler(state_path: str, text_col: str = "text",
         witnesses = []
         if os.path.exists(f"{state_path}/bands"):
             hist_be = D._drop_oversized_buckets(
-                spark.read.parquet(f"{state_path}/bands"),
+                spark.read.parquet(f"{state_path}/bands")
+                .filter(not_self).drop("_batch_id"),
                 ["band", "band_key"], cap)
-            hist_sh = spark.read.parquet(f"{state_path}/shingles")
+            hist_sh = (spark.read.parquet(f"{state_path}/shingles")
+                       .filter(not_self).drop("_batch_id"))
             cand = (be.select(F.col(id_col).alias("new_id"),
                               "band", "band_key")
                     .join(hist_be.withColumnRenamed(id_col, "hist_id"),
@@ -380,14 +404,14 @@ def make_neardup_handler(state_path: str, text_col: str = "text",
 
         accepted = batch_df.join(best.select(id_col), on=id_col,
                                  how="left_anti")
-        accepted.write.mode("append").parquet(f"{state_path}/accepted")
-        batch_df.join(best, on=id_col).write.mode("append").parquet(
-            f"{state_path}/rejected")
+        _write_state(accepted, "accepted", batch_id)
+        _write_state(batch_df.join(best, on=id_col), "rejected", batch_id)
         acc_ids = accepted.select(id_col)
-        be.join(acc_ids, on=id_col).write.mode("append").parquet(
-            f"{state_path}/bands")
-        sk.select(id_col, "shingles").join(acc_ids, on=id_col) \
-            .write.mode("append").parquet(f"{state_path}/shingles")
+        _write_state(be.join(acc_ids, on=id_col), "bands", batch_id)
+        _write_state(sk.select(id_col, "shingles").join(acc_ids, on=id_col),
+                     "shingles", batch_id)
+        os.makedirs(f"{state_path}/committed/_batch_id={batch_id}",
+                    exist_ok=True)
 
     return handle
 
