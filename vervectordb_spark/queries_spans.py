@@ -25,14 +25,16 @@ from vervectordb_spark.schema import load_table
 _L = 8  # gram length (tokens); fixture-scale analogue of Lee et al.'s 50
 
 
-def _spans_ctes(L: int) -> str:
-    """CTEs ending at `spans` = (doc_id, span_start, span_end, n_grams)."""
+def _spans_ctes(L: int, src: str = "documents") -> str:
+    """CTEs ending at `spans` = (doc_id, span_start, span_end, n_grams),
+    over any (doc_id, text) relation `src` — parameterized so composed
+    pipelines (queries_pretrain) can span-profile a filtered corpus."""
     return f"""
 toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '\\s+'),
                      t -> t <> '') AS a
-  FROM documents),
+  FROM {src}),
 pos AS (
   SELECT doc_id, g.p AS p,
          ('0x' || substr(g.m, 1, 15))::BIGINT AS gram_h,
@@ -69,6 +71,44 @@ spans AS (
 """
 
 
+def spancut_ctes(L: int, src: str = "documents",
+                 extra_cols: tuple[str, ...] = ()) -> str:
+    """_spans_ctes + the removal replay, ending at `cleaned` =
+    (doc_id, *extra_cols, n_tokens, n_removed, clean_text) — the full
+    ExactSubstr cut over any (doc_id, text, *extra_cols) relation, shared
+    by the removal oracles here and the composed pretraining-export
+    chain (queries_pretrain)."""
+    xs = "".join(f"{c}, " for c in extra_cols)
+    xo = "".join(f"o.{c}, " for c in extra_cols)
+    return f"""{_spans_ctes(L, src)},
+orig AS (
+  SELECT doc_id, {xs}
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS a
+  FROM {src}),
+tok_rows AS (
+  SELECT doc_id, ti.i AS i, ti.t AS t FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(a)),
+                  i -> {{'i': i::INT, 't': a[i + 1]}})) AS ti
+    FROM orig) q(doc_id, ti)),
+kept_toks AS (
+  SELECT tr.doc_id, tr.i, tr.t
+  FROM tok_rows tr LEFT JOIN spans sp
+    ON tr.doc_id = sp.doc_id
+   AND tr.i >= sp.span_start AND tr.i < sp.span_end
+  WHERE sp.doc_id IS NULL),
+cleaned AS (
+  SELECT o.doc_id, {xo}
+         len(o.a)::BIGINT AS n_tokens,
+         (len(o.a) - COALESCE(k.nk, 0))::BIGINT AS n_removed,
+         COALESCE(k.clean_text, '') AS clean_text
+  FROM orig o LEFT JOIN (
+    SELECT doc_id, COUNT(*) AS nk,
+           string_agg(t, ' ' ORDER BY i) AS clean_text
+    FROM kept_toks GROUP BY doc_id) k USING (doc_id))
+"""
+
+
 @query(
     "dup_spans_profile",
     oracle=f"WITH {_spans_ctes(_L)} "
@@ -95,31 +135,9 @@ def dup_spans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_remove_spans",
     oracle=f"""
-WITH {_spans_ctes(_L)},
-orig AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS a
-  FROM documents),
-tok_rows AS (
-  SELECT doc_id, ti.i AS i, ti.t AS t FROM (
-    SELECT doc_id,
-           unnest(list_transform(range(0, len(a)),
-                  i -> {{'i': i::INT, 't': a[i + 1]}})) AS ti
-    FROM orig) q(doc_id, ti)),
-kept AS (
-  SELECT tr.doc_id, tr.i, tr.t
-  FROM tok_rows tr LEFT JOIN spans sp
-    ON tr.doc_id = sp.doc_id
-   AND tr.i >= sp.span_start AND tr.i < sp.span_end
-  WHERE sp.doc_id IS NULL)
-SELECT o.doc_id,
-       len(o.a)::BIGINT AS n_tokens,
-       (len(o.a) - COALESCE(k.nk, 0))::BIGINT AS n_tokens_removed,
-       COALESCE(k.clean_text, '') AS clean_text
-FROM orig o LEFT JOIN (
-  SELECT doc_id, COUNT(*) AS nk,
-         string_agg(t, ' ' ORDER BY i) AS clean_text
-  FROM kept GROUP BY doc_id) k USING (doc_id)
+WITH {spancut_ctes(_L)}
+SELECT doc_id, n_tokens, n_removed AS n_tokens_removed, clean_text
+FROM cleaned
 """,
 )
 def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,32 +156,7 @@ def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pipeline_spancut_e2e",
     oracle=f"""
-WITH {_spans_ctes(_L)},
-orig AS (
-  SELECT doc_id, lang,
-         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS a
-  FROM documents),
-tok_rows AS (
-  SELECT doc_id, ti.i AS i, ti.t AS t FROM (
-    SELECT doc_id,
-           unnest(list_transform(range(0, len(a)),
-                  i -> {{'i': i::INT, 't': a[i + 1]}})) AS ti
-    FROM orig) q(doc_id, ti)),
-kept AS (
-  SELECT tr.doc_id, tr.i, tr.t
-  FROM tok_rows tr LEFT JOIN spans sp
-    ON tr.doc_id = sp.doc_id
-   AND tr.i >= sp.span_start AND tr.i < sp.span_end
-  WHERE sp.doc_id IS NULL),
-cleaned AS (
-  SELECT o.doc_id, o.lang,
-         len(o.a)::BIGINT AS n_tokens,
-         (len(o.a) - COALESCE(k.nk, 0))::BIGINT AS n_removed,
-         COALESCE(k.clean_text, '') AS clean_text
-  FROM orig o LEFT JOIN (
-    SELECT doc_id, COUNT(*) AS nk,
-           string_agg(t, ' ' ORDER BY i) AS clean_text
-    FROM kept GROUP BY doc_id) k USING (doc_id)),
+WITH {spancut_ctes(_L, extra_cols=("lang",))},
 ranked AS (
   SELECT doc_id, lang, n_tokens, n_removed,
          ROW_NUMBER() OVER (
