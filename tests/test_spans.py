@@ -130,3 +130,18 @@ def test_remove_spans_fails_fast_on_column_collision(spark):
         [(1, "a b c", "x")], "doc_id long, text string, clean_text string")
     with pytest.raises(ValueError, match="clean_text"):
         S.remove_duplicate_spans(docs2, L)
+
+
+def test_gram_arrow_kernel_bit_identical_to_expr(spark):
+    """The dual-kernel contract (the minhash/simhash/embed pattern): the
+    Arrow gram emit equals the expr spec row for row — including CJK
+    text, null text, multi-whitespace runs, and short docs."""
+    docs = spark.createDataFrame(
+        [(1, "Alpha  beta\tGAMMA delta epsilon"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, None), (4, "one two"), (5, "深度 学习 模型 训练 数据 管道"),
+         (6, "x " * 40)],
+        "doc_id long, text string")
+    a = sorted(map(tuple, S.gram_positions(docs, L, kernel="arrow").collect()))
+    e = sorted(map(tuple, S.gram_positions(docs, L, kernel="expr").collect()))
+    assert a == e and len(a) > 0

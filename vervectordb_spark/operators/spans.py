@@ -67,23 +67,86 @@ def doc_token_array(text_col: Column | str) -> Column:
     return F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
 
 
+def _gram_arrow_kernel(staged: DataFrame, gram_len: int,
+                       id_col: str) -> DataFrame:
+    """Arrow-batched gram emit over a (id, _toks) DataFrame (tokens are
+    computed JVM-side by the SAME expression as the expr path, so
+    tokenization parity is structural): per doc, one md5 per gram over
+    the space-joined token slice, both 60-bit halves extracted from the
+    raw digest (hex[0:15] = bits 127..68, hex[15:30] = bits 67..8 —
+    exactly md5_long / md5_long_hi). Output is bit-identical to the expr
+    path (pytest-pinned); map-only, rows explode Python-side."""
+    from pyspark.sql.types import (IntegerType, LongType, StructField,
+                                   StructType)
+
+    id_type = staged.schema[id_col].dataType
+    out_schema = StructType([
+        StructField(id_col, id_type),
+        StructField("p", IntegerType()),
+        StructField("gram_h", LongType()),
+        StructField("gram_h2", LongType()),
+    ])
+    L = int(gram_len)
+
+    def kern(batches):
+        import hashlib
+
+        import pandas as pd
+
+        M60 = (1 << 60) - 1
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids: list = []
+            ps: list = []
+            h1: list = []
+            h2: list = []
+            for did, toks in zip(pdf[id_col], pdf["_toks"]):
+                ts = list(toks) if toks is not None else []
+                n = len(ts) - L + 1
+                for p in range(n if n > 0 else 0):
+                    H = int.from_bytes(
+                        md5(" ".join(ts[p:p + L]).encode()).digest(),
+                        "big")
+                    ids.append(did)
+                    ps.append(p)
+                    h1.append(H >> 68)
+                    h2.append((H >> 8) & M60)
+            yield pd.DataFrame({id_col: ids, "p": ps,
+                                "gram_h": h1, "gram_h2": h2})
+
+    return staged.mapInPandas(kern, out_schema)
+
+
 def gram_positions(docs: DataFrame, gram_len: int,
                    text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   kernel: str = "arrow") -> DataFrame:
     """(id, p, gram_h, gram_h2) — every L-gram start position with the
     120-bit md5 of its space-joined lowercase token sequence as two
-    60-bit longs (collision rationale in the module docstring). The hex
-    digest is staged in the per-gram struct so md5 runs ONCE per gram;
-    both longs derive after the explode. Map-only: one transform(range)
-    + explode per document; docs shorter than L tokens emit nothing.
+    60-bit longs (collision rationale in the module docstring). Docs
+    shorter than L tokens emit nothing.
 
-    STAGED like operators/embed.py: the token array materializes behind
-    its own projection before the gram transform references it — inlined
-    into the lambda, the filter∘split would re-tokenize once PER GRAM
-    POSITION (O(tokens²) per doc; measured 6× slower at sf0.1)."""
+    kernel="arrow" (default — the dedup.py dual-kernel pattern): tokens
+    JVM-side, grams + md5 in one Python pass per Arrow batch; measured
+    3.3× faster at sf10 (11.9 → 3.6 s; the emit was 62% of sf100
+    span-dedup cost), carrying remove_duplicate_spans from 31.0 → 10.4 s
+    at sf10 (SCALE.md finding #11). kernel="expr" is the
+    DuckDB-oracle-replayable spec the arrow kernel is pinned
+    bit-identical to (tests/test_spans.py).
+
+    Expr path STAGED like operators/embed.py: the token array
+    materializes behind its own projection before the gram transform
+    references it — inlined into the lambda, the filter∘split would
+    re-tokenize once PER GRAM POSITION (O(tokens²) per doc; measured 6×
+    slower at sf0.1). The hex digest is staged in the per-gram struct so
+    md5 runs ONCE per gram; both longs derive after the explode."""
     toks = F.expr(f"filter(split(lower({text_col}), '\\\\s+'), "
                   "t -> t != '')")
     staged = docs.select(F.col(id_col), toks.alias("_toks"))
+    if kernel == "arrow":
+        return _gram_arrow_kernel(staged, gram_len, id_col)
+    if kernel != "expr":
+        raise ValueError(f"unknown kernel {kernel!r}: use 'arrow' or 'expr'")
     tcol = F.col("_toks")
     grams = F.transform(
         F.sequence(
@@ -110,7 +173,8 @@ def gram_positions(docs: DataFrame, gram_len: int,
 def duplicate_gram_positions(docs: DataFrame, gram_len: int,
                              text_col: str = "text",
                              id_col: str = "doc_id",
-                             strategy: str = "count_join") -> DataFrame:
+                             strategy: str = "count_join",
+                             kernel: str = "arrow") -> DataFrame:
     """(id, p) start positions whose L-gram occurs >= 2 times in the
     corpus. Two executable shapes, measured at sf100 (5 M docs, 236 M
     grams, 10.7 M dup keys, local[32]):
@@ -131,7 +195,7 @@ def duplicate_gram_positions(docs: DataFrame, gram_len: int,
     (A count window over gram_h was measured dominated: same one-reducer
     hot-key hazard as "collect" PLUS a full sort of the gram stream —
     >590 s at sf100.)"""
-    pos = gram_positions(docs, gram_len, text_col, id_col)
+    pos = gram_positions(docs, gram_len, text_col, id_col, kernel=kernel)
     if strategy == "collect":
         return (pos.groupBy(*GRAM_KEY)
                 .agg(F.collect_list(F.struct(id_col, "p")).alias("_occ"))
@@ -151,7 +215,8 @@ def duplicate_gram_positions(docs: DataFrame, gram_len: int,
 def duplicate_spans(docs: DataFrame, gram_len: int,
                     text_col: str = "text",
                     id_col: str = "doc_id",
-                    strategy: str = "count_join") -> DataFrame:
+                    strategy: str = "count_join",
+                    kernel: str = "arrow") -> DataFrame:
     """(id, span_start, span_end, n_grams) merged maximal duplicated
     intervals per document: union of [p, p+L) over duplicated-gram
     starts, merged by the exact-integer gaps-and-islands window (a new
@@ -159,7 +224,8 @@ def duplicate_spans(docs: DataFrame, gram_len: int,
     exclusive."""
     L = int(gram_len)
     marks = duplicate_gram_positions(docs, L, text_col, id_col,
-                                     strategy=strategy).select(
+                                     strategy=strategy,
+                                     kernel=kernel).select(
         id_col, F.col("p").alias("s"), (F.col("p") + L).alias("e"))
     w = (Window.partitionBy(id_col).orderBy("s")
          .rowsBetween(Window.unboundedPreceding, -1))
@@ -181,7 +247,8 @@ def remove_duplicate_spans(docs: DataFrame, gram_len: int,
                            text_col: str = "text",
                            id_col: str = "doc_id",
                            out_col: str = "clean_text",
-                           strategy: str = "count_join") -> DataFrame:
+                           strategy: str = "count_join",
+                           kernel: str = "arrow") -> DataFrame:
     """Every input column + (out_col, n_tokens, n_tokens_removed): the
     document with its duplicated spans' tokens cut (original case,
     single-space rejoin). Documents with no duplicated span pass through
@@ -200,7 +267,7 @@ def remove_duplicate_spans(docs: DataFrame, gram_len: int,
             f"remove_duplicate_spans would overwrite existing column(s) "
             f"{clash}; rename them (or pass a different out_col) first")
     spans = (duplicate_spans(docs, gram_len, text_col, id_col,
-                             strategy=strategy)
+                             strategy=strategy, kernel=kernel)
              .groupBy(id_col)
              .agg(F.collect_list(
                  F.struct(F.col("span_start").alias("s"),
