@@ -145,3 +145,59 @@ def test_gram_arrow_kernel_bit_identical_to_expr(spark):
     a = sorted(map(tuple, S.gram_positions(docs, L, kernel="arrow").collect()))
     e = sorted(map(tuple, S.gram_positions(docs, L, kernel="expr").collect()))
     assert a == e and len(a) > 0
+
+
+def test_incremental_spans_history_never_self_pairs(spark):
+    """A duplicate that lives ONLY inside history produces no spans (the
+    batch's positions are the only mark source); a new doc sharing a
+    gram with history — even a single history occurrence — is cut; a
+    within-batch repeat is cut with no history at all."""
+    hist_docs = _docs(spark, [
+        (100, "dup dup dup boiler plate text here"),   # within-history
+        (101, "dup dup dup other words entirely now"),  # duplicate only
+        (102, "alpha beta gamma tail"),
+    ])
+    hist = S.gram_history(hist_docs, L)
+    new = _docs(spark, [
+        (1, "head alpha beta gamma end"),    # 1 history occurrence -> cut
+        (2, "fresh unique content nothing shared"),
+        (3, "x y z mid x y z"),              # within-batch repeat
+    ])
+    got = {r["doc_id"]: r for r in S.incremental_remove_duplicate_spans(
+        new, hist, L).collect()}
+    assert got[1]["clean_text"] == "head end"
+    assert got[2]["n_tokens_removed"] == 0
+    assert got[3]["clean_text"] == "mid"
+    # nothing about history docs 100/101 appears anywhere
+    assert set(got) == {1, 2, 3}
+
+
+def test_incremental_spans_stop_gram_cap(spark):
+    """History grams above stop_gram_count are stop-grams: dropped from
+    matching (ubiquitous boilerplate), while rarer grams still cut."""
+    hist_docs = _docs(spark, [(i, "the same hot boiler gram") for i in
+                              range(5)] + [(10, "rare cold unique gram")])
+    hist = S.gram_history(hist_docs, L)
+    new = _docs(spark, [(1, "xx the same hot yy"),
+                        (2, "xx rare cold unique yy")])
+    cut_all = {r["doc_id"]: r["n_tokens_removed"] for r in
+               S.incremental_remove_duplicate_spans(new, hist, L).collect()}
+    assert cut_all == {1: 3, 2: 3}
+    capped = {r["doc_id"]: r["n_tokens_removed"] for r in
+              S.incremental_remove_duplicate_spans(
+                  new, hist, L, stop_gram_count=3).collect()}
+    assert capped == {1: 0, 2: 3}  # hot gram (5 occurrences) stopped
+
+
+def test_update_gram_history_sums_counts(spark):
+    """State maintenance: merging a batch's gram table into history sums
+    occurrence counts per 120-bit key."""
+    a = _docs(spark, [(1, "p q r s")])
+    b = _docs(spark, [(2, "p q r t"), (3, "p q r u")])
+    h1 = S.gram_history(a, L)
+    merged = S.update_gram_history(h1, S.gram_history(b, L))
+    counts = {tuple(r[k] for k in ("gram_h", "gram_h2")): r["n_occurrences"]
+              for r in merged.collect()}
+    pqr = [r for r in S.gram_positions(a, L).collect() if r["p"] == 0][0]
+    assert counts[(pqr["gram_h"], pqr["gram_h2"])] == 3  # p q r in all
+    assert sum(counts.values()) == 2 + 2 + 2  # 2 grams per 4-token doc

@@ -212,20 +212,15 @@ def duplicate_gram_positions(docs: DataFrame, gram_len: int,
             .select(id_col, "p"))
 
 
-def duplicate_spans(docs: DataFrame, gram_len: int,
-                    text_col: str = "text",
-                    id_col: str = "doc_id",
-                    strategy: str = "count_join",
-                    kernel: str = "arrow") -> DataFrame:
-    """(id, span_start, span_end, n_grams) merged maximal duplicated
-    intervals per document: union of [p, p+L) over duplicated-gram
-    starts, merged by the exact-integer gaps-and-islands window (a new
-    island starts where p exceeds the running max end). span_end is
-    exclusive."""
+def _merged_islands(marks: DataFrame, gram_len: int,
+                    id_col: str) -> DataFrame:
+    """Gaps-and-islands merge of duplicated-gram start positions
+    (id, p) -> (id, span_start, span_end, n_grams): union of [p, p+L)
+    merged where intervals touch (a new island starts where p exceeds
+    the running max end). Exact integer arithmetic, one doc-key window
+    — replays on any engine. span_end is exclusive."""
     L = int(gram_len)
-    marks = duplicate_gram_positions(docs, L, text_col, id_col,
-                                     strategy=strategy,
-                                     kernel=kernel).select(
+    marks = marks.select(
         id_col, F.col("p").alias("s"), (F.col("p") + L).alias("e"))
     w = (Window.partitionBy(id_col).orderBy("s")
          .rowsBetween(Window.unboundedPreceding, -1))
@@ -241,6 +236,19 @@ def duplicate_spans(docs: DataFrame, gram_len: int,
                  F.max("e").alias("span_end"),
                  F.count("*").alias("n_grams"))
             .drop("_isl"))
+
+
+def duplicate_spans(docs: DataFrame, gram_len: int,
+                    text_col: str = "text",
+                    id_col: str = "doc_id",
+                    strategy: str = "count_join",
+                    kernel: str = "arrow") -> DataFrame:
+    """(id, span_start, span_end, n_grams) merged maximal duplicated
+    intervals per document (_merged_islands over the duplicated-gram
+    start positions)."""
+    marks = duplicate_gram_positions(docs, gram_len, text_col, id_col,
+                                     strategy=strategy, kernel=kernel)
+    return _merged_islands(marks, gram_len, id_col)
 
 
 def remove_duplicate_spans(docs: DataFrame, gram_len: int,
@@ -259,15 +267,26 @@ def remove_duplicate_spans(docs: DataFrame, gram_len: int,
     Fails fast (the featurize/embed_documents contract) when any output
     or internal staging column already exists on the input — withColumn
     would silently overwrite it."""
+    spans = duplicate_spans(docs, gram_len, text_col, id_col,
+                            strategy=strategy, kernel=kernel)
+    return apply_span_cuts(docs, spans, text_col, id_col, out_col)
+
+
+def apply_span_cuts(docs: DataFrame, spans: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    out_col: str = "clean_text") -> DataFrame:
+    """Cut a (id, span_start, span_end) interval table out of the
+    documents: the shared removal tail of remove_duplicate_spans and
+    incremental_remove_duplicate_spans. Fails fast on output/staging
+    column collisions (the featurize/embed_documents contract)."""
     reserved = {out_col, "n_tokens", "n_tokens_removed",
                 "_spans", "_toks", "_kept"}
     clash = sorted(reserved & set(docs.columns))
     if clash:
         raise ValueError(
-            f"remove_duplicate_spans would overwrite existing column(s) "
+            f"apply_span_cuts would overwrite existing column(s) "
             f"{clash}; rename them (or pass a different out_col) first")
-    spans = (duplicate_spans(docs, gram_len, text_col, id_col,
-                             strategy=strategy, kernel=kernel)
+    spans = (spans
              .groupBy(id_col)
              .agg(F.collect_list(
                  F.struct(F.col("span_start").alias("s"),
@@ -300,3 +319,91 @@ def remove_duplicate_spans(docs: DataFrame, gram_len: int,
                 "n_tokens_removed",
                 (F.size("_toks") - F.size("_kept")).cast("bigint"))
             .drop("_spans", "_toks", "_kept"))
+
+
+# ---------------------------------------------------------------------------
+# incremental span dedup — the daily-crawl shape for ExactSubstr
+# ---------------------------------------------------------------------------
+
+def gram_history(docs: DataFrame, gram_len: int,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 kernel: str = "arrow") -> DataFrame:
+    """(gram_h, gram_h2, n_occurrences) — the persisted gram-state table
+    an incremental ExactSubstr pipeline carries between batches: the
+    distinct 120-bit gram keys of the accepted corpus with their
+    occurrence counts (counts feed the stop-gram cap; the table is sized
+    by DISTINCT grams, not occurrences). At scale persist it BUCKETED on
+    gram_h so each batch's dup-key join co-locates without reshuffling
+    history (the incremental_duplicate_spans contract)."""
+    return (gram_positions(docs, gram_len, text_col, id_col, kernel=kernel)
+            .groupBy(*GRAM_KEY)
+            .agg(F.count("*").cast("bigint").alias("n_occurrences")))
+
+
+def update_gram_history(history: DataFrame,
+                        batch_grams: DataFrame) -> DataFrame:
+    """Merged history after accepting a batch: counts sum per gram key
+    (both inputs in the gram_history shape). One key-partitioned
+    aggregate; with both sides bucketed on gram_h it is shuffle-free."""
+    return (history.unionByName(batch_grams)
+            .groupBy(*GRAM_KEY)
+            .agg(F.sum("n_occurrences").cast("bigint")
+                 .alias("n_occurrences")))
+
+
+def incremental_duplicate_spans(new_df: DataFrame, history: DataFrame,
+                                gram_len: int,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                stop_gram_count: int | None = None,
+                                kernel: str = "arrow") -> DataFrame:
+    """(id, span_start, span_end, n_grams) duplicated spans of the NEW
+    batch only — the daily-crawl ExactSubstr shape (the span twin of
+    dedup.incremental_near_dup_pairs): a new-batch gram is duplicated
+    when it occurs in the persisted HISTORY gram table (gram_history
+    shape) or >= 2 times within the batch itself. History positions are
+    never re-derived and history never self-pairs — grams duplicated
+    only inside history produce no marks (marks come from new-batch
+    positions alone), so each increment costs |new| gram work + one
+    key join against the state table, not a full-corpus recompute.
+
+    stop_gram_count: history grams above this occurrence count are
+    dropped from matching (stop-grams — at small L, ubiquitous
+    function-word grams would cut real content; the
+    max_bucket_size/winnow cap rationale). None matches everything.
+
+    Join shape: the dup-key side is history keys ∪ the batch's own
+    dup keys — shuffle-HASH joined against the batch positions (never a
+    sort). History is corpus-sized: persist it BUCKETED on gram_h so
+    the per-batch join co-locates instead of reshuffling state (measured
+    cost ∝ |new| with history fixed — SCALE.md round-9 table)."""
+    pos = gram_positions(new_df, gram_len, text_col, id_col, kernel=kernel)
+    hist_keys = history
+    if stop_gram_count is not None:
+        hist_keys = hist_keys.filter(
+            F.col("n_occurrences") <= int(stop_gram_count))
+    hist_keys = hist_keys.select(*GRAM_KEY)
+    batch_dups = (pos.groupBy(*GRAM_KEY).agg(F.count("*").alias("_c"))
+                  .filter(F.col("_c") >= 2).select(*GRAM_KEY))
+    dup_keys = hist_keys.unionByName(batch_dups).distinct()
+    marks = (pos.join(dup_keys.hint("shuffle_hash"), on=GRAM_KEY)
+             .select(id_col, "p"))
+    return _merged_islands(marks, gram_len, id_col)
+
+
+def incremental_remove_duplicate_spans(new_df: DataFrame,
+                                       history: DataFrame,
+                                       gram_len: int,
+                                       text_col: str = "text",
+                                       id_col: str = "doc_id",
+                                       out_col: str = "clean_text",
+                                       stop_gram_count: int | None = None,
+                                       kernel: str = "arrow") -> DataFrame:
+    """incremental_duplicate_spans applied: every NEW-batch column +
+    (out_col, n_tokens, n_tokens_removed), spans cut only in the new
+    batch. The operational form of span dedup on a growing corpus —
+    history text is immutable; only its gram-key state participates."""
+    spans = incremental_duplicate_spans(
+        new_df, history, gram_len, text_col, id_col,
+        stop_gram_count=stop_gram_count, kernel=kernel)
+    return apply_span_cuts(new_df, spans, text_col, id_col, out_col)

@@ -253,3 +253,118 @@ def dup_spans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.crossJoin(b).select(
         "n_docs", "n_docs_with_spans", "n_spans", "dup_tokens",
         "total_tokens", "max_doc_dup_tokens")
+
+
+# ---------------------------------------------------------------------------
+# incremental span dedup — new batch vs the persisted gram history (the
+# daily-crawl ExactSubstr shape; the span twin of dedup_incremental).
+# History = doc_id < 250; new batch = the rest plus 10 planted copies of
+# history docs (negative ids, collision-proof at any scale) whose entire
+# text MUST be cut. History-only duplicates produce no output rows —
+# history never self-pairs.
+# ---------------------------------------------------------------------------
+
+_GRAMS_OF = (
+    "unnest(list_transform(range(0, greatest(len(a) - {L} + 1, 0)), "
+    "i -> {{'p': i::INT, "
+    "'m': md5(array_to_string(a[i + 1 : i + {L}], ' '))}}))"
+).format(L=_L)
+
+
+@query(
+    "dedup_spans_incremental",
+    oracle=f"""
+WITH newb AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+  UNION ALL
+  SELECT -(doc_id + 1) AS doc_id, text FROM documents WHERE doc_id < 10),
+htoks AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS a
+  FROM documents WHERE doc_id < 250),
+hkeys AS MATERIALIZED (
+  SELECT DISTINCT ('0x' || substr(g.m, 1, 15))::BIGINT AS gram_h,
+                  ('0x' || substr(g.m, 16, 15))::BIGINT AS gram_h2
+  FROM (SELECT {_GRAMS_OF} AS g FROM htoks) q(g)),
+ntoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS a
+  FROM newb),
+npos AS MATERIALIZED (
+  SELECT doc_id, g.p AS p,
+         ('0x' || substr(g.m, 1, 15))::BIGINT AS gram_h,
+         ('0x' || substr(g.m, 16, 15))::BIGINT AS gram_h2
+  FROM (SELECT doc_id, {_GRAMS_OF} AS g FROM ntoks) q(doc_id, g)),
+bdups AS (
+  SELECT gram_h, gram_h2 FROM npos
+  GROUP BY gram_h, gram_h2 HAVING COUNT(*) >= 2),
+dup AS MATERIALIZED (
+  SELECT gram_h, gram_h2 FROM hkeys
+  UNION
+  SELECT gram_h, gram_h2 FROM bdups),
+marks AS (SELECT doc_id, p AS s, p + {_L} AS e
+          FROM npos JOIN dup USING (gram_h, gram_h2)),
+flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS nw
+  FROM marks),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(nw) OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS island
+  FROM flagged),
+spans AS MATERIALIZED (
+  SELECT doc_id, MIN(s)::INT AS span_start, MAX(e)::INT AS span_end
+  FROM isl GROUP BY doc_id, island),
+orig AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS a
+  FROM newb),
+tok_rows AS (
+  SELECT doc_id, ti.i AS i, ti.t AS t FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(a)),
+                  i -> {{'i': i::INT, 't': a[i + 1]}})) AS ti
+    FROM orig) q(doc_id, ti)),
+kept_toks AS (
+  SELECT tr.doc_id, tr.i, tr.t
+  FROM tok_rows tr LEFT JOIN spans sp
+    ON tr.doc_id = sp.doc_id
+   AND tr.i >= sp.span_start AND tr.i < sp.span_end
+  WHERE sp.doc_id IS NULL)
+SELECT o.doc_id,
+       len(o.a)::BIGINT AS n_tokens,
+       (len(o.a) - COALESCE(k.nk, 0))::BIGINT AS n_tokens_removed,
+       COALESCE(k.clean_text, '') AS clean_text
+FROM orig o LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS nk,
+         string_agg(t, ' ' ORDER BY i) AS clean_text
+  FROM kept_toks GROUP BY doc_id) k USING (doc_id)
+""",
+)
+def dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ExactSubstr: span-cut the NEW batch against the
+    persisted gram history (operators/spans.incremental_remove_duplicate_
+    spans) — history positions never re-derived, history never
+    self-pairs, spans cut only in the batch. The 10 planted history
+    copies (negative ids) are guaranteed full-text cuts; organic
+    new-vs-history and within-batch repeats ride along. Per-batch cost
+    is |new| gram work + one key join against state (measured ∝ |new|,
+    SCALE.md round-9 table)."""
+    from vervectordb_spark.operators.spans import (
+        gram_history, incremental_remove_duplicate_spans)
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = gram_history(docs.filter(F.col("doc_id") < 250), _L)
+    planted = docs.filter(F.col("doc_id") < 10).select(
+        (-(F.col("doc_id") + 1)).alias("doc_id"), "text")
+    new = (docs.filter(F.col("doc_id") >= 250).select("doc_id", "text")
+           .unionByName(planted))
+    out = incremental_remove_duplicate_spans(new, hist, _L)
+    return out.select("doc_id", "n_tokens", "n_tokens_removed",
+                      "clean_text")
