@@ -835,3 +835,84 @@ def test_streaming_neardup_gate_retry_is_idempotent(spark, tmp_path):
     # clean replay (marker present) is a no-op too
     handler(mk(batch1), 1)
     assert snapshot() == before
+
+
+def test_streaming_spancut_matches_batch_incremental_chain(spark, tmp_path):
+    """Streaming span dedup parity: driving the foreachBatch closure over
+    3 controlled batches produces cuts BYTE-IDENTICAL to chaining the
+    batch operators (incremental_remove_duplicate_spans +
+    update_gram_history) over the same splits — and a retried batch
+    (marker deleted) leaves state unchanged."""
+    import shutil
+
+    from vervectordb_spark.operators import spans as SP
+    from vervectordb_spark.streaming.ingest import make_spancut_handler
+
+    L = 3
+    boiler = "shared boiler plate block here"
+    batches = [
+        [(1, f"{boiler} first unique tail"), (2, "clean words only")],
+        [(3, f"second doc with {boiler} inside"),       # cuts vs history
+         (4, "rep rep rep x rep rep rep")],             # within-batch
+        [(5, f"third time {boiler} appears"), (6, "still clean")],
+    ]
+    state = str(tmp_path / "state")
+    handler = make_spancut_handler(state, gram_len=L)
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    for i, rows in enumerate(batches):
+        handler(mk(rows), i)
+
+    streamed = {r["doc_id"]: (r["clean_text"], r["n_tokens"],
+                              r["n_tokens_removed"])
+                for r in spark.read.parquet(f"{state}/cleaned").collect()}
+
+    # batch replay: same splits through the batch operators
+    hist = spark.createDataFrame(
+        [], "gram_h long, gram_h2 long, n_occurrences long")
+    replay = {}
+    for rows in batches:
+        bdf = mk(rows)
+        for r in SP.incremental_remove_duplicate_spans(bdf, hist, L).collect():
+            replay[r["doc_id"]] = (r["clean_text"], r["n_tokens"],
+                                   r["n_tokens_removed"])
+        hist = SP.update_gram_history(
+            hist, SP.gram_history(bdf, L)).localCheckpoint(eager=True)
+    assert streamed == replay
+    # the boilerplate block cut in batches 1 and 2 (history carries SEEN
+    # grams, so later occurrences keep cutting)
+    assert streamed[3][2] > 0 and streamed[5][2] > 0
+    assert streamed[4][0] == "x"          # within-batch repeat cut
+    assert streamed[2][2] == 0 and streamed[6][2] == 0
+
+    # retry idempotence (the near-dup gate contract)
+    before = sorted(map(tuple, spark.read.parquet(f"{state}/cleaned")
+                        .collect()))
+    shutil.rmtree(f"{state}/committed/_batch_id=2")
+    handler(mk(batches[2]), 2)
+    after = sorted(map(tuple, spark.read.parquet(f"{state}/cleaned")
+                       .collect()))
+    assert after == before
+
+
+def test_stream_spancut_ingest_end_to_end(spark, tmp_path):
+    """The writeStream plumbing: a file-source document stream through
+    stream_spancut_ingest lands cleaned parquet + gram state."""
+    from vervectordb_spark.streaming import ingest as SI3
+
+    src = str(tmp_path / "src")
+    txt = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lambda mu alpha beta gamma delta epsilon zeta eta theta")
+    docs = spark.createDataFrame(
+        [(1, txt, "en", "web", len(txt)),
+         (2, "totally different words here now forever", "en", "web", 41)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = SI3.stream_documents(spark, src)
+    q = SI3.stream_spancut_ingest(
+        stream, str(tmp_path / "state2"), str(tmp_path / "ckpt"),
+        gram_len=8)
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["n_tokens_removed"] for r in
+           spark.read.parquet(str(tmp_path / "state2/cleaned")).collect()}
+    assert got[1] > 0 and got[2] == 0      # within-doc repeat cut
+    assert spark.read.parquet(str(tmp_path / "state2/grams")).count() > 0

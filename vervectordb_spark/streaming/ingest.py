@@ -428,3 +428,87 @@ def stream_neardup_ingest(stream_docs: DataFrame, state_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming span dedup: persisted gram history, per-batch ExactSubstr cuts
+# ---------------------------------------------------------------------------
+
+def make_spancut_handler(state_path: str, gram_len: int = 8,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         stop_gram_count: int | None = None):
+    """foreachBatch handler for streaming span dedup with PERSISTED gram
+    history — the streaming twin of
+    spans.incremental_remove_duplicate_spans, run continuously per
+    micro-batch (the make_neardup_handler pattern at span granularity).
+
+    Per batch: cut the batch's duplicated spans against the accumulated
+    gram history (plus its own within-batch repeats), land the cleaned
+    documents in `{state}/cleaned`, and append the batch's RAW-text gram
+    table to `{state}/grams`. History accumulates the SEEN text's grams
+    (not the cleaned text's): a passage first cut in batch N must keep
+    cutting in batch N+1 — accumulating post-cut grams would let every
+    other occurrence of a boilerplate block survive.
+
+    IDEMPOTENT under the at-least-once contract exactly like the
+    near-dup gate: state partitioned by `_batch_id` + dynamic partition
+    overwrite, history reads exclude the retrying batch's own id (a
+    retry must not match its documents against their first-attempt
+    grams — that would cut EVERYTHING in the batch), committed-marker
+    short-circuit.
+
+    Parity: driving this closure over batches produces cuts
+    byte-identical to chaining the batch operators
+    (incremental_remove_duplicate_spans + update_gram_history) over the
+    same splits — pinned in tests/test_streaming.py. Scale posture: each
+    increment is |batch| gram work + one key join against state
+    (SCALE.md finding #12); persist `{state}/grams` bucketed on gram_h
+    to drop the history-reshuffle constant."""
+    import os
+
+    from vervectordb_spark.operators import spans as SP
+
+    def _write_state(df: DataFrame, table: str, batch_id: int) -> None:
+        (df.withColumn("_batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id")
+         .parquet(f"{state_path}/{table}"))
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(f"{state_path}/committed/_batch_id={batch_id}"):
+            return  # clean replay of an already-committed batch
+        spark = batch_df.sparkSession
+        if os.path.exists(f"{state_path}/grams"):
+            hist = (spark.read.parquet(f"{state_path}/grams")
+                    .filter(F.col("_batch_id") != F.lit(int(batch_id)))
+                    .groupBy(*SP.GRAM_KEY)
+                    .agg(F.sum("n_occurrences").cast("bigint")
+                         .alias("n_occurrences")))
+        else:
+            hist = spark.createDataFrame(
+                [], "gram_h long, gram_h2 long, n_occurrences long")
+        cleaned = SP.incremental_remove_duplicate_spans(
+            batch_df, hist, gram_len, text_col, id_col,
+            stop_gram_count=stop_gram_count)
+        _write_state(cleaned, "cleaned", batch_id)
+        _write_state(SP.gram_history(batch_df, gram_len, text_col, id_col),
+                     "grams", batch_id)
+        os.makedirs(f"{state_path}/committed/_batch_id={batch_id}",
+                    exist_ok=True)
+
+    return handle
+
+
+def stream_spancut_ingest(stream_docs: DataFrame, state_path: str,
+                          checkpoint: str, **kwargs):
+    """Attach streaming span dedup to a document stream (one foreachBatch
+    query, availableNow trigger for backfills). kwargs forward to
+    make_spancut_handler."""
+    return (
+        stream_docs.writeStream
+        .foreachBatch(make_spancut_handler(state_path, **kwargs))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
