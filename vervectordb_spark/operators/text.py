@@ -702,3 +702,100 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text",
                     F.round(F.col("_sb").cast("double")
                             / F.col("n_transitions"), 6)
                     .alias("bits_per_transition")))
+
+
+def trigram_surprisal(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      lam3: float = 0.5, lam2: float = 0.375) -> DataFrame:
+    """Per-document mean INTERPOLATED-TRIGRAM surprisal in bits per
+    transition — the last step of the unigram → bigram → trigram LM-proxy
+    ladder (KenLM-class filters are 5-gram Kneser–Ney; the measured
+    decision to stop here is recorded in SCALE.md round-9 notes):
+
+        P(w | u,v) = λ3·c(u,v,w)/c(u,v) + λ2·c(v,w)/c(v) + λ1·c(w)/N
+
+    with λ1 = 1 − λ3 − λ2. Defaults (1/2, 3/8, 1/8) are DYADIC — exactly
+    representable, so the three-term mix is engine-identical arithmetic
+    (the bigram λ=0.75 precedent). c(u,v) is the full corpus bigram
+    count (the standard practical normalizer; prefix-only counting would
+    differ at document ends). Observed transitions always have
+    c(u,v,w) ≥ 1 — the model scores the corpus that trained it — so the
+    mix is never log2(0).
+
+    Shape at 100 TB: unigram table broadcasts (Heaps-law); the bigram
+    AND trigram tables join KEY-PARTITIONED (both outgrow broadcast on
+    web corpora — the bigram_surprisal rationale, one more corpus-sized
+    hash shuffle than bigram); one groupBy(doc). Float contract: single
+    divisions, fixed-order λ-mix, 9dp-rounded log2 terms summed as exact
+    DECIMAL, one final division rounded to 6dp."""
+    from vervectordb_spark.functions.words import ASCII_WORDS
+
+    lam3, lam2 = float(lam3), float(lam2)
+    lam1 = 1.0 - lam3 - lam2
+    toks = F.expr(
+        f"filter(split(lower({text_col}), '\\\\s+'), "
+        f"t -> t != '' AND t rlike '{ASCII_WORDS}')")
+    staged = df.select(F.col(id_col), toks.alias("_toks"))
+    tcol = F.col("_toks")
+    triples = F.when(
+        F.size(tcol) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tcol) - 2, F.lit(1))),
+            lambda i: F.struct(
+                F.element_at(tcol, i).alias("w1"),
+                F.element_at(tcol, i + 1).alias("w2"),
+                F.element_at(tcol, i + 2).alias("w3")),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+    pairs = F.when(
+        F.size(tcol) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tcol) - 1, F.lit(1))),
+            lambda i: F.struct(
+                F.element_at(tcol, i).alias("w1"),
+                F.element_at(tcol, i + 1).alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    trans = (staged.select(F.col(id_col), F.explode(triples).alias("t"))
+             .select(id_col, F.col("t.w1").alias("w1"),
+                     F.col("t.w2").alias("w2"), F.col("t.w3").alias("w3")))
+    uni = (staged.select(F.explode(tcol).alias("word"))
+           .groupBy("word").agg(F.count("*").cast("bigint").alias("cnt")))
+    total = uni.agg(F.sum("cnt").cast("bigint").alias("total"))
+    bi = (staged.select(F.explode(pairs).alias("p"))
+          .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+          .groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("bcnt")))
+    tri = (trans.groupBy("w1", "w2", "w3")
+           .agg(F.count("*").cast("bigint").alias("tcnt")))
+    scored = (
+        trans
+        # key-partitioned: neither the trigram nor the bigram table
+        # broadcasts on a web corpus
+        .join(tri, on=["w1", "w2", "w3"])
+        .join(bi, on=["w1", "w2"])
+        .join(bi.select(F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+                        F.col("bcnt").alias("bcnt23")), on=["w2", "w3"])
+        .join(F.broadcast(uni.select(F.col("word").alias("w2"),
+                                     F.col("cnt").alias("c2"))), on="w2")
+        .join(F.broadcast(uni.select(F.col("word").alias("w3"),
+                                     F.col("cnt").alias("c3"))), on="w3")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_p",
+            F.lit(lam3) * (F.col("tcnt").cast("double")
+                           / F.col("bcnt").cast("double"))
+            + F.lit(lam2) * (F.col("bcnt23").cast("double")
+                             / F.col("c2").cast("double"))
+            + F.lit(lam1) * (F.col("c3").cast("double")
+                             / F.col("total").cast("double")))
+        .withColumn("_bits",
+                    F.round(-F.log2(F.col("_p")), 9).cast("decimal(24,9)"))
+    )
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").cast("bigint").alias("n_transitions"),
+                 F.sum("_bits").alias("_sb"))
+            .select(id_col, "n_transitions",
+                    F.round(F.col("_sb").cast("double")
+                            / F.col("n_transitions"), 6)
+                    .alias("bits_per_transition")))

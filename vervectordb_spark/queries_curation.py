@@ -943,3 +943,59 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     9dp before exact decimal summation (the ln libm-drift contract)."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.bigram_surprisal(docs)
+
+
+@query(
+    "doc_trigram_surprisal",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '' AND regexp_matches(x, '^[a-z]+$')) AS a
+  FROM documents),
+tr AS MATERIALIZED (
+  SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(a) - 1),
+                  i -> {{'w1': a[i], 'w2': a[i + 1], 'w3': a[i + 2]}})) AS g
+    FROM t WHERE len(a) >= 3) q(doc_id, g)),
+pr AS MATERIALIZED (
+  SELECT g.w1 AS w1, g.w2 AS w2 FROM (
+    SELECT unnest(list_transform(range(1, len(a)),
+                  i -> {{'w1': a[i], 'w2': a[i + 1]}})) AS g
+    FROM t WHERE len(a) >= 2) q(g)),
+uni AS MATERIALIZED (
+  SELECT x AS word, COUNT(*)::BIGINT AS cnt
+  FROM (SELECT unnest(a) AS x FROM t) GROUP BY x),
+tot AS (SELECT SUM(cnt)::BIGINT AS total FROM uni),
+bi AS MATERIALIZED (
+  SELECT w1, w2, COUNT(*)::BIGINT AS bcnt FROM pr GROUP BY w1, w2),
+tri AS (SELECT w1, w2, w3, COUNT(*)::BIGINT AS tcnt
+        FROM tr GROUP BY w1, w2, w3),
+sc AS (
+  SELECT tr.doc_id,
+         ROUND(-log2(0.5 * (g.tcnt::DOUBLE / b12.bcnt::DOUBLE)
+               + 0.375 * (b23.bcnt::DOUBLE / u2.cnt::DOUBLE)
+               + 0.125 * (u3.cnt::DOUBLE / tt.total::DOUBLE)),
+               9)::DECIMAL(24,9) AS bits
+  FROM tr
+  JOIN tri g USING (w1, w2, w3)
+  JOIN bi b12 ON b12.w1 = tr.w1 AND b12.w2 = tr.w2
+  JOIN bi b23 ON b23.w1 = tr.w2 AND b23.w2 = tr.w3
+  JOIN uni u2 ON u2.word = tr.w2
+  JOIN uni u3 ON u3.word = tr.w3
+  CROSS JOIN tot tt)
+SELECT doc_id, COUNT(*)::BIGINT AS n_transitions,
+       ROUND(SUM(bits)::DOUBLE / COUNT(*), 6) AS bits_per_transition
+FROM sc GROUP BY doc_id
+""",
+)
+def doc_trigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-trigram LM surprisal (operators/text.trigram_surprisal,
+    dyadic λ = 1/2, 3/8, 1/8): mean bits per 3-word transition under the
+    corpus's own trigram/bigram/unigram Jelinek–Mercer mix — the last
+    rung of the LM-proxy ladder (the measured bigram-vs-trigram decision
+    is recorded in SCALE.md round-9 notes). The bigram AND trigram
+    tables join key-partitioned; only the unigram table broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.trigram_surprisal(docs)
