@@ -198,6 +198,26 @@ def build_benches(spark, sf_dir: str):
             # shuffle, one doc-key rejoin — linear in corpus tokens
             return _force(SP.remove_duplicate_spans(docs, 8)
                           .select("doc_id", "n_tokens_removed"))
+
+        _span_hist_holder: list = []
+
+        @bench("dedup_spans_incremental")
+        def _dedup_spans_inc():
+            # daily-crawl ExactSubstr: new batch (2nd half of doc ids)
+            # vs the persisted gram history of the 1st half. History is
+            # a one-time state build (first repeat only, the ivf_build
+            # convention); the timed steady state is |new| gram work +
+            # one key join against state (SCALE.md finding #12)
+            mid = docs.agg(
+                F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+            if not _span_hist_holder:
+                _span_hist_holder.append(SP.gram_history(
+                    docs.filter(F.col("doc_id") < mid), 8
+                ).localCheckpoint(eager=True))
+            new = docs.filter(F.col("doc_id") >= mid).select("doc_id", "text")
+            return _force(SP.incremental_remove_duplicate_spans(
+                new, _span_hist_holder[0], 8)
+                .select("doc_id", "n_tokens_removed"))
     except ImportError:
         pass
 
@@ -490,6 +510,14 @@ def build_benches(spark, sf_dir: str):
             # interpolated bigram LM: broadcast unigram + key-partitioned
             # bigram join + one groupBy(doc)
             return _force(bigram_surprisal(docs))
+
+        from vervectordb_spark.operators.text import trigram_surprisal
+
+        @bench("trigram_surprisal")
+        def _trigram_surprisal():
+            # the ladder's last rung (SCALE.md finding #13): trigram AND
+            # bigram tables key-partitioned, unigram broadcast
+            return _force(trigram_surprisal(docs))
     except ImportError:
         pass
 
