@@ -265,3 +265,26 @@ def test_trigram_surprisal_short_docs_and_partitioning(spark):
     b = sorted(map(tuple,
                    TX.trigram_surprisal(many.repartition(7)).collect()))
     assert a == b
+
+
+def test_ntile_bucket_sample_head_exact_keep_and_determinism(spark):
+    """The CCNet bucket sampler: bucket-1 (head) at rate 1.0 keeps every
+    row; buckets are a pure function of (score, id) so membership is
+    identical under repartitioning; tail thins."""
+    from vervectordb_spark.operators.sampling import ntile_bucket_sample
+
+    rows = [(i, "en", float(i % 30)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, s double")
+    kw = dict(score_col="s", id_col="doc_id",
+              rates={1: 1.0, 2: 0.5, 3: 0.1}, strata_col="lang")
+    out = ntile_bucket_sample(df, **kw)
+    got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    head = {i for i, b in got.items() if b == 1}
+    assert len(head) == 100            # tercile 1 kept WHOLE
+    assert all(r[2] <= 9 for r in rows if r[0] in head)  # lowest scores
+    n2 = sum(1 for b in got.values() if b == 2)
+    n3 = sum(1 for b in got.values() if b == 3)
+    assert 25 <= n2 <= 75 and n3 <= 30  # thinned middle/tail
+    again = {r["doc_id"]: r["bucket"] for r in
+             ntile_bucket_sample(df.repartition(7), **kw).collect()}
+    assert again == got

@@ -237,3 +237,34 @@ def mix_by_temperature(df: DataFrame, strata_col: str, id_col: str,
     return (df.join(F.broadcast(rates), on=strata_col, how="inner")
             .filter(_keep_at_rate(id_col, seed))
             .drop("_rate"))
+
+
+def ntile_bucket_sample(df: DataFrame, score_col: str, id_col: str,
+                        rates: dict[int, float],
+                        strata_col: str | None = None,
+                        n_buckets: int = 3, seed: int = 42,
+                        bucket_col: str = "bucket") -> DataFrame:
+    """Score-bucketed sampling — the CCNet recipe: rank rows by a quality
+    score (LM surprisal) within each stratum, cut into n_buckets NTILE
+    bands (1 = best/lowest score = "head"), keep each band at its own
+    rate via the pure-row hash draw. CCNet keeps head+middle and thins
+    the tail; the band rates are the caller's policy knob.
+
+    Determinism: the NTILE orders by (score, id) — ties collapse to id
+    order, so band membership is a pure function of the data (replays on
+    any engine). Rates >= 1.0 are exact-keep (the hash_sample corner).
+
+    Scale posture: ONE stratum-key window over (score, id) — the only
+    corpus-sized shuffle — then a map-side CASE rate + hash-draw filter.
+    The score column itself is typically a surprisal operator's output
+    (its own shuffles are accounted there)."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(strata_col) if strata_col is not None
+         else Window.partitionBy(F.lit(0))).orderBy(score_col, id_col)
+    out = df.withColumn(bucket_col, F.ntile(n_buckets).over(w))
+    rate = F.lit(0.0)
+    for b, r in sorted(rates.items()):
+        rate = F.when(F.col(bucket_col) == int(b), float(r)).otherwise(rate)
+    return out.filter((rate >= F.lit(1.0))
+                      | (hash_uniform_expr(id_col, seed) < rate))

@@ -999,3 +999,64 @@ def doc_trigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables join key-partitioned; only the unigram table broadcasts."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.trigram_surprisal(docs)
+
+
+@query(
+    "surprisal_bucket_mix",
+    oracle=f"""
+WITH dw AS (SELECT doc_id, word FROM {_words_sql('documents', id_col='doc_id')}),
+counts AS (SELECT word, COUNT(*)::BIGINT AS cnt FROM dw GROUP BY word),
+tot AS (SELECT SUM(cnt)::BIGINT AS total FROM counts),
+uni AS (
+  SELECT word,
+         ROUND(-log2(cnt::DOUBLE / t.total), 9)::DECIMAL(24,9) AS bits
+  FROM counts CROSS JOIN tot t
+),
+sc AS (
+  SELECT d.doc_id,
+         ROUND(SUM(u.bits)::DOUBLE / COUNT(*), 6) AS bpw
+  FROM dw d JOIN uni u USING (word)
+  GROUP BY d.doc_id
+),
+bk AS (
+  SELECT doc.lang, s.doc_id, s.bpw,
+         NTILE(3) OVER (PARTITION BY doc.lang
+                        ORDER BY s.bpw, s.doc_id) AS bucket
+  FROM sc s JOIN documents doc USING (doc_id)
+),
+kept AS (
+  SELECT lang, doc_id, bucket,
+         CASE bucket WHEN 1 THEN 1.0 WHEN 2 THEN 0.5 ELSE 0.1 END AS rate
+  FROM bk
+)
+SELECT lang, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM kept
+WHERE (rate >= 1.0 OR
+       (('0x' || substr(md5('sample:42:' || doc_id), 1, 15))::BIGINT)::DOUBLE
+       / 1152921504606846976.0 < rate)
+GROUP BY lang, bucket
+""",
+)
+def surprisal_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet head/middle/tail recipe (sampling.ntile_bucket_sample):
+    rank each language's documents by unigram surprisal, cut into
+    terciles (1 = lowest bits = "head"), keep head whole, middle at 50%,
+    tail at 10% — quality-weighted corpus thinning with the same
+    pure-row hash draw as every mix. The 6dp-rounded surprisal is
+    bit-exact cross-engine, NTILE ties collapse to doc_id order, and the
+    rate-1.0 head bucket is exact-keep — so full membership replays on
+    DuckDB. One corpus-key window over (score, id) + a map-side filter
+    beyond the surprisal operator's own shuffles."""
+    from vervectordb_spark.operators.sampling import ntile_bucket_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = TX.unigram_surprisal(docs).select(
+        F.col("doc_id"), F.col("bits_per_word").alias("bpw"))
+    scored = scored.join(docs.select("doc_id", "lang"), on="doc_id")
+    kept = ntile_bucket_sample(
+        scored, score_col="bpw", id_col="doc_id",
+        rates={1: 1.0, 2: 0.5, 3: 0.1}, strata_col="lang",
+        n_buckets=3, seed=42)
+    return kept.groupBy("lang", "bucket").agg(
+        F.count("*").cast("long").alias("n_kept"))
