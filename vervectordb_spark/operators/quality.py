@@ -33,6 +33,26 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+#: frozen dim-32 classifier fit (training_frame at sf0.001, cap=100k —
+#: regenerate with tools/train_frozen_quality.py). Frozen literals keep
+#: composed pipelines DuckDB-replayable: trained stages threshold on the
+#: LINEAR fold z >= logit(0.5) = 0 (classifier_logit_expr — sigmoid is
+#: monotone, and exp() differs by ulps across engines while the fold is
+#: bit-exact by contract). Lives HERE (a leaf) so query modules never
+#: import weights from each other — the oracle_fragments circularity
+#: rationale.
+FROZEN_QPW = [3.6962531261217983, 2.914322827031814, 6.936414432953646, 0.0,
+              6.7205299109584615, 0.0, 0.0, 2.479778967061197, 0.0,
+              7.598455521850792, 6.544311721880588, 0.0, 5.987562683028639,
+              3.836514993023476, 3.977681445784043, 0.0, 0.0,
+              5.514481423554149, 5.106974138566822, 4.933011139070464,
+              7.0687020165042345, 0.0, 0.0, 7.310361398326666,
+              4.68653684813062, 3.24360251576791, 6.088338546082627, 0.0,
+              0.0, 2.1361529059184328, 0.9675356039672738, 4.74780468999861]
+FROZEN_QPB = -16.344886719576053
+FROZEN_QPW_SQL = "[" + ", ".join(repr(w) for w in FROZEN_QPW) + "]"
+
+
 def featurize(docs: DataFrame, dim: int = 256, text_col: str = "text",
               id_col: str = "doc_id", passthrough: bool = False,
               kernel: str = "arrow") -> DataFrame:

@@ -33,52 +33,12 @@ from vervectordb_spark.schema import load_table
 
 _STEPS = 3
 
-def _split_of(col: str) -> str:
-    """Token string '<a><bc>' -> VARCHAR[] ['a','bc'] (symbols never
-    contain '<' or '>', so trim + split is exact)."""
-    return f"regexp_split_to_array(trim({col}, '<>'), '><')"
-
+#: shared with the composed pretraining-export replay — single-sourced
+#: in the leaf functions/oracle_fragments (import-order rationale there)
+from vervectordb_spark.functions.oracle_fragments import (  # noqa: E402
+    bpe_ctes as _bpe_ctes, split_of as _split_of)
 
 _SPLIT = _split_of("s")
-_PAIRS = """
-  SELECT pr.lft AS lft, pr.rgt AS rgt, SUM(n)::BIGINT AS cnt FROM (
-    SELECT n, unnest(list_transform(range(1, len(syms)),
-                     i -> {{'lft': syms[i], 'rgt': syms[i + 1]}})) AS pr
-    FROM (SELECT n, {split} AS syms FROM s{prev}) WHERE len(syms) >= 2
-  ) GROUP BY 1, 2
-"""
-
-
-def _bpe_ctes(steps: int) -> str:
-    """The training replay: w0 word counts, s0..s{steps} per-word token
-    strings after each merge (word is carried through so consumers can
-    join segmentations back to documents)."""
-    parts = [
-        f"""w0 AS (
-  SELECT word, COUNT(*)::BIGINT AS n
-  FROM {words_sql('documents')}
-  GROUP BY word
-)""",
-        "s0 AS (SELECT word, n, '<' || array_to_string("
-        "regexp_split_to_array(word, ''), '><') || '>' AS s FROM w0)",
-    ]
-    for k in range(1, steps + 1):
-        parts.append(f"p{k} AS ({_PAIRS.format(prev=k - 1, split=_SPLIT)})")
-        parts.append(f"m{k} AS (SELECT lft, rgt, cnt FROM p{k} "
-                     f"ORDER BY cnt DESC, lft, rgt LIMIT 1)")
-        # mf{k} is ALWAYS one row: when no pair is learnable at step k
-        # (m{k} empty — Spark's train_bpe breaks out of its loop there),
-        # the COALESCEd '' pair makes the replace a no-op ('<><>' can
-        # never occur: symbols are non-empty), instead of the bare cross
-        # join collapsing the whole vocabulary to zero rows.
-        parts.append(f"mf{k} AS (SELECT COALESCE(MIN(lft), '') AS lft, "
-                     f"COALESCE(MIN(rgt), '') AS rgt FROM m{k})")
-        parts.append(
-            f"s{k} AS (SELECT word, n, replace(s, '<' || m.lft || '><' || "
-            f"m.rgt || '>', '<' || m.lft || m.rgt || '>') AS s "
-            f"FROM s{k - 1}, mf{k} m)"
-        )
-    return ",\n".join(parts)
 
 
 def _bpe_oracle(steps: int) -> str:

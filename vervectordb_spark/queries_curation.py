@@ -648,30 +648,13 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # chain as ONE lazy plan (VERDICT r6 #5)
 # ---------------------------------------------------------------------------
 
-#: frozen dim-32 classifier fit (operators/quality.training_frame at
-#: sf0.001, cap=100k — regenerate with tools/train_frozen_quality.py).
-#: Frozen literals keep the composed pipeline DuckDB-replayable: the
-#: trained stage thresholds on the LINEAR fold z >= logit(0.5) = 0
-#: (classifier_logit_expr — sigmoid is monotone, and exp() differs by
-#: ulps across engines while the fold is bit-exact by contract).
-_QPW = [3.6962531261217983, 2.914322827031814, 6.936414432953646, 0.0,
-        6.7205299109584615, 0.0, 0.0, 2.479778967061197, 0.0,
-        7.598455521850792, 6.544311721880588, 0.0, 5.987562683028639,
-        3.836514993023476, 3.977681445784043, 0.0, 0.0, 5.514481423554149,
-        5.106974138566822, 4.933011139070464, 7.0687020165042345, 0.0, 0.0,
-        7.310361398326666, 4.68653684813062, 3.24360251576791,
-        6.088338546082627, 0.0, 0.0, 2.1361529059184328,
-        0.9675356039672738, 4.74780468999861]
-_QPB = -16.344886719576053
-_QP_W_SQL = "[" + ", ".join(repr(w) for w in _QPW) + "]"
-
-#: CJK-aware mixed tokens + md5 bucket (== queries_embed twins)
-_QP_MIXED_TOKS = (
-    r"list_filter(regexp_split_to_array(lower("
-    r"regexp_replace(text, '([\x{4e00}-\x{9fff}])', ' \1 ', 'g')"
-    r"), '\s+'), x -> x <> '')"
-)
-_QP_MD5T = "(('0x' || substr(md5(t), 1, 15))::BIGINT)"
+#: frozen classifier fit + CJK token / md5 fragments — single-sourced
+#: from the leaf modules (operators/quality, functions/oracle_fragments)
+#: so queries_pretrain can share them without a query-module cycle.
+from vervectordb_spark.functions.oracle_fragments import (  # noqa: E402
+    MD5T as _QP_MD5T, MIXED_TOKS as _QP_MIXED_TOKS)
+from vervectordb_spark.operators.quality import (  # noqa: E402
+    FROZEN_QPB as _QPB, FROZEN_QPW as _QPW, FROZEN_QPW_SQL as _QP_W_SQL)
 
 
 @query(

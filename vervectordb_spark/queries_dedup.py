@@ -25,12 +25,11 @@ from vervectordb_spark.schema import load_table
 #: lower-cased whitespace tokens, empties dropped == dedup.tokens_expr
 _TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
 
-#: distinct word 3-gram shingles == dedup.shingles_expr(n=3)
-_SHINGLES = (
-    "list_distinct(list_transform("
-    "range(1, greatest(len(toks) - 2, 1) + 1), "
-    "i -> array_to_string(list_slice(toks, i, i + 2), ' ')))"
-)
+#: distinct word 3-gram shingles == dedup.shingles_expr(n=3) —
+#: single-sourced in functions/oracle_fragments (leaf; shared with the
+#: composed pretraining-export replay)
+from vervectordb_spark.functions.oracle_fragments import (  # noqa: E402
+    SHINGLES as _SHINGLES, jaccard_sql as _jaccard_sql)
 
 
 def _md5_sql(expr: str) -> str:
@@ -41,11 +40,6 @@ def _seeded_md5_sql(expr: str, seed: int) -> str:
     return _md5_sql(f"'{seed}:' || {expr}")
 
 
-def _jaccard_sql(a: str, b: str) -> str:
-    return (
-        f"(len(list_intersect({a}, {b}))::DOUBLE"
-        f" / len(list_distinct(list_concat({a}, {b}))))"
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -95,16 +89,11 @@ _ROWS_PER_BAND = _NUM_HASHES // _BANDS
 #: minhash_signature_expr; see functions/hashing.affine_hash)
 from vervectordb_spark.functions.hashing import affine_hash_sql  # noqa: E402
 
-_SIG_MINS = ", ".join(
-    f"list_min(list_transform(hs, x -> {affine_hash_sql('x', i)}))"
-    for i in range(_NUM_HASHES)
-)
-_BAND_KEYS = " UNION ALL ".join(
-    f"SELECT doc_id, s, {b} AS band, "
-    f"sig[{b * _ROWS_PER_BAND + 1}]::VARCHAR || '_' || "
-    f"sig[{b * _ROWS_PER_BAND + 2}]::VARCHAR AS band_key FROM sig"
-    for b in range(_BANDS)
-)
+from vervectordb_spark.functions.oracle_fragments import (  # noqa: E402
+    band_keys as _band_keys, sig_mins as _sig_mins)
+
+_SIG_MINS = _sig_mins(_NUM_HASHES)
+_BAND_KEYS = _band_keys(_NUM_HASHES, _BANDS)
 
 
 @query(

@@ -27,25 +27,12 @@ _MIXED_TOKS = (
 
 _MD5 = "(('0x' || substr(md5(t), 1, 15))::BIGINT)"
 
-_EMBED_SQL = f"""
-  SELECT doc_id AS vec_id,
-    list_transform(CASE WHEN nrm = 0 THEN counts
-                        ELSE list_transform(counts, x -> x / nrm) END,
-                   x -> x::FLOAT)::DOUBLE[] AS ne
-  FROM (
-    SELECT doc_id, counts, sqrt(list_dot_product(counts, counts)) AS nrm
-    FROM (
-      SELECT doc_id,
-        list_transform(range(0, {_DIM}),
-          i -> len(list_filter(bks, b -> b = i))::DOUBLE) AS counts
-      FROM (
-        SELECT doc_id,
-          list_transform({_MIXED_TOKS}, t -> {_MD5} % {_DIM}) AS bks
-        FROM documents
-      )
-    )
-  )
-"""
+#: single-sourced in functions/oracle_fragments (leaf; shared with
+#: queries_hybrid — the import-order rationale lives there)
+from vervectordb_spark.functions.oracle_fragments import (  # noqa: E402
+    embed_sql as _embed_sql)
+
+_EMBED_SQL = _embed_sql(_DIM)
 
 
 @query(

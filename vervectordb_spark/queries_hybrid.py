@@ -196,8 +196,12 @@ def hybrid_batch_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # retrieval pipeline e2e: token gate → hash-embed → hybrid RRF, one plan
 # ---------------------------------------------------------------------------
 
-from vervectordb_spark.queries_dedup import _TOKS as _DOCTOKS_PLAIN  # noqa: E402
-from vervectordb_spark.queries_embed import _EMBED_SQL  # noqa: E402
+from vervectordb_spark.functions.oracle_fragments import (  # noqa: E402
+    TOKS as _DOCTOKS_PLAIN)
+from vervectordb_spark.functions.oracle_fragments import (  # noqa: E402
+    embed_sql as _embed_sql_of)
+
+_EMBED_SQL = _embed_sql_of(32)
 
 #: the gated-corpus twin of queries_embed._EMBED_SQL
 _EMBED_GATED_SQL = _EMBED_SQL.replace("FROM documents", "FROM gated")

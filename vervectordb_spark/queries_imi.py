@@ -109,13 +109,13 @@ def imi_search_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _imipq_oracle() -> str:
-    from vervectordb_spark.queries_pq import (
-        _CB_SQL,
-        _CODE_DIFF,
-        _COS,
-        _RERANK_FETCH,
-        _SUB_DIM,
-        _seq_sum,
+    from vervectordb_spark.functions.pq_fragments import (
+        CB_SQL as _CB_SQL,
+        CODE_DIFF as _CODE_DIFF,
+        COS as _COS,
+        RERANK_FETCH as _RERANK_FETCH,
+        SUB_DIM as _SUB_DIM,
+        seq_sum as _seq_sum,
     )
 
     return f"""

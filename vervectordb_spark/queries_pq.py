@@ -18,17 +18,14 @@ from pyspark.sql import functions as F
 from vervectordb_spark.queries import query
 from vervectordb_spark.schema import load_table
 
-_SUB_DIM = 8
-_N_SUB = 8
-_N_CODES = 16
-
-#: DuckDB twin of the frozen codebook construction
-_CB_SQL = f"""
-  SELECT t.s::INT AS subspace, e.vec_id::INT AS code,
-         list_slice(e.embedding::DOUBLE[], t.s*{_SUB_DIM}+1, t.s*{_SUB_DIM}+{_SUB_DIM}) AS centroid
-  FROM embeddings e, range({_N_SUB}) t(s)
-  WHERE e.vec_id < {_N_CODES}
-"""
+#: frozen-codebook / ADC fragments — single-sourced in the leaf
+#: functions/pq_fragments (shared with queries_imi's composed oracle;
+#: import-order rationale there)
+from vervectordb_spark.functions.pq_fragments import (  # noqa: E402
+    CB_SQL as _CB_SQL, CODE_DIFF as _CODE_DIFF, COS as _COS,
+    N_CODES as _N_CODES, N_SUB as _N_SUB, NPROBE as _NPROBE,
+    RERANK_FETCH as _RERANK_FETCH, SUB_DIM as _SUB_DIM,
+    seq_sum as _seq_sum)
 
 _DIFF = (
     f"list_transform(range(1, {_SUB_DIM}+1), "
@@ -106,25 +103,6 @@ def pq_encode_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
 # folds, then a left-associative sum across the m subspaces.
 # ---------------------------------------------------------------------------
 
-_CODE_DIFF = f"list_transform(range(1, {_SUB_DIM}+1), i -> sl[i] - centroid[i])"
-
-#: left-associative m-term sum lut[1]+lut[2]+...+lut[m] — the oracle twin of
-#: the kernel's subspace-ordered accumulation
-def _seq_sum(col: str) -> str:
-    out = f"{col}[1]"
-    for i in range(2, _N_SUB + 1):
-        out = f"({out} + {col}[{i}])"
-    return out
-
-
-_NPROBE = 8
-_RERANK_FETCH = 50  # rerank_factor 5 × top_k 10
-
-_COS = (
-    "(CASE WHEN list_dot_product({a}, {a}) = 0 OR list_dot_product({b}, {b}) = 0 "
-    "THEN 0.0 ELSE list_dot_product({a}, {b}) / "
-    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))) END)"
-)
 
 
 @query(

@@ -48,15 +48,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vervectordb_spark.functions.oracle_fragments import (
+    MD5T as _QP_MD5T, MIXED_TOKS as _QP_MIXED_TOKS, SHINGLES as _SHINGLES,
+    TOKS as _TOKS, band_keys, bpe_ctes as _bpe_ctes,
+    jaccard_sql as _jaccard_sql, md5_sql as _md5_sql, sig_mins,
+    spancut_ctes, split_of as _split_of)
 from vervectordb_spark.functions.words import words_sql
+from vervectordb_spark.operators.quality import (
+    FROZEN_QPB as _QPB, FROZEN_QPW as _QPW, FROZEN_QPW_SQL as _QP_W_SQL)
 from vervectordb_spark.queries import query
-from vervectordb_spark.queries_bpe import _bpe_ctes, _split_of
-from vervectordb_spark.queries_curation import (
-    _QP_MD5T, _QP_MIXED_TOKS, _QP_W_SQL, _QPB, _QPW, _TOKS)
-from vervectordb_spark.queries_dedup import (
-    _BAND_KEYS, _jaccard_sql, _SHINGLES, _SIG_MINS, _md5_sql)
-from vervectordb_spark.queries_spans import spancut_ctes
 from vervectordb_spark.schema import load_table
+
+#: the dedup_minhash LSH config (8 hashes x 4 bands) — the fragments are
+#: built from the SAME leaf builders queries_dedup uses, so the chain's
+#: near-dup stage replays the exact per-stage oracle
+_SIG_MINS = sig_mins(8)
+_BAND_KEYS = band_keys(8, 4)
 
 _L = 8              # span gram length (tokens)
 _DIM = 32           # hashed-BoW embedding dim (classifier + decontam)

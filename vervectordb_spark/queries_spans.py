@@ -25,88 +25,10 @@ from vervectordb_spark.schema import load_table
 _L = 8  # gram length (tokens); fixture-scale analogue of Lee et al.'s 50
 
 
-def _spans_ctes(L: int, src: str = "documents") -> str:
-    """CTEs ending at `spans` = (doc_id, span_start, span_end, n_grams),
-    over any (doc_id, text) relation `src` — parameterized so composed
-    pipelines (queries_pretrain) can span-profile a filtered corpus."""
-    return f"""
-toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                     t -> t <> '') AS a
-  FROM {src}),
-pos AS (
-  SELECT doc_id, g.p AS p,
-         ('0x' || substr(g.m, 1, 15))::BIGINT AS gram_h,
-         ('0x' || substr(g.m, 16, 15))::BIGINT AS gram_h2
-  FROM (
-    SELECT doc_id,
-           unnest(list_transform(range(0, greatest(len(a) - {L} + 1, 0)),
-                  i -> {{'p': i::INT,
-                        'm': md5(array_to_string(
-                              a[i + 1 : i + {L}], ' '))}}))
-           AS g
-    FROM toks) t(doc_id, g)),
-dup AS (SELECT gram_h, gram_h2 FROM pos
-        GROUP BY gram_h, gram_h2 HAVING COUNT(*) >= 2),
-marks AS (SELECT doc_id, p AS s, p + {L} AS e
-          FROM pos JOIN dup USING (gram_h, gram_h2)),
-flagged AS (
-  SELECT doc_id, s, e,
-         CASE WHEN s > COALESCE(MAX(e) OVER (
-                PARTITION BY doc_id ORDER BY s
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-              THEN 1 ELSE 0 END AS nw
-  FROM marks),
-isl AS (
-  SELECT doc_id, s, e,
-         SUM(nw) OVER (PARTITION BY doc_id ORDER BY s
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS island
-  FROM flagged),
-spans AS (
-  SELECT doc_id, MIN(s)::INT AS span_start, MAX(e)::INT AS span_end,
-         COUNT(*)::BIGINT AS n_grams
-  FROM isl GROUP BY doc_id, island)
-"""
-
-
-def spancut_ctes(L: int, src: str = "documents",
-                 extra_cols: tuple[str, ...] = ()) -> str:
-    """_spans_ctes + the removal replay, ending at `cleaned` =
-    (doc_id, *extra_cols, n_tokens, n_removed, clean_text) — the full
-    ExactSubstr cut over any (doc_id, text, *extra_cols) relation, shared
-    by the removal oracles here and the composed pretraining-export
-    chain (queries_pretrain)."""
-    xs = "".join(f"{c}, " for c in extra_cols)
-    xo = "".join(f"o.{c}, " for c in extra_cols)
-    return f"""{_spans_ctes(L, src)},
-orig AS (
-  SELECT doc_id, {xs}
-         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS a
-  FROM {src}),
-tok_rows AS (
-  SELECT doc_id, ti.i AS i, ti.t AS t FROM (
-    SELECT doc_id,
-           unnest(list_transform(range(0, len(a)),
-                  i -> {{'i': i::INT, 't': a[i + 1]}})) AS ti
-    FROM orig) q(doc_id, ti)),
-kept_toks AS (
-  SELECT tr.doc_id, tr.i, tr.t
-  FROM tok_rows tr LEFT JOIN spans sp
-    ON tr.doc_id = sp.doc_id
-   AND tr.i >= sp.span_start AND tr.i < sp.span_end
-  WHERE sp.doc_id IS NULL),
-cleaned AS (
-  SELECT o.doc_id, {xo}
-         len(o.a)::BIGINT AS n_tokens,
-         (len(o.a) - COALESCE(k.nk, 0))::BIGINT AS n_removed,
-         COALESCE(k.clean_text, '') AS clean_text
-  FROM orig o LEFT JOIN (
-    SELECT doc_id, COUNT(*) AS nk,
-           string_agg(t, ' ' ORDER BY i) AS clean_text
-    FROM kept_toks GROUP BY doc_id) k USING (doc_id))
-"""
+#: shared with the composed pretraining-export replay — single-sourced
+#: in the leaf functions/oracle_fragments (import-order rationale there)
+from vervectordb_spark.functions.oracle_fragments import (  # noqa: E402
+    spancut_ctes, spans_ctes as _spans_ctes)
 
 
 @query(
