@@ -62,7 +62,13 @@ def build_benches(spark, sf_dir: str):
 
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    try:
+        # the sf100 fixture carries only documents+embeddings
+        # (gen_sf_fixtures --tables, SCALE.md) — relational entries are
+        # simply absent from that run's registry
+        lineitem = load_table(spark, sf_dir, "lineitem")
+    except Exception:
+        lineitem = None
 
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
     qv = [float(x) for x in qrow[0][0]]
@@ -160,6 +166,8 @@ def build_benches(spark, sf_dir: str):
 
     @bench("pricing_summary")
     def _tpch_q1():
+        if lineitem is None:
+            raise RuntimeError("fixture has no lineitem table")
         # Relational posture probe: full-scan group-by over the largest
         # fixture table (600k rows at sf0.1) — exercises scan + partial agg.
         out = (
