@@ -943,7 +943,18 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from vervectordb_spark.session import get_spark
 
-    spark = get_spark("vervectordb-bench")
+    # size the INITIAL shuffle-partition count to the data, not the core
+    # count: AQE coalesces small stages back down for free, but it can
+    # only split what the map side produced — at sf100 a ~1e9-row
+    # trigram/bigram hash aggregate over 32 partitions is ~30M rows per
+    # reducer and dies with UNABLE_TO_ACQUIRE_MEMORY. The 100 TB posture
+    # is a generous initial count + AQE coalesce (SCALE.md finding #14).
+    sf = _sf_of(sf_dir)
+    init_parts = min(1024, max(32, int(32 * (sf if sf > 0 else 1))))
+    spark = get_spark("vervectordb-bench", extra_conf={
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum":
+            str(init_parts),
+    })
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(10_000).selectExpr("sum(id * 2)").collect()  # JVM warmup
 
@@ -960,23 +971,34 @@ def main() -> None:
         if (not only or k in only) and k not in skip
     }
     timings: dict[str, float] = {}
+    failed: list[str] = []
     for name, thunk in benches.items():
         samples = []
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            thunk()
-            samples.append(time.perf_counter() - t0)
+        try:
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                thunk()
+                samples.append(time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001 — one entry must not
+            # abort the whole artifact; the failure is recorded, not
+            # silently dropped
+            print(f"bench entry {name} FAILED: {e}", file=sys.stderr)
+            failed.append(name)
+            continue
         timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    out = {
         "metric": "bench_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": _sf_of(sf_dir),
         "repeats": repeats,
-    }))
+    }
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
