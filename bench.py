@@ -74,10 +74,22 @@ def build_benches(spark, sf_dir: str):
     qv = [float(x) for x in qrow[0][0]]
 
     benches: dict[str, callable] = {}
+    # post-entry hooks: run ONCE after an entry's repeats finish, to
+    # release any cached/checkpointed state the entry built. Cached
+    # blocks pin storage memory for the REST of the run otherwise —
+    # round 9's un-unpersisted span-gram localCheckpoint taxed every
+    # later serving entry 1.3-2.2× (BENCH A/B, SCALE.md finding #15).
+    cleanups: dict[str, callable] = {}
 
     def bench(name):
         def deco(fn):
             benches[name] = fn
+            return fn
+        return deco
+
+    def cleanup(name):
+        def deco(fn):
+            cleanups[name] = fn
             return fn
         return deco
 
@@ -219,13 +231,24 @@ def build_benches(spark, sf_dir: str):
             mid = docs.agg(
                 F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
             if not _span_hist_holder:
-                _span_hist_holder.append(SP.gram_history(
-                    docs.filter(F.col("doc_id") < mid), 8
-                ).localCheckpoint(eager=True))
+                # cache (not localCheckpoint): registers in the
+                # CacheManager so the post-entry cleanup's unpersist
+                # actually frees the blocks
+                h = SP.gram_history(
+                    docs.filter(F.col("doc_id") < mid), 8).cache()
+                h.count()
+                _span_hist_holder.append(h)
             new = docs.filter(F.col("doc_id") >= mid).select("doc_id", "text")
             return _force(SP.incremental_remove_duplicate_spans(
                 new, _span_hist_holder[0], 8)
                 .select("doc_id", "n_tokens_removed"))
+
+        @cleanup("dedup_spans_incremental")
+        def _dedup_spans_inc_cleanup():
+            # release the checkpointed gram history: its blocks pinned
+            # storage memory through ~40 later entries in round 9
+            if _span_hist_holder:
+                _span_hist_holder.pop().unpersist()
     except ImportError:
         pass
 
@@ -936,7 +959,7 @@ def build_benches(spark, sf_dir: str):
     except ImportError:
         pass
 
-    return benches
+    return benches, cleanups
 
 
 def main() -> None:
@@ -959,7 +982,7 @@ def main() -> None:
     spark.range(10_000).selectExpr("sum(id * 2)").collect()  # JVM warmup
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
-    benches = build_benches(spark, sf_dir)
+    benches, cleanups = build_benches(spark, sf_dir)
     # subset hooks for scale runs (e.g. skip the deliberately-quadratic
     # exact-GEMM baseline at sf10): comma-separated query names. Search
     # entries need their build entry (ivf_search/ivfpq need ivf_build,
@@ -985,6 +1008,14 @@ def main() -> None:
             print(f"bench entry {name} FAILED: {e}", file=sys.stderr)
             failed.append(name)
             continue
+        finally:
+            cl = cleanups.get(name)
+            if cl is not None:
+                try:
+                    cl()
+                except Exception as e:  # noqa: BLE001
+                    print(f"cleanup for {name} failed: {e}",
+                          file=sys.stderr)
         timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(timings.values()), 4)

@@ -552,3 +552,48 @@ def test_embedding_contamination_empty_eval(spark):
         train, evals.filter(F.col("vec_id") < 0), 0.9)
     assert out.count() == 0
     assert out.columns == ["train_id", "eval_id", "sim"]
+
+
+def test_embedding_near_dup_exact_flag_matches_default(spark):
+    """The pruned (multi-probe SemDeDup) default finds the same pair set
+    as the exhaustive exact=True baseline on a separated fixture."""
+    import math
+    rows = []
+    for i in range(40):                     # 20 near-dup pairs, well apart
+        base = [0.0] * 8
+        base[i % 8] = 1.0
+        base[(i * 3 + 1) % 8] = 0.5 + (i % 5) * 0.1
+        rows.append((2 * i, [float(x) for x in base]))
+        rows.append((2 * i + 1, [float(x + (0.001 if j == 0 else 0.0))
+                                 for j, x in enumerate(base)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got_pruned = {(r["src_id"], r["dst_id"]) for r in
+                  D.embedding_near_dup_pairs(
+                      df, threshold=0.999, target_occupancy=8).collect()}
+    got_exact = {(r["src_id"], r["dst_id"]) for r in
+                 D.embedding_near_dup_pairs(
+                     df, threshold=0.999, exact=True,
+                     kernel="fold").collect()}
+    assert got_exact and got_pruned == got_exact
+
+
+def test_multiprobe_per_cluster_top_superset_of_global_top(spark):
+    """per_cluster_top=m emission still contains the global top pairs
+    (a pair's within-cluster rank never exceeds its global rank)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    M = rng.normal(size=(120, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in M[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>")
+    from vervectordb_spark.operators.ivf import IVFIndex
+    idx = IVFIndex.build(df, n_clusters=6, seed=1)
+    full = D.multiprobe_semdedup_pairs(df, idx.centroids_df(), n_probes=2)
+    capped = D.multiprobe_semdedup_pairs(df, idx.centroids_df(),
+                                         n_probes=2, kernel="gemm",
+                                         per_cluster_top=10)
+    top5 = [ (r["src_id"], r["dst_id"]) for r in
+             full.orderBy(F.desc("sim")).limit(5).collect() ]
+    got = {(r["src_id"], r["dst_id"]) for r in capped.collect()}
+    assert set(top5) <= got

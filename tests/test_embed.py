@@ -105,3 +105,61 @@ def test_passthrough_embedding_name_collision_fails_fast(spark):
     for kernel in ("arrow", "expr"):
         with pytest.raises(ValueError, match="already has one"):
             E.embed_documents(df, dim=8, kernel=kernel, passthrough=True)
+
+
+# ---------------------------------------------------------------------------
+# real-model tier: the vendored int8 SGNS checkpoint (round-10 task #3)
+# ---------------------------------------------------------------------------
+
+
+def test_checkpoint_embedding_end_to_end(spark):
+    """The REAL model path (weights loaded from the committed artifact,
+    broadcast, batched mapInPandas inference) runs on the fixture corpus
+    and produces unit-norm (or zero) vectors of the checkpoint's dim."""
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    out = E.checkpoint_embedding(docs).collect()
+    _, _, dim = E.load_checkpoint()
+    assert len(out) == 50
+    for r in out:
+        assert len(r["embedding"]) == dim
+        n = math.sqrt(sum(x * x for x in r["embedding"]))
+        assert n == 0.0 or math.isclose(n, 1.0, rel_tol=1e-5)
+
+
+def test_checkpoint_embedding_matches_hand_computation(spark):
+    """Pin the inference arithmetic: normalized int sum of the tokens'
+    int8 rows, float32 rounding — computed independently here."""
+    import numpy as np
+
+    words, mat, dim = E.load_checkpoint()
+    w0, w1 = words[0], words[1]
+    df = spark.createDataFrame(
+        [(1, f"{w0} {w1} {w0}"), (2, "zzzunknownzzz qqq"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r["vec_id"]: list(r["embedding"])
+           for r in E.checkpoint_embedding(df).collect()}
+    s = 2 * mat[0] + mat[1]
+    exp = (s / math.sqrt(float((s * s).sum()))).astype(np.float32)
+    assert got[1] == [float(x) for x in exp]
+    assert got[2] == [0.0] * dim     # all tokens OOV -> zero vector
+    assert got[3] == [0.0] * dim     # NULL text -> zero vector
+
+
+def test_checkpoint_embedding_schema_parity_with_fake(spark):
+    """The real tier is a drop-in for the hashed-BoW fake: same output
+    schema (vec_id, embedding array<float>), same id passthrough."""
+    docs = load_table(spark, SF_DIR, "documents").limit(3)
+    real = E.checkpoint_embedding(docs)
+    fake = E.embed_documents(docs, dim=16)
+    assert [(f.name, f.dataType.simpleString()) for f in real.schema.fields] \
+        == [(f.name, f.dataType.simpleString()) for f in fake.schema.fields]
+
+
+def test_checkpoint_embedding_deterministic(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    a = sorted(map(tuple, ((r["vec_id"], tuple(r["embedding"])) for r in
+                           E.checkpoint_embedding(docs).collect())))
+    b = sorted(map(tuple, ((r["vec_id"], tuple(r["embedding"])) for r in
+                           E.checkpoint_embedding(docs).collect())))
+    assert a == b

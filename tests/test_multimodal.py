@@ -104,10 +104,31 @@ def test_attach_fake_media_null_text_payload(spark):
     assert len(feats) == 2
 
 
-def test_fake_false_raises_honest_stub_error(spark):
-    """fake=False is an env-guarded stub: it must raise NotImplementedError
-    up front (the old empty-bytes probe crashed inside PIL when the lib
-    WAS installed, then computed fake features anyway)."""
+def test_fake_false_video_still_raises_honest_stub_error(spark):
+    """Audio/video stages remain env-guarded stubs (no ffmpeg): fake=False
+    raises NotImplementedError up front. (Image stages are REAL now —
+    see the png-codec tests below.)"""
+    from vervectordb_spark.operators.multimodal import (
+        attach_fake_media,
+        sample_frames,
+    )
+
+    media = attach_fake_media(
+        spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    )
+    with pytest.raises(NotImplementedError, match="fake=True"):
+        sample_frames(media, fake=False)
+
+
+def test_fake_false_non_png_payload_fails_at_execution(spark):
+    """A non-PNG payload in the real image path surfaces the honest
+    no-codec error at execution time (PIL absent, pure codec is
+    PNG-only)."""
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL present; non-PNG payloads decodable")
+    except ImportError:
+        pass
     from vervectordb_spark.operators.multimodal import (
         attach_fake_media,
         extract_features,
@@ -116,5 +137,113 @@ def test_fake_false_raises_honest_stub_error(spark):
     media = attach_fake_media(
         spark.createDataFrame([(0, "x")], "doc_id long, text string")
     )
-    with pytest.raises(NotImplementedError, match="fake=True"):
-        extract_features(media, fake=False)
+    with pytest.raises(Exception, match="no codec|NotImplementedError"):
+        extract_features(media, fake=False).collect()
+
+
+# ---------------------------------------------------------------------------
+# real image codec: vendored pure-Python PNG (round-10 task #4)
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_all_shapes():
+    import numpy as np
+
+    from vervectordb_spark.operators.png_codec import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    for shape in [(1, 1), (5, 7), (16, 16), (8, 8, 3), (3, 4, 4)]:
+        a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        b = decode_png(encode_png(a))
+        assert b.shape == a.shape and (a == b).all()
+
+
+def test_png_decoder_reverses_every_filter_type():
+    """The decoder must undo all five scanline filters — the encoder only
+    emits filter 0, so construct filtered scanlines by applying each
+    filter FORWARD per the spec and assert the decoder recovers the
+    image."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from vervectordb_spark.operators import png_codec as P
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int16)
+    raws = []
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int16)
+        enc = np.empty(stride, dtype=np.int16)
+        for i in range(stride):
+            left = cur[i - ch] if i >= ch else 0
+            up = prev[i]
+            ul = prev[i - ch] if i >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (int(left) + int(up)) >> 1
+            else:
+                pred = P._paeth(int(left), int(up), int(ul))
+            enc[i] = (cur[i] - pred) & 0xFF
+        raws.append(bytes([ftype]) + enc.astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (P._SIG + P._chunk(b"IHDR", ihdr)
+               + P._chunk(b"IDAT", zlib.compress(b"".join(raws)))
+               + P._chunk(b"IEND", b""))
+    out = P.decode_png(payload)
+    assert (out == img).all()
+
+
+def test_real_feature_extraction_on_png_media(spark):
+    """fake=False end to end in THIS container: real PNG payloads
+    (attach_png_media) are decoded by the vendored codec and the feature
+    histogram matches an independent hand computation over the tile."""
+    import numpy as np
+
+    from vervectordb_spark.operators.multimodal import (
+        attach_png_media,
+        extract_features,
+    )
+
+    df = spark.createDataFrame([(7, "abcabz"), (8, None)],
+                               "doc_id long, text string")
+    media = attach_png_media(df, h=16, w=16)
+    feats = {r["media_id"]: np.array(r["features"]) for r in
+             extract_features(media, dim=64, fake=False).collect()}
+    raw = b"abcabz"
+    tile = np.frombuffer(
+        (raw * (256 // len(raw) + 1))[:256], dtype=np.uint8)
+    exp, _ = np.histogram(tile, bins=64, range=(0, 256))
+    assert np.allclose(feats[7], (exp / 256).astype(np.float32))
+    z = np.zeros(64)
+    z[0] = 1.0                       # NULL text -> all-zero-byte tile
+    assert np.allclose(feats[8], z)
+
+
+def test_real_resize_on_png_media(spark):
+    """fake=False resize decodes the real PNG and nearest-neighbor maps
+    to (h, w) — identical output schema to the fake path."""
+    from vervectordb_spark.operators.multimodal import (
+        attach_png_media,
+        resize_images,
+    )
+
+    df = spark.createDataFrame([(1, "hello world")],
+                               "doc_id long, text string")
+    media = attach_png_media(df, h=16, w=16)
+    real = resize_images(media, h=4, w=4, fake=False)
+    fake = resize_images(media, h=4, w=4, fake=True)
+    assert real.schema == fake.schema
+    r = real.collect()[0]
+    assert r["resized_h"] == 4 and r["resized_w"] == 4
+    assert len(bytes(r["resized"])) == 16

@@ -916,3 +916,50 @@ def test_stream_spancut_ingest_end_to_end(spark, tmp_path):
            spark.read.parquet(str(tmp_path / "state2/cleaned")).collect()}
     assert got[1] > 0 and got[2] == 0      # within-doc repeat cut
     assert spark.read.parquet(str(tmp_path / "state2/grams")).count() > 0
+
+
+def test_spancut_survives_empty_gram_batch(spark, tmp_path):
+    """Round-9 advice: a micro-batch where NO doc reaches gram_len tokens
+    writes an empty gram-state directory (only _SUCCESS); the next batch
+    must treat that history as absent instead of dying on parquet schema
+    inference — and cuts must still work from the first non-empty batch."""
+    from vervectordb_spark.streaming.ingest import make_spancut_handler
+
+    L = 3
+    state = str(tmp_path / "state")
+    handler = make_spancut_handler(state, gram_len=L)
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    # batch 0: every doc shorter than gram_len -> zero gram rows
+    handler(mk([(1, "too short"), (2, "tiny")]), 0)
+    boiler = "shared boiler plate block here"
+    # batch 1 must read history without wedging
+    handler(mk([(3, f"{boiler} first"), (4, f"again {boiler} tail")]), 1)
+    # batch 2 cuts against batch 1's grams
+    handler(mk([(5, f"{boiler} third time")]), 2)
+    cleaned = {r["doc_id"]: r["n_tokens_removed"]
+               for r in spark.read.parquet(f"{state}/cleaned").collect()}
+    assert cleaned[1] == 0 and cleaned[2] == 0
+    assert cleaned[5] > 0
+
+
+def test_state_fs_helpers(spark, tmp_path):
+    """sources/fs probes resolve through the Hadoop FS API and require
+    real data files, not just directories (round-9 advice medium)."""
+    from vervectordb_spark.sources.fs import (
+        state_exists, state_has_data, state_mkdirs)
+
+    p = str(tmp_path / "x")
+    assert not state_exists(spark, p)
+    state_mkdirs(spark, p)
+    assert state_exists(spark, p)
+    assert not state_has_data(spark, p)          # dir but no files
+    open(f"{p}/_SUCCESS", "w").close()
+    assert not state_has_data(spark, p)          # marker is not data
+    (tmp_path / "x" / "part-00000.parquet").write_bytes(b"notreally")
+    assert state_has_data(spark, p)
+    # nested partition layout counts too
+    q = str(tmp_path / "y")
+    state_mkdirs(spark, f"{q}/_batch_id=0")
+    assert not state_has_data(spark, q)
+    (tmp_path / "y" / "_batch_id=0" / "part-0.parquet").write_bytes(b"d")
+    assert state_has_data(spark, q)

@@ -230,7 +230,14 @@ def bpe_ctes(steps: int) -> str:
     return ",\n".join(parts)
 
 
-def embed_sql(dim: int) -> str:
+#: canonical hashed-BoW embedding dimension for the query registry —
+#: the SINGLE source both queries_embed and queries_hybrid derive their
+#: Spark-side dim and oracle SQL from (a hardcoded twin desyncs the
+#: hybrid e2e oracle silently; round-9 advice).
+EMBED_DIM = 32
+
+
+def embed_sql(dim: int = EMBED_DIM) -> str:
     """Hashed-BoW document-embedding replay over the `documents` table
     (== operators/embed.embed_documents: CJK-aware tokens, md5 buckets,
     L2-normalized counts, float32 storage rounding)."""

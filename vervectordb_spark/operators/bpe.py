@@ -216,12 +216,17 @@ BROADCAST_VOCAB_MAX_ROWS = 1_000_000
 
 def maybe_broadcast_vocab(vocab_side: DataFrame,
                           max_rows: int = BROADCAST_VOCAB_MAX_ROWS,
-                          ) -> DataFrame:
-    """Hint broadcast only when a bounded probe proves the vocab side is
-    <= max_rows (limit(max_rows+1).count() — early-exits, and train_bpe's
-    vocab is lineage-cut so the probe never re-runs the corpus job).
-    Returns the frame unhinted above the gate."""
-    if vocab_side.limit(max_rows + 1).count() <= max_rows:
+                          known_rows: int | None = None) -> DataFrame:
+    """Hint broadcast only when the vocab side is proven <= max_rows.
+    Callers that already know the row count pass known_rows and the
+    probe is skipped entirely (no Spark job at plan-construction time).
+    Otherwise the probe is a plain .count() — a partial-agg that
+    shuffles one long per partition, NOT a global limit that funnels up
+    to max_rows+1 rows into a single partition (train_bpe's vocab is
+    lineage-cut so the scan is cheap either way). Returns the frame
+    unhinted above the gate."""
+    n = vocab_side.count() if known_rows is None else known_rows
+    if n <= max_rows:
         return F.broadcast(vocab_side)
     return vocab_side
 
@@ -255,7 +260,7 @@ def encode_documents(docs: DataFrame, vocab: DataFrame,
                      text_col: str = "text", id_col: str = "doc_id",
                      word_pattern: str | None = ASCII_WORDS,
                      broadcast_max_rows: int = BROADCAST_VOCAB_MAX_ROWS,
-                     ) -> DataFrame:
+                     vocab_rows: int | None = None) -> DataFrame:
     """Tokenize the corpus under a trained BPE vocabulary: (id, wpos,
     spos, symbol, token_id), one row per token. The output carries NO
     ordering guarantee (it ends in two joins); a document's token
@@ -276,10 +281,19 @@ def encode_documents(docs: DataFrame, vocab: DataFrame,
     Out-of-vocabulary words (absent from the training corpus / outside
     the scope pattern) drop via the inner join — encode with a vocab
     trained on a superset corpus, or segment stragglers driver-side with
-    segment_word."""
+    segment_word.
+
+    The broadcast gate probes the vocab ONCE (or not at all when the
+    caller passes vocab_rows) and reuses the decision for both joins —
+    the symbol-id table's rows are the distinct subword units
+    (alphabet + merges), bounded well under the word-vocabulary size,
+    so one decision covers both sides."""
+    if vocab_rows is None:
+        vocab_rows = vocab.count()
     seg = maybe_broadcast_vocab(segmentation_table(vocab),
-                                broadcast_max_rows)
-    ids = maybe_broadcast_vocab(symbol_ids(vocab), broadcast_max_rows)
+                                broadcast_max_rows, known_rows=vocab_rows)
+    ids = maybe_broadcast_vocab(symbol_ids(vocab), broadcast_max_rows,
+                                known_rows=vocab_rows)
     toks = (
         words_with_pos(docs, text_col, id_col, word_pattern)
         .join(seg, on="word")

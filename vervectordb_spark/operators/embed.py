@@ -192,6 +192,109 @@ def embed_documents(docs: DataFrame, dim: int = 32, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# real-model tier: vendored int8 word-vector checkpoint (offline-safe)
+# ---------------------------------------------------------------------------
+
+#: the committed tiny-SGNS checkpoint (tools/train_tiny_encoder.py —
+#: skip-gram word2vec trained offline on the sf0.01 fixture corpus,
+#: all-but-the-top post-processed, int8 unit rows)
+DEFAULT_CHECKPOINT = None  # resolved lazily relative to the repo root
+
+
+def _default_checkpoint_dir() -> str:
+    import os
+
+    return os.path.abspath(os.path.join(
+        os.path.dirname(__file__), "..", "..", "models", "tiny_sgns_16d"))
+
+
+def load_checkpoint(checkpoint_dir: str | None = None):
+    """(words list, int8 matrix (V, dim) as np.int64, dim) from the
+    parquet checkpoint — driver-side, KB-class (the model IS bounded
+    state, like centroids/codebooks)."""
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq_mod
+
+    d = checkpoint_dir or _default_checkpoint_dir()
+    with open(os.path.join(d, "meta.json")) as f:
+        meta = json.load(f)
+    tbl = pq_mod.read_table(os.path.join(d, "word_vectors.parquet"))
+    words = tbl.column("word").to_pylist()
+    mat = np.array(tbl.column("vec").to_pylist(), dtype=np.int64)
+    return words, mat, int(meta["dim"])
+
+
+def checkpoint_embedding(docs: DataFrame, checkpoint_dir: str | None = None,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         cjk_aware: bool = True) -> DataFrame:
+    """S6's REAL-model inference path, exercisable offline: load the
+    vendored int8 word-vector checkpoint (a trained SGNS word2vec —
+    tools/train_tiny_encoder.py; the reference only ever DECLARED its
+    model, pyproject.toml:7-13 + scripts/model_download.sh:1), broadcast
+    the weights, and run batched inference in mapInPandas.
+
+    Document embedding = L2-normalized integer SUM of the tokens' int8
+    vectors. Integer accumulation is ORDER-FREE (no float associativity),
+    Σv² stays exact in float64 at any fixture scale, and the final
+    divide/√/float32-round are scalar IEEE ops — which is why this path
+    is hash-gated against a DuckDB all-SQL replay
+    (queries_embed.text_embed_checkpoint) rather than rows-only. The
+    quantization scale and the mean's 1/n both cancel under the L2 norm.
+
+    Plan shape: map-only — JVM tokenization (single owner,
+    mixed_tokens_expr), Arrow batches into NumPy, one V×dim int matrix
+    broadcast per executor. No shuffle, no driver collect of corpus
+    rows. Out-of-vocabulary tokens are skipped; a doc with no known
+    tokens embeds as the zero vector (cosine(0, ·) = 0 store contract,
+    same as the hashed-BoW tier)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
+
+    words, mat, dim = load_checkpoint(checkpoint_dir)
+    w2i = {w: i for i, w in enumerate(words)}
+    sc = docs.sparkSession.sparkContext
+    b = sc.broadcast((w2i, mat))
+
+    id_type = docs.schema[id_col].dataType
+    out_schema = StructType([
+        StructField("vec_id", id_type),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+    toks = mixed_tokens_expr(text_col) if cjk_aware else tokens_expr(text_col)
+    toks = F.coalesce(toks, F.array().cast("array<string>"))
+    src = docs.select(F.col(id_col).alias("vec_id"), toks.alias("_toks"))
+
+    def infer(batches):
+        import math
+
+        import pandas as pd
+
+        w2i_l, mat_l = b.value
+        zero = np.zeros(dim, dtype=np.float32)
+        for pdf in batches:
+            out = []
+            for tok_arr in pdf["_toks"]:
+                idxs = [w2i_l[t] for t in tok_arr if t in w2i_l]
+                if not idxs:
+                    out.append(zero)
+                    continue
+                s = mat_l[idxs].sum(axis=0)          # exact int64
+                n2 = int((s * s).sum())              # exact, < 2^53
+                if n2 == 0:
+                    out.append(zero)
+                    continue
+                nrm = math.sqrt(float(n2))
+                out.append((s / nrm).astype(np.float32))
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "embedding": out})
+
+    return src.mapInPandas(infer, out_schema)
+
+
+# ---------------------------------------------------------------------------
 # production slot: model-based embedding (stubbed — no model libs here)
 # ---------------------------------------------------------------------------
 

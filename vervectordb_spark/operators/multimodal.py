@@ -11,11 +11,14 @@ pipeline surface (SURVEY.md §2.8). Design contract:
   * decode / resize / frame-sample run as mapInPandas over Arrow batches —
     the ONLY sane shape for CPU-heavy per-item work at 100 TB: payload
     bytes stream batch-wise through executors, no shuffle, no driver;
-  * the actual codecs (PIL/libsndfile/ffmpeg) are NOT in this container:
-    `decode_image` raises NotImplementedError behind an import-try, and
-    every pipeline stage also accepts `fake=True` — a deterministic
-    byte-level stand-in — so the Spark-side plumbing (schema, batching,
-    UDF signatures, partitioning) is real and fully tested.
+  * IMAGE decode is REAL in this container: PIL when installed, else the
+    vendored pure-Python PNG codec (operators/png_codec — stdlib zlib +
+    all five scanline filters), hash-gated end to end by
+    queries_multimodal.multimodal_real_decode. Audio/video codecs
+    (libsndfile/ffmpeg) remain env-guarded NotImplementedError stubs.
+    Every pipeline stage also accepts `fake=True` — a deterministic
+    byte-level stand-in — so the oracle-checkable plumbing (schema,
+    batching, UDF signatures, partitioning) is engine-replayable.
 
 Scale notes: media rows are large (KB–MB); keep
 `spark.sql.files.maxPartitionBytes` at default 128 MB so a partition is
@@ -82,34 +85,50 @@ def attach_fake_media(docs: DataFrame, id_col: str = "doc_id",
 
 
 def _require_real_codec() -> None:
-    """fake=False gate: the real-codec kernels are NOT implemented in this
-    environment — raise the honest error instead of probing
-    decode_image(b"") (which crashed with UnidentifiedImageError when PIL
-    WAS installed, and the batch loop would have computed the fake
-    features regardless)."""
+    """fake=False gate for the VIDEO/AUDIO kernels, which still have no
+    real codec in this container (no ffmpeg). IMAGE decode is real now:
+    decode_image handles PNG with the vendored pure-Python codec
+    (operators/png_codec — stdlib zlib + NumPy), PIL when present."""
     raise NotImplementedError(
-        "real media decoding is an env-guarded stub (no codecs in this "
-        "container); use fake=True for the deterministic byte-level "
-        "stand-in, or implement the codec kernel behind decode_image"
+        "real audio/video decoding is an env-guarded stub (no ffmpeg in "
+        "this container); use fake=True for the deterministic byte-level "
+        "stand-in. Image stages (extract_features/resize_images) DO run "
+        "fake=False on PNG payloads via operators/png_codec."
     )
 
 
-def decode_image(payload: bytes):
-    """Real decode — requires an image codec, not present in this
-    container. The Spark-side integration point is `extract_features`/
-    `resize_images` below, which take this function per-batch."""
+def decode_image(payload: bytes) -> np.ndarray:
+    """REAL image decode. Preference order: PIL when installed (any
+    format), else the vendored pure-Python PNG codec (8-bit gray/RGB/
+    RGBA — operators/png_codec, stdlib-only so it works in THIS
+    container). Non-PNG payloads without PIL raise NotImplementedError,
+    preserving the honest env-guard for formats we truly can't decode."""
+    data = bytes(payload)
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "image codec not available in this environment; use fake=True "
-            "for the deterministic byte-level stand-in"
-        ) from e
-    import io
+        import io
 
-    from PIL import Image
+        from PIL import Image
 
-    return np.asarray(Image.open(io.BytesIO(payload)))
+        return np.asarray(Image.open(io.BytesIO(data)))
+    except ImportError:
+        pass
+    from vervectordb_spark.operators.png_codec import decode_png, is_png
+
+    if is_png(data):
+        return decode_png(data)
+    raise NotImplementedError(
+        "no codec for this payload in this environment (pure-Python "
+        "path handles PNG only); use fake=True for the byte-level "
+        "stand-in"
+    )
+
+
+def _to_gray(img: np.ndarray) -> np.ndarray:
+    """(h, w[, ch]) uint8 → (h, w) uint8 luminance (channel mean —
+    deterministic, library-free)."""
+    if img.ndim == 2:
+        return img
+    return img.astype(np.uint16).mean(axis=2).astype(np.uint8)
 
 
 def _fake_decode(payload: bytes, h: int = 8, w: int = 8) -> np.ndarray:
@@ -122,13 +141,44 @@ def _fake_decode(payload: bytes, h: int = 8, w: int = 8) -> np.ndarray:
     return np.tile(buf, reps)[: h * w].reshape(h, w)
 
 
+def attach_png_media(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", h: int = 16,
+                     w: int = 16) -> DataFrame:
+    """(media_id, payload) with REAL PNG payloads: the deterministic
+    byte-tile pixels (same tiling rule as _fake_decode — flat index j
+    holds text byte j % len, zero byte for empty/NULL text) encoded with
+    the vendored pure-Python codec. Because PNG is lossless, a pipeline
+    that decodes these with the REAL codec recovers exactly the tile —
+    which is what lets the fake=False feature path be hash-gated against
+    a DuckDB byte-arithmetic replay (queries_multimodal.
+    multimodal_real_decode) instead of rows-only."""
+    from vervectordb_spark.operators.png_codec import encode_png
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"media_id {id_type}, payload binary"
+
+    def enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                encode_png(_fake_decode((t or "").encode("utf-8"), h, w))
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({"media_id": pdf[id_col],
+                                "payload": payloads})
+
+    return docs.select(id_col, text_col).mapInPandas(enc, out_schema)
+
+
 def extract_features(media: DataFrame, dim: int = 64, fake: bool = True,
                      payload_col: str = "payload") -> DataFrame:
     """Per-item feature vector via mapInPandas: payload bytes → fixed-dim
-    float array (byte-histogram under `fake`; a real model's embedding in
-    production — identical schema/batch shape either way)."""
-    if not fake:
-        _require_real_codec()
+    float array. fake=True histograms the RAW bytes (deterministic,
+    format-agnostic — the oracle-gated path); fake=False DECODES the
+    image first (PIL or the vendored PNG codec) and histograms the true
+    pixel intensities — identical output schema and batch shape, which
+    is the parity the tier contract pins in pytest."""
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in media.schema)
     out_schema = f"{fields}, features array<float>"
 
@@ -138,7 +188,10 @@ def extract_features(media: DataFrame, dim: int = 64, fake: bool = True,
                 continue
             feats = []
             for payload in pdf[payload_col]:
-                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if fake:
+                    buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                else:
+                    buf = _to_gray(decode_image(payload)).ravel()
                 hist, _ = np.histogram(buf, bins=dim, range=(0, 256))
                 total = hist.sum()
                 feats.append(
@@ -153,13 +206,18 @@ def extract_features(media: DataFrame, dim: int = 64, fake: bool = True,
 
 def resize_images(media: DataFrame, h: int = 8, w: int = 8,
                   fake: bool = True) -> DataFrame:
-    """Resize stage: payload → (h, w) grid → re-serialized bytes. Fake path
-    exercises the full batch/schema contract; the real path plugs a codec
-    into the same loop."""
-    if not fake:
-        _require_real_codec()
+    """Resize stage: payload → (h, w) grayscale grid → re-serialized
+    bytes. fake=True tiles the raw bytes (byte-level stand-in); fake=False
+    decodes the real image (PIL or the vendored PNG codec) and resizes by
+    nearest-neighbor index mapping — same output schema either way."""
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in media.schema)
     out_schema = f"{fields}, resized binary, resized_h int, resized_w int"
+
+    def _real_resize(payload: bytes) -> bytes:
+        g = _to_gray(decode_image(payload))
+        ys = np.minimum((np.arange(h) * g.shape[0]) // h, g.shape[0] - 1)
+        xs = np.minimum((np.arange(w) * g.shape[1]) // w, g.shape[1] - 1)
+        return g[np.ix_(ys, xs)].tobytes()
 
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         for pdf in batches:
@@ -167,7 +225,9 @@ def resize_images(media: DataFrame, h: int = 8, w: int = 8,
                 continue
             pdf = pdf.copy()
             pdf["resized"] = [
-                _fake_decode(bytes(p), h, w).tobytes() for p in pdf["payload"]
+                (_fake_decode(bytes(p), h, w).tobytes() if fake
+                 else _real_resize(bytes(p)))
+                for p in pdf["payload"]
             ]
             pdf["resized_h"] = h
             pdf["resized_w"] = w

@@ -199,9 +199,11 @@ def hybrid_batch_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 from vervectordb_spark.functions.oracle_fragments import (  # noqa: E402
     TOKS as _DOCTOKS_PLAIN)
 from vervectordb_spark.functions.oracle_fragments import (  # noqa: E402
+    EMBED_DIM as _DIM)
+from vervectordb_spark.functions.oracle_fragments import (  # noqa: E402
     embed_sql as _embed_sql_of)
 
-_EMBED_SQL = _embed_sql_of(32)
+_EMBED_SQL = _embed_sql_of(_DIM)
 
 #: the gated-corpus twin of queries_embed._EMBED_SQL
 _EMBED_GATED_SQL = _EMBED_SQL.replace("FROM documents", "FROM gated")
@@ -275,10 +277,11 @@ def retrieval_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = docs.filter(
         (n_tokens_expr("text") >= 20) & (n_tokens_expr("text") <= 1000)
     )
-    emb = embed_documents(gated, dim=32).withColumnRenamed("vec_id", "doc_id")
+    emb = embed_documents(gated, dim=_DIM).withColumnRenamed(
+        "vec_id", "doc_id")
     qv = [
         float(x)
-        for x in embed_documents(docs, dim=32)
+        for x in embed_documents(docs, dim=_DIM)
         .filter(F.col("vec_id") == 0)
         .select("embedding")
         .collect()[0][0]

@@ -111,3 +111,44 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bin").cast("int").alias("bin"),
         F.round(F.col("_v").cast("double"), 6).alias("val"),
     )
+
+
+@query(
+    "multimodal_real_decode",
+    oracle="""
+WITH src AS (SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS total,
+                    hex(encode(coalesce(text, ''))) AS hx FROM documents),
+byt AS (
+  SELECT doc_id, unnest(list_transform(range(0, 256),
+     j -> CASE WHEN total = 0 THEN 0
+          ELSE ('0x' || substr(hx, 2*((j % total) + 1) - 1, 2))::INT
+          END // 4)) AS bin
+  FROM src
+),
+cnt AS (SELECT doc_id, bin, COUNT(*) AS c FROM byt GROUP BY 1, 2),
+grid AS (SELECT s.doc_id, r.range AS bin FROM src s, range(0, 64) r)
+SELECT g.doc_id AS media_id, g.bin::INT AS bin,
+  ROUND((COALESCE(c.c, 0)::DOUBLE / 256)::REAL::DOUBLE, 6) AS val
+FROM grid g LEFT JOIN cnt c ON g.doc_id = c.doc_id AND g.bin = c.bin
+""",
+)
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL image-codec path, hash-gated end to end: encode each
+    doc's deterministic 16x16 byte-tile as an actual PNG (vendored
+    pure-Python codec), then run the fake=False feature extractor —
+    which DECODES the PNG (zlib inflate + scanline unfilter) and
+    histograms true pixel intensities. PNG is lossless, so DuckDB
+    replays every (media, bin) value with tiled-byte arithmetic — the
+    oracle never sees the codec, proving decode(encode(x)) == x through
+    the value hash (round-9 verdict task #4, beyond the required parity
+    pytest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_png_media(docs, h=16, w=16)
+    feats = MM.extract_features(media, dim=64, fake=False)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("bin", "_v")
+    ).select(
+        "media_id",
+        F.col("bin").cast("int").alias("bin"),
+        F.round(F.col("_v").cast("double"), 6).alias("val"),
+    )

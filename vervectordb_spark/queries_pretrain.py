@@ -117,10 +117,26 @@ def _materialize_ctes(sql: str) -> str:
     LSH shingles ×3 …) — inlining re-evaluates the ENTIRE upstream chain
     per reference, compounding stage-over-stage (measured 404 s → 0.5 s
     at sf0.01, identical rows). DuckDB-only syntax, which is the oracle
-    contract's bar."""
+    contract's bar.
+
+    Fails loudly when the substitution count drifts from the number of
+    CTE headers in the composed SQL (round-9 advice): the column-0
+    anchor is the contract every fragment module follows, and a future
+    fragment whose `name AS (` lands indented would otherwise be
+    silently left inline — reintroducing the measured 404 s exponential
+    re-evaluation with no signal."""
     import re
 
-    return re.sub(r"(?m)^(WITH )?(\w+ AS) \(", r"\1\2 MATERIALIZED (", sql)
+    out, n_subbed = re.subn(
+        r"(?m)^(WITH )?(\w+ AS) \(", r"\1\2 MATERIALIZED (", sql)
+    n_headers = len(re.findall(r"(?m)\b\w+ AS \(", sql))
+    if n_subbed != n_headers:
+        raise AssertionError(
+            f"_materialize_ctes matched {n_subbed} CTE headers but the "
+            f"SQL contains {n_headers} ' AS (' sites — a fragment's CTE "
+            "header is not at column 0; fix the fragment (the column-0 "
+            "anchor is the composability contract)")
+    return out
 
 
 _ORACLE_RAW = f"""

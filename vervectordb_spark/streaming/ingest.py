@@ -330,9 +330,9 @@ def make_neardup_handler(state_path: str, text_col: str = "text",
     directory short-circuits the clean-replay case; the
     overwrite-plus-exclude pair is what carries correctness when the
     crash landed mid-write."""
-    import os
-
     from vervectordb_spark.operators import dedup as D
+    from vervectordb_spark.sources.fs import (
+        state_exists, state_has_data, state_mkdirs)
 
     cap = max_bucket_size if max_bucket_size is not None \
         else D.DEFAULT_MAX_BUCKET_SIZE
@@ -345,9 +345,10 @@ def make_neardup_handler(state_path: str, text_col: str = "text",
          .parquet(f"{state_path}/{table}"))
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if os.path.exists(f"{state_path}/committed/_batch_id={batch_id}"):
-            return  # clean replay of an already-committed batch
         spark = batch_df.sparkSession
+        if state_exists(
+                spark, f"{state_path}/committed/_batch_id={batch_id}"):
+            return  # clean replay of an already-committed batch
         not_self = F.col("_batch_id") != F.lit(int(batch_id))
         sk = D.minhash_signatures(
             batch_df, text_col, id_col, num_hashes, shingle_n
@@ -355,7 +356,7 @@ def make_neardup_handler(state_path: str, text_col: str = "text",
         be = D.minhash_band_entries(sk, id_col, num_hashes, bands)
 
         witnesses = []
-        if os.path.exists(f"{state_path}/bands"):
+        if state_has_data(spark, f"{state_path}/bands"):
             hist_be = D._drop_oversized_buckets(
                 spark.read.parquet(f"{state_path}/bands")
                 .filter(not_self).drop("_batch_id"),
@@ -410,8 +411,7 @@ def make_neardup_handler(state_path: str, text_col: str = "text",
         _write_state(be.join(acc_ids, on=id_col), "bands", batch_id)
         _write_state(sk.select(id_col, "shingles").join(acc_ids, on=id_col),
                      "shingles", batch_id)
-        os.makedirs(f"{state_path}/committed/_batch_id={batch_id}",
-                    exist_ok=True)
+        state_mkdirs(spark, f"{state_path}/committed/_batch_id={batch_id}")
 
     return handle
 
@@ -464,9 +464,9 @@ def make_spancut_handler(state_path: str, gram_len: int = 8,
     increment is |batch| gram work + one key join against state
     (SCALE.md finding #12); persist `{state}/grams` bucketed on gram_h
     to drop the history-reshuffle constant."""
-    import os
-
     from vervectordb_spark.operators import spans as SP
+    from vervectordb_spark.sources.fs import (
+        state_exists, state_has_data, state_mkdirs)
 
     def _write_state(df: DataFrame, table: str, batch_id: int) -> None:
         (df.withColumn("_batch_id", F.lit(int(batch_id)))
@@ -476,10 +476,11 @@ def make_spancut_handler(state_path: str, gram_len: int = 8,
          .parquet(f"{state_path}/{table}"))
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if os.path.exists(f"{state_path}/committed/_batch_id={batch_id}"):
-            return  # clean replay of an already-committed batch
         spark = batch_df.sparkSession
-        if os.path.exists(f"{state_path}/grams"):
+        if state_exists(
+                spark, f"{state_path}/committed/_batch_id={batch_id}"):
+            return  # clean replay of an already-committed batch
+        if state_has_data(spark, f"{state_path}/grams"):
             hist = (spark.read.parquet(f"{state_path}/grams")
                     .filter(F.col("_batch_id") != F.lit(int(batch_id)))
                     .groupBy(*SP.GRAM_KEY)
@@ -494,8 +495,7 @@ def make_spancut_handler(state_path: str, gram_len: int = 8,
         _write_state(cleaned, "cleaned", batch_id)
         _write_state(SP.gram_history(batch_df, gram_len, text_col, id_col),
                      "grams", batch_id)
-        os.makedirs(f"{state_path}/committed/_batch_id={batch_id}",
-                    exist_ok=True)
+        state_mkdirs(spark, f"{state_path}/committed/_batch_id={batch_id}")
 
     return handle
 
