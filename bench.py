@@ -546,9 +546,17 @@ def build_benches(spark, sf_dir: str):
 
         @bench("trigram_surprisal")
         def _trigram_surprisal():
-            # the ladder's last rung (SCALE.md finding #13): trigram AND
-            # bigram tables key-partitioned, unigram broadcast
+            # the JM ladder's last rung (SCALE.md finding #13): trigram
+            # AND bigram tables key-partitioned, unigram broadcast
             return _force(trigram_surprisal(docs))
+
+        from vervectordb_spark.operators.text import kn5_surprisal
+
+        @bench("kn5_surprisal")
+        def _kn5_surprisal():
+            # the KenLM-class rung (finding #16): real continuation
+            # counts, 7 key-partitioned joins of the transition stream
+            return _force(kn5_surprisal(docs))
     except ImportError:
         pass
 

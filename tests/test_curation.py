@@ -288,3 +288,112 @@ def test_ntile_bucket_sample_head_exact_keep_and_determinism(spark):
     again = {r["doc_id"]: r["bucket"] for r in
              ntile_bucket_sample(df.repartition(7), **kw).collect()}
     assert again == got
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney 5-gram rung (round-10)
+# ---------------------------------------------------------------------------
+
+
+def _kn5_reference(docs, D=0.75, prune=None):
+    """Independent pure-Python interpolated KN-5 (Chen & Goodman shapes)
+    to pin the Spark arithmetic."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    tok = lambda t: [w for w in re.split(r"\s+", (t or "").lower())
+                     if w and re.fullmatch(r"[a-z]+", w)]
+    corpora = {d: tok(t) for d, t in docs}
+    grams = {n: Counter() for n in (2, 3, 4, 5)}
+    for toks in corpora.values():
+        for n in (2, 3, 4, 5):
+            for i in range(len(toks) - n + 1):
+                grams[n][tuple(toks[i:i + n])] += 1
+    c5 = grams[5]
+    den5, n5 = Counter(), Counter()
+    for g, c in c5.items():
+        den5[g[:4]] += c
+        n5[g[:4]] += 1
+    def cont(n_above):
+        cc = Counter()
+        for g in grams[n_above]:
+            cc[g[1:]] += 1
+        den, nn = Counter(), Counter()
+        for g, c in cc.items():
+            den[g[:-1]] += c
+            nn[g[:-1]] += 1
+        return cc, den, nn
+    cc4, den4, n4 = cont(5)
+    cc3, den3, n3 = cont(4)
+    cc2, den2, n2 = cont(3)
+    cc1, _, _ = cont(2)
+    t2 = len(grams[2])
+    out = {}
+    for d, toks in corpora.items():
+        if len(toks) < 5:
+            continue
+        sbits = 0
+        n_tr = 0
+        for i in range(len(toks) - 4):
+            g = tuple(toks[i:i + 5])
+            p1 = cc1[g[4:]] / t2
+            p2 = (max(cc2[g[3:]] - D, 0.0) / den2[g[3:4]]
+                  + (D * n2[g[3:4]] / den2[g[3:4]]) * p1)
+            p3 = (max(cc3[g[2:]] - D, 0.0) / den3[g[2:4]]
+                  + (D * n3[g[2:4]] / den3[g[2:4]]) * p2)
+            p4 = (max(cc4[g[1:]] - D, 0.0) / den4[g[1:4]]
+                  + (D * n4[g[1:4]] / den4[g[1:4]]) * p3)
+            c5v = c5[g] if (prune is None or c5[g] >= prune) else 0
+            p5 = (max(c5v - D, 0.0) / den5[g[:4]]
+                  + (D * n5[g[:4]] / den5[g[:4]]) * p4)
+            sbits += round(-math.log2(p5), 9)
+            n_tr += 1
+        out[d] = (n_tr, round(sbits / n_tr, 6))
+    return out
+
+
+_KN_DOCS = [
+    (1, "the cat sat on the mat and the cat sat on the rug"),
+    (2, "the dog sat on the mat and the dog ran to the rug"),
+    (3, "a completely different sentence structure appears right here now"),
+    (4, "the cat sat on the mat and the cat sat on the mat again"),
+    (5, "too short"),
+]
+
+
+def test_kn5_matches_reference_implementation(spark):
+    df = spark.createDataFrame(_KN_DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_transitions"], r["bits_per_transition"])
+           for r in TX.kn5_surprisal(df).collect()}
+    exp = _kn5_reference(_KN_DOCS)
+    assert got == exp
+    assert 5 not in got                       # <5 tokens -> no transitions
+
+
+def test_kn5_pruning_backs_off_not_crashes(spark):
+    df = spark.createDataFrame(_KN_DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_transitions"], r["bits_per_transition"])
+           for r in TX.kn5_surprisal(df, prune_min_count=2).collect()}
+    exp = _kn5_reference(_KN_DOCS, prune=2)
+    assert got == exp
+    # pruned singles score HIGHER surprisal than unpruned (mass backed off)
+    full = {r["doc_id"]: r["bits_per_transition"]
+            for r in TX.kn5_surprisal(df).collect()}
+    assert got[3][1] > full[3]
+
+
+def test_kn5_sees_scrambled_word_order(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "the quick brown fox jumps over the lazy dog again") * 3
+    words = base.split()
+    import random
+    rng = random.Random(5)
+    shuffled = words[:]
+    rng.shuffle(shuffled)
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(shuffled))],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["bits_per_transition"]
+           for r in TX.kn5_surprisal(df).collect()}
+    assert got[2] > got[1]

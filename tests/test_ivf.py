@@ -364,3 +364,42 @@ def test_centroid_drift_arrow_dim2048_matches_numpy(spark):
         expect = round(math.sqrt(drift_sq), 6)
         assert got[c][0] == n
         assert abs(got[c][1] - expect) < 1e-12, c
+
+
+def test_ivf_recall_floor_on_real_encoder_corpus(spark):
+    """RECALL.md's encoder-corpus transfer check, pinned: on vectors
+    from the vendored checkpoint's REAL serving arithmetic (the
+    anisotropic real-model distribution), IVF nprobe=4 must hold a
+    recall@10 floor vs exact ground truth. The 50k sweep measured
+    0.999; this 2000-row twin pins >= 0.85."""
+    import numpy as np
+
+    from vervectordb_spark.operators import search as S
+    from vervectordb_spark.operators.embed import load_checkpoint
+
+    words, mat_w, dim = load_checkpoint()
+    rng = np.random.RandomState(7)
+    N = 2000
+    mat = np.zeros((N, dim), dtype=np.float32)
+    for i in range(N):
+        idxs = rng.randint(0, len(words), rng.randint(30, 120))
+        s = mat_w[idxs].sum(axis=0)
+        n2 = float((s * s).sum())
+        mat[i] = (s / np.sqrt(n2)).astype(np.float32)
+    corpus = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(N)],
+        "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"))
+    truth: dict = {}
+    for r in S.batch_topk(corpus, queries, top_k=10,
+                          kernel="gemm").collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    idx = IVFIndex.build(corpus, n_clusters=16, seed=42)
+    got: dict = {}
+    for r in idx.batch_search(queries, top_k=10, nprobe=4).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    rec = sum(len(got.get(q, set()) & t) / len(t)
+              for q, t in truth.items()) / len(truth)
+    assert rec >= 0.85, f"encoder-corpus recall floor broken: {rec:.3f}"

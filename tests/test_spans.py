@@ -201,3 +201,92 @@ def test_update_gram_history_sums_counts(spark):
     pqr = [r for r in S.gram_positions(a, L).collect() if r["p"] == 0][0]
     assert counts[(pqr["gram_h"], pqr["gram_h2"])] == 3  # p q r in all
     assert sum(counts.values()) == 2 + 2 + 2  # 2 grams per 4-token doc
+
+
+# ---------------------------------------------------------------------------
+# bucketed persistent gram history (round-10: SCALE finding #12 constant)
+# ---------------------------------------------------------------------------
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bucketed_state_cuts_match_inmemory_history(spark, tmp_path):
+    from vervectordb_spark.operators.span_state import GramHistoryState
+
+    L = 3
+    boiler = "shared boiler plate block here"
+    day0 = _mk_docs(spark, [(1, f"{boiler} first tail"),
+                            (2, "clean words only now")])
+    day1 = _mk_docs(spark, [(3, f"second doc with {boiler} inside"),
+                            (4, "rep rep rep x rep rep rep")])
+    day2 = _mk_docs(spark, [(5, f"third time {boiler} appears")])
+
+    st = GramHistoryState.create(spark, str(tmp_path / "st"),
+                                 S.gram_history(day0, L), n_buckets=4)
+    mem_hist = S.gram_history(day0, L).localCheckpoint(eager=True)
+
+    for batch in (day1, day2):
+        got = {r["doc_id"]: (r["clean_text"], r["n_tokens_removed"])
+               for r in S.incremental_remove_duplicate_spans(
+                   batch, st.read(), L).collect()}
+        exp = {r["doc_id"]: (r["clean_text"], r["n_tokens_removed"])
+               for r in S.incremental_remove_duplicate_spans(
+                   batch, mem_hist, L).collect()}
+        assert got == exp
+        g = S.gram_history(batch, L)
+        st.update(g)
+        mem_hist = S.update_gram_history(
+            mem_hist, g).localCheckpoint(eager=True)
+    assert got[5][1] > 0                   # boilerplate kept cutting
+
+
+def test_bucketed_state_reload_across_catalog(spark, tmp_path):
+    from vervectordb_spark.operators.span_state import GramHistoryState
+
+    L = 3
+    day0 = _mk_docs(spark, [(1, "a b c d e f g h")])
+    st = GramHistoryState.create(spark, str(tmp_path / "st"),
+                                 S.gram_history(day0, L), n_buckets=4)
+    st.update(S.gram_history(
+        _mk_docs(spark, [(2, "a b c d x y z w")]), L))
+    # wipe the session catalog entry, reload purely from disk
+    spark.sql(f"DROP TABLE IF EXISTS {st.table}")
+    st2 = GramHistoryState.load(spark, str(tmp_path / "st"))
+    rows = {(r["gram_h"], r["gram_h2"]): r["n_occurrences"]
+            for r in st2.read().collect()}
+    exp = {(r["gram_h"], r["gram_h2"]): r["n_occurrences"]
+           for r in S.update_gram_history(
+               S.gram_history(day0, L),
+               S.gram_history(_mk_docs(spark, [(2, "a b c d x y z w")]),
+                              L)).collect()}
+    assert rows == exp
+
+
+def test_bucketed_history_join_saves_a_shuffle(spark, tmp_path):
+    """The whole point of the layout: with history read through the
+    bucketed table, the dup-key join plan has strictly FEWER exchanges
+    than with the same history as a plain (unbucketed) frame, and the
+    bucketed scan reports its bucket count."""
+    from vervectordb_spark.operators.span_state import GramHistoryState
+    from vervectordb_spark.plans.audit import count_shuffles, physical_plan
+
+    L = 3
+    hist_docs = _mk_docs(spark, [(i, f"w{i} x{i} y{i} z{i} common gram tail")
+                                 for i in range(20)])
+    st = GramHistoryState.create(spark, str(tmp_path / "st"),
+                                 S.gram_history(hist_docs, L), n_buckets=4)
+    new = _mk_docs(spark, [(100, "common gram tail and fresh words")])
+
+    plain = S.incremental_duplicate_spans(
+        new, st.read().sparkSession.read.parquet(
+            str(tmp_path / "st" / "v0")), L)
+    bucketed = S.incremental_duplicate_spans(new, st.read(), L)
+    p_plain = physical_plan(plain)
+    p_bucket = physical_plan(bucketed)
+    assert "Bucketed: true" in p_bucket
+    assert count_shuffles(p_bucket) < count_shuffles(p_plain)
+    # and identical answers
+    assert sorted(map(tuple, bucketed.collect())) \
+        == sorted(map(tuple, plain.collect()))

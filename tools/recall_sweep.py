@@ -77,6 +77,37 @@ def _make_corpus(spark, kind: str):
         h1 = centers[assign] + rng.normal(0, 0.05, (N, mid)).astype(np.float32)
         h2 = rng.uniform(0, 1, (N, DIM - mid)).astype(np.float32)
         mat = np.hstack([h1, h2]).astype(np.float32)
+    elif kind == "encoder":
+        # REAL-encoder distribution: 50k synthetic documents drawn from
+        # the fixture corpus's word frequencies, embedded with the
+        # vendored int8 SGNS checkpoint's EXACT serving arithmetic
+        # (operators/embed.checkpoint_embedding: order-free integer sum,
+        # L2 normalize, float32). dim comes from the checkpoint (16) —
+        # callers set the module DIM before sweeping. The distribution
+        # is the genuinely anisotropic one a trained model produces
+        # (vectors live on the vocabulary simplex's image, heavy common
+        # directions), vs the synthetic rotated-mixture proxy.
+        import duckdb
+
+        from vervectordb_spark.operators.embed import load_checkpoint
+
+        words, mat_w, dim = load_checkpoint()
+        assert dim == DIM, f"set DIM={dim} before the encoder sweep"
+        freq = dict(duckdb.sql(
+            "SELECT t, count(*) FROM (SELECT unnest(list_filter("
+            "regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) t "
+            "FROM '/root/testdata/sf0.01/documents.parquet') GROUP BY t"
+        ).fetchall())
+        w_idx = np.array([i for i, w in enumerate(words) if w in freq])
+        p = np.array([freq[words[i]] for i in w_idx], dtype=np.float64)
+        p /= p.sum()
+        lens = rng.randint(30, 120, N)
+        mat = np.zeros((N, DIM), dtype=np.float32)
+        for i in range(N):
+            idxs = w_idx[rng.choice(len(w_idx), size=lens[i], p=p)]
+            s = mat_w[idxs].sum(axis=0)
+            n2 = float((s * s).sum())
+            mat[i] = (s / np.sqrt(n2)).astype(np.float32) if n2 else 0.0
     else:  # clustered: 64-component Gaussian mixture
         centers = rng.uniform(0, 1, (64, DIM)).astype(np.float32)
         assign = rng.randint(0, 64, N)
@@ -385,8 +416,75 @@ def ceiling_sweep(spark, corpus) -> list[dict]:
     return results
 
 
+_ENCODER_HEADER = "## Encoder corpus (vendored int8 SGNS checkpoint"
+
+
+def encoder_main() -> None:
+    """Standalone `python tools/recall_sweep.py encoder`: sweep ONLY the
+    real-encoder-distribution corpus (dim = checkpoint dim) and splice
+    its section into RECALL.md without re-running the 128-d corpora."""
+    global DIM
+
+    from vervectordb_spark.session import get_spark
+
+    spark = get_spark("recall-sweep-encoder",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    from vervectordb_spark.operators.embed import load_checkpoint
+
+    DIM = load_checkpoint()[2]
+    methods = {"ivf1", "ivf2", "ivf4", "ivf8", "ivf16", "adaptive",
+               "lsh4", "imi", "bq", "pq"}
+    print("encoder corpus:", file=sys.stderr)
+    results = sweep(spark, _make_corpus(spark, "encoder"), methods)
+    print(json.dumps({"metric": "recall_sweep_encoder", "n": N,
+                      "dim": DIM, "n_queries": N_QUERIES, "top_k": TOP_K,
+                      "repeats": REPEATS, "encoder": results}))
+
+    lines = [
+        _ENCODER_HEADER + f", dim={DIM}) — the real-model distribution",
+        "",
+        f"50k synthetic documents drawn from the fixture word frequencies,",
+        "embedded with the committed checkpoint's exact serving arithmetic",
+        "(L2-normalized int8 sums). Genuinely anisotropic: vectors",
+        "concentrate on the image of the vocabulary simplex with heavy",
+        "common directions — the transfer check for the synthetic",
+        "rotated-mixture proxy above.",
+        "",
+        "| method | recall@10 | ms/query | notes |",
+        "|---|---|---|---|",
+    ]
+    for e in results:
+        notes = []
+        if "mean_nprobe" in e:
+            notes.append(f"mean nprobe {e['mean_nprobe']}")
+        if "mean_cand" in e:
+            notes.append(f"mean candidates {e['mean_cand']:.0f}")
+        lines.append(f"| {e['method']} | {e['recall_at_10']:.3f} | "
+                     f"{e['ms_per_query']:.2f} | {'; '.join(notes)} |")
+    lines.append("")
+    path = os.path.join(os.path.dirname(__file__), "..", "RECALL.md")
+    with open(path) as f:
+        doc = f.read()
+    if _ENCODER_HEADER in doc:
+        # replace the existing section (up to the next ## header or EOF)
+        import re as _re
+
+        doc = _re.sub(
+            _re.escape(_ENCODER_HEADER) + r".*?(?=\n## |\Z)",
+            "\n".join(lines) + "\n", doc, flags=_re.S)
+    else:
+        doc = doc.rstrip() + "\n\n" + "\n".join(lines) + "\n"
+    with open(path, "w") as f:
+        f.write(doc)
+
+
 def main() -> None:
     from vervectordb_spark.session import get_spark
+
+    if "encoder" in sys.argv[1:]:
+        encoder_main()
+        return
 
     spark = get_spark("recall-sweep",
                       extra_conf={"spark.ui.showConsoleProgress": "false"})

@@ -385,9 +385,18 @@ def incremental_duplicate_spans(new_df: DataFrame, history: DataFrame,
     hist_keys = hist_keys.select(*GRAM_KEY)
     batch_dups = (pos.groupBy(*GRAM_KEY).agg(F.count("*").alias("_c"))
                   .filter(F.col("_c") >= 2).select(*GRAM_KEY))
-    dup_keys = hist_keys.unionByName(batch_dups).distinct()
-    marks = (pos.join(dup_keys.hint("shuffle_hash"), on=GRAM_KEY)
-             .select(id_col, "p"))
+    # history and batch dup-keys are joined SEPARATELY and the marks
+    # unioned (distinct on batch-sized (id, p), not on corpus-sized gram
+    # keys): a union+distinct of the key sides would force a full
+    # reshuffle of the history keys every batch even when the state is
+    # persisted bucketed on the gram key (operators/span_state) —
+    # keeping the history branch join-only is what lets the bucketed
+    # layout drop the per-batch history shuffle (SCALE.md finding #12).
+    hist_marks = (pos.join(hist_keys.hint("shuffle_hash"), on=GRAM_KEY)
+                  .select(id_col, "p"))
+    batch_marks = (pos.join(batch_dups.hint("shuffle_hash"), on=GRAM_KEY)
+                   .select(id_col, "p"))
+    marks = hist_marks.unionByName(batch_marks).distinct()
     return _merged_islands(marks, gram_len, id_col)
 
 

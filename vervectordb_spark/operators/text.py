@@ -799,3 +799,167 @@ def trigram_surprisal(df: DataFrame, text_col: str = "text",
                     F.round(F.col("_sb").cast("double")
                             / F.col("n_transitions"), 6)
                     .alias("bits_per_transition")))
+
+
+def kn5_surprisal(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", discount: float = 0.75,
+                  prune_min_count: int | None = None) -> DataFrame:
+    """Per-document mean INTERPOLATED KNESER–NEY 5-GRAM surprisal in bits
+    per transition — the KenLM-class rung the ladder previously stopped
+    below (SCALE.md finding #13), now implemented with real continuation
+    counts (Chen & Goodman 1999; Kneser & Ney 1995):
+
+        p5(w|h4) = max(c5(h4,w)−D, 0)/Σc5(h4,·) + D·N5(h4)/Σc5(h4,·)·p4
+        pk(w|hk) = max(cck(hk,w)−D, 0)/Σcck(hk,·)
+                   + D·Nk(hk)/Σcck(hk,·)·p_{k−1}        (k = 4, 3, 2)
+        p1(w)    = cc1(w)/T2
+
+    where cck(g) = |{x : c_{k+1}(x·g) > 0}| is the CONTINUATION count
+    (distinct left-extensions in the raw (k+1)-gram type table — "how
+    many contexts has this n-gram completed", the KN innovation over
+    raw frequency), Nk(h) the distinct continuations of context h at
+    level k, T2 the total distinct bigram types. Denominators are
+    Σ-over-continuations (each level a proper distribution). D = 0.75 is
+    DYADIC — the max(c−D,0) subtraction and the D·N product are exact,
+    so the whole mix is engine-identical IEEE arithmetic and the rung is
+    hash-gated against a full-SQL DuckDB replay (doc_kn5_surprisal),
+    like every rung below it. Every observed transition has c5 ≥ 1 and
+    each continuation count ≥ 1 (the transition itself witnesses the
+    left-extension), so no log2(0).
+
+    prune_min_count=k drops raw 5-grams with count < k from the TOP
+    lookup only (scoring falls through to the D-weighted backoff;
+    denominators and continuation tables stay exact) — count-threshold
+    pruning without renormalization, the standard practical shortcut
+    (KenLM re-estimates instead). Model size is the point: the 5-gram
+    table is the largest state by far, and singleton pruning removes
+    most of it.
+
+    Shape at 100 TB: SEVEN key-partitioned joins of the transition
+    stream (c5 + prefix-context, cc4/cc3/cc2 + their context tables) and
+    only vocabulary-sized tables broadcast (cc1, den2/n2) — ~3× the
+    trigram rung's shuffle volume, which is the measured cost of the
+    real KN rung (SCALE.md finding #16). Float contract unchanged:
+    single divisions, fixed-order mix, 9dp-rounded log2 summed as exact
+    DECIMAL, final division rounded to 6dp."""
+    from vervectordb_spark.functions.words import ASCII_WORDS
+
+    D = float(discount)
+    toks = F.expr(
+        f"filter(split(lower({text_col}), '\\\\s+'), "
+        f"t -> t != '' AND t rlike '{ASCII_WORDS}')")
+    staged = df.select(F.col(id_col), toks.alias("_toks"))
+    tcol = F.col("_toks")
+
+    def windows(n: int, names: list[str]):
+        return F.when(
+            F.size(tcol) >= n,
+            F.transform(
+                F.sequence(F.lit(1),
+                           F.greatest(F.size(tcol) - (n - 1), F.lit(1))),
+                lambda i: F.struct(*[
+                    F.element_at(tcol, i + j).alias(names[j])
+                    for j in range(n)]),
+            ),
+        ).otherwise(F.array().cast(
+            "array<struct<" + ",".join(f"{c}:string" for c in names) + ">>"))
+
+    W = ["w1", "w2", "w3", "w4", "w5"]
+
+    def gram_counts(n: int) -> DataFrame:
+        cols = W[:n]
+        return (staged.select(F.explode(windows(n, cols)).alias("g"))
+                .select(*[F.col(f"g.{c}").alias(c) for c in cols])
+                .groupBy(*cols)
+                .agg(F.count("*").cast("bigint").alias("cnt")))
+
+    c5 = gram_counts(5)
+    c4t, c3t, c2t = gram_counts(4), gram_counts(3), gram_counts(2)
+
+    # top level: prefix-sum context + distinct-continuation counts
+    ctx5 = (c5.groupBy("w1", "w2", "w3", "w4")
+            .agg(F.sum("cnt").cast("bigint").alias("den5"),
+                 F.count("*").cast("bigint").alias("n5")))
+
+    def cont_tables(types_above: DataFrame, n_above: int):
+        """(cc table keyed on the LAST n_above-1 words, its context
+        table) from the raw type table one order above."""
+        keep = W[1:n_above]                     # drop the left extension
+        cc = (types_above.groupBy(*[F.col(c) for c in keep])
+              .agg(F.count("*").cast("bigint").alias("cc")))
+        ctx = (cc.groupBy(*[F.col(c) for c in keep[:-1]])
+               .agg(F.sum("cc").cast("bigint").alias("den"),
+                    F.count("*").cast("bigint").alias("n")))
+        return cc, ctx
+
+    cc4, ctx4 = cont_tables(c5, 5)              # keyed (w2,w3,w4,w5)
+    cc3, ctx3 = cont_tables(c4t, 4)             # keyed (w2,w3,w4)->renamed
+    cc2, ctx2 = cont_tables(c3t, 3)             # keyed (w2,w3)
+    cc1, _ = cont_tables(c2t, 2)                # keyed (w2,)
+    t2 = c2t.agg(F.count("*").cast("bigint").alias("t2"))
+
+    trans = (staged.select(F.col(id_col), F.explode(windows(5, W)).alias("g"))
+             .select(id_col, *[F.col(f"g.{c}").alias(c) for c in W]))
+
+    c5_lookup = c5
+    if prune_min_count is not None:
+        c5_lookup = c5.filter(F.col("cnt") >= int(prune_min_count))
+
+    def ren(t: DataFrame, mapping: dict[str, str],
+            vals: dict[str, str]) -> DataFrame:
+        """ONE atomic select — chained withColumnRenamed would collide
+        when the mapping shifts names onto each other (w2→w3, w3→w4)."""
+        m = {**mapping, **vals}
+        return t.select(*[F.col(c).alias(m.get(c, c)) for c in t.columns])
+
+    scored = (
+        trans
+        .join(c5_lookup.withColumnRenamed("cnt", "c5"), on=W, how="left")
+        .join(ctx5, on=["w1", "w2", "w3", "w4"])
+        # level 4: continuation tables are keyed on the last 4/3 words
+        .join(ren(cc4, {"w2": "w2", "w3": "w3", "w4": "w4", "w5": "w5"},
+                  {"cc": "cc4"}), on=["w2", "w3", "w4", "w5"])
+        .join(ren(ctx4, {}, {"den": "den4", "n": "n4"}),
+              on=["w2", "w3", "w4"])
+        # level 3: cc3 keyed (w2,w3,w4) in ITS OWN table == our (w3,w4,w5)
+        .join(ren(cc3, {"w2": "w3", "w3": "w4", "w4": "w5"},
+                  {"cc": "cc3"}), on=["w3", "w4", "w5"])
+        .join(ren(ctx3, {"w2": "w3", "w3": "w4"},
+                  {"den": "den3", "n": "n3"}), on=["w3", "w4"])
+        # level 2: cc2 keyed (w2,w3) == our (w4,w5)
+        .join(ren(cc2, {"w2": "w4", "w3": "w5"}, {"cc": "cc2"}),
+              on=["w4", "w5"])
+        .join(F.broadcast(ren(ctx2, {"w2": "w4"},
+                              {"den": "den2", "n": "n2"})), on="w4")
+        # level 1: vocabulary-sized, broadcast
+        .join(F.broadcast(ren(cc1, {"w2": "w5"}, {"cc": "cc1"})), on="w5")
+        .crossJoin(F.broadcast(t2))
+    )
+    dd = F.lit(D)
+    p1 = F.col("cc1").cast("double") / F.col("t2").cast("double")
+    p2 = (F.greatest(F.col("cc2").cast("double") - dd, F.lit(0.0))
+          / F.col("den2").cast("double")
+          + (dd * F.col("n2").cast("double")
+             / F.col("den2").cast("double")) * p1)
+    p3 = (F.greatest(F.col("cc3").cast("double") - dd, F.lit(0.0))
+          / F.col("den3").cast("double")
+          + (dd * F.col("n3").cast("double")
+             / F.col("den3").cast("double")) * p2)
+    p4 = (F.greatest(F.col("cc4").cast("double") - dd, F.lit(0.0))
+          / F.col("den4").cast("double")
+          + (dd * F.col("n4").cast("double")
+             / F.col("den4").cast("double")) * p3)
+    p5 = (F.greatest(F.coalesce(F.col("c5"), F.lit(0)).cast("double") - dd,
+                     F.lit(0.0))
+          / F.col("den5").cast("double")
+          + (dd * F.col("n5").cast("double")
+             / F.col("den5").cast("double")) * p4)
+    scored = scored.withColumn(
+        "_bits", F.round(-F.log2(p5), 9).cast("decimal(24,9)"))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").cast("bigint").alias("n_transitions"),
+                 F.sum("_bits").alias("_sb"))
+            .select(id_col, "n_transitions",
+                    F.round(F.col("_sb").cast("double")
+                            / F.col("n_transitions"), 6)
+                    .alias("bits_per_transition")))

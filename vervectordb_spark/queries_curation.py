@@ -1043,3 +1043,117 @@ def surprisal_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=3, seed=42)
     return kept.groupBy("lang", "bucket").agg(
         F.count("*").cast("long").alias("n_kept"))
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney 5-gram surprisal — the KenLM-class rung, fully SQL-replayed
+# ---------------------------------------------------------------------------
+
+_KN_P1 = "(c1.cc::DOUBLE / tt.t2::DOUBLE)"
+_KN_P2 = ("(greatest(c2.cc::DOUBLE - 0.75, 0.0) / x2.den::DOUBLE"
+          f" + (0.75 * x2.n::DOUBLE / x2.den::DOUBLE) * {_KN_P1})")
+_KN_P3 = ("(greatest(c3.cc::DOUBLE - 0.75, 0.0) / x3.den::DOUBLE"
+          f" + (0.75 * x3.n::DOUBLE / x3.den::DOUBLE) * {_KN_P2})")
+_KN_P4 = ("(greatest(c4.cc::DOUBLE - 0.75, 0.0) / x4.den::DOUBLE"
+          f" + (0.75 * x4.n::DOUBLE / x4.den::DOUBLE) * {_KN_P3})")
+_KN_P5 = ("(greatest(coalesce(g5.cnt, 0)::DOUBLE - 0.75, 0.0)"
+          " / x5.den5::DOUBLE"
+          f" + (0.75 * x5.n5::DOUBLE / x5.den5::DOUBLE) * {_KN_P4})")
+
+
+@query(
+    "doc_kn5_surprisal",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '' AND regexp_matches(x, '^[a-z]+$')) AS a
+  FROM documents),
+tr AS MATERIALIZED (
+  SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3, g.w4 AS w4,
+         g.w5 AS w5 FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(a) - 3),
+                  i -> {{'w1': a[i], 'w2': a[i + 1], 'w3': a[i + 2],
+                         'w4': a[i + 3], 'w5': a[i + 4]}})) AS g
+    FROM t WHERE len(a) >= 5) q(doc_id, g)),
+g5 AS MATERIALIZED (
+  SELECT w1, w2, w3, w4, w5, COUNT(*)::BIGINT AS cnt
+  FROM tr GROUP BY w1, w2, w3, w4, w5),
+q4 AS MATERIALIZED (
+  SELECT g.w1 AS w1, g.w2 AS w2, g.w3 AS w3, g.w4 AS w4 FROM (
+    SELECT unnest(list_transform(range(1, len(a) - 2),
+                  i -> {{'w1': a[i], 'w2': a[i + 1], 'w3': a[i + 2],
+                         'w4': a[i + 3]}})) AS g
+    FROM t WHERE len(a) >= 4) q(g)),
+c4t AS MATERIALIZED (
+  SELECT w1, w2, w3, w4 FROM q4 GROUP BY w1, w2, w3, w4),
+q3 AS MATERIALIZED (
+  SELECT g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM (
+    SELECT unnest(list_transform(range(1, len(a) - 1),
+                  i -> {{'w1': a[i], 'w2': a[i + 1], 'w3': a[i + 2]}})) AS g
+    FROM t WHERE len(a) >= 3) q(g)),
+c3t AS MATERIALIZED (
+  SELECT w1, w2, w3 FROM q3 GROUP BY w1, w2, w3),
+q2 AS MATERIALIZED (
+  SELECT g.w1 AS w1, g.w2 AS w2 FROM (
+    SELECT unnest(list_transform(range(1, len(a)),
+                  i -> {{'w1': a[i], 'w2': a[i + 1]}})) AS g
+    FROM t WHERE len(a) >= 2) q(g)),
+c2t AS MATERIALIZED (SELECT w1, w2 FROM q2 GROUP BY w1, w2),
+x5 AS MATERIALIZED (
+  SELECT w1, w2, w3, w4, SUM(cnt)::BIGINT AS den5, COUNT(*)::BIGINT AS n5
+  FROM g5 GROUP BY w1, w2, w3, w4),
+cc4 AS MATERIALIZED (
+  SELECT w2, w3, w4, w5, COUNT(*)::BIGINT AS cc
+  FROM g5 GROUP BY w2, w3, w4, w5),
+x4 AS MATERIALIZED (
+  SELECT w2, w3, w4, SUM(cc)::BIGINT AS den, COUNT(*)::BIGINT AS n
+  FROM cc4 GROUP BY w2, w3, w4),
+cc3 AS MATERIALIZED (
+  SELECT w2, w3, w4, COUNT(*)::BIGINT AS cc
+  FROM c4t GROUP BY w2, w3, w4),
+x3 AS MATERIALIZED (
+  SELECT w2, w3, SUM(cc)::BIGINT AS den, COUNT(*)::BIGINT AS n
+  FROM cc3 GROUP BY w2, w3),
+cc2 AS MATERIALIZED (
+  SELECT w2, w3, COUNT(*)::BIGINT AS cc FROM c3t GROUP BY w2, w3),
+x2 AS MATERIALIZED (
+  SELECT w2, SUM(cc)::BIGINT AS den, COUNT(*)::BIGINT AS n
+  FROM cc2 GROUP BY w2),
+cc1 AS MATERIALIZED (
+  SELECT w2, COUNT(*)::BIGINT AS cc FROM c2t GROUP BY w2),
+tt AS (SELECT COUNT(*)::BIGINT AS t2 FROM c2t),
+sc AS (
+  SELECT tr.doc_id,
+         ROUND(-log2({_KN_P5}), 9)::DECIMAL(24,9) AS bits
+  FROM tr
+  LEFT JOIN g5 USING (w1, w2, w3, w4, w5)
+  JOIN x5 USING (w1, w2, w3, w4)
+  JOIN cc4 c4 USING (w2, w3, w4, w5)
+  JOIN x4 ON x4.w2 = tr.w2 AND x4.w3 = tr.w3 AND x4.w4 = tr.w4
+  JOIN cc3 c3 ON c3.w2 = tr.w3 AND c3.w3 = tr.w4 AND c3.w4 = tr.w5
+  JOIN x3 ON x3.w2 = tr.w3 AND x3.w3 = tr.w4
+  JOIN cc2 c2 ON c2.w2 = tr.w4 AND c2.w3 = tr.w5
+  JOIN x2 ON x2.w2 = tr.w4
+  JOIN cc1 c1 ON c1.w2 = tr.w5
+  CROSS JOIN tt)
+SELECT doc_id, COUNT(*)::BIGINT AS n_transitions,
+       ROUND(SUM(bits)::DOUBLE / COUNT(*), 6) AS bits_per_transition
+FROM sc GROUP BY doc_id
+""",
+)
+def doc_kn5_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney 5-gram LM surprisal (operators/text.
+    kn5_surprisal, D = 0.75 dyadic): the KenLM-class rung the ladder
+    previously stopped below, with REAL continuation counts (distinct
+    left-extensions from the raw type table one order above, Chen &
+    Goodman 1999) and proper Σ-over-continuation denominators at every
+    level. Seven key-partitioned joins of the transition stream — the
+    measured ~3× shuffle-volume cost over trigram that SCALE.md finding
+    #16 records; only vocabulary-sized tables broadcast. Count pruning
+    (prune_min_count) is available on the operator for model-size
+    control and is exercised in pytest; the gated query scores
+    unpruned."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.kn5_surprisal(docs)
