@@ -206,3 +206,64 @@ def test_keyword_batch_lowercases_terms(spark):
                                   "query_id long, term string")
     got = keyword_topk_batch(docs, terms).collect()
     assert len(got) == 1 and got[0]["kw_score"] == 2
+
+
+# ---------------------------------------------------------------------------
+# REAL trained cross-encoder tier (round-10)
+# ---------------------------------------------------------------------------
+
+
+def test_ce_rerank_prefers_doc_containing_query_phrase(spark):
+    from vervectordb_spark.operators.hybrid import rerank_checkpoint_ce
+
+    rows = [
+        (1, "spark table scan fast spark table scan fast query plan"),
+        (2, "row group filter merge sort window batch stream value"),
+        (3, "table fast spark data key the a line column order"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = rerank_checkpoint_ce(df, "spark table scan fast", top_k=3).collect()
+    assert got[0]["doc_id"] == 1
+    assert got[0]["ce_score"] > got[-1]["ce_score"]
+
+
+def test_ce_rerank_contract_matches_fake_tier(spark):
+    """Same bounded-candidates contract and output schema as the
+    deterministic rerank_scored stand-in."""
+    from vervectordb_spark.operators.hybrid import (
+        rerank_checkpoint_ce,
+        rerank_scored,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "spark table scan"), (2, "window group agg")],
+        "doc_id long, text string")
+    real = rerank_checkpoint_ce(df, "spark table", top_k=2)
+    fake = rerank_scored(df, ["spark", "table"], top_k=2)
+    assert [f.name for f in real.schema.fields] \
+        == [f.name for f in fake.schema.fields]
+    assert real.count() == fake.count() == 2
+
+
+def test_ce_rerank_deterministic_and_null_safe(spark):
+    from vervectordb_spark.operators.hybrid import rerank_checkpoint_ce
+
+    df = spark.createDataFrame(
+        [(1, "spark table scan"), (2, None), (3, "")],
+        "doc_id long, text string")
+    a = rerank_checkpoint_ce(df, "spark table", top_k=3).collect()
+    b = rerank_checkpoint_ce(df, "spark table", top_k=3).collect()
+    assert a == b and len(a) == 3
+    assert a[0]["doc_id"] == 1
+
+
+def test_ce_weights_are_exactly_representable(spark):
+    """The n/2^shift quantization contract: reconstructing a weight in
+    float64 is exact, so Spark literals and SQL integer-division
+    literals are the same double."""
+    from vervectordb_spark.operators.hybrid import load_ce_weights
+
+    wj = load_ce_weights()
+    denom = 1 << wj["denom_shift"]
+    for n in [*wj["w_num"], wj["b_num"]]:
+        assert float(n) / denom == n / denom  # exact dyadic rational

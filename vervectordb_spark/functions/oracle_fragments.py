@@ -237,6 +237,44 @@ def bpe_ctes(steps: int) -> str:
 EMBED_DIM = 32
 
 
+def ckpt_embed_sql(ckpt_path: str, dim: int, src: str = "documents",
+                   id_col: str = "doc_id") -> str:
+    """Vendored-checkpoint embedding replay over `src` (==
+    operators/embed.checkpoint_embedding: CJK-aware tokens, ORDER-FREE
+    int8-row sums — exact in int64/float64 — L2 normalize, float32
+    round). The chain both text_embed_checkpoint and the cross-encoder
+    rerank oracle derive their vectors from. `src` must expose
+    ({id_col}, text)."""
+    return f"""
+  SELECT {id_col} AS vec_id,
+         CASE WHEN nrm = 0
+              THEN list_transform(sv, x -> (x)::FLOAT)::DOUBLE[]
+              ELSE list_transform(sv, x -> (x / nrm)::FLOAT)::DOUBLE[]
+         END AS ne
+  FROM (
+    SELECT {id_col}, sv, sqrt(list_dot_product(sv, sv)) AS nrm
+    FROM (
+      SELECT d.{id_col},
+             coalesce(s.sv, list_transform(range({dim}), x -> 0.0)) AS sv
+      FROM {src} d LEFT JOIN (
+        SELECT {id_col}, list(s ORDER BY p)::DOUBLE[] AS sv
+        FROM (
+          SELECT {id_col}, r.p, SUM(vec[r.p + 1]) AS s
+          FROM (
+            SELECT tok.{id_col}, v.vec
+            FROM (SELECT {id_col}, unnest({MIXED_TOKS}) AS word
+                  FROM {src}) tok
+            JOIN (SELECT word, vec
+                  FROM read_parquet('{ckpt_path}')) v USING (word)
+          ) j, (SELECT unnest(range({dim})) AS p) r
+          GROUP BY {id_col}, r.p
+        ) GROUP BY {id_col}
+      ) s USING ({id_col})
+    )
+  )
+"""
+
+
 def embed_sql(dim: int = EMBED_DIM) -> str:
     """Hashed-BoW document-embedding replay over the `documents` table
     (== operators/embed.embed_documents: CJK-aware tokens, md5 buckets,

@@ -208,6 +208,41 @@ def _default_checkpoint_dir() -> str:
         os.path.dirname(__file__), "..", "..", "models", "tiny_sgns_16d"))
 
 
+def mixed_tokens_py(text: str | None) -> list[str]:
+    """Python twin of mixed_tokens_expr (CJK ideographs spaced to
+    single-char tokens, lowercase, \\s+ split) — the tokenizer the
+    offline trainers and driver-side query embedding share with the
+    JVM/SQL sides (parity pinned in tests/test_embed.py)."""
+    import re
+
+    if not text:
+        return []
+    spaced = re.sub(r"([一-鿿])", r" \1 ", text)
+    return [t for t in spaced.lower().split() if t]
+
+
+def checkpoint_embed_text(text: str,
+                          checkpoint_dir: str | None = None):
+    """Driver-side single-text embedding with the EXACT serving
+    arithmetic (order-free int64 sum of int8 rows, L2 normalize,
+    float32) — for query vectors at serving time. Returns a NumPy
+    float32 array of the checkpoint's dim."""
+    import math
+
+    import numpy as np
+
+    words, mat, dim = load_checkpoint(checkpoint_dir)
+    w2i = {w: i for i, w in enumerate(words)}
+    idxs = [w2i[t] for t in mixed_tokens_py(text) if t in w2i]
+    if not idxs:
+        return np.zeros(dim, dtype=np.float32)
+    s = mat[idxs].sum(axis=0)
+    n2 = int((s * s).sum())
+    if n2 == 0:
+        return np.zeros(dim, dtype=np.float32)
+    return (s / math.sqrt(float(n2))).astype(np.float32)
+
+
 def load_checkpoint(checkpoint_dir: str | None = None):
     """(words list, int8 matrix (V, dim) as np.int64, dim) from the
     parquet checkpoint — driver-side, KB-class (the model IS bounded
@@ -229,7 +264,8 @@ def load_checkpoint(checkpoint_dir: str | None = None):
 
 def checkpoint_embedding(docs: DataFrame, checkpoint_dir: str | None = None,
                          text_col: str = "text", id_col: str = "doc_id",
-                         cjk_aware: bool = True) -> DataFrame:
+                         cjk_aware: bool = True,
+                         passthrough: bool = False) -> DataFrame:
     """S6's REAL-model inference path, exercisable offline: load the
     vendored int8 word-vector checkpoint (a trained SGNS word2vec —
     tools/train_tiny_encoder.py; the reference only ever DECLARED its
@@ -259,13 +295,23 @@ def checkpoint_embedding(docs: DataFrame, checkpoint_dir: str | None = None,
     b = sc.broadcast((w2i, mat))
 
     id_type = docs.schema[id_col].dataType
-    out_schema = StructType([
-        StructField("vec_id", id_type),
-        StructField("embedding", ArrayType(FloatType())),
-    ])
+    emb_field = StructField("embedding", ArrayType(FloatType()))
+    if passthrough:
+        if "embedding" in docs.columns:
+            raise ValueError(
+                "checkpoint_embedding(passthrough=True) appends an "
+                "'embedding' column but the input already has one")
+        out_schema = StructType(list(docs.schema.fields) + [emb_field])
+        keep = list(docs.columns)
+    else:
+        out_schema = StructType([StructField("vec_id", id_type), emb_field])
+        keep = []
     toks = mixed_tokens_expr(text_col) if cjk_aware else tokens_expr(text_col)
     toks = F.coalesce(toks, F.array().cast("array<string>"))
-    src = docs.select(F.col(id_col).alias("vec_id"), toks.alias("_toks"))
+    if passthrough:
+        src = docs.select(*[F.col(c) for c in keep], toks.alias("_toks"))
+    else:
+        src = docs.select(F.col(id_col).alias("vec_id"), toks.alias("_toks"))
 
     def infer(batches):
         import math
@@ -288,8 +334,9 @@ def checkpoint_embedding(docs: DataFrame, checkpoint_dir: str | None = None,
                     continue
                 nrm = math.sqrt(float(n2))
                 out.append((s / nrm).astype(np.float32))
-            yield pd.DataFrame({"vec_id": pdf["vec_id"],
-                                "embedding": out})
+            res = pdf.drop(columns=["_toks"]).copy()
+            res["embedding"] = out
+            yield res
 
     return src.mapInPandas(infer, out_schema)
 

@@ -358,6 +358,71 @@ def rerank_cross_encoder(
     return scored.orderBy(F.desc("ce_score"), F.asc(id_col)).limit(top_k)
 
 
+def load_ce_weights(model_dir: str | None = None) -> dict:
+    """The vendored trained cross-encoder weights (tools/
+    train_tiny_cross_encoder.py): integer numerators over 2^shift — the
+    exactly-representable form both engines reconstruct identically."""
+    import json
+    import os
+
+    d = model_dir or os.path.abspath(os.path.join(
+        os.path.dirname(__file__), "..", "..", "models",
+        "tiny_cross_encoder"))
+    with open(os.path.join(d, "weights.json")) as f:
+        return json.load(f)
+
+
+def rerank_checkpoint_ce(
+    candidates: DataFrame,
+    query_text: str,
+    model_dir: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 10,
+) -> DataFrame:
+    """The REAL (offline-trained) cross-encoder tier: score each
+    (query, candidate) pair jointly with the vendored pairwise logistic
+    model — checkpoint-embedding cosine + distinct-term overlap +
+    tf density + brevity prior, combined by the trained weights — and
+    rank by the LINEAR LOGIT (monotone in the sigmoid; fixed-order
+    multiply-adds of n/2^20 weights, so the score replays bit-exact on
+    any engine — hash-gated by queries_hybrid.hybrid_ce_rerank). Same
+    bounded-candidates contract as rerank_cross_encoder/rerank_scored:
+    the model cost is |candidates|, never corpus-sized. Returns
+    (id, ce_score) top-k, score rounded to 6dp."""
+    from vervectordb_spark.functions.similarity import cosine_expr
+    from vervectordb_spark.operators.embed import (
+        checkpoint_embed_text, checkpoint_embedding)
+
+    wj = load_ce_weights(model_dir)
+    denom = float(1 << int(wj["denom_shift"]))
+    w = [n / denom for n in wj["w_num"]]
+    bias = wj["b_num"] / denom
+    qv = [float(x) for x in checkpoint_embed_text(query_text)]
+    qterms = list(dict.fromkeys(
+        t for t in (query_text or "").lower().split() if t))
+
+    with_emb = checkpoint_embedding(
+        candidates.select(id_col, text_col), text_col=text_col,
+        id_col=id_col, passthrough=True)
+    toks = F.coalesce(tokens_expr(text_col),
+                      F.array().cast("array<string>"))
+    n_toks = F.size(toks).cast("double")
+    qv_lit = F.array(*[F.lit(x) for x in qv]).cast("array<float>")
+    f1 = cosine_expr(F.col("embedding"), qv_lit)
+    f2 = (F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(t) for t in qterms]))).cast("double")
+        / F.lit(float(len(qterms))))
+    f3 = term_tf_expr(text_col, qterms).cast("double") / (1.0 + n_toks)
+    f4 = n_toks / (n_toks + 100.0)
+    logit = (F.lit(bias) + F.lit(w[0]) * f1 + F.lit(w[1]) * f2
+             + F.lit(w[2]) * f3 + F.lit(w[3]) * f4)
+    scored = with_emb.select(
+        id_col, F.round(logit, 6).alias("ce_score"))
+    return scored.orderBy(F.desc("ce_score"), F.asc(id_col)).limit(top_k)
+
+
 def rerank_scored(
     candidates: DataFrame,
     query_terms: Sequence[str],

@@ -84,28 +84,15 @@ def _checkpoint_path() -> str:
 
 _CKPT_DIM = 16
 
+from vervectordb_spark.functions.oracle_fragments import (  # noqa: E402
+    ckpt_embed_sql as _ckpt_embed_sql)
+
 
 @query(
     "text_embed_checkpoint",
     oracle=f"""
-WITH v AS (SELECT word, vec FROM read_parquet('{_checkpoint_path()}')),
-tok AS (SELECT doc_id, unnest({_MIXED_TOKS}) AS word FROM documents),
-j AS (SELECT tok.doc_id, vec FROM tok JOIN v USING (word)),
-u AS (SELECT doc_id, r.p, SUM(vec[r.p + 1]) AS s
-      FROM j, (SELECT unnest(range({_CKPT_DIM})) AS p) r
-      GROUP BY doc_id, r.p),
-sums AS (SELECT doc_id, list(s ORDER BY p)::DOUBLE[] AS sv FROM u
-         GROUP BY doc_id),
-alld AS (SELECT d.doc_id,
-                coalesce(s.sv, list_transform(range({_CKPT_DIM}),
-                                              x -> 0.0)) AS sv
-         FROM documents d LEFT JOIN sums s USING (doc_id)),
-n AS (SELECT doc_id, sv, sqrt(list_dot_product(sv, sv)) AS nrm FROM alld)
-SELECT doc_id AS vec_id,
-       CASE WHEN nrm = 0 THEN list_transform(sv, x -> (x)::FLOAT)::DOUBLE[]
-            ELSE list_transform(sv, x -> (x / nrm)::FLOAT)::DOUBLE[]
-       END AS embedding
-FROM n
+SELECT vec_id, ne AS embedding
+FROM ({_ckpt_embed_sql(_checkpoint_path(), _CKPT_DIM)})
 """,
 )
 def text_embed_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -291,3 +291,84 @@ def retrieval_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(_E2E_TERMS), qv, n_candidates=20, top_k=10, rrf_k=60,
     )
     return out.drop("kw_score")
+
+
+# ---------------------------------------------------------------------------
+# cross-encoder rerank, REAL trained tier (round-10): keyword top-50
+# candidates rescored by the vendored pairwise logistic model, ranked by
+# the exact linear logit. The oracle replays the WHOLE chain — candidate
+# selection, the query's own checkpoint embedding from its literal text,
+# every interaction feature, and the n/2^20 weight arithmetic.
+# ---------------------------------------------------------------------------
+
+from vervectordb_spark.functions.oracle_fragments import (  # noqa: E402
+    ckpt_embed_sql as _ckpt_embed_sql_of)
+from vervectordb_spark.operators.hybrid import (  # noqa: E402
+    load_ce_weights as _load_ce_weights)
+from vervectordb_spark.queries_embed import (  # noqa: E402
+    _checkpoint_path as _ckpt_path_of)
+
+_CE_QTEXT = "spark table scan fast"
+_CE_TERMS = tuple(_CE_QTEXT.split())
+_CE_KW = " + ".join(
+    f"len(list_filter({_DOC_TOKS}, x -> x = '{t}'))" for t in _CE_TERMS)
+_CE_TOKS = r"list_filter(regexp_split_to_array(lower(c.text), '\s+'), x -> x <> '')"
+_CE_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in _CE_TERMS) + "]"
+_CE_TF = " + ".join(
+    f"len(list_filter({_CE_TOKS}, x -> x = '{t}'))" for t in _CE_TERMS)
+_CE_W = _load_ce_weights()
+_CE_DEN = float(1 << _CE_W["denom_shift"])
+
+
+def _ce_w_sql(i: int) -> str:
+    return f"({_CE_W['w_num'][i]}::DOUBLE / {int(_CE_DEN)}.0)"
+
+
+_CE_B_SQL = f"({_CE_W['b_num']}::DOUBLE / {int(_CE_DEN)}.0)"
+
+
+@query(
+    "hybrid_ce_rerank",
+    oracle=f"""
+WITH cand AS (
+  SELECT doc_id FROM (
+    SELECT d.doc_id, CAST({_CE_KW} AS BIGINT) AS tf FROM documents d
+  ) WHERE tf > 0 ORDER BY tf DESC, doc_id LIMIT 50
+),
+cdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN cand USING (doc_id)),
+emb AS ({_ckpt_embed_sql_of(_ckpt_path_of(), 16, src='cdocs')}),
+qdoc AS (SELECT 0::BIGINT AS doc_id, '{_CE_QTEXT}' AS text),
+qemb AS ({_ckpt_embed_sql_of(_ckpt_path_of(), 16, src='qdoc')}),
+feat AS (
+  SELECT c.doc_id,
+         {_cos('e.ne', 'q.ne')} AS f1,
+         len(list_intersect(list_distinct({_CE_TOKS}),
+                            {_CE_TERMS_SQL}))::DOUBLE
+           / {float(len(_CE_TERMS))} AS f2,
+         CAST({_CE_TF} AS BIGINT)::DOUBLE
+           / (1.0 + len({_CE_TOKS})::DOUBLE) AS f3,
+         len({_CE_TOKS})::DOUBLE
+           / (len({_CE_TOKS})::DOUBLE + 100.0) AS f4
+  FROM cdocs c
+  JOIN emb e ON e.vec_id = c.doc_id
+  CROSS JOIN qemb q
+)
+SELECT doc_id,
+       ROUND({_CE_B_SQL} + {_ce_w_sql(0)} * f1 + {_ce_w_sql(1)} * f2
+             + {_ce_w_sql(2)} * f3 + {_ce_w_sql(3)} * f4, 6) AS ce_score
+FROM feat ORDER BY ce_score DESC, doc_id LIMIT 10
+""",
+)
+def hybrid_ce_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL trained cross-encoder rerank (operators/hybrid.
+    rerank_checkpoint_ce): keyword top-50 candidates, each (query, doc)
+    pair scored jointly by the vendored pairwise logistic model —
+    checkpoint-embedding cosine, distinct-term overlap, tf density,
+    brevity — ranked by the exact linear logit (n/2^20 weights, single
+    divisions, fixed-order multiply-adds). The whole chain is
+    hash-gated: candidates, the query's own embedding replayed from its
+    literal text, features, and weights."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = H.keyword_topk(docs, list(_CE_TERMS), top_k=50)
+    cdocs = docs.join(cand.select("doc_id"), on="doc_id")
+    return H.rerank_checkpoint_ce(cdocs, _CE_QTEXT, top_k=10)
