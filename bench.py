@@ -873,13 +873,36 @@ def build_benches(spark, sf_dir: str):
             if not _ivfsq_holder:
                 idx = IVFIndex.build(emb, n_clusters=16, seed=42)
                 stats_pdf = _sq_stats()
-                _ivfsq_holder.append((idx, spark.createDataFrame(stats_pdf)))
-            idx, stats_df = _ivfsq_holder[0]
+                # the PERSISTED index layout, sq8_search convention:
+                # (cluster_id, vec_id, sq_code) columns of the stored
+                # table, built once. Round-9's entry recomputed the
+                # KMeans transform AND the SQ encode per repeat, and its
+                # expr scorer re-PLANNED a dim-sized Catalyst decode tree
+                # per query (~1 s of pure planning) — the Arrow scorer is
+                # the documented serving path (sq.py docstring), the expr
+                # path stays the oracle contract in queries_sq
+                fields = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in idx.assigned.schema.fields)
+                coded = (idx.assigned.mapInPandas(
+                    sq.encode_batches(stats_pdf),
+                    schema=f"{fields}, sq_code array<smallint>")
+                    .select("cluster_id", "vec_id", "sq_code").cache())
+                coded.count()
+                _ivfsq_holder.append(
+                    (idx, spark.createDataFrame(stats_pdf), coded))
+            idx, stats_df, coded = _ivfsq_holder[0]
             probes = idx.probe_clusters_exact(qv, nprobe=8)
-            probed = idx.assigned.filter(F.col("cluster_id").isin(probes))
+            probed = coded.filter(F.col("cluster_id").isin(probes))
             out = sq.adc_search(probed, stats_df, qv, top_k=10,
-                                rerank_factor=3, scorer="expr")
+                                rerank_factor=3, scorer="arrow",
+                                rerank=emb)
             return _force(out, limit=10)
+
+        @cleanup("ivfsq_search_1q")
+        def _ivfsq_cleanup():
+            if _ivfsq_holder:
+                _ivfsq_holder.pop()[2].unpersist()
 
         from vervectordb_spark.operators import rotation as hd
 
