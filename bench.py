@@ -557,6 +557,18 @@ def build_benches(spark, sf_dir: str):
             # the KenLM-class rung (finding #16): real continuation
             # counts, 7 key-partitioned joins of the transition stream
             return _force(kn5_surprisal(docs))
+
+        from vervectordb_spark.operators import ulm as ULM
+
+        @bench("ulm_encode_docs")
+        def _ulm_encode():
+            # corpus tokenization under the committed unigram-LM model:
+            # distinct-word Viterbi (Arrow kernel, inventory broadcast)
+            # + map-only positional join — the bpe_encode_docs twin for
+            # the second tokenizer family
+            scores, max_len = ULM.load_ulm_model()
+            return _force(ULM.encode_documents(docs, scores=scores,
+                                               max_len=max_len))
     except ImportError:
         pass
 

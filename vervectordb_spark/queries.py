@@ -626,6 +626,7 @@ from vervectordb_spark import queries_bpe  # noqa: E402,F401  (registration)
 from vervectordb_spark import queries_imi  # noqa: E402,F401  (registration)
 from vervectordb_spark import queries_spans  # noqa: E402,F401  (registration)
 from vervectordb_spark import queries_pretrain  # noqa: E402,F401  (registration)
+from vervectordb_spark import queries_ulm  # noqa: E402,F401  (registration)
 
 
 @query(
