@@ -243,6 +243,18 @@ def checkpoint_embed_text(text: str,
     return (s / math.sqrt(float(n2))).astype(np.float32)
 
 
+def checkpoint_parquet_path(checkpoint_dir: str | None = None) -> str:
+    """Absolute path of the committed word-vector parquet — the single
+    source the oracle SQL builders read (LEAF module on purpose: query
+    modules must never import from each other, only from operators/ and
+    functions/ — the registration cascade makes cross-query imports
+    circular; see the queries.py import block)."""
+    import os
+
+    d = checkpoint_dir or _default_checkpoint_dir()
+    return os.path.join(d, "word_vectors.parquet")
+
+
 def load_checkpoint(checkpoint_dir: str | None = None):
     """(words list, int8 matrix (V, dim) as np.int64, dim) from the
     parquet checkpoint — driver-side, KB-class (the model IS bounded

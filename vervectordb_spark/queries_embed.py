@@ -74,12 +74,8 @@ def text_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # /root/reference/pyproject.toml:7-13, scripts/model_download.sh:1).
 # ---------------------------------------------------------------------------
 
-def _checkpoint_path() -> str:
-    import os
-
-    from vervectordb_spark.operators.embed import _default_checkpoint_dir
-
-    return os.path.join(_default_checkpoint_dir(), "word_vectors.parquet")
+from vervectordb_spark.operators.embed import (  # noqa: E402
+    checkpoint_parquet_path as _checkpoint_path)
 
 
 _CKPT_DIM = 16

@@ -305,8 +305,8 @@ from vervectordb_spark.functions.oracle_fragments import (  # noqa: E402
     ckpt_embed_sql as _ckpt_embed_sql_of)
 from vervectordb_spark.operators.hybrid import (  # noqa: E402
     load_ce_weights as _load_ce_weights)
-from vervectordb_spark.queries_embed import (  # noqa: E402
-    _checkpoint_path as _ckpt_path_of)
+from vervectordb_spark.operators.embed import (  # noqa: E402
+    checkpoint_parquet_path as _ckpt_path_of)
 
 _CE_QTEXT = "spark table scan fast"
 _CE_TERMS = tuple(_CE_QTEXT.split())
