@@ -324,6 +324,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
+    if n <= 2048:
+        # below the quadratic-affordability line the exact fold IS the
+        # cheap path AND the guaranteed-superset one — at a few hundred
+        # rows k-means degenerates to a handful of clusters whose
+        # 2-probe cover can miss a boundary pair (caught by the sf0.001
+        # parity gate); the pruned path takes over where it matters
+        from vervectordb_spark.operators.search import knn_self_join
+
+        knn = knn_self_join(emb, top_k=20, kernel="fold")
+        pairs = (knn.filter(F.col("src_id") < F.col("dst_id"))
+                 .select("src_id", "dst_id", "sim")
+                 .dropDuplicates(["src_id", "dst_id"]))
+        top = pairs.orderBy(F.desc("sim"), F.asc("src_id"),
+                            F.asc("dst_id")).limit(20)
+        return top.select("src_id", "dst_id",
+                          F.round("sim", 6).alias("sim"))
     k = max(4, min(4096, n // 256))
     idx = IVFIndex.build(emb.select("vec_id", "embedding"), n_clusters=k,
                          seed=42, max_iter=8)
