@@ -312,13 +312,16 @@ def test_sq8_roundtrip_bound_fuzzed(xs):
     mn, mx = min(xs), max(xs)
     scale = (mx - mn) / 255.0
     for x in xs:
-        if mx == mn:
+        if scale == 0.0:
+            # constant dim OR a subnormal range whose scale underflows
+            # to exactly 0.0 (hypothesis found xs=[0.0, 5e-324]) — the
+            # kernels guard on scale, not mx == mn, for this reason
             code, recon = 0, mn
         else:
             code = min(255.0, max(0.0, math.floor((x - mn) / scale + 0.5)))
             recon = mn + code * scale
         assert 0 <= code <= 255
-        assert abs(x - recon) <= (scale * 0.5 if mx != mn else 0.0) + 1e-9 * max(abs(mn), abs(mx), 1.0)
+        assert abs(x - recon) <= scale * 0.5 + 1e-9 * max(abs(mn), abs(mx), 1.0)
 
 
 # ---------------------------------------------------------------------------

@@ -175,15 +175,20 @@ def _scale(mn: Column, mx: Column) -> Column:
 
 def encode_expr(emb: Column, mns: Column, mxs: Column) -> Column:
     """array<double|float> -> array<smallint> codes (0..255; smallint
-    because Spark tinyint is signed). Degenerate dims (mx == mn) encode
-    as 0 and decode back to the constant exactly."""
+    because Spark tinyint is signed). Degenerate dims encode as 0 and
+    decode back to mn exactly — guarded on scale == 0, not mx == mn:
+    a SUBNORMAL range (0 < mx-mn < ~1.3e-321) underflows the scale to
+    exactly 0.0 while mx != mn, and dividing by it would send NaN/Inf
+    through the clamp (hypothesis-found, tests/test_properties.py);
+    with the scale-0 guard such dims degrade to the constant case and
+    the half-step bound holds trivially (error <= the subnormal range)."""
     emb = emb.cast("array<double>")
     return F.zip_with(
         F.zip_with(emb, mns, lambda x, mn: F.struct(
             x.alias("x"), mn.alias("mn"))),
         mxs,
         lambda s, mx: F.when(
-            mx == s["mn"], F.lit(0)
+            _scale(s["mn"], mx) == 0.0, F.lit(0)
         ).otherwise(
             F.greatest(
                 F.lit(0.0),
@@ -345,7 +350,9 @@ def encode_batches(stats_pdf, emb_col: str = "embedding",
     mn = stats_pdf["mn"].to_numpy(dtype=np.float64)[order]
     mx = stats_pdf["mx"].to_numpy(dtype=np.float64)[order]
     scale = (mx - mn) / float(N_LEVELS - 1)
-    degenerate = mx == mn
+    # scale == 0, not mx == mn: subnormal ranges underflow the scale
+    # (see encode_expr) — value-identical guards for all normal inputs
+    degenerate = scale == 0.0
     safe_scale = np.where(degenerate, 1.0, scale)
 
     def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
