@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from vervectordb_spark.operators import bpe
 from vervectordb_spark.schema import load_table
+from vervectordb_spark.functions.words import ws_tokens_py
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -21,7 +22,7 @@ def _py_train(texts, k):
     """Independent reference BPE (no shared code with the operator)."""
     wc = collections.Counter()
     for t in texts:
-        for w in re.split(r"\s+", t.lower()):
+        for w in ws_tokens_py(t):
             if w and re.fullmatch(r"[a-z]+", w):
                 wc[w] += 1
     vocab = {w: list(w) for w in wc}
@@ -140,7 +141,7 @@ def test_encode_documents_matches_segment_word(spark):
         got[r["doc_id"]].append(r["symbol"])
     for did, text in [(1, "aa ab aa"), (2, "b aa ZZZ ab")]:
         want = []
-        for w in text.lower().split():
+        for w in ws_tokens_py(text):
             if re.fullmatch("[a-z]+", w):  # ASCII_WORDS scope: ZZZ→zzz kept
                 want += bpe.segment_word(w, merges)
         assert got[did] == want, (did, got[did], want)

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from vervectordb_spark.operators import pii as PII
 from vervectordb_spark.operators import text as TX
 from vervectordb_spark.operators.sampling import mix_to_target
+from vervectordb_spark.functions.words import ws_tokens_py
 
 
 # ---------------------------------------------------------------------------
@@ -302,8 +303,8 @@ def _kn5_reference(docs, D=0.75, prune=None):
     import re
     from collections import Counter, defaultdict
 
-    tok = lambda t: [w for w in re.split(r"\s+", (t or "").lower())
-                     if w and re.fullmatch(r"[a-z]+", w)]
+    tok = lambda t: [w for w in ws_tokens_py(t)
+                     if re.fullmatch(r"[a-z]+", w)]
     corpora = {d: tok(t) for d, t in docs}
     grams = {n: Counter() for n in (2, 3, 4, 5)}
     for toks in corpora.values():

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from vervectordb_spark.operators import dedup as D
 from vervectordb_spark.operators import text as TX
+from vervectordb_spark.functions.words import ws_tokens_py
 
 
 @pytest.fixture(scope="module")
@@ -308,16 +309,15 @@ def test_chunking_covers_all_tokens_with_overlap(spark):
     by_doc = {}
     for r in out:
         by_doc.setdefault(r["doc_id"], []).append(r)
-    src = {r["doc_id"]: [t for t in r["text"].lower().split() if t]
-           for r in docs.collect()}
+    src = {r["doc_id"]: ws_tokens_py(r["text"]) for r in docs.collect()}
     for doc_id, chunks in by_doc.items():
         chunks.sort(key=lambda r: r["chunk_id"])
         toks = src[doc_id]
         if len(toks) <= 40:
             assert len(chunks) == 1
-        rebuilt = chunks[0]["chunk_text"].split()
+        rebuilt = ws_tokens_py(chunks[0]["chunk_text"])
         for c in chunks[1:]:
-            piece = c["chunk_text"].split()
+            piece = ws_tokens_py(c["chunk_text"])
             assert rebuilt[-10:] == piece[:10]  # the shared overlap
             rebuilt.extend(piece[10:])
         assert rebuilt == toks  # full coverage, order preserved

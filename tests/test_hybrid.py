@@ -15,6 +15,7 @@ from tests.conftest import SF_DIR
 from vervectordb_spark.operators import hybrid as H
 from vervectordb_spark.plans import audit as A
 from vervectordb_spark.schema import load_table
+from vervectordb_spark.functions.words import ws_tokens_py
 
 TERMS = ["spark", "window", "join"]
 
@@ -28,7 +29,7 @@ def test_bm25_matches_numpy(spark, docs):
     """Okapi BM25 (k1=1.2, b=0.75) against a from-scratch Python
     computation over the same tokenization."""
     rows = docs.select("doc_id", "text").collect()
-    corpus = {r.doc_id: [t for t in r.text.lower().split() if t] for r in rows}
+    corpus = {r.doc_id: ws_tokens_py(r.text) for r in rows}
     n = len(corpus)
     avgdl = sum(len(t) for t in corpus.values()) / n
     k1, b = 1.2, 0.75

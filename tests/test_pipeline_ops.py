@@ -168,7 +168,8 @@ def test_top_ngrams_matches_pandas_counter(docs):
 
     import re
 
-    ws = re.compile(r"\s+", re.ASCII)  # Java \s is ASCII-only: match it
+    from vervectordb_spark.functions.words import WS_REGEX
+    ws = re.compile(WS_REGEX)  # the pinned whitespace contract
     pdf = docs.select("lang", "text").toPandas()
     rows = []
     for lang, grp in pdf.groupby("lang"):

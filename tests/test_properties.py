@@ -14,6 +14,7 @@ from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 
 from vervectordb_spark.functions import similarity as sim
+from vervectordb_spark.functions.words import ws_tokens_py
 
 FINITE = st.floats(
     min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False,
@@ -112,8 +113,19 @@ def test_md5_hash_family_distinct_and_stable(spark, vals):
 # agree on arbitrary unicode text, including null/empty/whitespace-only
 # ---------------------------------------------------------------------------
 
+# Fuzz alphabet: plain words + the FULL \x00-\x1f control range + the
+# Unicode whitespace that Python str.split()/default-\s treat as
+# separators but the pinned Java-ASCII contract does NOT (\x1c-\x1f,
+# NEL \x85, NBSP \xa0, ideographic space) — the exact divergence class
+# hypothesis caught in round 10 ('\x1f').
+_CTRL_AND_WS = [chr(c) for c in range(0x00, 0x20)] + [
+    "\x7f", "\x85", "\xa0", " ", "　", " ", "\t"]
+_NASTY_TEXT = st.text(
+    alphabet=st.one_of(st.sampled_from(list("abcxyz") + _CTRL_AND_WS),
+                       st.characters()),
+    max_size=50)
 _TEXTS = st.lists(
-    st.one_of(st.none(), st.text(max_size=50)), min_size=1, max_size=4
+    st.one_of(st.none(), _NASTY_TEXT), min_size=1, max_size=4
 )
 
 
@@ -223,15 +235,15 @@ def test_chunking_conserves_tokens(spark, texts, chunk, overlap):
     for r in rows:
         by_doc.setdefault(r["doc_id"], []).append(r)
     for i, t in enumerate(texts):
-        toks = [x for x in t.lower().split() if x]
+        toks = ws_tokens_py(t)
         chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_id"])
         if not toks:
             # empty text: a single empty chunk
             assert len(chunks) == 1 and chunks[0]["chunk_text"] == ""
             continue
-        rebuilt = chunks[0]["chunk_text"].split()
+        rebuilt = ws_tokens_py(chunks[0]["chunk_text"])
         for c in chunks[1:]:
-            rebuilt.extend(c["chunk_text"].split()[overlap:])
+            rebuilt.extend(ws_tokens_py(c["chunk_text"])[overlap:])
         assert rebuilt == toks
         for c in chunks[:-1]:
             assert c["n_chunk_tokens"] == chunk
@@ -260,7 +272,7 @@ def test_term_tf_matches_python_count(spark, texts, terms):
         ).collect()
     }
     for i, t in enumerate(texts):
-        toks = [x for x in t.lower().split() if x]
+        toks = ws_tokens_py(t)
         want = sum(toks.count(term.lower()) for term in terms)
         assert got[i] == want
 

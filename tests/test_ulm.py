@@ -14,6 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from vervectordb_spark.operators import ulm
+from vervectordb_spark.functions.words import ws_tokens_py
 
 
 # ---------------------------------------------------------------------------
@@ -47,8 +48,8 @@ def _ref_train(texts, seed_size=ulm.DEFAULT_SEED_SIZE,
                iters=ulm.DEFAULT_EM_ITERS, max_len=ulm.MAX_PIECE_LEN):
     words = Counter()
     for t in texts:
-        for w in re.split(r"\s+", (t or "").lower()):
-            if w and re.fullmatch(r"[a-z]+", w):
+        for w in ws_tokens_py(t):
+            if re.fullmatch(r"[a-z]+", w):
                 words[w] += 1
     subs = Counter()
     for w, c in words.items():

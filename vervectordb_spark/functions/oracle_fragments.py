@@ -22,9 +22,9 @@ from __future__ import annotations
 
 from vervectordb_spark.functions.hashing import affine_hash_sql
 
-#: lowercase \s+ word tokens, empties dropped (== operators/text token
+#: lowercase pinned-whitespace tokens, empties dropped (== operators/text token
 #: expressions over a column named `text`).
-TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+TOKS = r"list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '')"
 
 #: distinct word 3-gram shingles over a token array named `toks`
 #: (== dedup.shingles_expr(n=3)).
@@ -39,7 +39,7 @@ SHINGLES = (
 MIXED_TOKS = (
     r"list_filter(regexp_split_to_array(lower("
     r"regexp_replace(text, '([\x{4e00}-\x{9fff}])', ' \1 ', 'g')"
-    r"), '\s+'), x -> x <> '')"
+    r"), '[ \t\n\x0B\f\r]+'), x -> x <> '')"
 )
 
 #: portable 60-bit md5 of a value named `t` (== functions/hashing.md5_long).
@@ -99,7 +99,7 @@ def spans_ctes(L: int, src: str = "documents") -> str:
     return f"""
 toks AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'),
                      t -> t <> '') AS a
   FROM {src}),
 pos AS (
@@ -148,7 +148,7 @@ def spancut_ctes(L: int, src: str = "documents",
     return f"""{spans_ctes(L, src)},
 orig AS (
   SELECT doc_id, {xs}
-         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS a
+         list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), t -> t <> '') AS a
   FROM {src}),
 tok_rows AS (
   SELECT doc_id, ti.i AS i, ti.t AS t FROM (

@@ -45,7 +45,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from vervectordb_spark.functions.words import ASCII_WORDS, words
+from vervectordb_spark.functions.words import ASCII_WORDS, WS_REGEX, words
 
 
 @dataclass(frozen=True)
@@ -192,12 +192,12 @@ def words_with_pos(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id",
                    word_pattern: str | None = ASCII_WORDS) -> DataFrame:
     """(id, wpos, word) positional word stream — map-only posexplode of
-    the SAME lowercase/\\s+ split words() uses. wpos is the 0-based index
+    the SAME lowercase/WS_REGEX split words() uses. wpos is the 0-based index
     into the RAW split array (filtered empties/out-of-scope words leave
     gaps), so positions are a pure function of the text on any engine."""
     out = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+"))
+        F.posexplode(F.split(F.lower(F.col(text_col)), WS_REGEX))
         .alias("wpos", "word"),
     ).filter(F.col("word") != "")
     if word_pattern is not None:

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from vervectordb_spark.functions.words import WS_REGEX
+
 from vervectordb_spark.functions.hashing import md5_long, seeded_md5_long
 
 # ---------------------------------------------------------------------------
@@ -45,7 +47,7 @@ from vervectordb_spark.functions.hashing import md5_long, seeded_md5_long
 def tokens_expr(text_col: Column | str) -> Column:
     """Lower-cased whitespace tokens (empty strings dropped)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+    return F.filter(F.split(F.lower(c), WS_REGEX), lambda t: t != "")
 
 
 def shingles_expr(text_col: Column | str, n: int = 3) -> Column:

@@ -210,15 +210,19 @@ def _default_checkpoint_dir() -> str:
 
 def mixed_tokens_py(text: str | None) -> list[str]:
     """Python twin of mixed_tokens_expr (CJK ideographs spaced to
-    single-char tokens, lowercase, \\s+ split) — the tokenizer the
-    offline trainers and driver-side query embedding share with the
-    JVM/SQL sides (parity pinned in tests/test_embed.py)."""
+    single-char tokens, lowercase, pinned-whitespace split) — the
+    tokenizer the offline trainers and driver-side query embedding share
+    with the JVM/SQL sides (parity pinned in tests/test_embed.py).
+    Splits on words.WS_REGEX, NOT str.split(), so \\x1c-\\x1f / \\x85 /
+    \\xa0 Unicode whitespace behaves exactly like the Java-regex twin."""
     import re
+
+    from vervectordb_spark.functions.words import ws_tokens_py
 
     if not text:
         return []
     spaced = re.sub(r"([一-鿿])", r" \1 ", text)
-    return [t for t in spaced.lower().split() if t]
+    return ws_tokens_py(spaced)
 
 
 def checkpoint_embed_text(text: str,

@@ -398,9 +398,15 @@ def rerank_checkpoint_ce(
     denom = float(1 << int(wj["denom_shift"]))
     w = [n / denom for n in wj["w_num"]]
     bias = wj["b_num"] / denom
+    from vervectordb_spark.functions.words import ws_tokens_py
+
     qv = [float(x) for x in checkpoint_embed_text(query_text)]
-    qterms = list(dict.fromkeys(
-        t for t in (query_text or "").lower().split() if t))
+    qterms = list(dict.fromkeys(ws_tokens_py(query_text)))
+    if not qterms:
+        raise ValueError(
+            "rerank_checkpoint_ce: query_text has no tokens under the "
+            "pinned whitespace contract (empty/whitespace-only query) — "
+            "the f2 term-overlap feature would divide by zero")
 
     with_emb = checkpoint_embedding(
         candidates.select(id_col, text_col), text_col=text_col,

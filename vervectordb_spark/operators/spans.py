@@ -10,7 +10,8 @@ blocks) and cuts just those tokens. Beyond the reference's scope
 spans are the dominant residual duplication after doc-level dedup on
 web-scale corpora.
 
-Semantics: tokens = lowercase \\s+ split with empties dropped (contiguous
+Semantics: tokens = lowercase pinned-whitespace split (words.WS_REGEX)
+with empties dropped (contiguous
 0-based positions); an L-gram is duplicated when its exact token sequence
 occurs >= 2 times in the corpus (across OR within documents); a document's
 duplicate spans are the per-document merged maximal unions of [p, p+L)
@@ -53,18 +54,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from vervectordb_spark.functions.words import WS_REGEX
+
 #: the two-column 120-bit gram identity every join/group in this module
 #: keys on (rationale in the module docstring).
 GRAM_KEY = ["gram_h", "gram_h2"]
 
 
 def doc_token_array(text_col: Column | str) -> Column:
-    """Original-case token array: \\s+ split, empties dropped — positions
+    """Original-case token array: WS_REGEX split, empties dropped — positions
     are contiguous 0-based indexes into THIS array; the lowercase gram
     stream below indexes the same positions (lower() never changes
     token boundaries)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
+    return F.filter(F.split(c, WS_REGEX), lambda t: t != F.lit(""))
 
 
 def _gram_arrow_kernel(staged: DataFrame, gram_len: int,
@@ -140,7 +143,7 @@ def gram_positions(docs: DataFrame, gram_len: int,
     re-tokenize once PER GRAM POSITION (O(tokens²) per doc; measured 6×
     slower at sf0.1). The hex digest is staged in the per-gram struct so
     md5 runs ONCE per gram; both longs derive after the explode."""
-    toks = F.expr(f"filter(split(lower({text_col}), '\\\\s+'), "
+    toks = F.expr(f"filter(split(lower({text_col}), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), "
                   "t -> t != '')")
     staged = docs.select(F.col(id_col), toks.alias("_toks"))
     if kernel == "arrow":

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vervectordb_spark.functions.hashing import md5_long
+from vervectordb_spark.functions.words import NONWORD_CCLASS, WS_REGEX
 from vervectordb_spark.operators.dedup import tokens_expr
 
 # A tiny fixed English stopword list — deterministic, mirrored in oracle SQL.
@@ -36,7 +37,7 @@ STOPWORDS = (
 )
 
 #: BPE-ish segmentation: letter runs | digit runs | one non-space symbol.
-TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^" + NONWORD_CCLASS + "]"
 
 
 # ---------------------------------------------------------------------------
@@ -63,7 +64,7 @@ def _regexp_count(c: Column, pattern: str) -> Column:
 
 
 #: "punctuation" = any non-alphanumeric, non-space char — one portable class.
-PUNCT_REGEX = r"[^A-Za-z0-9\s]"
+PUNCT_REGEX = "[^" + NONWORD_CCLASS + "]"
 
 
 def punct_ratio_expr(text_col: Column | str) -> Column:
@@ -178,7 +179,7 @@ def normalize_text_expr(text_col: Column | str,
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     out = F.regexp_replace(c, r"<[^>]*>", " ")
     out = F.regexp_replace(out, r"[\x00-\x08\x0B\x0C\x0E-\x1F]", "")
-    out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    out = F.trim(F.regexp_replace(out, WS_REGEX, " "))
     return F.lower(out) if lowercase else out
 
 
@@ -321,7 +322,8 @@ def tokenize_zh(df, text_col: str = "text", id_col: str = "doc_id",
 def _profile_arrow(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Arrow-batched profile kernel. Tokens come from the JVM
     (tokens_expr — single owner of lower/split); the raw-text regexes use
-    Python `re` with re.ASCII so \\s means the same ASCII class as Java's.
+    Python `re` over the spelled-out words.NONWORD_CCLASS (re.ASCII kept
+    as belt-and-braces) so the class means the same in every dialect.
     Ratios are the same single int/int IEEE divisions, the fingerprint
     fold is exact int64, rounding is decimal HALF_UP == Spark F.round —
     output is value-identical to the expr path (pytest-pinned, incl.
@@ -657,7 +659,7 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text",
 
     lam = float(lam)
     toks = F.expr(
-        f"filter(split(lower({text_col}), '\\\\s+'), "
+        f"filter(split(lower({text_col}), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), "
         f"t -> t != '' AND t rlike '{ASCII_WORDS}')")
     staged = df.select(F.col(id_col), toks.alias("_toks"))
     tcol = F.col("_toks")
@@ -733,7 +735,7 @@ def trigram_surprisal(df: DataFrame, text_col: str = "text",
     lam3, lam2 = float(lam3), float(lam2)
     lam1 = 1.0 - lam3 - lam2
     toks = F.expr(
-        f"filter(split(lower({text_col}), '\\\\s+'), "
+        f"filter(split(lower({text_col}), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), "
         f"t -> t != '' AND t rlike '{ASCII_WORDS}')")
     staged = df.select(F.col(id_col), toks.alias("_toks"))
     tcol = F.col("_toks")
@@ -846,7 +848,7 @@ def kn5_surprisal(df: DataFrame, text_col: str = "text",
 
     D = float(discount)
     toks = F.expr(
-        f"filter(split(lower({text_col}), '\\\\s+'), "
+        f"filter(split(lower({text_col}), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), "
         f"t -> t != '' AND t rlike '{ASCII_WORDS}')")
     staged = df.select(F.col(id_col), toks.alias("_toks"))
     tcol = F.col("_toks")

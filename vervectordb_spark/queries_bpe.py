@@ -128,7 +128,7 @@ dw AS (
     SELECT doc_id,
            unnest(list_transform(range(0, len(a)),
                   i -> {{'wpos': i::INT, 'word': a[i + 1]}})) AS pr
-    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS a
+    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+') AS a
           FROM documents WHERE doc_id < {_ENC_DOCS})
   ) WHERE pr.word <> '' AND regexp_matches(pr.word, '^[a-z]+$')
 ),

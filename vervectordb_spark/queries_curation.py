@@ -23,7 +23,7 @@ from vervectordb_spark.queries import query
 from vervectordb_spark.schema import load_table
 
 # DuckDB twins of the token/repetition expressions (operators/text.py).
-_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+_TOKS = r"list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '')"
 _FDW = "1.0 - len(list_distinct(toks))::DOUBLE / len(toks)"
 _FD3 = (
     "1.0 - len(list_distinct(list_transform("
@@ -669,7 +669,7 @@ m AS (
          ELSE list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)
     END AS avg_token_len,
     CASE WHEN length(text) = 0 THEN 0.0
-         ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+         ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')))::DOUBLE
               / length(text) END AS punct_ratio,
     CASE WHEN len(toks) = 0 THEN 0.0
          ELSE len(list_filter(toks, t -> list_contains(
@@ -889,7 +889,7 @@ def domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH t AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'),
                      x -> x <> '' AND regexp_matches(x, '^[a-z]+$')) AS a
   FROM documents),
 tr AS (
@@ -933,7 +933,7 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH t AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'),
                      x -> x <> '' AND regexp_matches(x, '^[a-z]+$')) AS a
   FROM documents),
 tr AS MATERIALIZED (
@@ -1066,7 +1066,7 @@ _KN_P5 = ("(greatest(coalesce(g5.cnt, 0)::DOUBLE - 0.75, 0.0)"
     oracle=f"""
 WITH t AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'),
                      x -> x <> '' AND regexp_matches(x, '^[a-z]+$')) AS a
   FROM documents),
 tr AS MATERIALIZED (

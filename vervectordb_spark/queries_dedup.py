@@ -23,7 +23,7 @@ from vervectordb_spark.schema import load_table
 # ---------------------------------------------------------------------------
 
 #: lower-cased whitespace tokens, empties dropped == dedup.tokens_expr
-_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+_TOKS = r"list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '')"
 
 #: distinct word 3-gram shingles == dedup.shingles_expr(n=3) —
 #: single-sourced in functions/oracle_fragments (leaf; shared with the

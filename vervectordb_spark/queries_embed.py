@@ -22,7 +22,7 @@ from vervectordb_spark.functions.oracle_fragments import EMBED_DIM as _DIM
 _MIXED_TOKS = (
     r"list_filter(regexp_split_to_array(lower("
     r"regexp_replace(text, '([\x{4e00}-\x{9fff}])', ' \1 ', 'g')"
-    r"), '\s+'), x -> x <> '')"
+    r"), '[ \t\n\x0B\f\r]+'), x -> x <> '')"
 )
 
 _MD5 = "(('0x' || substr(md5(t), 1, 15))::BIGINT)"
@@ -118,7 +118,7 @@ def _mixed_toks_sql(col: str) -> str:
     return (
         r"list_filter(regexp_split_to_array(lower("
         + f"regexp_replace({col}, '([\\x{{4e00}}-\\x{{9fff}}])', ' \\1 ', 'g')"
-        + r"), '\s+'), x -> x <> '')"
+        + r"), '[ \t\n\x0B\f\r]+'), x -> x <> '')"
     )
 
 
@@ -143,7 +143,7 @@ _CHUNK_EMBED_SQL = f"""
   )
 """
 
-_PLAIN_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+_PLAIN_TOKS = r"list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '')"
 
 
 @query(

@@ -19,7 +19,7 @@ from vervectordb_spark.schema import load_table
 _TERMS = ("spark", "window", "join")
 
 #: DuckDB twin of dedup.tokens_expr over the documents view
-_DOC_TOKS = r"list_filter(regexp_split_to_array(lower(d.text), '\s+'), x -> x <> '')"
+_DOC_TOKS = r"list_filter(regexp_split_to_array(lower(d.text), '[ \t\n\x0B\f\r]+'), x -> x <> '')"
 
 _KW_SCORE = " + ".join(
     f"len(list_filter({_DOC_TOKS}, x -> x = '{t}'))" for t in _TERMS
@@ -312,7 +312,7 @@ _CE_QTEXT = "spark table scan fast"
 _CE_TERMS = tuple(_CE_QTEXT.split())
 _CE_KW = " + ".join(
     f"len(list_filter({_DOC_TOKS}, x -> x = '{t}'))" for t in _CE_TERMS)
-_CE_TOKS = r"list_filter(regexp_split_to_array(lower(c.text), '\s+'), x -> x <> '')"
+_CE_TOKS = r"list_filter(regexp_split_to_array(lower(c.text), '[ \t\n\x0B\f\r]+'), x -> x <> '')"
 _CE_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in _CE_TERMS) + "]"
 _CE_TF = " + ".join(
     f"len(list_filter({_CE_TOKS}, x -> x = '{t}'))" for t in _CE_TERMS)

@@ -22,7 +22,7 @@ from vervectordb_spark.queries import query
 from vervectordb_spark.schema import load_table
 
 #: lower-cased whitespace tokens, empties dropped == dedup.tokens_expr
-_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+_TOKS = r"list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '')"
 
 
 # ---------------------------------------------------------------------------
@@ -199,7 +199,7 @@ m AS (
          ELSE list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)
     END AS avg_token_len,
     CASE WHEN length(text) = 0 THEN 0.0
-         ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+         ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')))::DOUBLE
               / length(text) END AS punct_ratio,
     CASE WHEN len(toks) = 0 THEN 0.0
          ELSE len(list_filter(toks, t -> list_contains(
@@ -290,7 +290,7 @@ m AS (
          ELSE list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)
     END AS avg_token_len,
     CASE WHEN length(text) = 0 THEN 0.0
-         ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+         ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')))::DOUBLE
               / length(text) END AS punct_ratio,
     CASE WHEN len(toks) = 0 THEN 0.0
          ELSE len(list_filter(toks, t -> list_contains(
@@ -377,12 +377,12 @@ SELECT doc_id,
     regexp_replace(
       regexp_replace(text, '<[^>]*>', ' ', 'g'),
       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g'),
-    '\\s+', ' ', 'g')) AS norm_text,
+    '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm_text,
   length(trim(regexp_replace(
     regexp_replace(
       regexp_replace(text, '<[^>]*>', ' ', 'g'),
       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g'),
-    '\\s+', ' ', 'g'))) AS norm_len
+    '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS norm_len
 FROM documents
 """,
 )

@@ -53,6 +53,7 @@ from vervectordb_spark.functions.oracle_fragments import (
     TOKS as _TOKS, band_keys, bpe_ctes as _bpe_ctes,
     jaccard_sql as _jaccard_sql, md5_sql as _md5_sql, sig_mins,
     spancut_ctes, split_of as _split_of)
+from vervectordb_spark.functions.words import WS_REGEX as _WS_REGEX
 from vervectordb_spark.functions.words import words_sql
 from vervectordb_spark.operators.quality import (
     FROZEN_QPB as _QPB, FROZEN_QPW as _QPW, FROZEN_QPW_SQL as _QP_W_SQL)
@@ -154,7 +155,7 @@ feats AS (
          ELSE list_sum(list_transform({_TOKS}, t -> length(t)))::DOUBLE
               / len({_TOKS}) END AS avg_token_len,
     CASE WHEN length(text) = 0 THEN 0.0
-         ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+         ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')))::DOUBLE
               / length(text) END AS punct_ratio,
     CASE WHEN len({_TOKS}) = 0 THEN 0.0
          ELSE len(list_filter({_TOKS}, t -> list_contains(
@@ -337,7 +338,7 @@ def export_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    — a join-back would reference the whole curation lineage TWICE
     #    (Spark only reuses identical exchanges, not arbitrary subplans)
     kw = (kept.select("doc_id", "lang", "n_tokens_removed",
-                      F.explode(F.split(F.lower("ctext"), r"\s+"))
+                      F.explode(F.split(F.lower("ctext"), _WS_REGEX))
                       .alias("word"))
           .filter((F.col("word") != "") & F.col("word").rlike("^[a-z]+$")))
     _merges, vocab = train_bpe(docs, n_merges=_BPE_STEPS)

@@ -201,7 +201,7 @@ WITH newb AS MATERIALIZED (
   UNION ALL
   SELECT -(doc_id + 1) AS doc_id, text FROM documents WHERE doc_id < 10),
 htoks AS (
-  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+  SELECT list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'),
                      t -> t <> '') AS a
   FROM documents WHERE doc_id < 250),
 hkeys AS MATERIALIZED (
@@ -210,7 +210,7 @@ hkeys AS MATERIALIZED (
   FROM (SELECT {_GRAMS_OF} AS g FROM htoks) q(g)),
 ntoks AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'),
                      t -> t <> '') AS a
   FROM newb),
 npos AS MATERIALIZED (
@@ -245,7 +245,7 @@ spans AS MATERIALIZED (
   FROM isl GROUP BY doc_id, island),
 orig AS MATERIALIZED (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS a
+         list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), t -> t <> '') AS a
   FROM newb),
 tok_rows AS (
   SELECT doc_id, ti.i AS i, ti.t AS t FROM (

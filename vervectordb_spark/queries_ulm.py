@@ -47,7 +47,7 @@ pieces AS (SELECT piece, score
            FROM read_parquet('{_ulm_pieces_path()}')),
 words AS (
   SELECT DISTINCT w AS word FROM (
-    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'),
                   x -> x <> '' AND regexp_matches(x, '^[a-z]+$'))) AS w
     FROM wsrc)
 ),
@@ -106,7 +106,7 @@ dw AS (
     SELECT doc_id,
            unnest(list_transform(range(0, len(a)),
                   i -> {{'wpos': i::INT, 'word': a[i + 1]}})) AS pr
-    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS a
+    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+') AS a
           FROM documents WHERE doc_id < {_ENC_DOCS})
   ) WHERE pr.word <> '' AND regexp_matches(pr.word, '^[a-z]+$')
 ),
@@ -143,7 +143,7 @@ wsrc AS (SELECT text FROM documents),
 {_VITERBI_CTES},
 dw AS (
   SELECT w AS word, COUNT(*)::BIGINT AS n FROM (
-    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'),
                   x -> x <> '' AND regexp_matches(x, '^[a-z]+$'))) AS w
     FROM documents) GROUP BY w
 )
