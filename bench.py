@@ -41,6 +41,33 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
+#: entries ALLOWED to leave persistent RDDs behind: each builds a cached
+#: index/codes/state artifact on its first repeat (the "persisted index"
+#: convention — build cost amortizes out of the serving median) that later
+#: entries reuse. Everything else must leave the CacheManager exactly as
+#: it found it; bench asserts this after every entry (finding #15).
+KEEPS_STATE = frozenset({
+    "ivf_build", "ivf_search_32q", "ivf_search_adaptive_32q",  # ivf holder
+    "ann_build",                                   # sign-LSH signatures
+    "rollup_refresh",                              # standing rollup state
+    "embedding_outliers", "centroid_drift",        # frozen centroids
+    "imi_search_1q", "imipq_search_1q",            # IMI layout + PQ codes
+    "ivfpq_adc_8q", "ivfpq_residual_1q",           # PQ/residual codes
+    "sq8_search_1q", "bq_search_1q",               # SQ8/BQ codes tables
+    "bq_rotated_search_1q", "bq_learned32_search_1q",
+    "dedup_semdedup",                              # semdedup k-means
+    "ivf_search_real_32q",                         # real-geometry corpus
+})
+
+
+def _persistent_rdd_ids(spark) -> set[int]:
+    """Ids of every RDD the JVM currently holds persisted (cache(),
+    persist(), OR localCheckpoint — the round-9 leak class that
+    DataFrame.unpersist() silently misses)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
 def _force(df, limit: int | None = None) -> int:
     """Execute the plan. Bounded results are collected (the reference's
     search API materializes its top-k too); unbounded ones go to a noop sink
@@ -56,6 +83,7 @@ def build_benches(spark, sf_dir: str):
     lands on the cheapest query."""
     from pyspark.sql import functions as F
 
+    from vervectordb_spark.functions.checkpoint import release_checkpoint
     from vervectordb_spark.operators import search as S
     from vervectordb_spark.operators.ivf import IVFIndex
     from vervectordb_spark.schema import load_table
@@ -513,7 +541,7 @@ def build_benches(spark, sf_dir: str):
             # pair-count/argmax/fold rounds on the distinct-word table
             # (corpus-size-independent iterations)
             merges, vocab = train_bpe(docs, n_merges=3)
-            vocab.unpersist()
+            release_checkpoint(vocab)  # DataFrame.unpersist() is a no-op
             return len(merges)
 
         from vervectordb_spark.operators.bpe import encode_documents
@@ -524,7 +552,7 @@ def build_benches(spark, sf_dir: str):
             # explode + 2 broadcast vocab joins — zero corpus shuffles
             _m, vocab = train_bpe(docs, n_merges=3)
             n = encode_documents(docs, vocab).count()
-            vocab.unpersist()
+            release_checkpoint(vocab)
             return n
 
         from vervectordb_spark.operators.text import unigram_surprisal
@@ -567,8 +595,11 @@ def build_benches(spark, sf_dir: str):
             # + map-only positional join — the bpe_encode_docs twin for
             # the second tokenizer family
             scores, max_len = ULM.load_ulm_model()
-            return _force(ULM.encode_documents(docs, scores=scores,
-                                               max_len=max_len))
+            out = ULM.encode_documents(docs, scores=scores,
+                                       max_len=max_len)
+            n = _force(out)
+            release_checkpoint(out)  # frees the distinct-word checkpoint
+            return n
     except ImportError:
         pass
 
@@ -1037,7 +1068,10 @@ def main() -> None:
         if (not only or k in only) and k not in skip
     }
     timings: dict[str, float] = {}
+    dispersion: dict[str, list[float]] = {}
     failed: list[str] = []
+    leaks: dict[str, list[int]] = {}
+    held = _persistent_rdd_ids(spark)  # pre-run baseline (normally empty)
     for name, thunk in benches.items():
         samples = []
         try:
@@ -1059,7 +1093,28 @@ def main() -> None:
                 except Exception as e:  # noqa: BLE001
                     print(f"cleanup for {name} failed: {e}",
                           file=sys.stderr)
+            # state-hygiene check (SCALE.md finding #15, mechanically):
+            # any persistent RDD this entry leaves behind must be a
+            # DECLARED amortized-build artifact (KEEPS_STATE); anything
+            # else is exactly the leak class that taxed ~40 downstream
+            # entries 1.3-2.2x in round 9. Recorded in the artifact AND
+            # shouted on stderr so a regression is visible both ways.
+            now = _persistent_rdd_ids(spark)
+            new_ids = sorted(now - held)
+            if new_ids and name not in KEEPS_STATE:
+                leaks[name] = new_ids
+                print(f"STATE LEAK after {name}: persistent RDD ids "
+                      f"{new_ids} not declared in KEEPS_STATE",
+                      file=sys.stderr)
+            held = now
         timings[name] = round(statistics.median(samples), 4)
+        # per-entry dispersion: [min, median, max] over the repeats —
+        # round-10's driver-vs-builder ±2x disagreement on sub-second
+        # entries could not be classified as host noise because the
+        # artifact recorded only the median (VERDICT r10 task #2)
+        dispersion[name] = [round(min(samples), 4),
+                            round(statistics.median(samples), 4),
+                            round(max(samples), 4)]
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -1069,9 +1124,12 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_of(sf_dir),
         "repeats": repeats,
+        "dispersion": dispersion,
     }
     if failed:
         out["failed"] = failed
+    if leaks:
+        out["state_leaks"] = leaks
     print(json.dumps(out))
 
 

@@ -45,6 +45,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from vervectordb_spark.functions.checkpoint import eager_checkpoint
 from vervectordb_spark.functions.words import ASCII_WORDS, WS_REGEX, words
 
 
@@ -149,7 +150,7 @@ def train_bpe(df: DataFrame, n_merges: int, text_col: str = "text",
     the merged symbol sequences). One corpus job, then n_merges rounds
     over the distinct-word table with lineage cut per round."""
     vocab = with_symbols(word_counts(df, text_col, word_pattern))
-    vocab = vocab.localCheckpoint(eager=True)
+    vocab, ckpt = eager_checkpoint(vocab)
     merges: list[Merge] = []
     for step in range(1, n_merges + 1):
         best = top_pair(pair_counts(vocab))
@@ -162,7 +163,11 @@ def train_bpe(df: DataFrame, n_merges: int, text_col: str = "text",
         # cut lineage: k chained folds + the next pair-explode Generate
         # is exactly the rotation.py substitution hazard, and the table
         # is vocabulary-sized (KB..MB), so the checkpoint is ~free.
-        vocab = vocab.localCheckpoint(eager=True)
+        # eager_checkpoint RELEASES the previous round's blocks — the
+        # per-round leak bench's state-hygiene gate caught (finding #15).
+        vocab, ckpt = eager_checkpoint(vocab, release=ckpt)
+    # callers free the final round with release_checkpoint(vocab)
+    # (vocab._ckpt_ids is set); DataFrame.unpersist() would be a no-op.
     return merges, vocab
 
 

@@ -833,24 +833,28 @@ def connected_components(
     # materialize the edge set ONCE — every iteration joins against it, and
     # without this the full upstream pair pipeline (LSH banding + verify)
     # re-executes per iteration
-    edges = (
+    from vervectordb_spark.functions.checkpoint import (
+        eager_checkpoint, release_blocks)
+
+    edges, edge_ids = eager_checkpoint(
         pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .unionByName(
             pairs.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
-        "component", F.col("node")
-    ).localCheckpoint(eager=True)
+    labels, label_ids = eager_checkpoint(
+        edges.select(F.col("a").alias("node")).distinct().withColumn(
+            "component", F.col("node")))
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges.b == labels.node)
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("_n_min"))
         )
-        updated = (
+        # eager checkpoint + release of the PREVIOUS round's label blocks
+        # — iterate-and-replace without one leaked blocks-set per round
+        updated, label_ids = eager_checkpoint(
             labels.join(neigh, on="node", how="left")
             .select(
                 "node",
@@ -860,13 +864,18 @@ def connected_components(
                 (F.coalesce("_n_min", "component") < F.col("component")).alias(
                     "_changed"
                 ),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            release=label_ids,
         )
         changed = updated.filter(F.col("_changed")).limit(1).count()
         labels = updated.drop("_changed")
         if not changed:
             break
+    # the final labels checkpoint is already materialized: the edge blocks
+    # are no longer reachable from it and can be freed now. The final
+    # label blocks travel with the result (release_checkpoint when done).
+    release_blocks(pairs.sparkSession.sparkContext, edge_ids)
+    labels._ckpt_ids = label_ids
     return labels
 
 

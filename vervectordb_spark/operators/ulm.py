@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vervectordb_spark.functions.checkpoint import (
+    eager_checkpoint, release_blocks)
 from vervectordb_spark.functions.words import ASCII_WORDS
 from vervectordb_spark.operators.bpe import (
     BROADCAST_VOCAB_MAX_ROWS, maybe_broadcast_vocab, word_counts,
@@ -145,8 +147,9 @@ def train_unigram_lm(df: DataFrame, text_col: str = "text",
     along best paths weighted by word count (vocabulary-sized explode +
     groupBy), re-quantize. The corpus is scanned exactly once, by
     word_counts."""
-    vocab = (word_counts(df, text_col, word_pattern)
-             .withColumnRenamed("n", "cnt").localCheckpoint())
+    vocab, _vocab_ids = eager_checkpoint(
+        word_counts(df, text_col, word_pattern)
+        .withColumnRenamed("n", "cnt"))
     pieces = seed_pieces(vocab, seed_size, max_len)
     scores = _scores_of(pieces)
     spark = df.sparkSession
@@ -175,6 +178,10 @@ def train_unigram_lm(df: DataFrame, text_col: str = "text",
 
     out = [(p, c, round(math.log2(c / total) * (1 << SCORE_SHIFT)))
            for p, c in sorted(rows)]
+    # the result is an independent local frame: the distinct-word
+    # checkpoint blocks can be freed NOW (finding #15 — a leaked blocks-set
+    # per train call otherwise)
+    release_blocks(spark.sparkContext, _vocab_ids)
     return spark.createDataFrame(
         out, "piece string, cnt bigint, score bigint")
 
@@ -242,17 +249,28 @@ def encode_documents(docs: DataFrame, pieces_df: DataFrame | None = None,
         scores = {r["piece"]: int(r["score"])
                   for r in pieces_df.select("piece", "score").collect()}
     spark = docs.sparkSession
-    vocab = (word_counts(docs, text_col, word_pattern)
-             .withColumnRenamed("n", "cnt").localCheckpoint())
+    vocab, _vocab_ids = eager_checkpoint(
+        word_counts(docs, text_col, word_pattern)
+        .withColumnRenamed("n", "cnt"))
+    # the checkpoint makes vocab.count() a metadata-cheap scan; threading
+    # known_rows through means the broadcast gate never EXECUTES the
+    # Viterbi segmentation job just to size it (the double-work
+    # bpe.encode_documents already eliminated)
+    n_vocab = vocab.count()
     seg = maybe_broadcast_vocab(
-        segmentation_table(vocab, scores, max_len), broadcast_max_rows)
+        segmentation_table(vocab, scores, max_len), broadcast_max_rows,
+        known_rows=n_vocab)
     ids_df = spark.createDataFrame(
         sorted(scores), "string").toDF("piece")
     ids = maybe_broadcast_vocab(
-        piece_ids(ids_df), broadcast_max_rows)
+        piece_ids(ids_df), broadcast_max_rows, known_rows=len(scores))
     toks = (words_with_pos(docs, text_col, id_col, word_pattern)
             .join(seg, on="word")
             .select(id_col, "wpos",
                     F.posexplode("pieces").alias("spos", "piece")))
-    return toks.join(ids, on="piece").select(
+    out = toks.join(ids, on="piece").select(
         id_col, "wpos", "spos", "piece", "token_id")
+    # the result consumes the vocab checkpoint lazily: hand its blocks to
+    # the caller (release_checkpoint(out) when done)
+    out._ckpt_ids = _vocab_ids
+    return out
