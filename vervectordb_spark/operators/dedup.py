@@ -771,16 +771,29 @@ def embedding_near_dup_pairs(
     """Semantic near-dups: pairs with cosine >= threshold. Returns
     (src_id, dst_id, sim) with src_id < dst_id.
 
+    RECALL CONTRACT — the default is APPROXIMATE. exact=False prunes
+    candidates to pairs sharing at least one of each row's n_probes
+    nearest centroids: a qualifying pair whose two vectors share none of
+    their probed centroids is silently missed. Recall is pinned by the
+    fixture tests (and the registered query keeps an exact fold below
+    2048 rows, where degenerate k-means geometries can split a boundary
+    pair), NOT guaranteed at untested scales/geometries. For
+    correctness-critical uses — contamination checks, legal/compliance
+    dedup — pass exact=True.
+
     DEFAULT (exact=False) is the scale path: multi-probe SemDeDup
     candidates — k-means centroids sized for constant cluster occupancy
     (k ≈ N / target_occupancy), every row assigned to its n_probes
     nearest centroids, pairs scored only within a shared probe cluster.
     Candidate volume is Σ|cluster_probed|² ≈ N · occupancy · p² — linear
     in N, never the N² GEMM (which took 248 s at a 20k-row fixture and
-    is a scale-killer copied; round-9 verdict). Near-dup pairs at
-    thresholds like 0.95 are near-identical vectors, which land in the
-    same nearest centroids — the multi-probe union covers centroid
-    boundary splits (recall pinned in tests on the fixtures).
+    is a scale-killer; round-9 verdict). Near-dup pairs at thresholds
+    like 0.95 are near-identical vectors, which land in the same nearest
+    centroids — the multi-probe union covers centroid boundary splits.
+    When the centroid set is SMALL (k within 4× n_probes — coarse
+    clusters, boundary-split risk concentrated), probes widen to cover
+    at least half the centroids, so the pruned path degrades toward
+    exhaustive instead of silently losing recall.
 
     exact=True is the exhaustive baseline: kNN self-join (top_k per row,
     kernel= fold|gemm) — quadratic, for fixture-scale ground truth only.
@@ -800,6 +813,11 @@ def embedding_near_dup_pairs(
 
     n = df.count()
     k = max(4, min(4096, n // max(1, target_occupancy)))
+    if k <= 4 * n_probes:
+        # small-k geometry: widen probes to >= half the centroid set —
+        # the boundary-pair miss probability collapses while candidate
+        # volume stays bounded (k is tiny here by construction)
+        n_probes = min(k, max(n_probes, (k + 1) // 2))
     idx = IVFIndex.build(df.select(id_col, emb_col), n_clusters=k,
                          seed=seed, id_col=id_col, emb_col=emb_col)
     return multiprobe_semdedup_pairs(
@@ -1106,7 +1124,15 @@ def _within_cluster_pairs_gemm(
             }))
         res = pd.concat(outs, ignore_index=True)
         if per_cluster_top is not None and len(res) > per_cluster_top:
-            res = res.nlargest(per_cluster_top, "sim")
+            # (sim desc, src_id, dst_id) — the SAME total order the
+            # downstream global top-t uses. nlargest breaks ties by
+            # incoming row order, which varies with partitioning: a pair
+            # tied at the emission boundary would be kept on one run and
+            # dropped on another.
+            res = res.sort_values(
+                ["sim", "src_id", "dst_id"],
+                ascending=[False, True, True],
+            ).head(per_cluster_top)
         return res
 
     return assigned.select(cluster_col, id_col, emb_col).groupBy(

@@ -19,6 +19,17 @@ merge aggregation `groupBy(gram key)` itself runs shuffle-free on the
 history side because the old table's clustering already satisfies the
 grouping distribution.
 
+PATH CONTRACT: driver-local or shared-POSIX state paths ONLY (NFS is
+fine; hdfs:// and s3a:// are NOT). The parquet data itself would land
+remote via the table LOCATION, but meta.json, the pointer swap, and
+old-version cleanup use driver-local os/open/os.replace/shutil.rmtree —
+on a remote scheme the pointer would silently live on one driver's
+local disk (load() from another driver fails, old versions leak).
+create()/load() raise on remote schemes instead of corrupting state; a
+remote deployment should keep this state on a shared POSIX mount or use
+the streaming handler below, whose probes already go through the Hadoop
+FileSystem API (sources/fs.py).
+
 This is the batch-pipeline state manager (the
 incremental_remove_duplicate_spans caller's shape). The STREAMING
 handler (streaming/ingest.make_spancut_handler) keeps its
@@ -38,6 +49,20 @@ from pyspark.sql import DataFrame, SparkSession
 from vervectordb_spark.operators.spans import GRAM_KEY
 
 _SCHEMA_DDL = "gram_h BIGINT, gram_h2 BIGINT, n_occurrences BIGINT"
+
+
+
+def _require_local_path(path: str) -> None:
+    """Module path contract (see header): POSIX paths only — loud error
+    beats a meta.json pointer silently written to the wrong filesystem."""
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme and scheme != "file":
+        raise NotImplementedError(
+            f"GramHistoryState supports driver-local/shared-POSIX state "
+            f"paths only, got scheme '{scheme}://'. Use a shared POSIX "
+            f"mount, or the streaming span-cut handler "
+            f"(streaming/ingest.make_spancut_handler) whose state IO "
+            f"goes through the Hadoop FileSystem API.")
 
 
 class GramHistoryState:
@@ -65,6 +90,7 @@ class GramHistoryState:
                name: str | None = None, n_buckets: int = 64,
                ) -> "GramHistoryState":
         """Initialize the state from a gram_history-shaped frame."""
+        _require_local_path(path)
         if name is None:
             # catalog identifiers must be unique per state dir
             import hashlib
@@ -81,6 +107,7 @@ class GramHistoryState:
     def load(cls, spark: SparkSession, path: str) -> "GramHistoryState":
         """Re-open existing state (any session): reads meta.json and
         re-registers the current version's external bucketed table."""
+        _require_local_path(path)
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         st = cls(spark, path, meta["name"], int(meta["n_buckets"]),
