@@ -247,3 +247,84 @@ def test_real_resize_on_png_media(spark):
     r = real.collect()[0]
     assert r["resized_h"] == 4 and r["resized_w"] == 4
     assert len(bytes(r["resized"])) == 16
+
+
+# ---------------------------------------------------------------------------
+# WAV/PCM real audio tier (operators/wav_codec, r11)
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_exact():
+    from vervectordb_spark.operators.wav_codec import (
+        decode_wav, encode_wav, is_wav)
+
+    for s in [np.zeros(0, dtype=np.int16),
+              np.array([32767, -32768, 0, -1, 1], dtype=np.int16),
+              (np.arange(1000) * 37 % 65536 - 32768).astype(np.int16)]:
+        b = encode_wav(s, rate=16000)
+        assert is_wav(b)
+        d, rate = decode_wav(b)
+        assert rate == 16000
+        assert d.dtype == np.int16 and (d == s).all()
+
+
+def test_wav_decode_rejects_non_pcm16_and_non_wav():
+    import io
+    import wave
+
+    import pytest as _pt
+
+    from vervectordb_spark.operators.wav_codec import decode_wav
+
+    with _pt.raises(ValueError):
+        decode_wav(b"not a wav at all")
+    buf = io.BytesIO()                      # 8-bit PCM: honest reject
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(1); w.setframerate(8000)
+        w.writeframes(bytes(range(16)))
+    with _pt.raises(NotImplementedError):
+        decode_wav(buf.getvalue())
+
+
+def test_wav_stereo_downmixes_deterministically():
+    import io
+    import wave
+
+    from vervectordb_spark.operators.wav_codec import decode_wav
+
+    left = np.array([100, -100, 7], dtype=np.int16)
+    right = np.array([200, -300, 8], dtype=np.int16)
+    inter = np.empty(6, dtype=np.int16)
+    inter[0::2], inter[1::2] = left, right
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2); w.setsampwidth(2); w.setframerate(8000)
+        w.writeframes(inter.astype("<i2").tobytes())
+    d, _ = decode_wav(buf.getvalue())
+    # integer floor-division mean — deterministic
+    exp = (left.astype(np.int32) + right.astype(np.int32)) // 2
+    assert (d == exp.astype(np.int16)).all()
+
+
+def test_audio_real_tier_equals_fake_tier_on_same_bytes(spark):
+    """The tier contract: fake features over the RAW text bytes ==
+    real features over the WAV encoding of the same tiled samples —
+    identical schema AND identical values (PCM is lossless and both
+    sides share _tile_samples)."""
+    from vervectordb_spark.operators.multimodal import (
+        attach_fake_media, attach_wav_media, extract_audio_features)
+
+    rows = [(1, "hello world"), (2, ""), (3, None),
+            (4, "\x00\x1f mixed bytes é 一"), (5, "x" * 500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wav = attach_wav_media(df)
+    real = extract_audio_features(wav, fake=False)
+    fake_media = attach_fake_media(df).select("media_id", "payload")
+    fake = extract_audio_features(fake_media, fake=True)
+    assert real.schema["features"] == fake.schema["features"]
+    rf = {r["media_id"]: list(r["features"]) for r in real.collect()}
+    ff = {r["media_id"]: list(r["features"]) for r in fake.collect()}
+    assert rf == ff
+    assert len(rf[1]) == 32
+    # empty/NULL text -> silent signal: zero energy, zero crossings
+    assert rf[2] == [0.0] * 32 and rf[3] == [0.0] * 32

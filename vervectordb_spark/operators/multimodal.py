@@ -85,15 +85,17 @@ def attach_fake_media(docs: DataFrame, id_col: str = "doc_id",
 
 
 def _require_real_codec() -> None:
-    """fake=False gate for the VIDEO/AUDIO kernels, which still have no
-    real codec in this container (no ffmpeg). IMAGE decode is real now:
-    decode_image handles PNG with the vendored pure-Python codec
-    (operators/png_codec — stdlib zlib + NumPy), PIL when present."""
+    """fake=False gate for the VIDEO kernels (and compressed audio),
+    which still have no real codec in this container (no ffmpeg). IMAGE
+    decode is real (operators/png_codec, PIL when present); AUDIO PCM
+    decode is real (operators/wav_codec — stdlib `wave`)."""
     raise NotImplementedError(
-        "real audio/video decoding is an env-guarded stub (no ffmpeg in "
-        "this container); use fake=True for the deterministic byte-level "
-        "stand-in. Image stages (extract_features/resize_images) DO run "
-        "fake=False on PNG payloads via operators/png_codec."
+        "real video (and compressed-audio) decoding is an env-guarded "
+        "stub (no ffmpeg in this container); use fake=True for the "
+        "deterministic byte-level stand-in. Image stages "
+        "(extract_features/resize_images) run fake=False on PNG via "
+        "operators/png_codec; audio stages (extract_audio_features) run "
+        "fake=False on RIFF/WAVE PCM via operators/wav_codec."
     )
 
 
@@ -169,6 +171,101 @@ def attach_png_media(docs: DataFrame, id_col: str = "doc_id",
                                 "payload": payloads})
 
     return docs.select(id_col, text_col).mapInPandas(enc, out_schema)
+
+
+def _tile_samples(payload: bytes, n: int) -> np.ndarray:
+    """Deterministic byte → int16 sample rule shared by the fake audio
+    tier and attach_wav_media: sample j = (byte[j % L] - 128) * 256
+    (all-zero for an empty payload). The SAME rule on both sides is what
+    makes fake(text bytes) == real(decode(wav-of-those-bytes)) an exact
+    equality, pytest-pinned."""
+    buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+    if buf.size == 0:
+        return np.zeros(n, dtype=np.int16)
+    idx = np.arange(n) % buf.size
+    return ((buf[idx].astype(np.int16) - 128) * 256).astype(np.int16)
+
+
+def attach_wav_media(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n_samples: int = 256,
+                     rate: int = 8000) -> DataFrame:
+    """(media_id, payload) with REAL RIFF/WAVE PCM payloads: the
+    deterministic byte-tile samples (_tile_samples over the utf-8 text
+    bytes) encoded with the stdlib codec (operators/wav_codec). PCM is
+    lossless, so a pipeline that decodes these with the REAL codec
+    recovers exactly the sample stream — which lets the fake=False audio
+    feature path be hash-gated against a DuckDB byte-arithmetic replay
+    (queries_multimodal.multimodal_audio_real), the attach_png_media
+    pattern for the audio modality."""
+    from vervectordb_spark.operators.wav_codec import encode_wav
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"media_id {id_type}, payload binary"
+
+    def enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                encode_wav(_tile_samples((t or "").encode("utf-8"),
+                                         n_samples), rate)
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({"media_id": pdf[id_col],
+                                "payload": payloads})
+
+    return docs.select(id_col, text_col).mapInPandas(enc, out_schema)
+
+
+def extract_audio_features(media: DataFrame, n_frames: int = 16,
+                           frame_len: int = 16, fake: bool = True,
+                           payload_col: str = "payload") -> DataFrame:
+    """Per-item audio features via mapInPandas: payload → fixed-dim
+    float array of [per-frame mean-square energy ; per-frame zero
+    crossings] (2*n_frames values). fake=True derives pseudo-samples
+    from the RAW payload bytes with _tile_samples (deterministic,
+    format-agnostic); fake=False DECODES real RIFF/WAVE PCM
+    (operators/wav_codec) and features the true sample stream — same
+    output schema and batch shape (the tier-parity contract).
+
+    Arithmetic is exact-replayable: samples are int16, per-frame energy
+    is an exact int64 sum of squares divided by 2^30 * frame_len (a
+    power of two for frame_len 16 — exact in float64), zero crossings
+    are integer counts; float32 is the only rounding step, mirrored by
+    the oracle's ::REAL cast."""
+    n = n_frames * frame_len
+    denom = float((1 << 30) * frame_len)
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in media.schema)
+    out_schema = f"{fields}, features array<float>"
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        from vervectordb_spark.operators.wav_codec import decode_wav
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            feats = []
+            for payload in pdf[payload_col]:
+                if fake:
+                    s = _tile_samples(bytes(payload), n)
+                else:
+                    s, _rate = decode_wav(bytes(payload))
+                    if s.size < n:      # pad/truncate to the frame grid
+                        s = np.pad(s, (0, n - s.size))
+                    else:
+                        s = s[:n]
+                fr = s.astype(np.int64).reshape(n_frames, frame_len)
+                energy = (fr * fr).sum(axis=1).astype(np.float64) / denom
+                sign = np.sign(fr)
+                zc = ((sign[:, 1:] * sign[:, :-1]) < 0).sum(axis=1)
+                feats.append(np.concatenate(
+                    [energy, zc.astype(np.float64)]).astype(np.float32))
+            pdf = pdf.copy()
+            pdf["features"] = feats
+            yield pdf
+
+    return media.mapInPandas(extract, out_schema)
 
 
 def extract_features(media: DataFrame, dim: int = 64, fake: bool = True,

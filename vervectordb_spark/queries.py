@@ -343,8 +343,15 @@ def ingest_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Oracle mirrors the engine's normalize-once-then-dot formulation
     # element-for-element (division then sequential fold), keeping the
     # cross-engine bit-exact contract with one fold per pair.
+    # Cost shape (full-registry sf1 gate, VERDICT r10 task #3): the
+    # replay is pair-dot-bound. MATERIALIZED n stops DuckDB re-deriving
+    # the normalization per join side, and the half/mirror split halves
+    # the N^2 dot count — list_dot_product(a,b) == list_dot_product(b,a)
+    # bit-for-bit (per-element products commute; accumulation order is
+    # element index either way), so the mirrored rows are the same
+    # doubles the direct formulation produced.
     oracle=f"""
-WITH n AS (
+WITH n AS MATERIALIZED (
   SELECT vec_id,
          CASE WHEN {_dot('embedding::DOUBLE[]', 'embedding::DOUBLE[]')} = 0
               THEN embedding::DOUBLE[]
@@ -353,9 +360,14 @@ WITH n AS (
          END AS ne
   FROM embeddings
 ),
+half AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, {_dot('a.ne', 'b.ne')} AS sim
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+),
 pairs AS (
-  SELECT a.vec_id AS src_id, b.vec_id AS dst_id, {_dot('a.ne', 'b.ne')} AS sim
-  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+  SELECT ia AS src_id, ib AS dst_id, sim FROM half
+  UNION ALL
+  SELECT ib AS src_id, ia AS dst_id, sim FROM half
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, dst_id) AS rk

@@ -794,24 +794,40 @@ from vervectordb_spark.queries import _cos as _COS_SQL  # noqa: E402
 
 @query(
     "dedup_semdedup",
-    oracle=f"""
-WITH cent AS (
-  SELECT vec_id::INTEGER AS cluster_id, embedding::DOUBLE[] AS cv
+    # Self-dots are hoisted into MATERIALIZED per-row columns: _COS_SQL
+    # inline evaluates FIVE list_dot_product folds per pair (a·a twice in
+    # the CASE, b·b twice, a·b once); with ss/css precomputed each pair
+    # costs ONE fold plus scalar ops, and sqrt(a.ss) is the sqrt of the
+    # identical double — bit-exact to the inline form (VERDICT r10 task
+    # #3: this replay was 448 s of the sf1 gate).
+    oracle="""
+WITH cent AS MATERIALIZED (
+  SELECT vec_id::INTEGER AS cluster_id, embedding::DOUBLE[] AS cv,
+         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS css
   FROM embeddings WHERE vec_id < 8
 ),
+emb2 AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS ss
+  FROM embeddings
+),
 assign AS (
-  SELECT e.vec_id, e.embedding, c.cluster_id,
+  SELECT e.vec_id, e.v, e.ss, c.cluster_id,
          row_number() OVER (
            PARTITION BY e.vec_id
-           ORDER BY {_COS_SQL('e.embedding::DOUBLE[]', 'c.cv')} DESC,
+           ORDER BY (CASE WHEN e.ss = 0 OR c.css = 0 THEN 0.0
+                          ELSE list_dot_product(e.v, c.cv)
+                               / (sqrt(e.ss) * sqrt(c.css)) END) DESC,
                     c.cluster_id
          ) AS rk
-  FROM embeddings e CROSS JOIN cent c
+  FROM emb2 e CROSS JOIN cent c
 ),
-a2 AS (SELECT vec_id, embedding, cluster_id FROM assign WHERE rk = 1),
+a2 AS MATERIALIZED (SELECT vec_id, v, ss, cluster_id FROM assign WHERE rk = 1),
 pairs AS (
   SELECT a.cluster_id, a.vec_id AS src_id, b.vec_id AS dst_id,
-         {_COS_SQL('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')} AS sim
+         CASE WHEN a.ss = 0 OR b.ss = 0 THEN 0.0
+              ELSE list_dot_product(a.v, b.v)
+                   / (sqrt(a.ss) * sqrt(b.ss)) END AS sim
   FROM a2 a JOIN a2 b
     ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
 )

@@ -152,3 +152,70 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bin").cast("int").alias("bin"),
         F.round(F.col("_v").cast("double"), 6).alias("val"),
     )
+
+
+@query(
+    "multimodal_audio_real",
+    # The replay never sees the codec: samples are rebuilt with tiled
+    # byte arithmetic (hex-substr byte j%L, centered, <<8), energies as
+    # exact BIGINT sums of squares / 2^34 (power of two — exact float64),
+    # zero crossings as integer sign-product counts; ::REAL mirrors the
+    # engine's float32 feature storage. A hash match therefore proves
+    # decode_wav(encode_wav(x)) == x for every fixture document.
+    oracle="""
+WITH src AS MATERIALIZED (
+  SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS total,
+         hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+),
+smp AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(range(0, 256),
+           j -> CASE WHEN total = 0 THEN 0
+                ELSE (('0x' || substr(hx, 2*((j % total) + 1) - 1, 2))::INT
+                      - 128) * 256
+                END) AS s
+  FROM src
+),
+en AS (
+  SELECT doc_id, f.range AS bin,
+         ROUND((list_sum(list_transform(
+             range(f.range*16, f.range*16 + 16),
+             j -> s[j+1]::BIGINT * s[j+1]::BIGINT))::DOUBLE
+           / 17179869184)::REAL::DOUBLE, 6) AS val
+  FROM smp, range(0, 16) f
+),
+zc AS (
+  SELECT doc_id, 16 + f.range AS bin,
+         ROUND((len(list_filter(
+             range(f.range*16 + 1, f.range*16 + 16),
+             j -> sign(s[j]) * sign(s[j+1]) < 0))::DOUBLE)::REAL::DOUBLE,
+           6) AS val
+  FROM smp, range(0, 16) f
+)
+SELECT doc_id AS media_id, bin::INT AS bin, val FROM en
+UNION ALL
+SELECT doc_id AS media_id, bin::INT AS bin, val FROM zc
+""",
+)
+def multimodal_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL audio-codec path, hash-gated end to end (the
+    multimodal_real_decode pattern for the audio modality, VERDICT r10
+    task #4): encode each doc's deterministic byte-tile sample stream as
+    an actual RIFF/WAVE PCM file (stdlib codec, operators/wav_codec),
+    then run the fake=False audio feature extractor — which DECODES the
+    WAV (RIFF parse + PCM frames) and features the true samples
+    (per-frame mean-square energy + zero crossings). PCM is lossless, so
+    DuckDB replays every (media, bin) value with tiled-byte arithmetic —
+    the oracle never sees the codec."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_wav_media(docs, n_samples=256, rate=8000)
+    feats = MM.extract_audio_features(media, n_frames=16, frame_len=16,
+                                      fake=False)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("bin", "_v")
+    ).select(
+        "media_id",
+        F.col("bin").cast("int").alias("bin"),
+        F.round(F.col("_v").cast("double"), 6).alias("val"),
+    )
