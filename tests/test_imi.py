@@ -354,3 +354,91 @@ def test_adaptive_and_exact_probe_mutually_exclusive(spark, skew_corpus):
     qdf = spark.createDataFrame([(0, qv)], "query_id int, q_embedding array<double>")
     with pytest.raises(ValueError, match="mutually exclusive"):
         idx.batch_search(qdf, top_k=3, adaptive=True, exact_probe=True)
+
+
+def test_calibration_artifact_reproducible(spark):
+    """The committed models/imi_probe_calib artifact IS
+    calibrate_probe's output on the sf0.01 fixture with the gated
+    query's exact index construction — recomputing reproduces it
+    bit-for-bit (the tiny_ulm vendored-model provenance check)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vervectordb_spark.operators.imi import (
+        IMIIndex, load_probe_calibration)
+    from vervectordb_spark.schema import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    base = emb.filter(F.col("vec_id") < 8)
+    cent1 = base.select(
+        F.col("vec_id").cast("int").alias("cell_id"),
+        F.slice(F.col("embedding").cast("array<double>"), 1, 32)
+        .alias("centroid"))
+    cent2 = base.select(
+        F.col("vec_id").cast("int").alias("cell_id"),
+        F.slice(F.col("embedding").cast("array<double>"), 33, 32)
+        .alias("centroid"))
+    idx = IMIIndex.from_centroids(emb, cent1, cent2, dim=64)
+    got = idx.calibrate_probe(sample_size=512, seed=42)
+    exp = load_probe_calibration()
+    assert np.array_equal(got[0], exp[0])
+    assert np.array_equal(got[1], exp[1])
+
+
+def test_calibrated_allocation_sql_matches_python():
+    """The oracle's SQL allocation over the committed CDF parquet picks
+    the SAME (a, b) as IMIIndex._alloc_calibrated — for the committed
+    artifact AND for synthetic skewed/flat CDF shapes (the elongation
+    and noise-guard branches both exercised)."""
+    import duckdb
+    import numpy as np
+
+    from vervectordb_spark.operators.imi import (
+        IMIIndex, load_probe_calibration)
+
+    def sql_alloc(f1, f2, budget, k1, k2):
+        rows = [(1, r + 1, float(v)) for r, v in enumerate(f1)] + \
+               [(2, r + 1, float(v)) for r, v in enumerate(f2)]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE calib(half INT, rank INT, cdf DOUBLE)")
+        con.executemany("INSERT INTO calib VALUES (?, ?, ?)", rows)
+        got = con.execute(f"""
+WITH cand AS (
+  SELECT r.range + 1 AS a, least({k2}, {budget} // (r.range + 1)) AS b
+  FROM range(0, least({k1}, {budget})) r
+  WHERE least({k2}, {budget} // (r.range + 1)) >= 1
+),
+scored AS (
+  SELECT c.a, c.b, f1.cdf * f2.cdf AS cov FROM cand c
+  JOIN calib f1 ON f1.half = 1 AND f1.rank = c.a
+  JOIN calib f2 ON f2.half = 2 AND f2.rank = c.b
+),
+bal AS (SELECT a, b, cov FROM scored
+        ORDER BY a*b DESC, abs(a - b) ASC, a ASC LIMIT 1),
+bst AS (SELECT a, b, cov FROM scored
+        ORDER BY cov DESC, a*b DESC, abs(a - b) ASC, a ASC LIMIT 1)
+SELECT CASE WHEN bst.cov > bal.cov + 0.05 THEN bst.a ELSE bal.a END,
+       CASE WHEN bst.cov > bal.cov + 0.05 THEN bst.b ELSE bal.b END
+FROM bal, bst""").fetchone()
+        con.close()
+        return int(got[0]), int(got[1])
+
+    def py_alloc(f1, f2, budget):
+        idx = IMIIndex.__new__(IMIIndex)
+        idx._probe_cdf = (np.asarray(f1), np.asarray(f2))
+        return idx._alloc_calibrated(budget)
+
+    committed = load_probe_calibration()
+    shapes = [
+        (list(committed[0]), list(committed[1])),
+        # hard half-1 skew: elongated rectangle must clear the guard
+        ([0.95, 0.97, 0.99, 1.0, 1.0, 1.0, 1.0, 1.0],
+         [0.10, 0.15, 0.20, 0.30, 0.45, 0.60, 0.80, 1.0]),
+        # flat/noisy: the guard must keep the balanced square
+        ([0.26, 0.45, 0.60, 0.71, 0.80, 0.88, 0.96, 1.0],
+         [0.25, 0.46, 0.59, 0.72, 0.79, 0.89, 0.95, 1.0]),
+    ]
+    for f1, f2 in shapes:
+        for budget in (4, 8, 16):
+            assert sql_alloc(f1, f2, budget, len(f1), len(f2)) == \
+                py_alloc(f1, f2, budget), (f1[:2], f2[:2], budget)

@@ -556,3 +556,58 @@ class IMIIndex:
         got = {r[self.id_col]
                for r in self.search(query_vec, top_k=k, a=a, b=b).collect()}
         return len(truth & got) / max(len(truth), 1)
+
+
+def default_calibration_dir() -> str:
+    """The committed probe-calibration artifact (tools/
+    freeze_imi_calibration.py — the models/tiny_ulm vendoring pattern)."""
+    import os
+
+    return os.path.abspath(os.path.join(
+        os.path.dirname(__file__), "..", "..", "models",
+        "imi_probe_calib"))
+
+
+def save_probe_calibration(cdfs, out_dir: str) -> None:
+    """Freeze calibrate_probe's per-half rank-coverage CDFs as a
+    committed artifact: cdfs.parquet (half, rank 1-based, cdf) +
+    meta.json provenance."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    os.makedirs(out_dir, exist_ok=True)
+    halves, ranks, vals = [], [], []
+    for h, cdf in ((1, cdfs[0]), (2, cdfs[1])):
+        for r, v in enumerate(cdf, start=1):
+            halves.append(h); ranks.append(r); vals.append(float(v))
+    pq_mod.write_table(pa.table({
+        "half": pa.array(halves, pa.int32()),
+        "rank": pa.array(ranks, pa.int32()),
+        "cdf": pa.array(vals, pa.float64()),
+    }), os.path.join(out_dir, "cdfs.parquet"))
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({"k1": len(cdfs[0]), "k2": len(cdfs[1])}, f)
+
+
+def load_probe_calibration(calib_dir: str | None = None
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """(F1, F2) from the committed artifact — assign to
+    IMIIndex._probe_cdf to serve with the frozen calibration."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    d = calib_dir or default_calibration_dir()
+    tbl = pq_mod.read_table(os.path.join(d, "cdfs.parquet"))
+    halves = tbl.column("half").to_pylist()
+    ranks = tbl.column("rank").to_pylist()
+    vals = tbl.column("cdf").to_pylist()
+    out = {1: {}, 2: {}}
+    for h, r, v in zip(halves, ranks, vals):
+        out[h][r] = v
+    f1 = np.array([out[1][r] for r in sorted(out[1])], dtype=np.float64)
+    f2 = np.array([out[2][r] for r in sorted(out[2])], dtype=np.float64)
+    return f1, f2

@@ -262,21 +262,121 @@ def imipq_search_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("sim", 6).alias("sim"))
 
 
-@query("imi_search_calibrated")
-def imi_search_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calibrated adaptive rectangle serving (VERDICT r6 #3 +
-    round-7 calibration): same frozen-centroid IMI as imi_search_rect,
-    but the a×b shape comes from calibrate_probe — the measured per-half
-    neighbor rank-coverage CDFs — under the same 4-cell budget the fixed
-    2×2 rectangle spends.
+def _calib_path() -> str:
+    import os
 
-    Rows-only by design: the calibration statistic is a bounded-sample
-    exact-kNN estimate (driver-side NumPy) DuckDB cannot derive in SQL;
-    the shape/parity/recall behavior is pinned in tests/test_imi.py and
-    RECALL.md (0.504 → 0.998 at equal budget on the half-skewed corpus).
-    Deterministic: the calibration sample is a seeded hash-ordered prefix
-    (partitioning-independent, seed-sensitive)."""
-    from vervectordb_spark.operators.imi import IMIIndex
+    from vervectordb_spark.operators.imi import default_calibration_dir
+
+    return os.path.join(default_calibration_dir(), "cdfs.parquet")
+
+
+def _calibrated_oracle() -> str:
+    """imi_search_rect's assignment/probe/rescore CTEs with the rectangle
+    SHAPE derived in SQL from the COMMITTED calibration artifact
+    (models/imi_probe_calib — frozen by tools/freeze_imi_calibration.py,
+    reproducibility pytest-pinned): the alloc CTEs replay
+    IMIIndex._alloc_calibrated exactly — candidate (a, b = budget//a)
+    shapes joined to the frozen per-half CDFs, coverage = F1[a]*F2[b],
+    balanced rectangle preferred unless an elongated one clears the 0.05
+    noise guard, ties broken (a*b desc, |a-b| asc, a asc) == Python's
+    first-max-of-key semantics over the a-ascending candidate list."""
+    budget = _A * _A
+    return f"""
+WITH calib AS (SELECT half, rank, cdf FROM read_parquet('{_calib_path()}')),
+cand AS (
+  SELECT r.range + 1 AS a, least({_K}, {budget} // (r.range + 1)) AS b
+  FROM range(0, least({_K}, {budget})) r
+  WHERE least({_K}, {budget} // (r.range + 1)) >= 1
+),
+scored AS (
+  SELECT c.a, c.b, f1.cdf * f2.cdf AS cov
+  FROM cand c
+  JOIN calib f1 ON f1.half = 1 AND f1.rank = c.a
+  JOIN calib f2 ON f2.half = 2 AND f2.rank = c.b
+),
+bal AS (SELECT a, b, cov FROM scored
+        ORDER BY a*b DESC, abs(a - b) ASC, a ASC LIMIT 1),
+bst AS (SELECT a, b, cov FROM scored
+        ORDER BY cov DESC, a*b DESC, abs(a - b) ASC, a ASC LIMIT 1),
+alloc AS (
+  SELECT CASE WHEN bst.cov > bal.cov + 0.05 THEN bst.a ELSE bal.a END AS a,
+         CASE WHEN bst.cov > bal.cov + 0.05 THEN bst.b ELSE bal.b END AS b
+  FROM bal, bst
+),
+c1 AS (
+  SELECT vec_id::INTEGER AS cell_id, (embedding::DOUBLE[])[1:{_MID}] AS cv
+  FROM embeddings WHERE vec_id < {_K}
+),
+c2 AS (
+  SELECT vec_id::INTEGER AS cell_id,
+         (embedding::DOUBLE[])[{_MID + 1}:64] AS cv
+  FROM embeddings WHERE vec_id < {_K}
+),
+a1 AS (
+  SELECT vec_id, cell_id AS cell1 FROM (
+    SELECT e.vec_id, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos(_E1, 'c.cv')} DESC, c.cell_id
+           ) AS rk
+    FROM embeddings e CROSS JOIN c1 c
+  ) WHERE rk = 1
+),
+a2 AS (
+  SELECT vec_id, cell_id AS cell2 FROM (
+    SELECT e.vec_id, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos(_E2, 'c.cv')} DESC, c.cell_id
+           ) AS rk
+    FROM embeddings e CROSS JOIN c2 c
+  ) WHERE rk = 1
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+p1 AS (
+  SELECT cell_id FROM (
+    SELECT c1.cell_id,
+           row_number() OVER (
+             ORDER BY {_cos('c1.cv', f'(q.qv)[1:{_MID}]')} DESC, c1.cell_id
+           ) AS rk
+    FROM c1 CROSS JOIN q
+  ) WHERE rk <= (SELECT a FROM alloc)
+),
+p2 AS (
+  SELECT cell_id FROM (
+    SELECT c2.cell_id,
+           row_number() OVER (
+             ORDER BY {_cos('c2.cv', f'(q.qv)[{_MID + 1}:64]')} DESC,
+                      c2.cell_id
+           ) AS rk
+    FROM c2 CROSS JOIN q
+  ) WHERE rk <= (SELECT b FROM alloc)
+)
+SELECT vec_id, cell1, cell2, ROUND(sim, 6) AS sim FROM (
+  SELECT e.vec_id, a1.cell1, a2.cell2,
+         {_cos('e.embedding::DOUBLE[]', 'q.qv')} AS sim
+  FROM embeddings e
+  JOIN a1 USING (vec_id) JOIN a2 USING (vec_id) CROSS JOIN q
+  WHERE a1.cell1 IN (SELECT cell_id FROM p1)
+    AND a2.cell2 IN (SELECT cell_id FROM p2)
+  ORDER BY sim DESC, e.vec_id LIMIT 10
+)
+"""
+
+
+@query("imi_search_calibrated", oracle=_calibrated_oracle())
+def imi_search_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibrated rectangle serving, now HASH-GATED (VERDICT r10 task
+    #5): the a×b shape comes from the COMMITTED per-half rank-coverage
+    CDFs (models/imi_probe_calib — calibrate_probe frozen on the sf0.01
+    fixture by tools/freeze_imi_calibration.py, reproducibility
+    pytest-pinned) under the same 4-cell budget the fixed 2×2 rectangle
+    spends, via the SAME _alloc_calibrated arithmetic the serving path
+    uses; probing + rescore run the bit-exact fold kernel. The oracle
+    replays the allocation in SQL over the committed parquet and the
+    rectangle search with the SQL-derived shape — runtime calibration
+    (the previously rows-only statistic) stays covered by
+    tests/test_imi.py + RECALL.md."""
+    from vervectordb_spark.operators.imi import (
+        IMIIndex, load_probe_calibration)
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir, 0)
@@ -290,7 +390,8 @@ def imi_search_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.col("embedding").cast("array<double>"), _MID + 1,
                 64 - _MID).alias("centroid"))
     idx = IMIIndex.from_centroids(emb, cent1, cent2, dim=64)
-    idx.calibrate_probe(sample_size=512)
-    out = idx.search(qv, top_k=10, a=_A, b=_A, adaptive=True)
+    idx._probe_cdf = load_probe_calibration()
+    a, b = idx._alloc_calibrated(budget=_A * _A)
+    out = idx.search(qv, top_k=10, a=a, b=b, exact_probe=True)
     return out.select("vec_id", "cell1", "cell2",
                       F.round("sim", 6).alias("sim"))
