@@ -502,6 +502,25 @@ def build_benches(spark, sf_dir: str):
                 F.col("embedding").alias("q_embedding"))
             return _force(HY.hybrid_search_batch(
                 docs, emb, term_table, queries, kernel="gemm"), limit=30)
+
+        @bench("hybrid_ce_batch_4q")
+        def _hybrid_ce_batch():
+            # 4 trained-CE rerank queries in ONE plan (batch==single
+            # parity pytest-pinned): bounded candidate slab x 4 queries,
+            # Q-row broadcast of per-query state, one top-k window —
+            # model cost stays |candidates|, corpus untouched
+            from vervectordb_spark.operators import hybrid as HY2
+
+            ce_queries = [(0, "spark table scan fast"),
+                          (1, "window join revenue"),
+                          (2, "the customer batch"),
+                          (3, "parquet filter pushdown")]
+            cand = docs.select("doc_id", "text").filter(
+                F.col("doc_id") < 512)
+            paired = cand.crossJoin(spark.createDataFrame(
+                [(q,) for q, _ in ce_queries], "query_id long"))
+            return _force(HY2.rerank_checkpoint_ce_batch(
+                paired, ce_queries, top_k=10), limit=40)
     except ImportError:
         pass
 

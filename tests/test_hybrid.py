@@ -268,3 +268,41 @@ def test_ce_weights_are_exactly_representable(spark):
     denom = 1 << wj["denom_shift"]
     for n in [*wj["w_num"], wj["b_num"]]:
         assert float(n) / denom == n / denom  # exact dyadic rational
+
+
+def test_ce_batch_matches_single(spark, docs):
+    """rerank_checkpoint_ce_batch == rerank_checkpoint_ce row-for-row
+    per query (ids, scores, order) — the batch==single convention every
+    other serving path pins."""
+    from vervectordb_spark.operators import hybrid as H
+
+    queries = [(0, "spark table scan fast"),
+               (1, "window join revenue"),
+               (2, "the customer batch")]
+    cand = docs.select("doc_id", "text").limit(40)
+    batched = H.rerank_checkpoint_ce_batch(
+        cand.crossJoin(spark.createDataFrame(
+            [(q,) for q, _ in queries], "query_id long")),
+        queries, top_k=7)
+    got = {}
+    for r in batched.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["ce_score"]))
+    for qid, qtext in queries:
+        single = [(r["doc_id"], r["ce_score"]) for r in
+                  H.rerank_checkpoint_ce(cand, qtext, top_k=7).collect()]
+        assert sorted(got[qid], key=lambda x: (-x[1], x[0])) == single, qid
+        # and the window emitted them already in rank order
+        assert got[qid] == single, qid
+
+
+def test_ce_batch_rejects_tokenless_query(spark, docs):
+    import pytest as _pt
+
+    from vervectordb_spark.operators import hybrid as H
+
+    cand = docs.select("doc_id", "text").limit(5).withColumn(
+        "query_id", __import__("pyspark.sql.functions",
+                               fromlist=["lit"]).lit(0))
+    with _pt.raises(ValueError, match="no tokens"):
+        H.rerank_checkpoint_ce_batch(cand, [(0, " \t\x0b ")])

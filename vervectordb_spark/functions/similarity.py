@@ -66,6 +66,20 @@ def cosine_expr(a: Column | str, b: Column | Sequence[float]) -> Column:
     )
 
 
+def cosine_from_ss(a: Column, b: Column, ssa: Column, ssb: Column) -> Column:
+    """cosine_expr with the self-dots HOISTED: callers that join a row
+    set against itself (within-cluster pair scoring) compute
+    dot_expr(v, v) once per ROW and pass it here, so each PAIR costs one
+    fold plus scalars instead of five (measured: the sf1 semdedup check
+    entry was ~500 s of per-pair norm recompute, engine side). Bit-exact
+    with cosine_expr: sqrt of the identical double, same guard (ss == 0
+    iff sqrt(ss) == 0 for the non-negative self-dot), same single
+    division."""
+    return F.when((ssa == 0.0) | (ssb == 0.0), F.lit(0.0)).otherwise(
+        dot_expr(a, b) / (F.sqrt(ssa) * F.sqrt(ssb))
+    )
+
+
 def normalize_expr(a: Column | str) -> Column:
     """Unit-normalize an array<float|double> column (zero vectors pass
     through unchanged, preserving the cosine(0, ·) = 0 contract).

@@ -1034,22 +1034,31 @@ def within_cluster_pairs(
         )
     if per_cluster_top is not None:
         raise ValueError("per_cluster_top requires kernel='gemm'")
-    from vervectordb_spark.functions.similarity import cosine_expr
+    from vervectordb_spark.functions.similarity import (
+        cosine_from_ss, dot_expr, to_double)
 
+    # self-dots hoisted to one fold per ROW (cosine_from_ss docstring):
+    # the inline cosine_expr costs five folds per PAIR, which at sf1 made
+    # the semdedup check entry ~500 s engine-side
+    dd = to_double(F.col(emb_col))
     a = assigned.select(
         cluster_col,
         F.col(id_col).alias("src_id"),
-        F.col(emb_col).alias("_src_emb"),
+        dd.alias("_src_emb"),
+        dot_expr(dd, dd).alias("_src_ss"),
     )
     b = assigned.select(
         cluster_col,
         F.col(id_col).alias("dst_id"),
-        F.col(emb_col).alias("_dst_emb"),
+        dd.alias("_dst_emb"),
+        dot_expr(dd, dd).alias("_dst_ss"),
     )
     pairs = (
         a.join(b, on=cluster_col)
         .filter(F.col("src_id") < F.col("dst_id"))
-        .withColumn("sim", cosine_expr(F.col("_src_emb"), F.col("_dst_emb")))
+        .withColumn("sim", cosine_from_ss(
+            F.col("_src_emb"), F.col("_dst_emb"),
+            F.col("_src_ss"), F.col("_dst_ss")))
         .select(cluster_col, "src_id", "dst_id", "sim")
     )
     if threshold is not None:

@@ -429,6 +429,91 @@ def rerank_checkpoint_ce(
     return scored.orderBy(F.desc("ce_score"), F.asc(id_col)).limit(top_k)
 
 
+def rerank_checkpoint_ce_batch(
+    candidates: DataFrame,
+    queries: Sequence[tuple[int, str]],
+    model_dir: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    top_k: int = 10,
+) -> DataFrame:
+    """Batched trained-CE rerank: ONE plan scores every (query,
+    candidate) pair and takes top-k per query — the batch==single
+    convention every other serving path pins (VERDICT r10 task #6).
+
+    `candidates` carries per-query candidate sets (query_id, doc_id,
+    text); `queries` is the bounded [(query_id, query_text), ...] list
+    (driver-side checkpoint embedding per query, the single-path rule).
+    Per-query state — checkpoint query vector, distinct term array,
+    term count — becomes a Q-row broadcast side; the features are the
+    SAME expressions as rerank_checkpoint_ce with literals swapped for
+    broadcast columns, arithmetically identical per pair:
+
+      f2  size(array_intersect(distinct toks, qterms)) / n_qterms —
+          same integers, same single division;
+      f3  size(filter(toks, t -> array_contains(qterms, t))) == the
+          single path's per-term count sum (terms are DISTINCT, so each
+          token matches at most one term — integer equality);
+      f1/f4 column-for-literal swaps of the same folds.
+
+    Cost: |pairs| feature evaluations + one Q-row broadcast join + one
+    per-query top-k window — candidates-bounded, corpus untouched.
+    Row-for-row equality with the single-query path is pytest-pinned
+    (tests/test_hybrid.py::test_ce_batch_matches_single)."""
+    from pyspark.sql import Window
+
+    from vervectordb_spark.functions.similarity import cosine_expr
+    from vervectordb_spark.functions.words import ws_tokens_py
+    from vervectordb_spark.operators.embed import (
+        checkpoint_embed_text, checkpoint_embedding)
+
+    wj = load_ce_weights(model_dir)
+    denom = float(1 << int(wj["denom_shift"]))
+    w = [n / denom for n in wj["w_num"]]
+    bias = wj["b_num"] / denom
+
+    qrows = []
+    for qid, qtext in queries:
+        qterms = list(dict.fromkeys(ws_tokens_py(qtext)))
+        if not qterms:
+            raise ValueError(
+                f"rerank_checkpoint_ce_batch: query {qid!r} has no tokens "
+                "under the pinned whitespace contract")
+        qv = [float(x) for x in checkpoint_embed_text(qtext)]
+        qrows.append((int(qid), qv, qterms, float(len(qterms))))
+    spark = candidates.sparkSession
+    qdf = F.broadcast(spark.createDataFrame(
+        qrows,
+        f"{query_id_col} long, _qv array<float>, _qterms array<string>, "
+        "_nq double"))
+
+    with_emb = checkpoint_embedding(
+        candidates.select(query_id_col, id_col, text_col),
+        text_col=text_col, id_col=id_col, passthrough=True)
+    joined = with_emb.join(qdf, on=query_id_col)
+    toks = F.coalesce(tokens_expr(text_col),
+                      F.array().cast("array<string>"))
+    n_toks = F.size(toks).cast("double")
+    f1 = cosine_expr(F.col("embedding"), F.col("_qv"))
+    f2 = (F.size(F.array_intersect(F.array_distinct(toks),
+                                   F.col("_qterms"))).cast("double")
+          / F.col("_nq"))
+    f3 = (F.size(F.filter(toks,
+                          lambda t: F.array_contains(F.col("_qterms"), t)))
+          .cast("double") / (1.0 + n_toks))
+    f4 = n_toks / (n_toks + 100.0)
+    logit = (F.lit(bias) + F.lit(w[0]) * f1 + F.lit(w[1]) * f2
+             + F.lit(w[2]) * f3 + F.lit(w[3]) * f4)
+    scored = joined.select(
+        query_id_col, id_col, F.round(logit, 6).alias("ce_score"))
+    win = Window.partitionBy(query_id_col).orderBy(
+        F.desc("ce_score"), F.asc(id_col))
+    return (scored.withColumn("_rk", F.row_number().over(win))
+            .filter(F.col("_rk") <= int(top_k))
+            .drop("_rk"))
+
+
 def rerank_scored(
     candidates: DataFrame,
     query_terms: Sequence[str],
