@@ -190,6 +190,62 @@ def build_benches(spark, sf_dir: str):
         )
         return _force(idx.batch_search(queries, top_k=10, nprobe=8))
 
+    _real_holder: list = []
+
+    @bench("ivf_search_real_32q")
+    def _ivf_search_real():
+        # serving latency on REALISTIC embedding geometry (VERDICT r10
+        # task #8): the RECALL.md encoder corpus — 50k synthetic docs
+        # drawn from the fixture word frequencies, embedded with the
+        # vendored int8 SGNS checkpoint's exact serving arithmetic
+        # (anisotropic, heavy common directions; recall_sweep.py
+        # provenance) — indexed once (occupancy-sized k, cached holder
+        # state), then 32 queries through the batched IVF path at the
+        # RECALL.md operating point (nprobe=4, recall 0.999 there).
+        if not _real_holder:
+            import numpy as np
+
+            import duckdb as _dk
+
+            from vervectordb_spark.operators.embed import load_checkpoint
+            from vervectordb_spark.functions.words import WS_REGEX
+
+            words, mat_w, dim = load_checkpoint()
+            freq = dict(_dk.sql(
+                "SELECT t, count(*) FROM (SELECT unnest(list_filter("
+                f"regexp_split_to_array(lower(text), '{WS_REGEX}'), "
+                "x -> x <> '')) t "
+                "FROM '/root/testdata/sf0.01/documents.parquet"
+                "') GROUP BY t").fetchall())
+            rng = np.random.RandomState(7)
+            w_idx = np.array([i for i, w in enumerate(words) if w in freq])
+            pr = np.array([freq[words[i]] for i in w_idx], dtype=np.float64)
+            pr /= pr.sum()
+            n_corp = 50_000
+            lens = rng.randint(30, 120, n_corp)
+            mat = np.zeros((n_corp, dim), dtype=np.float32)
+            for i in range(n_corp):
+                idxs = w_idx[rng.choice(len(w_idx), size=lens[i], p=pr)]
+                s = mat_w[idxs].sum(axis=0)
+                n2 = float((s * s).sum())
+                mat[i] = (s / np.sqrt(n2)).astype(np.float32) if n2 \
+                    else 0.0
+            corpus = spark.createDataFrame(
+                [(i, mat[i].tolist()) for i in range(n_corp)],
+                "vec_id long, embedding array<float>",
+            ).repartition(32).cache()
+            corpus.count()
+            idx = IVFIndex.build(corpus, n_clusters=n_corp // 256,
+                                 seed=42)
+            idx.assigned.cache().count()
+            _real_holder.append((corpus, idx))
+        corpus, idx = _real_holder[0]
+        queries = corpus.filter(F.col("vec_id") < 32).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        return _force(idx.batch_search(queries, top_k=10, nprobe=4))
+
     @bench("ivf_search_adaptive_32q")
     def _ivf_search_adaptive():
         # per-query probe budgets from centroid-similarity mass: an easy

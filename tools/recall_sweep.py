@@ -95,7 +95,7 @@ def _make_corpus(spark, kind: str):
         assert dim == DIM, f"set DIM={dim} before the encoder sweep"
         freq = dict(duckdb.sql(
             "SELECT t, count(*) FROM (SELECT unnest(list_filter("
-            "regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) t "
+            "regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) t "
             "FROM '/root/testdata/sf0.01/documents.parquet') GROUP BY t"
         ).fetchall())
         w_idx = np.array([i for i, w in enumerate(words) if w in freq])
