@@ -380,3 +380,62 @@ def test_mmr_select_laws_fuzzed(rels, embs, lam, k):
     if lam == 1.0:
         want = sorted(range(n), key=lambda i: (-rels[i], ids[i]))[:min(k, n)]
         assert [i for _, i, *_ in out] == want
+
+
+# ---------------------------------------------------------------------------
+# round-11 control-char fuzz across the remaining dual-kernel parity pairs
+# (VERDICT r10 task #1): embed arrow-vs-expr, profile arrow-vs-expr, and
+# the BPE trainer vs its independent Python reference, all over _TEXTS
+# (whose alphabet is loaded with \x00-\x1f and Unicode whitespace)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=_TEXTS)
+def test_embed_kernels_agree_on_fuzzed_text(spark, texts):
+    from vervectordb_spark.operators.embed import embed_documents
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    a = {r["vec_id"]: list(r["embedding"]) for r in
+         embed_documents(df, dim=16, kernel="arrow").collect()}
+    e = {r["vec_id"]: list(r["embedding"]) for r in
+         embed_documents(df, dim=16, kernel="expr").collect()}
+    assert a == e
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=_TEXTS)
+def test_profile_kernels_agree_on_fuzzed_text(spark, texts):
+    from vervectordb_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    key = lambda r: r["doc_id"]  # noqa: E731
+    a = sorted(TX.profile(df, kernel="arrow").collect(), key=key)
+    e = sorted(TX.profile(df, kernel="expr").collect(), key=key)
+    assert [r.asDict() for r in a] == [r.asDict() for r in e]
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(_NASTY_TEXT, min_size=2, max_size=4))
+def test_bpe_trainer_matches_python_reference_on_fuzzed_text(spark, texts):
+    """train_bpe's merge sequence == the independent Python reference
+    (tests/test_bpe._py_train) under the pinned tokenization, for
+    arbitrary control-char-laden text."""
+    from vervectordb_spark.functions.checkpoint import release_checkpoint
+    from vervectordb_spark.operators.bpe import train_bpe
+
+    from tests.test_bpe import _py_train
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    merges, vocab = train_bpe(df, n_merges=3)
+    release_checkpoint(vocab)
+    got = [(m.left, m.right, m.count) for m in merges]
+    ref_merges, _ref_vocab = _py_train(texts, 3)
+    exp = [(a, b, c) for _step, a, b, c in ref_merges]
+    assert got == exp
