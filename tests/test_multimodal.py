@@ -104,20 +104,23 @@ def test_attach_fake_media_null_text_payload(spark):
     assert len(feats) == 2
 
 
-def test_fake_false_video_still_raises_honest_stub_error(spark):
-    """Audio/video stages remain env-guarded stubs (no ffmpeg): fake=False
-    raises NotImplementedError up front. (Image stages are REAL now —
-    see the png-codec tests below.)"""
+def test_fake_false_video_on_non_avi_payload_fails_honestly(spark):
+    """The env-guard boundary moved INTO the codec (r11): fake=False
+    video now decodes real uncompressed AVI, so a non-AVI payload
+    surfaces the honest no-codec error at execution time instead of an
+    up-front stub. (Image r10, audio+video r11 are all real tiers now;
+    only COMPRESSED codecs remain guarded.)"""
     from vervectordb_spark.operators.multimodal import (
         attach_fake_media,
         sample_frames,
     )
 
-    media = attach_fake_media(
-        spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    media = attach_fake_media(  # doc_id 2 -> kind 'video'
+        spark.createDataFrame([(2, "x" * 40)], "doc_id long, text string")
     )
-    with pytest.raises(NotImplementedError, match="fake=True"):
-        sample_frames(media, fake=False)
+    out = sample_frames(media, fake=False)  # lazy: builds fine
+    with pytest.raises(Exception, match="not a RIFF/AVI payload"):
+        out.collect()
 
 
 def test_fake_false_non_png_payload_fails_at_execution(spark):
@@ -328,3 +331,62 @@ def test_audio_real_tier_equals_fake_tier_on_same_bytes(spark):
     assert len(rf[1]) == 32
     # empty/NULL text -> silent signal: zero energy, zero crossings
     assert rf[2] == [0.0] * 32 and rf[3] == [0.0] * 32
+
+
+# ---------------------------------------------------------------------------
+# AVI real video tier (operators/avi_codec, r11)
+# ---------------------------------------------------------------------------
+
+
+def test_avi_roundtrip_exact_all_shapes():
+    from vervectordb_spark.operators.avi_codec import (
+        decode_avi, encode_avi, is_avi)
+
+    rng = np.random.RandomState(0)
+    for shape in [(1, 4, 4), (3, 8, 5), (5, 16, 16), (2, 7, 3)]:
+        f = rng.randint(0, 256, shape).astype(np.uint8)
+        b = encode_avi(f, fps=12)
+        assert is_avi(b)
+        d, fps = decode_avi(b)
+        assert fps == 12
+        assert d.shape == f.shape and (d == f).all(), shape
+
+
+def test_avi_decode_rejects_compressed_and_non_avi():
+    import struct
+
+    import pytest as _pt
+
+    from vervectordb_spark.operators.avi_codec import (
+        decode_avi, encode_avi)
+
+    with _pt.raises(ValueError):
+        decode_avi(b"definitely not avi")
+    # flip the strf compression field to MJPG: honest env-guard error
+    good = bytearray(encode_avi(np.zeros((1, 4, 4), dtype=np.uint8)))
+    at = good.find(b"strf") + 8 + 16  # biCompression offset in BMIH
+    good[at:at + 4] = struct.pack("<I", 0x47504A4D)
+    with _pt.raises(NotImplementedError):
+        decode_avi(bytes(good))
+
+
+def test_video_real_tier_matches_tile_rule(spark):
+    """fake=False frame sampling over real AVI payloads recovers exactly
+    the deterministic byte-tile frames (container parse + bottom-up
+    unpadding proven lossless), with the fake path's schema."""
+    from vervectordb_spark.operators.multimodal import (
+        _tile_frame, attach_avi_media, attach_fake_media, sample_frames)
+
+    rows = [(1, "hello world"), (2, ""), (3, None), (5, "x" * 300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    media = attach_avi_media(df, n_frames=6, h=8, w=8)
+    real = sample_frames(media, every_n=2, fake=False)
+    fake = sample_frames(attach_fake_media(df), every_n=2, fake=True)
+    assert real.schema == fake.schema
+    got = {(r["media_id"], r["frame_no"]): bytes(r["frame"])
+           for r in real.collect()}
+    assert len(got) == 4 * 3  # 6 frames, every 2nd, per doc
+    for doc_id, txt in rows:
+        b = (txt or "").encode("utf-8")
+        for f in (0, 2, 4):
+            assert got[(doc_id, f)] == _tile_frame(b, f, 8, 8).tobytes()

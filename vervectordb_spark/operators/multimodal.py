@@ -11,11 +11,16 @@ pipeline surface (SURVEY.md §2.8). Design contract:
   * decode / resize / frame-sample run as mapInPandas over Arrow batches —
     the ONLY sane shape for CPU-heavy per-item work at 100 TB: payload
     bytes stream batch-wise through executors, no shuffle, no driver;
-  * IMAGE decode is REAL in this container: PIL when installed, else the
-    vendored pure-Python PNG codec (operators/png_codec — stdlib zlib +
-    all five scanline filters), hash-gated end to end by
-    queries_multimodal.multimodal_real_decode. Audio/video codecs
-    (libsndfile/ffmpeg) remain env-guarded NotImplementedError stubs.
+  * ALL THREE modalities decode for REAL in this container, stdlib-only:
+    images via the vendored pure-Python PNG codec (operators/png_codec —
+    zlib + all five scanline filters; PIL when installed), audio via the
+    RIFF/WAVE PCM codec (operators/wav_codec), video via the
+    uncompressed RIFF/AVI codec (operators/avi_codec) — each hash-gated
+    end to end (multimodal_real_decode / multimodal_audio_real /
+    multimodal_video_real: the oracle replays feature values from the
+    source bytes and never sees the codec, so a hash match proves
+    decode(encode(x)) == x). COMPRESSED codecs (the libsndfile/ffmpeg
+    domain) remain honest NotImplementedError guards.
     Every pipeline stage also accepts `fake=True` — a deterministic
     byte-level stand-in — so the oracle-checkable plumbing (schema,
     batching, UDF signatures, partitioning) is engine-replayable.
@@ -82,21 +87,6 @@ def attach_fake_media(docs: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 # decode stages — real codecs stubbed, deterministic fakes for the plumbing
 # ---------------------------------------------------------------------------
-
-
-def _require_real_codec() -> None:
-    """fake=False gate for the VIDEO kernels (and compressed audio),
-    which still have no real codec in this container (no ffmpeg). IMAGE
-    decode is real (operators/png_codec, PIL when present); AUDIO PCM
-    decode is real (operators/wav_codec — stdlib `wave`)."""
-    raise NotImplementedError(
-        "real video (and compressed-audio) decoding is an env-guarded "
-        "stub (no ffmpeg in this container); use fake=True for the "
-        "deterministic byte-level stand-in. Image stages "
-        "(extract_features/resize_images) run fake=False on PNG via "
-        "operators/png_codec; audio stages (extract_audio_features) run "
-        "fake=False on RIFF/WAVE PCM via operators/wav_codec."
-    )
 
 
 def decode_image(payload: bytes) -> np.ndarray:
@@ -333,31 +323,86 @@ def resize_images(media: DataFrame, h: int = 8, w: int = 8,
     return media.mapInPandas(resize, out_schema)
 
 
+def _tile_frame(payload: bytes, f: int, h: int, w: int) -> np.ndarray:
+    """Frame f of the deterministic byte-tile video: flat pixel k of
+    frame f holds payload byte (f*h*w + k) % L (zeros for an empty
+    payload) — _fake_decode's tiling rule extended with a per-frame
+    offset, shared by attach_avi_media and the fake video tier."""
+    buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+    if buf.size == 0:
+        return np.zeros((h, w), dtype=np.uint8)
+    idx = (f * h * w + np.arange(h * w)) % buf.size
+    return buf[idx].reshape(h, w)
+
+
+def attach_avi_media(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n_frames: int = 6,
+                     h: int = 8, w: int = 8, fps: int = 10) -> DataFrame:
+    """(media_id, payload) with REAL uncompressed 8-bit AVI payloads:
+    n_frames deterministic byte-tile frames (_tile_frame over the utf-8
+    text bytes) encoded with the stdlib RIFF codec
+    (operators/avi_codec). Uncompressed DIB frames are lossless, so the
+    fake=False frame-sampling path is hash-gateable against a DuckDB
+    byte-arithmetic replay (queries_multimodal.multimodal_video_real) —
+    the attach_png_media / attach_wav_media pattern for the video
+    modality."""
+    from vervectordb_spark.operators.avi_codec import encode_avi
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"media_id {id_type}, payload binary"
+
+    def enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                b = (t or "").encode("utf-8")
+                frames = np.stack([_tile_frame(b, f, h, w)
+                                   for f in range(n_frames)])
+                payloads.append(encode_avi(frames, fps))
+            yield pd.DataFrame({"media_id": pdf[id_col],
+                                "payload": payloads})
+
+    return docs.select(id_col, text_col).mapInPandas(enc, out_schema)
+
+
 def sample_frames(media: DataFrame, every_n: int = 4, frame_size: int = 16,
                   fake: bool = True) -> DataFrame:
     """Video frame sampling: one row per sampled frame (explode pattern).
-    Fake path treats the payload as a concatenation of `frame_size`-byte
-    frames and keeps every n-th — the real ffmpeg loop has the identical
-    row-explosion shape."""
-    if not fake:
-        _require_real_codec()
+    fake=True treats the payload as a concatenation of `frame_size`-byte
+    frames and keeps every n-th; fake=False DECODES real uncompressed
+    8-bit AVI (operators/avi_codec) and emits every n-th true frame's
+    grayscale pixels as the frame bytes — identical output schema and
+    row-explosion shape (frame_size is ignored: the real frame size
+    comes from the stream header). Compressed video still raises the
+    honest env-guard, from the codec itself."""
     out_schema = "media_id long, frame_no int, frame binary"
 
     def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
+        from vervectordb_spark.operators.avi_codec import decode_avi
+
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 buf = bytes(payload)
-                n_frames = max(len(buf) // frame_size, 1)
-                for f_no in range(0, n_frames, every_n):
-                    rows.append(
-                        (int(mid), f_no, buf[f_no * frame_size : (f_no + 1) * frame_size])
-                    )
+                if fake:
+                    n_frames = max(len(buf) // frame_size, 1)
+                    for f_no in range(0, n_frames, every_n):
+                        rows.append((int(mid), f_no,
+                                     buf[f_no * frame_size:
+                                         (f_no + 1) * frame_size]))
+                else:
+                    frames, _fps = decode_avi(buf)
+                    for f_no in range(0, len(frames), every_n):
+                        rows.append((int(mid), f_no,
+                                     frames[f_no].tobytes()))
             if rows:
                 yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame"])
 
-    return media.filter(F.col("kind") == "video").select(
-        "media_id", "payload"
-    ).mapInPandas(sample, out_schema)
+    src = media
+    if "kind" in media.columns:
+        src = media.filter(F.col("kind") == "video")
+    return src.select("media_id", "payload").mapInPandas(sample, out_schema)

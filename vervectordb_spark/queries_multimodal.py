@@ -219,3 +219,65 @@ def multimodal_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bin").cast("int").alias("bin"),
         F.round(F.col("_v").cast("double"), 6).alias("val"),
     )
+
+
+@query(
+    "multimodal_video_real",
+    # Replay never sees the codec: frame f's flat pixel k is tiled byte
+    # (f*64 + k) % L; 16-bin intensity histogram = pixel // 16 counts
+    # over the 64 pixels; val mirrors the feature extractor's
+    # hist/total float64 -> float32 (::REAL) path. A hash match proves
+    # decode_avi(encode_avi(frames)) == frames for every sampled frame
+    # of every fixture document.
+    oracle="""
+WITH src AS MATERIALIZED (
+  SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS total,
+         hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+),
+px AS (
+  SELECT doc_id, f.range AS frame_no,
+         unnest(list_transform(range(0, 64),
+           k -> CASE WHEN total = 0 THEN 0
+                ELSE ('0x' || substr(hx,
+                      2*(((f.range * 64 + k) % total) + 1) - 1, 2))::INT
+                END // 16)) AS bin
+  FROM src, (SELECT unnest([0, 2, 4]) AS range) f
+),
+cnt AS (SELECT doc_id, frame_no, bin, COUNT(*) AS c
+        FROM px GROUP BY 1, 2, 3),
+grid AS (
+  SELECT s.doc_id, f.range AS frame_no, b.range AS bin
+  FROM src s, (SELECT unnest([0, 2, 4]) AS range) f, range(0, 16) b
+)
+SELECT g.doc_id AS media_id, g.frame_no::INT AS frame_no, g.bin::INT AS bin,
+       ROUND((COALESCE(c.c, 0)::DOUBLE / 64)::REAL::DOUBLE, 6) AS val
+FROM grid g LEFT JOIN cnt c
+  ON g.doc_id = c.doc_id AND g.frame_no = c.frame_no AND g.bin = c.bin
+""",
+)
+def multimodal_video_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL video-codec path, hash-gated end to end (the modality
+    triple completed: PNG r10, WAV audio + uncompressed AVI video r11):
+    encode each doc's deterministic 6-frame 8x8 byte-tile video as an
+    actual RIFF/AVI file (stdlib codec, operators/avi_codec), run the
+    fake=False frame sampler — which PARSES the container (hdrl/strl
+    headers, movi chunks, bottom-up padded DIB rows) and emits every
+    2nd true frame's pixels — then histogram the sampled pixels. DIB
+    frames are lossless, so DuckDB replays every (media, frame, bin)
+    value with tiled-byte arithmetic; the oracle never sees the
+    codec."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_avi_media(docs, n_frames=6, h=8, w=8)
+    frames = MM.sample_frames(media, every_n=2, fake=False)
+    feats = MM.extract_features(
+        frames.withColumnRenamed("frame", "payload"), dim=16, fake=True)
+    return feats.select(
+        "media_id", "frame_no",
+        F.posexplode("features").alias("bin", "_v")
+    ).select(
+        "media_id",
+        F.col("frame_no").cast("int").alias("frame_no"),
+        F.col("bin").cast("int").alias("bin"),
+        F.round(F.col("_v").cast("double"), 6).alias("val"),
+    )
