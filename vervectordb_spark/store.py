@@ -66,6 +66,11 @@ class VectorStore:
         # unambiguous. The PQ codec is NOT an index: its codebooks are a
         # sample-trained lossy codec, still valid for encoding new rows
         # (the reference likewise trains once, vervectordb/__init__.py:493).
+        #: blocks backing the CURRENT localCheckpoint of self.df /
+        #: ivf.assigned, released when a newer checkpoint replaces them
+        #: (finding #15 — DataFrame.unpersist() is a silent no-op here)
+        self._df_ckpt_ids: set[int] = set()
+        self._ivf_ckpt_ids: set[int] = set()
         self._ivf = None
         self._ann = None
         self._imi = None
@@ -811,9 +816,19 @@ class VectorStore:
             raise ValueError("no db_path for checkpoint")
         # a SECOND checkpoint reads the very path it overwrites -- Spark
         # rejects overwrite-while-reading, so break the lineage first
-        self.df = self.df.localCheckpoint(eager=True)
+        from vervectordb_spark.functions.checkpoint import (
+            eager_checkpoint, release_blocks)
+
+        self.df, ids = eager_checkpoint(self.df,
+                                        release=self._df_ckpt_ids)
+        self._df_ckpt_ids = ids
         self.df.write.mode("overwrite").parquet(path)
         self.df = self.spark.read.parquet(path)
+        # df now scans the parquet it just wrote: the bridge checkpoint's
+        # blocks are garbage — free them (one leaked set per checkpoint()
+        # call otherwise)
+        release_blocks(self.spark.sparkContext, ids)
+        self._df_ckpt_ids = set()
 
     def version_history(self) -> list[dict]:
         """Manifests of the versioned-checkpoint log, newest first."""
@@ -873,9 +888,17 @@ class VectorStore:
         # fresh-store-then-checkpoint() case)
         same = self._loaded_from == path or path == self.db_path
         if same:
-            self.df = self.df.localCheckpoint(eager=True)
+            from vervectordb_spark.functions.checkpoint import (
+                eager_checkpoint)
+
+            # release the PREVIOUS save's checkpoint blocks as the new
+            # one replaces them — repeated save() calls leaked one
+            # blocks-set each otherwise (finding #15)
+            self.df, self._df_ckpt_ids = eager_checkpoint(
+                self.df, release=self._df_ckpt_ids)
             if self._ivf is not None:
-                self._ivf.assigned = self._ivf.assigned.localCheckpoint(eager=True)
+                self._ivf.assigned, self._ivf_ckpt_ids = eager_checkpoint(
+                    self._ivf.assigned, release=self._ivf_ckpt_ids)
         with atomic_save(path) as tmp:
             # id-clustered base layout: range-partition + sort by vec_id
             # and record per-file min/max id stats (sources/layout.py) so

@@ -400,8 +400,11 @@ def make_neardup_handler(state_path: str, text_col: str = "text",
                                        -F.col("dup_of"))).alias("w"))
                 .select(F.col("new_id").alias(id_col),
                         F.col("w.dup_of").alias("dup_of"),
-                        F.col("w.jaccard").alias("jaccard"))
-                .localCheckpoint(eager=True))
+                        F.col("w.jaccard").alias("jaccard")))
+        from vervectordb_spark.functions.checkpoint import (
+            eager_checkpoint, release_blocks)
+
+        best, _best_ids = eager_checkpoint(best)
 
         accepted = batch_df.join(best.select(id_col), on=id_col,
                                  how="left_anti")
@@ -412,6 +415,9 @@ def make_neardup_handler(state_path: str, text_col: str = "text",
         _write_state(sk.select(id_col, "shingles").join(acc_ids, on=id_col),
                      "shingles", batch_id)
         state_mkdirs(spark, f"{state_path}/committed/_batch_id={batch_id}")
+        # the witness checkpoint served its four derived writes: release
+        # its blocks before the next micro-batch (finding #15)
+        release_blocks(spark.sparkContext, _best_ids)
 
     return handle
 

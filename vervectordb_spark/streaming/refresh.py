@@ -276,10 +276,16 @@ def ingest_with_index_refresh(
                 state["centroids"], "cluster_id int, centroid array<double>"
             )
             assigned = assign_by_centroids(out, cent)
+            _ckpt_ids: set[int] = set()
             if state["codec"] is not None:
                 # one assignment feeds both layouts: materialize it so the
-                # broadcast-argmax doesn't run twice
-                assigned = assigned.localCheckpoint(eager=True)
+                # broadcast-argmax doesn't run twice (blocks released at
+                # the end of THIS batch — finding #15: a per-micro-batch
+                # leak otherwise)
+                from vervectordb_spark.functions.checkpoint import (
+                    eager_checkpoint)
+
+                assigned, _ckpt_ids = eager_checkpoint(assigned)
             assigned.write.mode("append").partitionBy("cluster_id").parquet(
                 f"{store_path}/ivf/vectors_by_cluster"
             )
@@ -291,6 +297,10 @@ def ingest_with_index_refresh(
                     "vec_id", "cluster_id", "pq_code"
                 ).write.mode("append").parquet(f"{store_path}/codes")
                 state["pq_incremental_appends"] += 1
+                from vervectordb_spark.functions.checkpoint import (
+                    release_blocks)
+
+                release_blocks(spark.sparkContext, _ckpt_ids)
         if incremental and state["ann_ready"] and ann_tables is not None:
             from vervectordb_spark.operators.ann import (
                 SignLSHIndex,
@@ -364,11 +374,16 @@ def ingest_with_index_refresh(
                                  "vec_id")
                 a = _assign_half(a, c2, "embedding", d, 2, "cell2",
                                  "vec_id")
+                _imi_ckpt: set[int] = set()
                 if state["imipq_codec"] is not None:
                     # one assignment feeds both the raw layout and the
                     # codes layout — materialize so the two broadcast
-                    # argmax passes don't run twice
-                    a = a.localCheckpoint(eager=True)
+                    # argmax passes don't run twice (released at the end
+                    # of this batch, finding #15)
+                    from vervectordb_spark.functions.checkpoint import (
+                        eager_checkpoint)
+
+                    a, _imi_ckpt = eager_checkpoint(a)
                 # dynamic-partition append into the persisted layout: the
                 # rectangle probe's cell1 partition pruning holds for these
                 # rows immediately; cell2 row-group sorting waits for the
@@ -384,6 +399,10 @@ def ingest_with_index_refresh(
                     ).write.mode("append").partitionBy("cell1").parquet(
                         f"{store_path}/imipq/codes")
                     state["imipq_incremental_appends"] += 1
+                    from vervectordb_spark.functions.checkpoint import (
+                        release_blocks)
+
+                    release_blocks(spark.sparkContext, _imi_ckpt)
         if incremental and state["lbq"] is not None:
             from vervectordb_spark.operators import bq as bq_op
             from vervectordb_spark.operators import opq
