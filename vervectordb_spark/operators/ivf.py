@@ -81,12 +81,25 @@ def _assign_with_sim(df: DataFrame, centroids_df: DataFrame,
     (csim DESC, cluster_id ASC) tie-break exactly and is total since
     cluster ids are distinct). Rows with NULL embeddings are excluded
     from the audit (a NULL ordering key has no defined argmax)."""
-    from vervectordb_spark.functions.similarity import cosine_expr
+    from vervectordb_spark.functions.similarity import (
+        cosine_from_ss, dot_expr, to_double)
 
+    # self-dots HOISTED out of the k-way pair scoring (the cosine_from_ss
+    # convention): dot(row,row) folds once per ROW and dot(c,c) once per
+    # CENTROID instead of once per (row, centroid) pair — the pair kernel
+    # drops from 3 dim-folds to 1. Bit-identical to cosine_expr: same
+    # element doubles, same fold, sqrt(ssa)*sqrt(ssb) == norm(a)*norm(b)
+    # exactly, same zero guard (ss == 0 iff norm == 0).
+    cent = centroids_df.withColumn(
+        "_cd", to_double(F.col("centroid"))).withColumn(
+        "_ssc", dot_expr(F.col("_cd"), F.col("_cd")))
     scored = (df.filter(F.col(emb_col).isNotNull())
-              .crossJoin(F.broadcast(centroids_df))
+              .withColumn("_ad", to_double(F.col(emb_col)))
+              .withColumn("_ssa", dot_expr(F.col("_ad"), F.col("_ad")))
+              .crossJoin(F.broadcast(cent))
               .withColumn("_csim",
-                          cosine_expr(F.col(emb_col), F.col("centroid"))))
+                          cosine_from_ss(F.col("_ad"), F.col("_cd"),
+                                         F.col("_ssa"), F.col("_ssc"))))
     fields = [F.col("cluster_id"), F.col("_csim")]
     if keep_emb:
         fields.append(F.col(emb_col))
@@ -242,28 +255,39 @@ def centroid_drift(df: DataFrame, centroids_df: DataFrame, dim: int,
     kernel: "expr" (the 2*dim aggregate expressions below — the
     oracle-replayable form), "arrow" (_centroid_drift_arrow — the
     mapInPandas partial-sum kernel that survives dim 1024-4096), or
-    "auto" (expr up to sq.MAX_EXPR_FIT_DIM, arrow beyond). The two are
-    bit-identical (pinned in tests/test_ivf.py), so the seam is
-    invisible to callers."""
+    "auto" (= arrow). The two are bit-identical (pinned in
+    tests/test_ivf.py), so the seam is invisible to callers. auto
+    resolved to expr below dim 256 through round 10; measured at r11
+    (sf0.1, dim 64, 32 cores) the arrow kernel is ~1.5x faster there
+    too (1.0 s vs 1.6 s exec — JVM decimal aggregation is the slow
+    half), so auto now always takes the production kernel and "expr"
+    remains the oracle-replayable spec."""
     if kernel not in ("auto", "expr", "arrow"):
         raise ValueError(f"unknown kernel {kernel!r}")
-    if kernel == "arrow" or (kernel == "auto" and dim > 256):
+    if kernel in ("arrow", "auto"):
         return _centroid_drift_arrow(df, centroids_df, dim, id_col, emb_col)
     a = _assign_with_sim(df, centroids_df, id_col, emb_col,
                          keep_emb=True).select(id_col, "cluster_id", emb_col)
-    aggs = [F.count("*").cast("bigint").alias("n")]
-    for j in range(dim):
-        e = F.round(F.element_at(F.col(emb_col), j + 1).cast("double"), 6)
-        aggs.append(F.sum(e.cast("decimal(24,6)")).alias(f"_s{j}"))
+    # expressions built as parsed SQL STRINGS, not per-dim Column calls:
+    # the Column form cost ~1.5 s of py4j round-trips per invocation at
+    # dim=64 (~10 driver calls per dim) — measured 40% of the benched
+    # entry. The parsed trees are identical, so values are bit-unchanged.
+    aggs = [F.count("*").cast("bigint").alias("n")] + [
+        F.expr(f"sum(cast(round(cast(element_at({emb_col}, {j + 1}) as"
+               f" double), 6) as decimal(24,6))) as _s{j}")
+        for j in range(dim)
+    ]
     stats = a.groupBy("cluster_id").agg(*aggs)
     joined = stats.join(F.broadcast(centroids_df), on="cluster_id")
-    drift_sq = F.lit(0.0)
-    for j in range(dim):
-        d = (F.col(f"_s{j}").cast("double") / F.col("n")
-             - F.element_at(F.col("centroid"), j + 1))
-        drift_sq = drift_sq + d * d
-    return (joined.select("cluster_id", "n",
-                          F.round(F.sqrt(drift_sq), 6).alias("drift"))
+    # 0.0D + (d0*d0) + (d1*d1) + ... parses left-associative — the exact
+    # fold order of the old `drift_sq = drift_sq + d * d` loop
+    terms = " + ".join(
+        f"((cast(_s{j} as double) / n - element_at(centroid, {j + 1})) * "
+        f"(cast(_s{j} as double) / n - element_at(centroid, {j + 1})))"
+        for j in range(dim)
+    )
+    drift = F.expr(f"round(sqrt(0.0D + {terms}), 6)")
+    return (joined.select("cluster_id", "n", drift.alias("drift"))
             .orderBy("cluster_id"))
 
 
