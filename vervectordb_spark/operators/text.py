@@ -680,9 +680,12 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text",
     total = uni.agg(F.sum("cnt").cast("bigint").alias("total"))
     bi = (trans.groupBy("w1", "w2")
           .agg(F.count("*").cast("bigint").alias("bcnt")))
-    scored = (
-        trans
-        .join(bi, on=["w1", "w2"])  # key-partitioned: bigrams don't broadcast
+    # per-TYPE scoring (r11): _bits is a pure function of the bigram, so
+    # the lookup joins assemble on the TYPE table and the document
+    # stream joins the result once — the stream no longer flows through
+    # the unigram/total joins, and each type's double chain runs once
+    type_bits = (
+        bi  # key-partitioned: bigrams don't broadcast
         .join(F.broadcast(uni.withColumnRenamed("word", "w1")
                           .withColumnRenamed("cnt", "c1")), on="w1")
         .join(F.broadcast(uni.withColumnRenamed("word", "w2")
@@ -696,7 +699,9 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text",
                                   / F.col("total").cast("double")))
         .withColumn("_bits",
                     F.round(-F.log2(F.col("_p")), 9).cast("decimal(24,9)"))
+        .select("w1", "w2", "_bits")
     )
+    scored = trans.join(type_bits, on=["w1", "w2"])
     return (scored.groupBy(id_col)
             .agg(F.count("*").cast("bigint").alias("n_transitions"),
                  F.sum("_bits").alias("_sb"))
@@ -725,9 +730,10 @@ def trigram_surprisal(df: DataFrame, text_col: str = "text",
     mix is never log2(0).
 
     Shape at 100 TB: unigram table broadcasts (Heaps-law); the bigram
-    AND trigram tables join KEY-PARTITIONED (both outgrow broadcast on
-    web corpora — the bigram_surprisal rationale, one more corpus-sized
-    hash shuffle than bigram); one groupBy(doc). Float contract: single
+    normalizer tables join KEY-PARTITIONED into the trigram TYPE table
+    (both outgrow broadcast on web corpora — the bigram_surprisal
+    rationale), and the document stream attaches the per-type surprisal
+    with ONE key-partitioned join; one groupBy(doc). Float contract: single
     divisions, fixed-order λ-mix, 9dp-rounded log2 terms summed as exact
     DECIMAL, one final division rounded to 6dp."""
     from vervectordb_spark.functions.words import ASCII_WORDS
@@ -770,11 +776,14 @@ def trigram_surprisal(df: DataFrame, text_col: str = "text",
           .groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("bcnt")))
     tri = (trans.groupBy("w1", "w2", "w3")
            .agg(F.count("*").cast("bigint").alias("tcnt")))
-    scored = (
-        trans
+    # per-TYPE scoring (r11, the kn5/bigram convention): the two
+    # key-partitioned lookup joins run over the trigram TYPE table and
+    # the document stream attaches the finished _bits with ONE join —
+    # two fewer corpus-sized shuffles of the stream
+    type_bits = (
+        tri
         # key-partitioned: neither the trigram nor the bigram table
         # broadcasts on a web corpus
-        .join(tri, on=["w1", "w2", "w3"])
         .join(bi, on=["w1", "w2"])
         .join(bi.select(F.col("w1").alias("w2"), F.col("w2").alias("w3"),
                         F.col("bcnt").alias("bcnt23")), on=["w2", "w3"])
@@ -793,7 +802,9 @@ def trigram_surprisal(df: DataFrame, text_col: str = "text",
                              / F.col("total").cast("double")))
         .withColumn("_bits",
                     F.round(-F.log2(F.col("_p")), 9).cast("decimal(24,9)"))
+        .select("w1", "w2", "w3", "_bits")
     )
+    scored = trans.join(type_bits, on=["w1", "w2", "w3"])
     return (scored.groupBy(id_col)
             .agg(F.count("*").cast("bigint").alias("n_transitions"),
                  F.sum("_bits").alias("_sb"))
@@ -837,13 +848,19 @@ def kn5_surprisal(df: DataFrame, text_col: str = "text",
     table is the largest state by far, and singleton pruning removes
     most of it.
 
-    Shape at 100 TB: SEVEN key-partitioned joins of the transition
-    stream (c5 + prefix-context, cc4/cc3/cc2 + their context tables) and
-    only vocabulary-sized tables broadcast (cc1, den2/n2) — ~3× the
-    trigram rung's shuffle volume, which is the measured cost of the
-    real KN rung (SCALE.md finding #16). Float contract unchanged:
+    Shape at 100 TB: the SEVEN key-partitioned lookup joins (prefix
+    context, cc4/cc3/cc2 + their context tables) run over the 5-GRAM
+    TYPE TABLE, not the transition stream — every probability is a pure
+    function of the 5-gram, so the per-type surprisal is assembled once
+    on type-sized inputs and the document stream joins it with ONE
+    key-partitioned join (r11: the stream previously flowed through all
+    seven joins, paying ~6 extra corpus-sized shuffles; types ≪ tokens
+    on real corpora, so the join chain now scales with vocabulary
+    growth, not corpus size). Only vocabulary-sized tables broadcast
+    (cc1, den2/n2) — SCALE.md finding #16. Float contract unchanged:
     single divisions, fixed-order mix, 9dp-rounded log2 summed as exact
-    DECIMAL, final division rounded to 6dp."""
+    DECIMAL, final division rounded to 6dp; per-type doubles are the
+    identical op sequence, so results are bit-unchanged."""
     from vervectordb_spark.functions.words import ASCII_WORDS
 
     D = float(discount)
@@ -854,17 +871,17 @@ def kn5_surprisal(df: DataFrame, text_col: str = "text",
     tcol = F.col("_toks")
 
     def windows(n: int, names: list[str]):
-        return F.when(
-            F.size(tcol) >= n,
-            F.transform(
-                F.sequence(F.lit(1),
-                           F.greatest(F.size(tcol) - (n - 1), F.lit(1))),
-                lambda i: F.struct(*[
-                    F.element_at(tcol, i + j).alias(names[j])
-                    for j in range(n)]),
-            ),
-        ).otherwise(F.array().cast(
-            "array<struct<" + ",".join(f"{c}:string" for c in names) + ">>"))
+        # one parsed SQL string — the Column form cost ~0.2 s of py4j
+        # round-trips per call (5 calls per invocation); identical tree
+        fields = ", ".join(f"element_at(_toks, i + {j}) AS {names[j]}"
+                           for j in range(n))
+        cast_t = ("array<struct<"
+                  + ",".join(f"{c}:string" for c in names) + ">>")
+        return F.expr(
+            f"CASE WHEN size(_toks) >= {n} THEN "
+            f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)), "
+            f"i -> struct({fields})) "
+            f"ELSE cast(array() as {cast_t}) END")
 
     W = ["w1", "w2", "w3", "w4", "w5"]
 
@@ -903,9 +920,12 @@ def kn5_surprisal(df: DataFrame, text_col: str = "text",
     trans = (staged.select(F.col(id_col), F.explode(windows(5, W)).alias("g"))
              .select(id_col, *[F.col(f"g.{c}").alias(c) for c in W]))
 
-    c5_lookup = c5
-    if prune_min_count is not None:
-        c5_lookup = c5.filter(F.col("cnt") >= int(prune_min_count))
+    # the TOP lookup count, nulled where pruned — replicates the old
+    # `trans LEFT JOIN (c5 WHERE cnt >= k)` semantics on the type table
+    # (every observed type stays a row; only its c5 value disappears)
+    c5_val = (F.col("cnt") if prune_min_count is None
+              else F.when(F.col("cnt") >= int(prune_min_count),
+                          F.col("cnt")))
 
     def ren(t: DataFrame, mapping: dict[str, str],
             vals: dict[str, str]) -> DataFrame:
@@ -915,8 +935,7 @@ def kn5_surprisal(df: DataFrame, text_col: str = "text",
         return t.select(*[F.col(c).alias(m.get(c, c)) for c in t.columns])
 
     scored = (
-        trans
-        .join(c5_lookup.withColumnRenamed("cnt", "c5"), on=W, how="left")
+        c5.select(*W, c5_val.alias("c5"))
         .join(ctx5, on=["w1", "w2", "w3", "w4"])
         # level 4: continuation tables are keyed on the last 4/3 words
         .join(ren(cc4, {"w2": "w2", "w3": "w3", "w4": "w4", "w5": "w5"},
@@ -956,8 +975,14 @@ def kn5_surprisal(df: DataFrame, text_col: str = "text",
           / F.col("den5").cast("double")
           + (dd * F.col("n5").cast("double")
              / F.col("den5").cast("double")) * p4)
-    scored = scored.withColumn(
-        "_bits", F.round(-F.log2(p5), 9).cast("decimal(24,9)"))
+    # per-TYPE surprisal, attached to the document stream by ONE join:
+    # _bits is a pure function of (w1..w5), so each type's double chain
+    # is computed exactly once and every transition inner-joins its own
+    # type (always present — c5 was built from the same stream)
+    type_bits = scored.withColumn(
+        "_bits", F.round(-F.log2(p5), 9).cast("decimal(24,9)")
+    ).select(*W, "_bits")
+    scored = trans.join(type_bits, on=W)
     return (scored.groupBy(id_col)
             .agg(F.count("*").cast("bigint").alias("n_transitions"),
                  F.sum("_bits").alias("_sb"))
