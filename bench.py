@@ -33,6 +33,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — shared-host CPU steal is
+    the measured cause of cross-run bench spread on this class of box
+    (r11: 1127 s of steal during one 12-min run inflated the median
+    total 88 s → 128 s on unchanged code). Recording it per run lets a
+    reader classify a slow artifact as host noise vs regression."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:  # noqa: BLE001 — non-Linux: no steal accounting
+        return 0, 0
+
+
 def _sf_of(sf_dir: str) -> float:
     tail = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -1142,6 +1158,7 @@ def main() -> None:
         k: v for k, v in benches.items()
         if (not only or k in only) and k not in skip
     }
+    steal0, total0 = _cpu_ticks()
     timings: dict[str, float] = {}
     dispersion: dict[str, list[float]] = {}
     failed: list[str] = []
@@ -1191,6 +1208,7 @@ def main() -> None:
                             round(statistics.median(samples), 4),
                             round(max(samples), 4)]
 
+    steal1, total1 = _cpu_ticks()
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "bench_total",
@@ -1200,6 +1218,11 @@ def main() -> None:
         "sf": _sf_of(sf_dir),
         "repeats": repeats,
         "dispersion": dispersion,
+        # host-noise classifier: fraction of this run's CPU jiffies the
+        # hypervisor stole from the guest (see _cpu_ticks docstring)
+        "host_steal_ticks": steal1 - steal0,
+        "host_steal_frac": round((steal1 - steal0)
+                                 / max(1, total1 - total0), 4),
     }
     if failed:
         out["failed"] = failed

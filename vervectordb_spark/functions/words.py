@@ -71,11 +71,15 @@ ASCII_WORDS = "^[a-z]+$"
 def words(df: DataFrame, text_col: str = "text",
           id_col: str | None = None,
           word_pattern: str | None = ASCII_WORDS) -> DataFrame:
-    """(id?, word) exploded word stream — map-side only."""
+    """(id?, word) exploded word stream — map-side only (the one
+    conditional round-robin split below only fires on narrow scans,
+    see functions/partitioning.py)."""
+    from vervectordb_spark.functions.partitioning import widen_narrow_scan
+
     cols = ([id_col] if id_col else []) + [
         F.explode(F.split(F.lower(F.col(text_col)), WS_REGEX)).alias("word")
     ]
-    out = df.select(*cols).filter(F.col("word") != "")
+    out = widen_narrow_scan(df).select(*cols).filter(F.col("word") != "")
     if word_pattern is not None:
         out = out.filter(F.col("word").rlike(word_pattern))
     return out

@@ -200,7 +200,9 @@ def words_with_pos(df: DataFrame, text_col: str = "text",
     the SAME lowercase/WS_REGEX split words() uses. wpos is the 0-based index
     into the RAW split array (filtered empties/out-of-scope words leave
     gaps), so positions are a pure function of the text on any engine."""
-    out = df.select(
+    from vervectordb_spark.functions.partitioning import widen_narrow_scan
+
+    out = widen_narrow_scan(df).select(
         F.col(id_col),
         F.posexplode(F.split(F.lower(F.col(text_col)), WS_REGEX))
         .alias("wpos", "word"),

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from vervectordb_spark.functions.partitioning import widen_narrow_scan
+
 from vervectordb_spark.functions.words import WS_REGEX
 
 from vervectordb_spark.functions.hashing import md5_long, seeded_md5_long
@@ -157,6 +159,7 @@ def shingle_table(df: DataFrame, text_col: str = "text",
     MinHash sketches). kernel="arrow" shingles in Python over JVM tokens
     (the expr path's per-element slice/concat lambdas are interpreted —
     see minhash_signatures); values identical either way."""
+    df = widen_narrow_scan(df)  # shingling is the heavy map stage
     if kernel != "arrow":
         return df.select(
             F.col(id_col), shingles_expr(text_col, shingle_n).alias("shingles")
@@ -284,7 +287,7 @@ def minhash_signatures(
     semantics). The expr path remains as the no-Python-worker fallback
     and the living spec."""
     if kernel == "arrow":
-        toked = df.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+        toked = widen_narrow_scan(df).select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
         return _minhash_arrow_kernel(toked, num_hashes, shingle_n)
     sh = df.select(F.col(id_col), shingles_expr(text_col, shingle_n).alias("shingles"))
     hashed = sh.withColumn("_h", F.transform(F.col("shingles"), md5_long))
@@ -679,7 +682,7 @@ def simhash_fingerprints(
     times slower than Arrow; fingerprints are bit-identical either way
     (pytest-pinned), tokenization stays JVM-side in both."""
     if kernel == "arrow":
-        toked = df.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+        toked = widen_narrow_scan(df).select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
         return _simhash_arrow_kernel(toked, SIMHASH_BITS)
     staged = df.select(
         F.col(id_col),
@@ -1233,7 +1236,7 @@ def winnow_table(
 
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
-    toked = df.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+    toked = widen_narrow_scan(df).select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
     out_schema = StructType(
         [toked.schema[id_col], StructField("_fps", ArrayType(LongType()), False)]
     )

@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vervectordb_spark.functions.hashing import md5_long
+from vervectordb_spark.functions.partitioning import widen_narrow_scan
 from vervectordb_spark.operators.dedup import tokens_expr
 
 
@@ -153,6 +154,10 @@ def embed_documents(docs: DataFrame, dim: int = 32, text_col: str = "text",
             "column but the input already has one; drop or rename it "
             "first (a duplicate name would only surface later as an "
             "opaque AnalysisException)")
+    # per-row featurize is the heavy part — split a narrow (single-row-
+    # group) scan across the session cores; structural no-op at
+    # production layouts (functions/partitioning.py)
+    docs = widen_narrow_scan(docs)
     if kernel == "arrow":
         return _embed_arrow(docs, dim, text_col, id_col, cjk_aware,
                             passthrough=passthrough)
@@ -324,6 +329,7 @@ def checkpoint_embedding(docs: DataFrame, checkpoint_dir: str | None = None,
         keep = []
     toks = mixed_tokens_expr(text_col) if cjk_aware else tokens_expr(text_col)
     toks = F.coalesce(toks, F.array().cast("array<string>"))
+    docs = widen_narrow_scan(docs)  # batched inference is the heavy part
     if passthrough:
         src = docs.select(*[F.col(c) for c in keep], toks.alias("_toks"))
     else:

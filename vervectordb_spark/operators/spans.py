@@ -143,9 +143,14 @@ def gram_positions(docs: DataFrame, gram_len: int,
     re-tokenize once PER GRAM POSITION (O(tokens²) per doc; measured 6×
     slower at sf0.1). The hex digest is staged in the per-gram struct so
     md5 runs ONCE per gram; both longs derive after the explode."""
+    from vervectordb_spark.functions.partitioning import widen_narrow_scan
+
     toks = F.expr(f"filter(split(lower({text_col}), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), "
                   "t -> t != '')")
-    staged = docs.select(F.col(id_col), toks.alias("_toks"))
+    # gram emit is the heavy stage (62% of sf100 span cost) — split a
+    # narrow single-row-group scan across cores; no-op at real layouts
+    staged = widen_narrow_scan(docs).select(F.col(id_col),
+                                            toks.alias("_toks"))
     if kernel == "arrow":
         return _gram_arrow_kernel(staged, gram_len, id_col)
     if kernel != "expr":

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from vervectordb_spark.functions.partitioning import widen_narrow_scan
+
 from vervectordb_spark.functions.hashing import md5_long
 from vervectordb_spark.functions.words import NONWORD_CCLASS, WS_REGEX
 from vervectordb_spark.operators.dedup import tokens_expr
@@ -252,7 +254,7 @@ def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 1,
     )
     keys = [by_col] if by_col else []
     counts = (
-        df.select(*keys, F.explode(grams).alias("ngram"))
+        widen_narrow_scan(df).select(*keys, F.explode(grams).alias("ngram"))
         .groupBy(*keys, "ngram")
         .agg(F.count("*").alias("n_occurrences"))
     )
@@ -415,6 +417,7 @@ def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     constant factor at corpus scale. kernel="expr": the original column
     expressions — no Python workers, and the living spec the Arrow path
     is pytest-pinned value-identical to."""
+    df = widen_narrow_scan(df)  # per-doc regex folds are the heavy part
     if kernel == "arrow":
         return _profile_arrow(df, text_col, id_col)
     return df.select(
@@ -661,7 +664,8 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text",
     toks = F.expr(
         f"filter(split(lower({text_col}), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), "
         f"t -> t != '' AND t rlike '{ASCII_WORDS}')")
-    staged = df.select(F.col(id_col), toks.alias("_toks"))
+    staged = widen_narrow_scan(df).select(F.col(id_col),
+                                           toks.alias("_toks"))
     tcol = F.col("_toks")
     pairs = F.when(
         F.size(tcol) >= 2,
@@ -743,7 +747,8 @@ def trigram_surprisal(df: DataFrame, text_col: str = "text",
     toks = F.expr(
         f"filter(split(lower({text_col}), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), "
         f"t -> t != '' AND t rlike '{ASCII_WORDS}')")
-    staged = df.select(F.col(id_col), toks.alias("_toks"))
+    staged = widen_narrow_scan(df).select(F.col(id_col),
+                                           toks.alias("_toks"))
     tcol = F.col("_toks")
     triples = F.when(
         F.size(tcol) >= 3,
@@ -867,7 +872,8 @@ def kn5_surprisal(df: DataFrame, text_col: str = "text",
     toks = F.expr(
         f"filter(split(lower({text_col}), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), "
         f"t -> t != '' AND t rlike '{ASCII_WORDS}')")
-    staged = df.select(F.col(id_col), toks.alias("_toks"))
+    staged = widen_narrow_scan(df).select(F.col(id_col),
+                                           toks.alias("_toks"))
     tcol = F.col("_toks")
 
     def windows(n: int, names: list[str]):

@@ -105,6 +105,18 @@ def assert_no_shuffle(plan: str) -> None:
     assert "Exchange" not in plan, f"unexpected Exchange in plan:\n{plan[:3000]}"
 
 
+def assert_no_keyed_shuffle(plan: str) -> None:
+    """Map-only pipeline up to the narrow-scan widener: no DATA-KEYED
+    exchange (hash/range). The conditional round-robin split that
+    functions/partitioning.widen_narrow_scan inserts on single-row-group
+    fixture scans is allowed — it is a structural no-op at production
+    layouts, moves no keys, and exists precisely so the fixture's
+    1-task scans don't serialize the heavy map stage."""
+    for m in re.finditer(r"\(\d+\) Exchange ([A-Za-z]+)", plan):
+        assert m.group(1) == "RoundRobinPartitioning", (
+            f"unexpected keyed Exchange {m.group(1)} in plan:\n{plan[:3000]}")
+
+
 def count_shuffles(plan: str) -> int:
     """Number of DISTINCT exchanges in the formatted plan (AQE reuse not
     double-counted). The scale budget for a query is usually 1-2."""
