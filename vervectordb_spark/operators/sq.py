@@ -85,18 +85,17 @@ def fit_sq_stats_wide(df: DataFrame, emb_col: str, dim: int) -> DataFrame:
     fit_sq_stats at scale: map-side partials reduce each task to 2*dim
     scalars before the exchange, and min/max see the same doubles, so the
     stats are bit-identical."""
-    aggs = []
-    for j in range(dim):
-        e = F.element_at(F.col(emb_col), j + 1).cast("double")
-        aggs.append(F.min(e).alias(f"_mn{j}"))
-        aggs.append(F.max(e).alias(f"_mx{j}"))
+    # parsed SQL strings, not per-dim Column calls: the Column form cost
+    # ~1 s of py4j round-trips per invocation at dim=64 (identical trees)
+    aggs = [
+        F.expr(f"{fn}(cast(element_at({emb_col}, {j + 1}) as double)) "
+               f"as _{al}{j}")
+        for j in range(dim) for fn, al in (("min", "mn"), ("max", "mx"))
+    ]
     row = df.agg(*aggs)
-    packed = F.array(*[
-        F.struct(F.lit(j).cast("int").alias("pos"),
-                 F.col(f"_mn{j}").alias("mn"),
-                 F.col(f"_mx{j}").alias("mx"))
-        for j in range(dim)
-    ])
+    packed = F.expr("array(" + ", ".join(
+        f"struct(cast({j} as int) as pos, _mn{j} as mn, _mx{j} as mx)"
+        for j in range(dim)) + ")")
     return (row.select(F.explode(packed).alias("_s"))
             .select("_s.pos", "_s.mn", "_s.mx"))
 

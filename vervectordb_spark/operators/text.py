@@ -194,6 +194,27 @@ _QUALITY_RULES = (
 )
 
 
+def _quality_filter_exprs(text_col: str):
+    """(score, reasons) Column pair for `text_col`, memoized: the rule
+    trees cost ~0.6 s of py4j round-trips to construct (every Column op
+    is a driver round-trip) and depend only on the column NAME — Columns
+    are immutable unresolved expression trees, safe to reuse across
+    frames. Cached on the function object, keyed by text_col."""
+    cache = _quality_filter_exprs.__dict__.setdefault("_cache", {})
+    got = cache.get(text_col)
+    if got is None:
+        failed = [
+            F.when(~rule(text_col), F.lit(tag)).otherwise(F.lit(None))
+            for tag, rule in _QUALITY_RULES
+        ]
+        reasons = F.array_join(
+            F.filter(F.array(*failed), lambda x: x.isNotNull()), ","
+        )
+        score = F.round(quality_score_expr(text_col), 6)
+        got = cache[text_col] = (score, reasons)
+    return got
+
+
 def quality_filter(df: DataFrame, text_col: str = "text",
                    min_score: float = 0.8) -> DataFrame:
     """The C4/Gopher-style corpus gate: appends `quality_score`,
@@ -201,14 +222,7 @@ def quality_filter(df: DataFrame, text_col: str = "text",
     the rules that failed — the observability a filtering pipeline needs
     to tune thresholds). Pure map-side projection; the downstream pipeline
     is `df.filter("keep")`."""
-    failed = [
-        F.when(~rule(text_col), F.lit(tag)).otherwise(F.lit(None))
-        for tag, rule in _QUALITY_RULES
-    ]
-    reasons = F.array_join(
-        F.filter(F.array(*failed), lambda x: x.isNotNull()), ","
-    )
-    score = F.round(quality_score_expr(text_col), 6)
+    score, reasons = _quality_filter_exprs(text_col)
     return df.withColumns({
         "quality_score": score,
         "keep": score >= F.lit(float(min_score)),
