@@ -159,6 +159,12 @@ class SignLSHIndex:
         plane dot is within rounding of 0 — never observed on real data,
         and oracle-gated queries pin kernel="fold" regardless.
         """
+        from vervectordb_spark.functions.partitioning import widen_narrow_scan
+
+        # signature computation is row-wise deterministic (md5 planes) in
+        # BOTH kernels, so the split is result-invariant; it parallelizes
+        # the heavy map pass on narrow fixture scans (no-op at scale)
+        df = widen_narrow_scan(df)
         if bits == "auto":
             import math
 

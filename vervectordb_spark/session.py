@@ -29,6 +29,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow transfer for pandas_udf / mapInPandas (PQ codec, multimodal).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Let the planner pick shuffled-hash over sort-merge when the
+        # per-partition build side fits (guide §3.1/§9): the n-gram/type
+        # lookup joins skip both sorts. AQE can also rewrite SMJ->SHJ at
+        # runtime below the local-map threshold. Partition sizes are
+        # AQE-governed (advisory 64 MB), so the build side stays bounded
+        # at any corpus scale; values are join-strategy-independent.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "128m")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or (int(cpus) if str(cpus).isdigit() else 32)),
