@@ -71,15 +71,14 @@ ASCII_WORDS = "^[a-z]+$"
 def words(df: DataFrame, text_col: str = "text",
           id_col: str | None = None,
           word_pattern: str | None = ASCII_WORDS) -> DataFrame:
-    """(id?, word) exploded word stream — map-side only (the one
-    conditional round-robin split below only fires on narrow scans,
-    see functions/partitioning.py)."""
-    from vervectordb_spark.functions.partitioning import widen_narrow_scan
-
+    """(id?, word) exploded word stream — map-side only. NOT widened
+    (functions/partitioning): the split+explode is too light per row for
+    the round-robin exchange to pay for itself — paired-run measured
+    +0.3 s on unigram_surprisal when it was (OPTIMIZATION_r11.md)."""
     cols = ([id_col] if id_col else []) + [
         F.explode(F.split(F.lower(F.col(text_col)), WS_REGEX)).alias("word")
     ]
-    out = widen_narrow_scan(df).select(*cols).filter(F.col("word") != "")
+    out = df.select(*cols).filter(F.col("word") != "")
     if word_pattern is not None:
         out = out.filter(F.col("word").rlike(word_pattern))
     return out

@@ -159,7 +159,9 @@ def shingle_table(df: DataFrame, text_col: str = "text",
     MinHash sketches). kernel="arrow" shingles in Python over JVM tokens
     (the expr path's per-element slice/concat lambdas are interpreted —
     see minhash_signatures); values identical either way."""
-    df = widen_narrow_scan(df)  # shingling is the heavy map stage
+    # NOT widened: paired-run measured the added exchange costing more
+    # than the parallel shingling buys on this light kernel (+0.25 s on
+    # decontam_ngrams; the heavy sketchers widen at their own roots)
     if kernel != "arrow":
         return df.select(
             F.col(id_col), shingles_expr(text_col, shingle_n).alias("shingles")
