@@ -38,6 +38,12 @@ def get_spark(
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
                 "128m")
+        # guard-limits (limit(cap+1).collect()) otherwise escalate through
+        # up to 5 sequential mini-jobs (1, 4, 16, ... partitions); start at
+        # the session's parallelism — parameterized by cores, not a local
+        # constant, and bounded extra scan work for point limits
+        .config("spark.sql.limit.initialNumPartitions",
+                str(int(cpus) if str(cpus).isdigit() else 32))
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or (int(cpus) if str(cpus).isdigit() else 32)),
