@@ -1161,16 +1161,24 @@ def main() -> None:
     steal0, total0 = _cpu_ticks()
     timings: dict[str, float] = {}
     dispersion: dict[str, list[float]] = {}
+    entry_steal: dict[str, list[float]] = {}
     failed: list[str] = []
     leaks: dict[str, list[int]] = {}
     held = _persistent_rdd_ids(spark)  # pre-run baseline (normally empty)
     for name, thunk in benches.items():
         samples = []
+        steals = entry_steal[name] = []
         try:
             for _ in range(repeats):
+                es0, et0 = _cpu_ticks()
                 t0 = time.perf_counter()
                 thunk()
                 samples.append(time.perf_counter() - t0)
+                # per-REPEAT steal fraction (VERDICT r11 item 5): lets a
+                # reader classify each repeat — and thus the median — as
+                # burst-polluted or clean, mechanically
+                es1, et1 = _cpu_ticks()
+                steals.append(round((es1 - es0) / max(1, et1 - et0), 4))
         except Exception as e:  # noqa: BLE001 — one entry must not
             # abort the whole artifact; the failure is recorded, not
             # silently dropped
@@ -1223,6 +1231,10 @@ def main() -> None:
         "host_steal_ticks": steal1 - steal0,
         "host_steal_frac": round((steal1 - steal0)
                                  / max(1, total1 - total0), 4),
+        # per-repeat steal fractions, aligned with each entry's repeats
+        # (additive, VERDICT r11 item 5): a slow repeat with high steal is
+        # host noise; slow repeats at ~0 steal are a real regression
+        "entry_steal": {k: v for k, v in entry_steal.items() if v},
     }
     if failed:
         out["failed"] = failed

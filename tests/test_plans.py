@@ -371,10 +371,7 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     A.assert_not_operator(plan, "SortMergeJoin")
     # budget counts DATA-KEYED exchanges; the conditional round-robin
     # widener splits on the narrow fixture scans sit outside it
-    import re as _re
-    keyed = [m for m in _re.finditer(r"\(\d+\) Exchange ([A-Za-z]+)", plan)
-             if m.group(1) != "RoundRobinPartitioning"]
-    assert len(keyed) <= 3
+    assert A.keyed_shuffle_count(plan) <= 3, plan[:3000]
 
 
 def test_mix_to_target_rates_broadcast_no_extra_shuffle(spark):
@@ -566,7 +563,34 @@ def test_curation_pipeline_trained_stage_adds_no_shuffle(spark):
     plan = A.physical_plan(curation_pipeline_trained(spark, SF_DIR))
     # v1 shuffle budget unchanged for DATA-KEYED exchanges; round-robin
     # widener splits (fixture-only, no-op at scale) sit outside it
-    import re as _re
-    keyed = [m for m in _re.finditer(r"\(\d+\) Exchange ([A-Za-z]+)", plan)
-             if m.group(1) != "RoundRobinPartitioning"]
-    assert len(keyed) <= 10, plan[:3000]
+    assert A.keyed_shuffle_count(plan) <= 10, plan[:3000]
+
+
+def test_exchange_partitioning_parser_sees_keyed_blocks():
+    """The r11 header-line regex matched NOTHING in formatted output (the
+    partitioning is on the Arguments line), so every keyed-shuffle
+    contract passed vacuously (ADVICE r11, high). Pin the parser against
+    the real formatted block shape so format drift fails loudly instead
+    of silently re-vacuating the contracts."""
+    plan = (
+        "(2) Exchange\n"
+        "Input [2]: [doc_id#43L, text#44]\n"
+        "Arguments: RoundRobinPartitioning(32), REPARTITION_BY_NUM, "
+        "[plan_id=267]\n"
+        "\n"
+        "(8) Exchange\n"
+        "Input [3]: [doc_id#52L, band#65, band_key#66]\n"
+        "Arguments: hashpartitioning(band#65, band_key#66, 32), "
+        "ENSURE_REQUIREMENTS, [plan_id=318]\n"
+    )
+    assert A.exchange_partitionings(plan) == [
+        "RoundRobinPartitioning", "hashpartitioning"]
+    assert A.keyed_shuffle_count(plan) == 1
+    with pytest.raises(AssertionError):
+        A.assert_no_keyed_shuffle(plan)
+    # widener-only plans still pass
+    roundrobin_only = plan.split("\n\n")[0] + "\n"
+    A.assert_no_keyed_shuffle(roundrobin_only)
+    # an Exchange block the parser cannot read must fail, not pass
+    with pytest.raises(AssertionError):
+        A.assert_no_keyed_shuffle("(3) Exchange\nInput [1]: [x#1]\n")

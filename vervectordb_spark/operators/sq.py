@@ -52,6 +52,7 @@ import numpy as np
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from vervectordb_spark.functions.identifiers import sql_ident
 
 N_LEVELS = 256  # uint8
 
@@ -88,7 +89,7 @@ def fit_sq_stats_wide(df: DataFrame, emb_col: str, dim: int) -> DataFrame:
     # parsed SQL strings, not per-dim Column calls: the Column form cost
     # ~1 s of py4j round-trips per invocation at dim=64 (identical trees)
     aggs = [
-        F.expr(f"{fn}(cast(element_at({emb_col}, {j + 1}) as double)) "
+        F.expr(f"{fn}(cast(element_at({sql_ident(emb_col)}, {j + 1}) as double)) "
                f"as _{al}{j}")
         for j in range(dim) for fn, al in (("min", "mn"), ("max", "mx"))
     ]

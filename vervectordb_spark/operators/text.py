@@ -31,6 +31,7 @@ from vervectordb_spark.functions.partitioning import widen_narrow_scan
 from vervectordb_spark.functions.hashing import md5_long
 from vervectordb_spark.functions.words import NONWORD_CCLASS, WS_REGEX
 from vervectordb_spark.operators.dedup import tokens_expr
+from vervectordb_spark.functions.identifiers import sql_ident
 
 # A tiny fixed English stopword list — deterministic, mirrored in oracle SQL.
 STOPWORDS = (
@@ -199,8 +200,16 @@ def _quality_filter_exprs(text_col: str):
     trees cost ~0.6 s of py4j round-trips to construct (every Column op
     is a driver round-trip) and depend only on the column NAME — Columns
     are immutable unresolved expression trees, safe to reuse across
-    frames. Cached on the function object, keyed by text_col."""
-    cache = _quality_filter_exprs.__dict__.setdefault("_cache", {})
+    frames. Cached ON the active SparkContext object (not the function):
+    Columns hold py4j gateway references, so a cache keyed only by
+    text_col would serve stale java handles after a JVM restart in a
+    long-lived process (ADVICE r11, low). The per-context dict dies with
+    its context."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    cache = (sc.__dict__.setdefault("_vv_quality_filter_exprs", {})
+             if sc is not None else {})
     got = cache.get(text_col)
     if got is None:
         failed = [
@@ -676,7 +685,7 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text",
 
     lam = float(lam)
     toks = F.expr(
-        f"filter(split(lower({text_col}), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), "
+        f"filter(split(lower({sql_ident(text_col)}), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), "
         f"t -> t != '' AND t rlike '{ASCII_WORDS}')")
     staged = widen_narrow_scan(df).select(F.col(id_col),
                                            toks.alias("_toks"))
@@ -759,7 +768,7 @@ def trigram_surprisal(df: DataFrame, text_col: str = "text",
     lam3, lam2 = float(lam3), float(lam2)
     lam1 = 1.0 - lam3 - lam2
     toks = F.expr(
-        f"filter(split(lower({text_col}), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), "
+        f"filter(split(lower({sql_ident(text_col)}), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), "
         f"t -> t != '' AND t rlike '{ASCII_WORDS}')")
     staged = widen_narrow_scan(df).select(F.col(id_col),
                                            toks.alias("_toks"))
@@ -884,7 +893,7 @@ def kn5_surprisal(df: DataFrame, text_col: str = "text",
 
     D = float(discount)
     toks = F.expr(
-        f"filter(split(lower({text_col}), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), "
+        f"filter(split(lower({sql_ident(text_col)}), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), "
         f"t -> t != '' AND t rlike '{ASCII_WORDS}')")
     staged = widen_narrow_scan(df).select(F.col(id_col),
                                            toks.alias("_toks"))

@@ -105,16 +105,41 @@ def assert_no_shuffle(plan: str) -> None:
     assert "Exchange" not in plan, f"unexpected Exchange in plan:\n{plan[:3000]}"
 
 
+def exchange_partitionings(plan: str) -> list[str]:
+    """Partitioning scheme of every shuffle Exchange in a FORMATTED plan.
+    The scheme is NOT on the header line — a formatted detail block reads
+
+        (8) Exchange
+        Input [3]: [doc_id#52L, band#65, band_key#66]
+        Arguments: hashpartitioning(band#65, band_key#66, 32), ENSURE_...
+
+    so the old header-line regex `\\(\\d+\\) Exchange ([A-Za-z]+)` matched
+    NOTHING and the keyed-shuffle contracts passed vacuously (ADVICE r11,
+    high). Parse the Arguments line of each block instead."""
+    return re.findall(
+        r"^\(\d+\) Exchange\n(?:[^\n]+\n)*?Arguments: (\w+)", plan, re.M)
+
+
 def assert_no_keyed_shuffle(plan: str) -> None:
     """Map-only pipeline up to the narrow-scan widener: no DATA-KEYED
-    exchange (hash/range). The conditional round-robin split that
-    functions/partitioning.widen_narrow_scan inserts on single-row-group
-    fixture scans is allowed — it is a structural no-op at production
-    layouts, moves no keys, and exists precisely so the fixture's
-    1-task scans don't serialize the heavy map stage."""
-    for m in re.finditer(r"\(\d+\) Exchange ([A-Za-z]+)", plan):
-        assert m.group(1) == "RoundRobinPartitioning", (
-            f"unexpected keyed Exchange {m.group(1)} in plan:\n{plan[:3000]}")
+    exchange (hash/range/single-partition). The conditional round-robin
+    split that functions/partitioning.widen_narrow_scan inserts on
+    single-row-group fixture scans is allowed — it is a structural no-op
+    at production layouts, moves no keys, and exists precisely so the
+    fixture's 1-task scans don't serialize the heavy map stage."""
+    parts = exchange_partitionings(plan)
+    assert plan.count(") Exchange\n") == len(parts), (
+        f"unparsed Exchange block (format drift?) in plan:\n{plan[:3000]}")
+    for p in parts:
+        assert p == "RoundRobinPartitioning", (
+            f"unexpected keyed Exchange {p} in plan:\n{plan[:3000]}")
+
+
+def keyed_shuffle_count(plan: str) -> int:
+    """DATA-KEYED exchanges only (everything except the round-robin
+    widener splits) — the number the scale shuffle budgets count."""
+    return sum(1 for p in exchange_partitionings(plan)
+               if p != "RoundRobinPartitioning")
 
 
 def count_shuffles(plan: str) -> int:

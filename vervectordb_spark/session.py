@@ -29,15 +29,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow transfer for pandas_udf / mapInPandas (PQ codec, multimodal).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Let the planner pick shuffled-hash over sort-merge when the
-        # per-partition build side fits (guide §3.1/§9): the n-gram/type
-        # lookup joins skip both sorts. AQE can also rewrite SMJ->SHJ at
-        # runtime below the local-map threshold. Partition sizes are
-        # AQE-governed (advisory 64 MB), so the build side stays bounded
-        # at any corpus scale; values are join-strategy-independent.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
-        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-                "128m")
+        # r12: the r11 session-wide shuffled-hash-join preference
+        # (preferSortMergeJoin=false + AQE SHJ local-map threshold 128m)
+        # is REVERTED on paired interleaved A/B evidence — no net win at
+        # either scale (off/on totals: sf0.1 c32 1.00:1.01, sf1 1.00:1.02)
+        # and the worst per-entry effects were on the surprisal type
+        # joins (bigram +18% sf0.1 / +27% sf1, trigram +29% sf0.1) and
+        # tpch_q18 (+34% sf1), vs only mild wins elsewhere; the SHJ build
+        # side also cannot spill (OOM envelope at 100 TB, ADVICE r11).
+        # Sort-merge + AQE defaults stay the posture.
         # guard-limits (limit(cap+1).collect()) otherwise escalate through
         # up to 5 sequential mini-jobs (1, 4, 16, ... partitions); start at
         # the session's parallelism — parameterized by cores, not a local

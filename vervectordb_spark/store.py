@@ -317,9 +317,13 @@ class VectorStore:
             F.concat_ws("#", F.col(id_col).cast("string"),
                         F.col("chunk_id").cast("string")),
         )
+        # widen=False: ingest's output file layout would otherwise vary
+        # with the session core count, and the stored vectors feed
+        # IVFIndex.build (MLlib KMeans) downstream — fit inputs stay
+        # partition-stable (partitioning.py's rule; ADVICE r11)
         emb = embed_documents(
             chunks, dim=self.vector_dim, text_col="chunk_text",
-            id_col="_chunk_key",
+            id_col="_chunk_key", widen=False,
         )
         meta = chunks.select(
             F.col("_chunk_key").alias("vec_id"),
