@@ -159,12 +159,15 @@ class SignLSHIndex:
         plane dot is within rounding of 0 — never observed on real data,
         and oracle-gated queries pin kernel="fold" regardless.
         """
-        from vervectordb_spark.functions.partitioning import widen_narrow_scan
-
-        # signature computation is row-wise deterministic (md5 planes) in
-        # BOTH kernels, so the split is result-invariant; it parallelizes
-        # the heavy map pass on narrow fixture scans (no-op at scale)
-        df = widen_narrow_scan(df)
+        # r12: the r11 widen_narrow_scan call here is REVERTED with paired
+        # interleaved A/B evidence (the words()/shingle_table protocol):
+        # ann_build 0.348 s without vs 0.584 s with the split (1.68×,
+        # min-of-9-repeats each side, steal <0.4%; r10 driver time was
+        # 0.349 s — the split WAS the r11 ann_build/knn_lsh regression).
+        # The GEMM signature kernel is too light per row at bench scale to
+        # amortize a round-robin exchange of the whole corpus, and at
+        # production layouts the widener is a structural no-op anyway —
+        # so there is no scale win to trade against the local cost.
         if bits == "auto":
             import math
 
