@@ -658,24 +658,35 @@ def build_benches(spark, sf_dir: str):
         @bench("bigram_surprisal")
         def _bigram_surprisal():
             # interpolated bigram LM: broadcast unigram + key-partitioned
-            # bigram join + one groupBy(doc)
-            return _force(bigram_surprisal(docs))
+            # bigram join + one groupBy(doc). r12: the operator pins its
+            # type tables (localCheckpoint) — release inside the timed
+            # thunk, the bpe/ulm convention
+            out = bigram_surprisal(docs)
+            n = _force(out)
+            release_checkpoint(out)
+            return n
 
         from vervectordb_spark.operators.text import trigram_surprisal
 
         @bench("trigram_surprisal")
         def _trigram_surprisal():
             # the JM ladder's last rung (SCALE.md finding #13): trigram
-            # AND bigram tables key-partitioned, unigram broadcast
-            return _force(trigram_surprisal(docs))
+            # types counted once, bigram/unigram DERIVED from them (r12)
+            out = trigram_surprisal(docs)
+            n = _force(out)
+            release_checkpoint(out)
+            return n
 
         from vervectordb_spark.operators.text import kn5_surprisal
 
         @bench("kn5_surprisal")
         def _kn5_surprisal():
-            # the KenLM-class rung (finding #16): real continuation
-            # counts, 7 key-partitioned joins of the transition stream
-            return _force(kn5_surprisal(docs))
+            # the KenLM-class rung (finding #16): 5-gram types counted
+            # once, c4/c3/c2 + continuation tables derived per type (r12)
+            out = kn5_surprisal(docs)
+            n = _force(out)
+            release_checkpoint(out)
+            return n
 
         from vervectordb_spark.operators import ulm as ULM
 

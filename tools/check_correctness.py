@@ -80,7 +80,14 @@ def main() -> int:
         checked += 1
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            df = fn(spark, sf_dir)
+            sdf = df.toPandas()
+            # operators that pin type tables (localCheckpoint, the
+            # bpe/ulm _ckpt_ids convention) release here so a 165-query
+            # gate run doesn't accumulate blocks (finding #15)
+            from vervectordb_spark.functions.checkpoint import (
+                release_checkpoint)
+            release_checkpoint(df)
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {e}"))
             records[name] = {"status": "spark_error", "err": str(e)[:500]}

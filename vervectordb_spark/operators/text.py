@@ -658,6 +658,27 @@ def repetition_gate(text_col: str = "text",
     )
 
 
+def _pin_types(df: DataFrame, ids: set[int], checkpoint: bool) -> DataFrame:
+    """Materialize a TYPE table once (localCheckpoint, leak-tracked ids —
+    functions/checkpoint contract): Catalyst cannot reuse these subtrees
+    across their 2-4 consumers (each consumer prunes different columns,
+    so no canonicalized Exchange matches and AQE re-executes the whole
+    corpus subtree per reference — measured: kn5's plan ran ~11 separate
+    corpus passes, 6.4 s where the distinct work is ~3 s). Type tables
+    grow with vocabulary (Heaps), not corpus, so the materialized state
+    is small at any scale. Callers release via release_checkpoint(out)
+    (the bpe/ulm convention); the ids accumulate in `ids`."""
+    if not checkpoint:
+        return df
+    from vervectordb_spark.functions.checkpoint import eager_checkpoint
+
+    # lazy: materializes inside the first job that needs it — no
+    # build-time barrier, and all consumers share the one RDD instance
+    out, new = eager_checkpoint(df, eager=False)
+    ids |= new
+    return out
+
+
 def bigram_surprisal(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
                      lam: float = 0.75) -> DataFrame:
@@ -844,7 +865,8 @@ def trigram_surprisal(df: DataFrame, text_col: str = "text",
 
 def kn5_surprisal(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", discount: float = 0.75,
-                  prune_min_count: int | None = None) -> DataFrame:
+                  prune_min_count: int | None = None,
+                  checkpoint: bool = True) -> DataFrame:
     """Per-document mean INTERPOLATED KNESER–NEY 5-GRAM surprisal in bits
     per transition — the KenLM-class rung the ladder previously stopped
     below (SCALE.md finding #13), now implemented with real continuation
@@ -921,8 +943,21 @@ def kn5_surprisal(df: DataFrame, text_col: str = "text",
                 .groupBy(*cols)
                 .agg(F.count("*").cast("bigint").alias("cnt")))
 
-    c5 = gram_counts(5)
-    c4t, c3t, c2t = gram_counts(4), gram_counts(3), gram_counts(2)
+    ckpt_ids: set[int] = set()
+    # Each type table is pinned once (lazy localCheckpoint): its 2-4
+    # consumers prune different columns, so no Exchange canonicalizes
+    # equal and Catalyst/AQE re-ran the whole corpus subtree per
+    # reference (measured: ~11 corpus passes in the r11 plan). The four
+    # tables stay INDEPENDENT gram counts (not derived from each other):
+    # a c5→c4→c3→c2 prefix-sum chain was built and measured — integer-
+    # exact, 3 fewer corpus explodes — but its sequential critical path
+    # lost more than the removed work saved at both sf0.1 and sf1
+    # (paired A/B in OPTIMIZATION_r12.md); parallel independent counts
+    # keep the stage waves overlapped.
+    c5 = _pin_types(gram_counts(5), ckpt_ids, checkpoint)
+    c4t = _pin_types(gram_counts(4), ckpt_ids, checkpoint)
+    c3t = _pin_types(gram_counts(3), ckpt_ids, checkpoint)
+    c2t = _pin_types(gram_counts(2), ckpt_ids, checkpoint)
 
     # top level: prefix-sum context + distinct-continuation counts
     ctx5 = (c5.groupBy("w1", "w2", "w3", "w4")
@@ -1012,10 +1047,12 @@ def kn5_surprisal(df: DataFrame, text_col: str = "text",
         "_bits", F.round(-F.log2(p5), 9).cast("decimal(24,9)")
     ).select(*W, "_bits")
     scored = trans.join(type_bits, on=W)
-    return (scored.groupBy(id_col)
-            .agg(F.count("*").cast("bigint").alias("n_transitions"),
-                 F.sum("_bits").alias("_sb"))
-            .select(id_col, "n_transitions",
-                    F.round(F.col("_sb").cast("double")
-                            / F.col("n_transitions"), 6)
-                    .alias("bits_per_transition")))
+    out = (scored.groupBy(id_col)
+           .agg(F.count("*").cast("bigint").alias("n_transitions"),
+                F.sum("_bits").alias("_sb"))
+           .select(id_col, "n_transitions",
+                   F.round(F.col("_sb").cast("double")
+                           / F.col("n_transitions"), 6)
+                   .alias("bits_per_transition")))
+    out._ckpt_ids = ckpt_ids  # type: ignore[attr-defined]
+    return out
