@@ -51,10 +51,21 @@ def _plan_partitions(df: DataFrame) -> int:
 
 def widen_narrow_scan(df: DataFrame, target: int | None = None) -> DataFrame:
     """Round-robin split `df` to the session default parallelism iff its
-    current plan has fewer partitions. Row-identical (round-robin is
-    deterministic under retries via sort-before-repartition); only the
-    physical partitioning changes, so any per-row/commutative-aggregate
-    consumer is bit-unchanged."""
+    current plan is ESSENTIALLY SERIAL (one partition). Row-identical
+    (round-robin is deterministic under retries via
+    sort-before-repartition); only the physical partitioning changes, so
+    any per-row/commutative-aggregate consumer is bit-unchanged.
+
+    r12: the trigger tightened from `cur < parallelism` to `cur == 1`.
+    A PARTIALLY parallel scan (the 16-file sf1 fixture on 32 cores) does
+    not serialize the map stage — it halves it — while the inserted
+    exchange moves the full payload and, worse, RE-EXECUTES once per
+    consumer of the widened subtree (Catalyst does not reuse it; see
+    OPTIMIZATION_r12.md). Measured at sf1 c32: bigram 6.54 -> 2.12 s,
+    trigram 6.04 -> 4.22 s, kn5 11.34 -> 8.50 s without the 16->32
+    split. The cur == 1 case (single-file/single-row-group fixtures,
+    gzip logs) keeps every r11/r12-verified win; real layouts are
+    many-partition and remain a structural no-op."""
     sc = df.sparkSession.sparkContext
     tgt = int(target or sc.defaultParallelism)
     if tgt <= 1:
@@ -63,4 +74,4 @@ def widen_narrow_scan(df: DataFrame, target: int | None = None) -> DataFrame:
         cur = _plan_partitions(df)
     except Exception:  # noqa: BLE001 — planning oddity: keep the frame as-is
         return df
-    return df.repartition(tgt) if cur < tgt else df
+    return df.repartition(tgt) if cur == 1 else df

@@ -708,8 +708,12 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text",
     toks = F.expr(
         f"filter(split(lower({sql_ident(text_col)}), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), "
         f"t -> t != '' AND t rlike '{ASCII_WORDS}')")
-    staged = widen_narrow_scan(df).select(F.col(id_col),
-                                           toks.alias("_toks"))
+    # r12: root widener removed on paired evidence — it measured slower
+    # at BOTH scales here (isolated widener on/off: trigram 1.93 vs
+    # 1.55 s at sf0.1, bigram 6.5 vs 2.1 s at sf1): the widened subtree
+    # is consumed by several independent count passes, each re-running
+    # the payload exchange (no Catalyst reuse)
+    staged = df.select(F.col(id_col), toks.alias("_toks"))
     tcol = F.col("_toks")
     pairs = F.when(
         F.size(tcol) >= 2,
@@ -728,12 +732,17 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text",
     total = uni.agg(F.sum("cnt").cast("bigint").alias("total"))
     bi = (trans.groupBy("w1", "w2")
           .agg(F.count("*").cast("bigint").alias("bcnt")))
-    # per-TYPE scoring (r11): _bits is a pure function of the bigram, so
-    # the lookup joins assemble on the TYPE table and the document
-    # stream joins the result once — the stream no longer flows through
-    # the unigram/total joins, and each type's double chain runs once
-    type_bits = (
-        bi  # key-partitioned: bigrams don't broadcast
+    # r12: the r11 per-TYPE scoring (assemble _bits on the bigram type
+    # table, attach to the stream with one extra join) is REVERTED here
+    # on paired sf1 evidence: 1.92 s direct vs 5.69 s per-type (2.96x)
+    # at sf1 c32, parity at sf0.1 — at the bigram level the unigram
+    # lookups are already BROADCASTS against the stream, so the type
+    # restructure saved no shuffle and only added a second corpus-sized
+    # join. (Trigram/kn5 keep their per-type form: their lookup chains
+    # are key-partitioned, and they measure at parity or better.)
+    scored = (
+        trans
+        .join(bi, on=["w1", "w2"])  # key-partitioned: bigrams don't broadcast
         .join(F.broadcast(uni.withColumnRenamed("word", "w1")
                           .withColumnRenamed("cnt", "c1")), on="w1")
         .join(F.broadcast(uni.withColumnRenamed("word", "w2")
@@ -747,9 +756,7 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text",
                                   / F.col("total").cast("double")))
         .withColumn("_bits",
                     F.round(-F.log2(F.col("_p")), 9).cast("decimal(24,9)"))
-        .select("w1", "w2", "_bits")
     )
-    scored = trans.join(type_bits, on=["w1", "w2"])
     return (scored.groupBy(id_col)
             .agg(F.count("*").cast("bigint").alias("n_transitions"),
                  F.sum("_bits").alias("_sb"))
@@ -791,8 +798,12 @@ def trigram_surprisal(df: DataFrame, text_col: str = "text",
     toks = F.expr(
         f"filter(split(lower({sql_ident(text_col)}), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), "
         f"t -> t != '' AND t rlike '{ASCII_WORDS}')")
-    staged = widen_narrow_scan(df).select(F.col(id_col),
-                                           toks.alias("_toks"))
+    # r12: root widener removed on paired evidence — it measured slower
+    # at BOTH scales here (isolated widener on/off: trigram 1.93 vs
+    # 1.55 s at sf0.1, bigram 6.5 vs 2.1 s at sf1): the widened subtree
+    # is consumed by several independent count passes, each re-running
+    # the payload exchange (no Catalyst reuse)
+    staged = df.select(F.col(id_col), toks.alias("_toks"))
     tcol = F.col("_toks")
     triples = F.when(
         F.size(tcol) >= 3,
